@@ -1,0 +1,113 @@
+"""Golden-value tests for vector scalar functions.
+
+Mirrors the reference's exact-metric assertions
+(tests/integration_tests.rs:162-181): cos(e1,e2)=0, cos(e1,e1)=1,
+eucl(e1,e2)=sqrt(2); plus the zero-vector guards (src/utils.rs:9-13,
+43-47) and property checks the reference lacks (SURVEY.md §5.2.7).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kowari_spark.functions import (
+    cosine_similarity,
+    dimension,
+    dot,
+    euclidean_distance,
+    magnitude,
+    manhattan_distance,
+    meta_field,
+    normalize,
+)
+
+E1 = [1.0, 0.0, 0.0]
+E2 = [0.0, 1.0, 0.0]
+ZERO = [0.0, 0.0, 0.0]
+
+
+def pair_df(spark, a, b):
+    return spark.createDataFrame(
+        [(a, b)], "a array<float>, b array<float>"
+    )
+
+
+@pytest.mark.parametrize(
+    "a,b,expected",
+    [
+        (E1, E2, 0.0),
+        (E1, E1, 1.0),
+        (ZERO, E1, 0.0),  # zero-norm guard: 0.0, not NaN
+        ([1.0, 2.0, 3.0], [2.0, 4.0, 6.0], 1.0),  # scale invariance
+    ],
+)
+def test_cosine_golden(spark, a, b, expected):
+    got = pair_df(spark, a, b).select(cosine_similarity("a", "b").alias("s")).first()["s"]
+    assert got == pytest.approx(expected, abs=1e-9)
+
+
+def test_euclidean_manhattan_golden(spark):
+    row = (
+        pair_df(spark, E1, E2)
+        .select(
+            euclidean_distance("a", "b").alias("e"),
+            manhattan_distance("a", "b").alias("m"),
+        )
+        .first()
+    )
+    assert row["e"] == pytest.approx(math.sqrt(2.0), abs=1e-9)
+    assert row["m"] == pytest.approx(2.0, abs=1e-9)
+
+
+def test_magnitude_dimension_dot(spark):
+    row = (
+        pair_df(spark, [3.0, 4.0, 0.0], [1.0, 2.0, 3.0])
+        .select(
+            magnitude("a").alias("mag"),
+            dimension("a").alias("dim"),
+            dot("a", "b").alias("d"),
+        )
+        .first()
+    )
+    assert row["mag"] == pytest.approx(5.0)
+    assert row["dim"] == 3
+    assert row["d"] == pytest.approx(11.0)
+
+
+def test_normalize(spark):
+    row = (
+        pair_df(spark, [3.0, 4.0, 0.0], ZERO)
+        .select(normalize("a").alias("na"), normalize("b").alias("nb"))
+        .first()
+    )
+    assert row["na"] == pytest.approx([0.6, 0.8, 0.0])
+    assert row["nb"] == pytest.approx([0.0, 0.0, 0.0])  # zero vec unchanged
+
+
+def test_cosine_symmetry_property(spark, embeddings):
+    """cos(a,b) == cos(b,a) on real data."""
+    df = embeddings.limit(20).alias("x").crossJoin(embeddings.limit(20).alias("y"))
+    bad = df.select(
+        (
+            F.abs(
+                cosine_similarity(F.col("x.embedding"), F.col("y.embedding"))
+                - cosine_similarity(F.col("y.embedding"), F.col("x.embedding"))
+            )
+            > 1e-12
+        ).alias("bad")
+    ).filter("bad")
+    assert bad.count() == 0
+
+
+def test_meta_field(spark):
+    df = spark.createDataFrame(
+        [('{"features": {"category": "A", "priority": 3}, "label": "x"}',)],
+        "metadata string",
+    )
+    row = df.select(
+        meta_field("metadata", "features.category").alias("cat"),
+        meta_field("metadata", "features.priority").alias("pri"),
+    ).first()
+    assert row["cat"] == "A"
+    assert row["pri"] == "3"
