@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query.
+
+Numerics policy (so Spark and DuckDB hash-match):
+- all vector math in float64 (embeddings are float32 at rest; the widening
+  cast is exact on both engines), per-row scores rounded to 6 decimals;
+- cross-row money aggregations go through exact DECIMAL(18,*) arithmetic
+  (order-independent, hence bit-identical across engines) and are cast
+  back to DOUBLE for output;
+- every top-k breaks score ties by id ascending;
+- timestamps are emitted as formatted strings (engine-neutral).
 """
 
 from __future__ import annotations
@@ -12,27 +19,317 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from kowari_spark.operators import knn, knn_batch
+from kowari_spark.functions.vector import magnitude
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def _dsum(col):
+    """Order-independent sum: exact decimal accumulation, double output."""
+    return F.sum(col.cast("decimal(30,10)")).cast("double")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores nanosecond timestamps, which Spark's parquet
+    reader rejects; read them as long and convert with integer division
+    (ns magnitudes exceed double's 53-bit mantissa, so no float math)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+# SQL fragments (DuckDB dialect) --------------------------------------------
+
+_COS = (
+    "CASE WHEN sqrt(list_dot_product({a},{a})) = 0 OR sqrt(list_dot_product({b},{b})) = 0 "
+    "THEN 0.0 ELSE list_dot_product({a},{b}) / "
+    "(sqrt(list_dot_product({a},{a})) * sqrt(list_dot_product({b},{b}))) END"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return _COS.format(a=a, b=b)
+
+
+# --------------------------------------------------------------------------
+# vector search queries (SURVEY.md §2.3: Q1-Q2, Q7-Q10)
+# --------------------------------------------------------------------------
+
+def q_knn_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    return knn(base, q, 10, metric="cosine", id_col="vec_id", round_to=6)
+
+
+def q_knn_euclidean_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 1)
+    return knn(base, q, 10, metric="euclidean", id_col="vec_id", round_to=6)
+
+
+def q_knn_batch_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "embeddings")
+    queries = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = knn_batch(base, queries, 5, metric="cosine", id_col="vec_id", round_to=6)
+    return res.select("query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+def q_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector magnitude + dimension (F5/F6) over the embeddings table."""
+    base = _t(spark, sf_dir, "embeddings")
+    return base.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(magnitude("embedding"), 6).alias("mag"),
+    )
+
+
+def _oracle_knn_cosine_top10() -> str:
+    cos = _cos_sql("(e.embedding::DOUBLE[])", "q.qe")
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS vec_id, ROUND({cos}, 6) AS score
+FROM embeddings e CROSS JOIN q
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def _oracle_knn_euclidean_top10() -> str:
+    return """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 1)
+SELECT e.vec_id AS vec_id,
+       ROUND(-sqrt(list_reduce(list_transform(list_zip(e.embedding::DOUBLE[], q.qe),
+             p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, x) -> acc + x)), 6) + 0.0 AS score
+FROM embeddings e CROSS JOIN q
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def _oracle_knn_batch_top5() -> str:
+    cos = _cos_sql("(e.embedding::DOUBLE[])", "q.qe")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id, ROUND({cos}, 6) AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+_ORACLE_VECTOR_STATS = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS mag
+FROM embeddings
+"""
+
+
+# --------------------------------------------------------------------------
+# relational queries over the TPC-H-ish tables (engine built-ins: SURVEY.md §2.6)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter -> groupBy -> multi-agg -> order."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + agg: revenue per nation (broadcast dims)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_ORACLE_REVENUE_BY_NATION = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window: top-1 customer by acctbal per nation, id tie-break."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+_ORACLE_TOP_CUSTOMER_PER_NATION = """
+SELECT c_nationkey, c_custkey, c_name, c_acctbal
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer
+) WHERE rn = 1
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling hourly aggregation of the events table (batch form of the
+    streaming windowed agg)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+_ORACLE_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (set difference on keys)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_ORACLE_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: batch exact k-NN (heap path) over sf0.001 embeddings,
+    hits resolved back to full records (reference flagship:
+    examples/basic_usage.rs:60-91 — search + id resolution)."""
+    sf_dir = "/root/testdata/sf0.001"
+    base = _t(spark, sf_dir, "embeddings")
+    queries = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = knn_batch(base, queries, 5, metric="cosine", id_col="vec_id", round_to=6)
+    return hits.join(base.select("vec_id", "label"), "vec_id", "inner").select(
+        "query_id", "vec_id", "label", "score", "rank"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "knn_cosine_top10": q_knn_cosine_top10,
+        "knn_euclidean_top10": q_knn_euclidean_top10,
+        "knn_batch_top5": q_knn_batch_top5,
+        "vector_stats": q_vector_stats,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_customer_per_nation": q_top_customer_per_nation,
+        "events_hourly": q_events_hourly,
+        "customers_without_orders": q_customers_without_orders,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "knn_cosine_top10": _oracle_knn_cosine_top10(),
+        "knn_euclidean_top10": _oracle_knn_euclidean_top10(),
+        "knn_batch_top5": _oracle_knn_batch_top5(),
+        "vector_stats": _ORACLE_VECTOR_STATS,
+        "pricing_summary": _ORACLE_PRICING_SUMMARY,
+        "revenue_by_nation": _ORACLE_REVENUE_BY_NATION,
+        "top_customer_per_nation": _ORACLE_TOP_CUSTOMER_PER_NATION,
+        "events_hourly": _ORACLE_EVENTS_HOURLY,
+        "customers_without_orders": _ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+    }

@@ -43,7 +43,8 @@ def _score(metric: str, vec_col: Column | str, query: Column) -> Column:
 
 
 def _rounded(col: Column, round_to: int | None) -> Column:
-    return F.round(col, round_to) if round_to is not None else col
+    # `+ 0.0` normalizes IEEE negative zero so engines hash identically
+    return F.round(col, round_to) + F.lit(0.0) if round_to is not None else col
 
 
 def knn(
@@ -207,8 +208,9 @@ def _knn_batch_heap(
 
             if round_to is not None:
                 # round BEFORE selection so id tie-breaks happen at the
-                # same precision the final (rounded) ordering uses
-                s = np.round(s, round_to)
+                # same precision the final (rounded) ordering uses;
+                # +0.0 normalizes negative zero
+                s = np.round(s, round_to) + 0.0
 
             for qi in range(nq):
                 srow = s[qi]
