@@ -1,0 +1,123 @@
+"""Catalog / collection lifecycle tests.
+
+Mirrors the reference suites (SURVEY.md §5.1):
+- CRUD + error paths (tests/integration_tests.rs:101-138)
+- dimension validation (vector_db/tests/sqlite_binary_tests.rs:234-254)
+- persistence across manager instances (:256-288)
+- nested metadata fidelity (vector_db/tests/local_storage_tests.rs:118-151)
+- create/list/delete collections (sqlite_binary_tests.rs:170-187)
+"""
+
+import json
+
+import pytest
+
+from kowari_spark.catalog import CollectionManager
+from kowari_spark.errors import (
+    CollectionNotFoundError,
+    DimensionMismatchError,
+    DuplicateIdError,
+    MissingIdError,
+)
+from kowari_spark.schema import vector_df, vector_row
+from kowari_spark.sources import append_vectors, load_vectors, save_vectors
+
+
+@pytest.fixture()
+def mgr(spark, tmp_path):
+    return CollectionManager(spark, str(tmp_path / "warehouse"))
+
+
+def test_create_list_delete(mgr):
+    mgr.create_collection("a", 4)
+    mgr.create_collection("b", 8)
+    assert mgr.list_collections() == ["a", "b"]
+    mgr.delete_collection("a")
+    assert mgr.list_collections() == ["b"]
+    with pytest.raises(CollectionNotFoundError):
+        mgr.get_collection("a")
+    with pytest.raises(ValueError):
+        mgr.create_collection("b", 8)
+
+
+def test_add_get_count_delete(mgr):
+    c = mgr.create_collection("vecs", 3)
+    vid = c.add([1.0, 2.0, 3.0], {"label": "x"})
+    assert c.count() == 1
+    row = c.get(vid)
+    assert row["embedding"] == pytest.approx([1.0, 2.0, 3.0])
+    assert json.loads(row["metadata"])["label"] == "x"
+    c.delete(vid)
+    assert c.count() == 0
+    assert c.get(vid) is None
+
+
+def test_strict_duplicate_and_missing(mgr):
+    c = mgr.create_collection("strictc", 3)
+    c.add([1.0, 0.0, 0.0], id="v1")
+    with pytest.raises(DuplicateIdError):
+        c.add([0.0, 1.0, 0.0], id="v1")
+    with pytest.raises(MissingIdError):
+        c.delete("nope")
+    assert c.count() == 1
+
+
+def test_upsert_mode(mgr, spark):
+    c = mgr.create_collection("ups", 3, mode="upsert")
+    c.add([1.0, 0.0, 0.0], {"v": 1}, id="v1")
+    c.add([0.0, 1.0, 0.0], {"v": 2}, id="v1")  # silently replaces
+    assert c.count() == 1
+    assert c.get("v1")["embedding"] == pytest.approx([0.0, 1.0, 0.0])
+    c.delete("missing")  # ignored in upsert mode
+    assert c.count() == 1
+
+
+def test_dimension_validation(mgr):
+    c = mgr.create_collection("dim64", 64)
+    with pytest.raises(DimensionMismatchError):
+        c.add([1.0, 2.0, 3.0])
+    assert c.count() == 0
+
+
+def test_persistence_across_instances(mgr, spark):
+    c = mgr.create_collection("persist", 3)
+    meta = {
+        "user": {"id": 12345, "preferences": {"theme": "dark"}},
+        "tags": ["test", "vector"],
+    }
+    c.add([0.1, 0.2, 0.3], meta, id="v1")
+    # reopen through a fresh manager rooted at the same warehouse
+    mgr2 = CollectionManager(spark, mgr.base_path)
+    c2 = mgr2.get_collection("persist")
+    assert c2.dimension == 3
+    row = c2.get("v1")
+    got = json.loads(row["metadata"])
+    assert got["user"]["preferences"]["theme"] == "dark"
+    assert got["tags"] == ["test", "vector"]
+    assert c2.info()["vector_count"] == 1
+
+
+def test_clear_and_optimize(mgr):
+    c = mgr.create_collection("clr", 2)
+    for i in range(5):
+        c.add([float(i), 0.0], id=f"v{i}")
+    c.optimize(target_partitions=1)
+    assert c.count() == 5
+    c.clear()
+    assert c.count() == 0
+
+
+def test_json_roundtrip(spark, tmp_path):
+    rows = [
+        vector_row([1.0, 2.0], {"a": 1}, id="x"),
+        vector_row([3.0, 4.0], None, id="y"),
+    ]
+    df = vector_df(spark, rows)
+    path = str(tmp_path / "snap.json")
+    save_vectors(df, path)
+    back = load_vectors(spark, path)
+    got = {r["id"]: r for r in back.collect()}
+    assert got["x"]["embedding"] == pytest.approx([1.0, 2.0])
+    assert got["y"]["metadata"] is None
+    append_vectors(vector_df(spark, [vector_row([5.0, 6.0], id="z")]), path)
+    assert load_vectors(spark, path).count() == 3
