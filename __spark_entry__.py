@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kowari_spark.operators import knn, knn_batch
+from kowari_spark.operators.lsh import SignLSH
 from kowari_spark.functions.vector import magnitude
+
+# embeddings tables are 64-dim at every SF; LSH params mirror the
+# reference's test setup (8 planes, tests/integration_tests.rs:237)
+_LSH = SignLSH(dim=64, num_planes=8, seed=42)
 
 
 # --------------------------------------------------------------------------
@@ -144,6 +149,44 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_lsh_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-probe top-10 with brute-force fallback (Q3/Q4)."""
+    base = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 2)
+    return _LSH.query(base, q, 10, metric="cosine", id_col="vec_id", round_to=6)
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    terms = []
+    for i, plane in enumerate(_LSH.planes):
+        lit = "[" + ",".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {lit}) >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _oracle_lsh_knn_top10() -> str:
+    cos = _cos_sql("p.emb", "q.qe")
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 2),
+b AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+             {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+      FROM embeddings),
+qb AS (SELECT {_bucket_sql('qe')} AS bucket FROM q),
+cand AS (SELECT b.* FROM b JOIN qb ON b.bucket = qb.bucket),
+pool AS (
+  SELECT * FROM cand WHERE (SELECT count(*) FROM cand) >= 10
+  UNION ALL
+  SELECT * FROM b WHERE (SELECT count(*) FROM cand) < 10
+)
+SELECT p.vec_id AS vec_id, ROUND({cos}, 6) + 0.0 AS score
+FROM pool p CROSS JOIN q
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
 """
 
 
@@ -312,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_top10": q_knn_cosine_top10,
         "knn_euclidean_top10": q_knn_euclidean_top10,
         "knn_batch_top5": q_knn_batch_top5,
+        "lsh_knn_top10": q_lsh_knn_top10,
         "vector_stats": q_vector_stats,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -326,6 +370,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_top10": _oracle_knn_cosine_top10(),
         "knn_euclidean_top10": _oracle_knn_euclidean_top10(),
         "knn_batch_top5": _oracle_knn_batch_top5(),
+        "lsh_knn_top10": _oracle_lsh_knn_top10(),
         "vector_stats": _ORACLE_VECTOR_STATS,
         "pricing_summary": _ORACLE_PRICING_SUMMARY,
         "revenue_by_nation": _ORACLE_REVENUE_BY_NATION,
