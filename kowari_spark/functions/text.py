@@ -1,0 +1,199 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Beyond-reference surface (task north star; SURVEY.md §7.1 step 9):
+language ID, quality scoring, token counting, fingerprinting, shingling,
+MinHash / SimHash primitives — all native column expressions (codegen,
+no UDFs), and all built from ENGINE-PORTABLE hashing (md5 prefix ->
+int64) so every operator has an exact DuckDB oracle.
+
+Hash family for MinHash: h_i(x) = (a_i * (x mod P) + b_i) mod P over the
+md5-based base hash, P = 2^31 - 1; products stay < 2^63 so the math is
+overflow-free in both engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text) -> Column:
+    """Whitespace tokens (single-space split, engine-portable)."""
+    return F.split(_c(text), " ")
+
+
+def token_count(text) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text)).cast("long")
+
+
+def token_count_bpe(text) -> Column:
+    """BPE-ish subword proxy: runs of letters, runs of digits, or single
+    punctuation — the usual pre-tokenizer regex shape."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), 0)).cast("long")
+
+
+def base_hash64(s) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 as int64.
+
+    Identical in DuckDB: ('0x' || substring(md5(s), 1, 15))::BIGINT.
+    """
+    return F.conv(F.substring(F.md5(_c(s)), 1, 15), 16, 10).cast("long")
+
+
+def shingles(text, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; docs shorter than n tokens use the
+    whole text as their single shingle."""
+    toks = tokens(text)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array(_c(text)))
+
+
+def minhash_params(num_hashes: int = 16, seed: int = 42) -> tuple[list[int], list[int]]:
+    """Seeded (a_i, b_i) coefficients shared with the SQL oracle."""
+    rng = np.random.RandomState(seed)
+    a = [int(x) for x in rng.randint(1, MINHASH_P, size=num_hashes)]
+    b = [int(x) for x in rng.randint(0, MINHASH_P, size=num_hashes)]
+    return a, b
+
+
+def minhash_signature(
+    text, num_hashes: int = 16, shingle_n: int = 3, seed: int = 42
+) -> Column:
+    """Array of num_hashes minhash values over word shingles."""
+    sh = shingles(text, shingle_n)
+    a, b = minhash_params(num_hashes, seed)
+
+    def hash_fn(ai: int, bi: int):
+        # closure factory: pyspark infers lambda arity, so the coefficients
+        # must NOT appear as extra lambda params
+        return lambda s: (
+            F.lit(ai) * (base_hash64(s) % F.lit(MINHASH_P)) + F.lit(bi)
+        ) % F.lit(MINHASH_P)
+
+    mins = [
+        F.array_min(F.transform(sh, hash_fn(ai, bi))) for ai, bi in zip(a, b)
+    ]
+    return F.array(*mins)
+
+
+def simhash(text, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens: bit j of the fingerprint is set
+    when more token-hashes have bit j set than clear."""
+    hcol = F.transform(tokens(text), lambda t: base_hash64(t))
+    total = F.size(hcol)
+
+    def bit_test(j: int):
+        # closure factory — a `lambda h, j=j` would be read as a 2-arg
+        # (value, index) lambda by pyspark and bind j to the array index
+        return lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        ones = F.size(F.filter(hcol, bit_test(j)))
+        out = out + F.when(ones * 2 > total, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def fingerprint_key(text) -> Column:
+    """Key-collision fingerprint: md5 of the sorted distinct token set
+    (catches token-order / duplication edits)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
+
+
+def rolling_fingerprint(text) -> Column:
+    """Order-sensitive polynomial rolling hash over token hashes:
+    h = fold(h * 31 + hash(tok)) mod P. Sequential fold — same result in
+    DuckDB's list_reduce."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(31) + base_hash64(t)) % F.lit(MINHASH_P),
+    )
+
+
+# -- language ID + quality ---------------------------------------------------
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "les", "des", "et", "une", "est", "dans", "pour", "sur", "avec"],
+}
+
+
+def _stopword_hits(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(text) -> Column:
+    """Stopword-heuristic language guess. First-match-wins CASE in a
+    fixed language order, so ties resolve deterministically; 'und'
+    (undetermined) when no stopword list hits. The same CASE chain is
+    expressible verbatim in the SQL oracle."""
+    toks = tokens(F.lower(_c(text)))
+    hits = {lang: _stopword_hits(toks, words) for lang, words in STOPWORDS.items()}
+    langs = sorted(STOPWORDS)  # priority: de, en, es, fr
+    expr = None
+    for i, lang in enumerate(langs):
+        cond = hits[lang] > 0
+        for later in langs[i + 1 :]:
+            cond = cond & (hits[lang] >= hits[later])
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def stopword_ratio(text, lang: str = "en") -> Column:
+    toks = tokens(F.lower(_c(text)))
+    return _stopword_hits(toks, STOPWORDS[lang]).cast("double") / F.size(toks)
+
+
+def quality_features(text) -> dict[str, Column]:
+    """Heuristic quality signals (Gopher/C4-style cheap filters)."""
+    t = _c(text)
+    toks = tokens(t)
+    n = F.size(toks)
+    chars = F.length(t)
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    digits = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    punct = F.length(F.regexp_replace(t, "[a-zA-Z0-9\\s]", ""))
+    return {
+        "n_tokens": n.cast("long"),
+        "avg_token_len": (chars - n + 1).cast("double") / n,
+        "alpha_ratio": alpha.cast("double") / chars,
+        "digit_ratio": digits.cast("double") / chars,
+        "punct_ratio": punct.cast("double") / chars,
+        "distinct_token_ratio": F.size(F.array_distinct(toks)).cast("double") / n,
+        "stopword_ratio": stopword_ratio(t),
+    }
+
+
+def quality_score(text) -> Column:
+    """Composite [0,1]-ish quality score from the cheap signals: rewards
+    mid-length docs with diverse tokens and some stopwords, penalizes
+    digit/punct-heavy text."""
+    f = quality_features(text)
+    length_term = F.least(f["n_tokens"].cast("double") / 100.0, F.lit(1.0))
+    return (
+        0.3 * length_term
+        + 0.3 * f["distinct_token_ratio"]
+        + 0.2 * f["alpha_ratio"]
+        + 0.2 * (1.0 - f["digit_ratio"] - f["punct_ratio"])
+    )

@@ -1,0 +1,276 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond-reference surface (task north star): exact dedup, MinHash+LSH
+near-dedup, SimHash, n-gram Jaccard verification, and embedding-cosine
+near-dup — each designed as a shuffle-conscious DataFrame pipeline:
+
+- exact: hash-groupBy (one shuffle on the content hash, map-side partial
+  aggregation free from Catalyst);
+- MinHash LSH: shingle -> signature (narrow, codegen) -> explode bands
+  (|docs|·b rows) -> self-join on (band, key) — the join key is the band
+  bucket so the shuffle moves only (id, band_key) pairs, never documents;
+- verification joins shingle sets back ONLY for candidate pairs
+  (candidate set << n²);
+- embedding near-dup: exact O(n²) variant for oracles/small n, LSH-bucket
+  variant as the 100 TB path (pairs only form inside a bucket).
+
+All hashing is md5-based and engine-portable so every operator has an
+exact DuckDB oracle (see functions/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kowari_spark.functions.text import (
+    fingerprint_key,
+    minhash_signature,
+    shingles,
+    simhash,
+)
+from kowari_spark.functions.vector import cosine_similarity
+
+
+# -- exact ------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, content_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per exact content group.
+
+    Content key = md5 of the concatenated columns; one shuffle, with
+    map-side partial min/count."""
+    key = F.md5(F.concat_ws("", *[F.col(c) for c in content_cols]))
+    keyed = df.withColumn("__key", key)
+    keep = keyed.groupBy("__key").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keep, ["__key", id_col], "left_semi").drop("__key")
+
+
+def exact_dup_groups(
+    df: DataFrame, content_cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups with >1 identical rows: (content_key, n_dups, keep_id)."""
+    key = F.md5(F.concat_ws("", *[F.col(c) for c in content_cols]))
+    return (
+        df.withColumn("content_key", key)
+        .groupBy("content_key")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+def minhash_band_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs: ids sharing at least one LSH band.
+
+    Signature of ``num_hashes`` minhashes split into ``bands`` bands of
+    r = num_hashes/bands rows; band key = md5 of the band's values.
+    Output: (id_a, id_b) with id_a < id_b, distinct.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide evenly into bands")
+    r = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, seed)
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.array_join(F.slice(sig, i * r + 1, r), ","))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for given (id_a, id_b) pairs.
+
+    Joins shingle sets only for the candidate pairs."""
+    sh = df.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    a = sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a")
+    b = sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by exact Jaccard >= t."""
+    cand = minhash_band_pairs(df, text_col, id_col, num_hashes, bands, shingle_n, seed)
+    return jaccard_pairs(df, cand, text_col, id_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), simhash(F.col(text_col), bits).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    block_bits: int = 8,
+) -> DataFrame:
+    """Near pairs by SimHash hamming distance <= max_hamming.
+
+    Scale path: block on the top ``block_bits`` bits (near docs very
+    likely share them), join within blocks, then exact popcount filter —
+    avoids the full n² comparison. bit_count is a built-in in both
+    engines."""
+    fp = simhash_fingerprints(df, text_col, id_col, bits)
+    blocked = fp.withColumn("block", F.shiftright(F.col("simhash"), bits - block_bits))
+    a = blocked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block"
+    )
+    b = blocked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# -- fingerprint dedup -------------------------------------------------------
+
+def fingerprint_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token-set fingerprint groups (order/duplication-insensitive)."""
+    return (
+        df.select(F.col(id_col), fingerprint_key(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n") > 1)
+    )
+
+
+# -- embedding near-dup ------------------------------------------------------
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup (id_a < id_b, cos >= t).
+
+    O(n²) — the oracle-checkable baseline. Use
+    ``embedding_near_dups_lsh`` as the scale path."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    if round_to is not None:
+        cos = F.round(cos, round_to) + F.lit(0.0)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_near_dups_lsh(
+    df: DataFrame,
+    threshold: float,
+    num_planes: int = 4,
+    num_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Approximate near-dup via sign-LSH OR-construction: ``num_tables``
+    independent plane sets; a pair becomes a candidate when it collides
+    in ANY table (recall 1-(1-p^planes)^tables, p = 1 - θ/π). Each
+    table's join shuffles by bucket, so candidate pairs only form inside
+    buckets — never the n² explosion. This is the 100 TB path; the exact
+    variant above is the oracle baseline."""
+    from kowari_spark.operators.lsh import SignLSH
+
+    dim = len(df.select(vec_col).first()[0])
+    cand = None
+    for t in range(num_tables):
+        lsh = SignLSH(dim=dim, num_planes=num_planes, seed=seed + t)
+        bucketed = df.select(F.col(id_col), F.col(vec_col)).withColumn(
+            "bucket", lsh.bucket_expr(vec_col)
+        )
+        a = bucketed.select(F.col(id_col).alias("id_a"), "bucket")
+        b = bucketed.select(F.col(id_col).alias("id_b"), "bucket")
+        pairs = (
+            a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    if round_to is not None:
+        cos = F.round(cos, round_to) + F.lit(0.0)
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

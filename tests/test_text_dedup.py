@@ -1,0 +1,141 @@
+"""Text-analysis + dedup operator tests over the documents table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kowari_spark.functions.text import (
+    fingerprint_key,
+    lang_id,
+    minhash_signature,
+    quality_score,
+    rolling_fingerprint,
+    shingles,
+    simhash,
+    token_count,
+    token_count_bpe,
+)
+from kowari_spark.operators.dedup import (
+    embedding_near_dups,
+    embedding_near_dups_lsh,
+    exact_dedup,
+    exact_dup_groups,
+    jaccard_pairs,
+    minhash_band_pairs,
+    minhash_dedup_pairs,
+    simhash_near_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("hello world foo",), ("a b c d e",)], "text string")
+    rows = df.select(token_count("text").alias("n"), token_count_bpe("text").alias("b")).collect()
+    assert [r["n"] for r in rows] == [3, 5]
+    assert rows[0]["b"] == 3
+
+
+def test_shingles_and_fingerprints(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox", 1), ("fox brown quick the", 2), ("xy", 3)],
+        "text string, doc_id int",
+    )
+    r = df.select("doc_id", shingles("text", 3).alias("sh"), fingerprint_key("text").alias("fp")).collect()
+    by_id = {x["doc_id"]: x for x in r}
+    assert by_id[1]["sh"] == ["the quick brown", "quick brown fox"]
+    assert by_id[3]["sh"] == ["xy"]  # short doc fallback
+    # same token set, different order -> same fingerprint
+    assert by_id[1]["fp"] == by_id[2]["fp"]
+    rf = df.select("doc_id", rolling_fingerprint("text").alias("rf")).collect()
+    rfs = {x["doc_id"]: x["rf"] for x in rf}
+    assert rfs[1] != rfs[2]  # rolling hash is order-sensitive
+
+
+def test_lang_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is in the house and it is warm",),
+            ("el gato es que en la casa y los perros",),
+            ("der hund ist von der stadt und das haus",),
+            ("zzz qqq www",),
+        ],
+        "text string",
+    )
+    got = [r[0] for r in df.select(lang_id("text")).collect()]
+    assert got == ["en", "es", "de", "und"]
+
+
+def test_quality_score_range(docs):
+    rows = docs.select(quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.2 for r in rows)
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    kept = exact_dedup(df, ["text"]).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 3]
+    groups = exact_dup_groups(df, ["text"]).collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == 2 and groups[0]["keep_id"] == 1
+
+
+def test_minhash_identical_docs_always_candidates(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally different words here now ok")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_band_pairs(df).collect()
+    assert (1, 2) in {(p["id_a"], p["id_b"]) for p in pairs}
+    verified = minhash_dedup_pairs(df, threshold=0.99).collect()
+    assert {(p["id_a"], p["id_b"]) for p in verified} == {(1, 2)}
+
+
+def test_minhash_finds_real_near_dups(docs):
+    pairs = minhash_dedup_pairs(docs, threshold=0.5).collect()
+    assert len(pairs) > 0  # the synthetic corpus contains near-dups
+    for p in pairs:
+        assert p["jaccard"] >= 0.5
+
+
+def test_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    j = jaccard_pairs(df, pairs).first()["jaccard"]
+    # shingles: {abc,bcd} vs {abc,bce} -> 1/3
+    assert j == pytest.approx(1 / 3)
+
+
+def test_simhash_near_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+         (2, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w11"),
+         (3, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10")],
+        "doc_id long, text string",
+    )
+    fps = df.select(simhash("text").alias("s")).collect()
+    assert all(r["s"] >= 0 for r in fps)
+    near = simhash_near_pairs(df, max_hamming=8)
+    got = {(p["id_a"], p["id_b"]) for p in near.collect()}
+    assert (1, 2) in got and (1, 3) not in got
+
+
+def test_embedding_near_dups_exact_vs_lsh(spark, embeddings):
+    base = embeddings.withColumnRenamed("vec_id", "id").limit(150)
+    exact = embedding_near_dups(base, threshold=0.3, round_to=6)
+    approx = embedding_near_dups_lsh(
+        base, 0.3, num_planes=4, num_tables=4, seed=7, round_to=6
+    )
+    e = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    a = {(r["id_a"], r["id_b"]) for r in approx.collect()}
+    assert a <= e  # LSH path returns a subset of true pairs
+    if e:
+        # OR-construction recall: 1-(1-p^4)^4, p≈0.6 at cos 0.3 → ≈0.43
+        assert len(a) / len(e) >= 0.2
