@@ -25,6 +25,8 @@ from pyspark.sql.window import Window
 from kowari_spark.operators import knn, knn_batch
 from kowari_spark.operators.lsh import SignLSH
 from kowari_spark.functions.vector import magnitude
+from kowari_spark.functions import text as T
+from kowari_spark.operators import dedup as D
 
 # embeddings tables are 64-dim at every SF; LSH params mirror the
 # reference's test setup (8 planes, tests/integration_tests.rs:237)
@@ -332,6 +334,241 @@ ORDER BY c_custkey
 
 
 # --------------------------------------------------------------------------
+# text analysis + dedup queries over the documents table (north-star
+# extensions, SURVEY.md §7.1 step 9; operators in functions/text.py and
+# operators/dedup.py). Every hash is md5-based so the DuckDB oracle
+# reproduces the EXACT algorithm, approximation included.
+# --------------------------------------------------------------------------
+
+# SQL fragments shared by the text oracles (DuckDB dialect)
+_SQL_HASH64 = "(('0x' || substring(md5({s}), 1, 15))::BIGINT)"
+_SQL_SHINGLES3 = (
+    "CASE WHEN len({t}) >= 3 THEN list_distinct(list_transform("
+    "range(1, len({t}) - 1), i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])) "
+    "ELSE [text] END"
+)
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + order-sensitive/insensitive fingerprints."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tok"),
+        T.token_count_bpe("text").alias("n_bpe"),
+        T.rolling_fingerprint("text").alias("rolling_fp"),
+        T.fingerprint_key("text").alias("fp_key"),
+    )
+
+
+_ORACLE_DOC_TOKEN_STATS = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe,
+       list_reduce(
+         list_concat([CAST(0 AS BIGINT)],
+           list_transform(string_split(text, ' '), t -> {_SQL_HASH64.format(s='t')})),
+         (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_fp,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp_key
+FROM documents
+"""
+
+
+def q_doc_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID (stopword heuristic) + composite quality score."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.lang_id("text").alias("lang"),
+        (F.round(T.quality_score("text"), 6) + F.lit(0.0)).alias("q"),
+    )
+
+
+def _oracle_doc_lang_quality() -> str:
+    langs = sorted(T.STOPWORDS)
+    hit = {
+        lang: "len(list_filter(ltoks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+        + "], t)))"
+        for lang in langs
+    }
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"{hit[lang]} > 0"] + [
+            f"{hit[lang]} >= {hit[later]}" for later in langs[i + 1 :]
+        ]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    lang_case = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split(lower(text), ' ') AS ltoks,
+         string_split(text, ' ') AS toks,
+         length(text) AS chars,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+  FROM documents
+)
+SELECT doc_id,
+       {lang_case} AS lang,
+       ROUND(0.3 * least(len(toks) / 100.0, 1.0)
+           + 0.3 * (len(list_distinct(toks)) / len(toks))
+           + 0.2 * (alpha / chars)
+           + 0.2 * (1.0 - digits / chars - punct / chars), 6) + 0.0 AS q
+FROM base
+"""
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: representative (min-id) rows kept per content hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, ["text"], "doc_id").select("doc_id").orderBy("doc_id")
+
+
+_ORACLE_DOC_EXACT_DEDUP = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id
+"""
+
+
+def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates verified by exact shingle Jaccard."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", (F.round(F.col("jaccard"), 6) + F.lit(0.0)).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def _oracle_doc_minhash_pairs() -> str:
+    a, b = T.minhash_params(16, 42)
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hm, m -> ({ai} * m + {bi}) % 2147483647))"
+        for ai, bi in zip(a, b)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, md5(array_to_string(sig[{j*4+1}:{j*4+4}], ',')) AS bk FROM sig"
+        for j in range(4)
+    )
+    sh = _SQL_SHINGLES3.format(t="t")
+    h = _SQL_HASH64.format(s="x")
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {sh} AS s
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+),
+hm AS (SELECT doc_id, list_transform(s, x -> {h} % 2147483647) AS hm FROM sh),
+sig AS (SELECT doc_id, [{sig_exprs}] AS sig FROM hm),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT id_a, id_b,
+         (len(list_intersect(sa.s, sb.s)) * 1.0)
+         / (len(list_distinct(list_concat(sa.s, sb.s))) * 1.0) AS jac
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.id_a
+  JOIN sh sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, ROUND(jac, 6) + 0.0 AS jaccard
+FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b
+"""
+
+
+def q_doc_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs: top-byte blocking + exact hamming filter."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(docs, max_hamming=6).orderBy("id_a", "id_b")
+
+
+def _oracle_doc_simhash_near() -> str:
+    h = _SQL_HASH64.format(s="t")
+    fp_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, x -> (x >> {j}) & 1 = 1)) > len(hs) "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    )
+    return f"""
+WITH hs AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), t -> {h}) AS hs
+  FROM documents
+),
+fp AS (SELECT doc_id, ({fp_terms}) AS simhash FROM hs),
+blocked AS (SELECT doc_id, simhash, simhash >> 24 AS block FROM fp)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+ORDER BY id_a, id_b
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine near-dup (oracle baseline; LSH variant is
+    the scale path). Bounded to vec_id < 200 so the O(n²) pair count is
+    SF-independent."""
+    base = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return D.embedding_near_dups(
+        base, threshold=0.3, id_col="vec_id", round_to=6
+    ).orderBy("id_a", "id_b")
+
+
+_ORACLE_EMBEDDING_NEAR_DUPS = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_COS.format(a='a.v', b='b.v')}, 6) + 0.0 AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND({_COS.format(a='a.v', b='b.v')}, 6) + 0.0 >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH OR-construction near-dup (the 100 TB path): candidates
+    only form inside buckets; verified by exact cosine."""
+    base = _t(spark, sf_dir, "embeddings")
+    return D.embedding_near_dups_lsh(
+        base, threshold=0.3, num_planes=4, num_tables=2, seed=7,
+        id_col="vec_id", round_to=6,
+    ).orderBy("id_a", "id_b")
+
+
+def _bucket_sql_planes(planes, vec_expr: str) -> str:
+    terms = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ",".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, {lit}) >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _oracle_embedding_near_dups_lsh() -> str:
+    tables = []
+    for t in range(2):
+        lsh = SignLSH(dim=64, num_planes=4, seed=7 + t)
+        bexpr = _bucket_sql_planes(lsh.planes, "v")
+        tables.append(
+            f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM "
+            f"(SELECT vec_id, v, {bexpr} AS bucket FROM e) a JOIN "
+            f"(SELECT vec_id, v, {bexpr} AS bucket FROM e) b "
+            f"ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
+        )
+    cand = " UNION ".join(tables)  # UNION = distinct
+    cos = _COS.format(a="ea.v", b="eb.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cand AS ({cand})
+SELECT cand.id_a, cand.id_b, ROUND({cos}, 6) + 0.0 AS cos
+FROM cand JOIN e ea ON ea.vec_id = cand.id_a JOIN e eb ON eb.vec_id = cand.id_b
+WHERE ROUND({cos}, 6) + 0.0 >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 
@@ -362,6 +599,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customer_per_nation": q_top_customer_per_nation,
         "events_hourly": q_events_hourly,
         "customers_without_orders": q_customers_without_orders,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_lang_quality": q_doc_lang_quality,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash_near": q_doc_simhash_near,
+        "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
     }
 
 
@@ -377,4 +621,11 @@ def oracle_sql() -> dict[str, str]:
         "top_customer_per_nation": _ORACLE_TOP_CUSTOMER_PER_NATION,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
         "customers_without_orders": _ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+        "doc_token_stats": _ORACLE_DOC_TOKEN_STATS,
+        "doc_lang_quality": _oracle_doc_lang_quality(),
+        "doc_exact_dedup": _ORACLE_DOC_EXACT_DEDUP,
+        "doc_minhash_pairs": _oracle_doc_minhash_pairs(),
+        "doc_simhash_near": _oracle_doc_simhash_near(),
+        "embedding_near_dups": _ORACLE_EMBEDDING_NEAR_DUPS,
+        "embedding_near_dups_lsh": _oracle_embedding_near_dups_lsh(),
     }

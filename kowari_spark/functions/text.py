@@ -74,19 +74,22 @@ def minhash_params(num_hashes: int = 16, seed: int = 42) -> tuple[list[int], lis
 def minhash_signature(
     text, num_hashes: int = 16, shingle_n: int = 3, seed: int = 42
 ) -> Column:
-    """Array of num_hashes minhash values over word shingles."""
-    sh = shingles(text, shingle_n)
+    """Array of num_hashes minhash values over word shingles.
+
+    Column form (hash each shingle ONCE, then num_hashes cheap affine
+    mins). For whole-table signatures prefer
+    ``operators.dedup.minhash_signatures`` — the explode+groupBy
+    aggregation form that scales with map-side partial mins."""
+    hm = F.transform(shingles(text, shingle_n), lambda s: base_hash64(s) % F.lit(MINHASH_P))
     a, b = minhash_params(num_hashes, seed)
 
     def hash_fn(ai: int, bi: int):
         # closure factory: pyspark infers lambda arity, so the coefficients
         # must NOT appear as extra lambda params
-        return lambda s: (
-            F.lit(ai) * (base_hash64(s) % F.lit(MINHASH_P)) + F.lit(bi)
-        ) % F.lit(MINHASH_P)
+        return lambda m: (F.lit(ai) * m + F.lit(bi)) % F.lit(MINHASH_P)
 
     mins = [
-        F.array_min(F.transform(sh, hash_fn(ai, bi))) for ai, bi in zip(a, b)
+        F.array_min(F.transform(hm, hash_fn(ai, bi))) for ai, bi in zip(a, b)
     ]
     return F.array(*mins)
 

@@ -24,8 +24,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kowari_spark.functions.text import (
+    MINHASH_P,
+    base_hash64,
     fingerprint_key,
-    minhash_signature,
+    minhash_params,
     shingles,
     simhash,
 )
@@ -62,6 +64,37 @@ def exact_dup_groups(
 
 # -- MinHash + LSH ----------------------------------------------------------
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Whole-table minhash signatures in the shape that scales: explode
+    shingles (narrow), hash each shingle ONCE, then ``groupBy(id)`` with
+    ``num_hashes`` ``min()`` aggregates — map-side partial mins make the
+    shuffle carry one row per (doc, shingle) of just (id, hash), and the
+    generated code stays tiny (the naive nested-array form recomputes
+    md5 num_hashes× per shingle and blows up codegen).
+
+    Output: (id_col, m0..m{num_hashes-1}).
+    """
+    a, b = minhash_params(num_hashes, seed)
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    ).select(
+        id_col, (base_hash64(F.col("__sh")) % F.lit(MINHASH_P)).alias("__m")
+    )
+    aggs = [
+        F.min((F.lit(ai) * F.col("__m") + F.lit(bi)) % F.lit(MINHASH_P)).alias(f"m{i}")
+        for i, (ai, bi) in enumerate(zip(a, b))
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
 def minhash_band_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -75,18 +108,19 @@ def minhash_band_pairs(
 
     Signature of ``num_hashes`` minhashes split into ``bands`` bands of
     r = num_hashes/bands rows; band key = md5 of the band's values.
-    Output: (id_a, id_b) with id_a < id_b, distinct.
+    Output: (id_a, id_b) with id_a < id_b, distinct. The band self-join
+    shuffles only (id, band_key) pairs — documents never move.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     r = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, seed)
-    banded = df.select(
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
+    banded = sig.select(
         F.col(id_col).alias("__id"),
         F.posexplode(
             F.array(
                 *[
-                    F.md5(F.array_join(F.slice(sig, i * r + 1, r), ","))
+                    F.md5(F.concat_ws(",", *[F.col(f"m{i * r + j}") for j in range(r)]))
                     for i in range(bands)
                 ]
             )
