@@ -315,6 +315,63 @@ ORDER BY 1, 2
 """
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — the streaming operator
+    (streaming/events.py session_rollup) run in batch mode; stream/batch
+    equivalence is asserted in tests/test_streaming.py. session_value is
+    dropped here: double sums are order-dependent, counts are not."""
+    from kowari_spark.streaming import session_rollup
+
+    ev = _events(spark, sf_dir)
+    return (
+        session_rollup(ev)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+_ORACLE_EVENTS_SESSIONS = """
+WITH s AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+g AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/15min window counts — the streaming operator
+    (sliding_rollup) in batch mode; each event lands in 4 windows."""
+    from kowari_spark.streaming import sliding_rollup
+
+    ev = _events(spark, sf_dir)
+    return sliding_rollup(ev).orderBy("w_start", "event_type")
+
+
+_ORACLE_EVENTS_SLIDING = """
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type, COUNT(*) AS n
+FROM (
+  SELECT event_type,
+         time_bucket(INTERVAL '15 minutes', ts) - (k * INTERVAL '15 minutes') AS ws
+  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+)
+GROUP BY ws, event_type ORDER BY w_start, event_type
+"""
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join (set difference on keys)."""
     cust = _t(spark, sf_dir, "customer")
@@ -598,6 +655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_customer_per_nation": q_top_customer_per_nation,
         "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "events_sliding": q_events_sliding,
         "customers_without_orders": q_customers_without_orders,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_quality": q_doc_lang_quality,
@@ -620,6 +679,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": _ORACLE_REVENUE_BY_NATION,
         "top_customer_per_nation": _ORACLE_TOP_CUSTOMER_PER_NATION,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
+        "events_sessions": _ORACLE_EVENTS_SESSIONS,
+        "events_sliding": _ORACLE_EVENTS_SLIDING,
         "customers_without_orders": _ORACLE_CUSTOMERS_WITHOUT_ORDERS,
         "doc_token_stats": _ORACLE_DOC_TOKEN_STATS,
         "doc_lang_quality": _oracle_doc_lang_quality(),

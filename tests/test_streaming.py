@@ -1,0 +1,179 @@
+"""Structured Streaming tests: every streaming operator drained with
+availableNow must agree with its batch equivalent on the same input."""
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from kowari_spark.catalog import CollectionManager
+from kowari_spark.streaming import (
+    EVENT_SCHEMA,
+    hourly_rollup,
+    read_events_stream,
+    session_rollup,
+    sliding_rollup,
+    stream_vectors_into,
+    streaming_dedup,
+    user_running_stats,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+FLUSH_TYPE = "__flush__"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events re-written as several parquet files in a landing dir (the
+    raw table stores nanosecond timestamps, which the stream reader can't
+    take directly — normalize to micros once here).
+
+    A single far-future sentinel event is appended as the LAST file: in
+    append mode a window only emits once the watermark passes it, so
+    without the sentinel the final hours of real windows would be
+    withheld at end-of-stream. The sentinel pushes the watermark past
+    every real window; comparisons filter it back out."""
+    out = str(tmp_path_factory.mktemp("events_src"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .select([f.name for f in EVENT_SCHEMA])
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(out)
+    flush = ev.limit(0).sparkSession.createDataFrame(
+        [(10**9, ev.agg(F.max("ts")).first()[0] + __import__("datetime").timedelta(days=30),
+          -1, FLUSH_TYPE, 0.0, None)],
+        EVENT_SCHEMA,
+    )
+    tmp = str(tmp_path_factory.mktemp("flush"))
+    flush.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    dst = f"{out}/zzz-flush.parquet"
+    shutil.copy(part, dst)
+    now = __import__("time").time()
+    os.utime(dst, (now + 1000, now + 1000))  # newest mtime -> read last
+    return out
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, events_dir):
+    """The real events (sentinel excluded) — the batch-parity baseline."""
+    return (
+        spark.read.schema(EVENT_SCHEMA)
+        .parquet(events_dir)
+        .filter(F.col("event_type") != FLUSH_TYPE)
+        .cache()
+    )
+
+
+def _drain(spark, stream_df, name, mode="append"):
+    """Run a streaming query to completion into a memory sink."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_hourly_rollup_stream_matches_batch(spark, events_dir, events_batch):
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    got = _drain(spark, hourly_rollup(stream), "hourly", mode="append").filter(
+        F.col("event_type") != FLUSH_TYPE
+    )
+    want = hourly_rollup(events_batch)
+    cols = ["hour", "event_type", "n"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sliding_rollup_stream_matches_batch(spark, events_dir, events_batch):
+    stream = read_events_stream(spark, events_dir)
+    got = _drain(spark, sliding_rollup(stream), "sliding", mode="append").filter(
+        F.col("event_type") != FLUSH_TYPE
+    )
+    want = sliding_rollup(events_batch)
+    cols = ["w_start", "event_type", "n"]
+    assert _rows(got, cols) == _rows(want, cols)
+    # sliding windows: every event lands in window/slide = 4 windows
+    assert got.agg(F.sum("n")).first()[0] == events_batch.count() * 4
+
+
+def test_session_rollup_stream_matches_batch(spark, events_dir, events_batch):
+    stream = read_events_stream(spark, events_dir)
+    got = _drain(spark, session_rollup(stream), "sessions", mode="append").filter(
+        F.col("user_id") != -1
+    )
+    want = session_rollup(events_batch)
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_streaming_dedup(spark, events_dir, events_batch, tmp_path):
+    # duplicate the source files -> every event arrives twice
+    dup_dir = str(tmp_path / "dup")
+    os.makedirs(dup_dir)
+    for i, f in enumerate(glob.glob(f"{events_dir}/*.parquet")):
+        shutil.copy(f, f"{dup_dir}/a{i}.parquet")
+        shutil.copy(f, f"{dup_dir}/b{i}.parquet")
+    stream = read_events_stream(spark, dup_dir)
+    got = _drain(spark, streaming_dedup(stream), "deduped", mode="append").filter(
+        F.col("event_type") != FLUSH_TYPE
+    )
+    assert got.count() == events_batch.count()
+    assert got.select("event_id").distinct().count() == events_batch.count()
+
+
+def test_user_running_stats_final_state_matches_batch(spark, events_dir, events_batch):
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    got = _drain(spark, user_running_stats(stream), "ustats", mode="update").filter(
+        F.col("user_id") != -1
+    )
+    # update-mode memory sink appends every emission; the LAST row per
+    # user is the final running state
+    final = (
+        got.withColumn("__ord", F.monotonically_increasing_id())
+        .orderBy(F.desc("__ord"))
+        .dropDuplicates(["user_id"])
+    )
+    want = events_batch.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.max("value").alias("max_value"),
+    )
+    g = {r["user_id"]: (r["n_events"], round(r["total_value"], 6), round(r["max_value"], 6))
+         for r in final.collect()}
+    w = {r["user_id"]: (r["n_events"], round(r["total_value"], 6), round(r["max_value"], 6))
+         for r in want.collect()}
+    assert g == w
+
+
+def test_stream_vectors_into_collection(spark, embeddings, tmp_path):
+    # vector records streamed from files into a managed collection
+    src = str(tmp_path / "vec_src")
+    vecs = embeddings.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding"),
+        F.to_json(F.struct("label")).alias("metadata"),
+    ).limit(100)
+    vecs.repartition(3).write.mode("overwrite").parquet(src)
+
+    mgr = CollectionManager(spark, str(tmp_path / "warehouse"))
+    coll = mgr.create_collection("streamed", dimension=64, mode="upsert")
+    stream = spark.readStream.schema(vecs.schema).parquet(src)
+    q = stream_vectors_into(stream, coll, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert coll.count() == 100
+    got = coll.get("7")
+    assert got is not None and len(got["embedding"]) == 64
