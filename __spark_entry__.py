@@ -625,6 +625,34 @@ ORDER BY id_a, id_b
 """
 
 
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end (operators/multimodal.py): synth
+    deterministic KWM video blobs keyed by embeddings ids -> resize 16x12
+    -> sample every 2nd of 6 frames -> typed metadata via native binary
+    header parse. The oracle states the exact metadata the pipeline must
+    produce for every id."""
+    from kowari_spark.operators.multimodal import (
+        frame_sample,
+        media_meta,
+        resize_media,
+        synth_media,
+    )
+
+    ids = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("media_id")
+    )
+    media = synth_media(ids, kind="video", width=32, height=24, n_frames=6)
+    processed = frame_sample(resize_media(media, out_w=16, out_h=12), every_k=2)
+    return media_meta(processed).orderBy("media_id")
+
+
+_ORACLE_MEDIA_PIPELINE = """
+SELECT vec_id AS media_id, 'video' AS kind, 16 AS width, 12 AS height,
+       3 AS n_frames, CAST(11 + 16*12*3 AS BIGINT) AS n_bytes
+FROM embeddings ORDER BY media_id
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -665,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_near": q_doc_simhash_near,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "media_pipeline": q_media_pipeline,
     }
 
 
@@ -689,4 +718,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_near": _oracle_doc_simhash_near(),
         "embedding_near_dups": _ORACLE_EMBEDDING_NEAR_DUPS,
         "embedding_near_dups_lsh": _oracle_embedding_near_dups_lsh(),
+        "media_pipeline": _ORACLE_MEDIA_PIPELINE,
     }

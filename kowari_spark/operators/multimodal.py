@@ -1,0 +1,263 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Beyond-reference surface (task north star): large-scale training
+pipelines carry media as opaque ``binary`` columns next to typed
+metadata, and run decode / feature-extract / resize / frame-sample as
+Arrow-batched Python stages. The Spark-side plumbing here — schema,
+mapInPandas signatures, batch shaping, column pruning — is real and
+tested; only the *codec* is stubbed, because no image/audio library
+ships in this environment:
+
+- ``codec="kwm"`` (default): a deterministic fake format (see below)
+  that exercises every byte of the pipeline end-to-end;
+- ``codec="pil"`` / ``codec="ffmpeg"``: raise NotImplementedError at the
+  decode boundary — the single clearly-marked line where a real decoder
+  plugs in. Everything around it (schemas, partitioning, batch shape)
+  is unchanged by that swap.
+
+KWM fake format (so tests are byte-level real):
+  magic ``KWM1`` | u8 kind (0=image,1=audio,2=video) | u16be width |
+  u16be height | u16be n_frames | payload = frames*width*height bytes,
+  pixel[f,y,x] = (f*31 + y*7 + x*13 + key) % 256.
+
+Scale design:
+- media bytes NEVER go through a shuffle in these operators: decode /
+  features / resize are narrow mapInPandas stages — at 100 TB the only
+  movement is the initial scan;
+- ``spark.sql.execution.arrow.maxRecordsPerBatch`` (and
+  maxBytesPerBatch on Spark 4) bound decoder memory per Arrow batch;
+- metadata extraction reads the fixed-size header only — a projection of
+  the first 11 bytes — so meta-only queries never materialize payloads;
+- downstream, feature vectors feed the SAME knn/LSH/dedup operators as
+  text embeddings (one engine, all modalities).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_MAGIC = b"KWM1"
+_KINDS = {0: "image", 1: "audio", 2: "video"}
+_HEADER = struct.Struct(">4sBHHH")  # magic, kind, width, height, n_frames
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media", BinaryType()),
+    ]
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+# -- synthesis (deterministic test media) ------------------------------------
+
+def _pack_header(kind_code: int, width: int, height: int, n_frames: int) -> bytes:
+    return _HEADER.pack(_MAGIC, kind_code, width, height, n_frames)
+
+
+def _kind_code(kind: str) -> int:
+    return {v: k for k, v in _KINDS.items()}[kind]
+
+
+def encode_kwm(kind: int, width: int, height: int, n_frames: int, key: int) -> bytes:
+    """One deterministic KWM blob."""
+    header = _pack_header(kind, width, height, n_frames)
+    f = np.arange(n_frames, dtype=np.int64)[:, None, None]
+    y = np.arange(height, dtype=np.int64)[None, :, None]
+    x = np.arange(width, dtype=np.int64)[None, None, :]
+    pixels = ((f * 31 + y * 7 + x * 13 + key) % 256).astype(np.uint8)
+    return header + pixels.tobytes()
+
+
+def synth_media(
+    df: DataFrame, id_col: str = "media_id", kind: str = "image",
+    width: int = 16, height: int = 12, n_frames: int = 1,
+) -> DataFrame:
+    """Attach a deterministic KWM binary column keyed by ``id_col``
+    (mapInPandas — generation happens executor-side, in parallel)."""
+    kind_code = _kind_code(kind)
+    out_schema = StructType(
+        [StructField("media_id", LongType()), StructField("media", BinaryType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media": [
+                        encode_kwm(kind_code, width, height, n_frames, int(i))
+                        for i in ids
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, out_schema)
+
+
+# -- decode boundary ---------------------------------------------------------
+
+def _decode_blob(blob: bytes, codec: str) -> tuple[str, int, int, int, np.ndarray]:
+    """(kind, width, height, n_frames, pixels[f,h,w]) for one blob.
+
+    THE decode stub: a real pipeline swaps this single function for
+    PIL/ffmpeg; every schema and operator around it is codec-agnostic.
+    """
+    if codec != "kwm":
+        raise NotImplementedError(
+            f"codec {codec!r} needs an external library not present in this "
+            "environment; only the deterministic 'kwm' test codec is built in"
+        )
+    magic, kind, width, height, n_frames = _HEADER.unpack_from(blob, 0)
+    if magic != _MAGIC:
+        raise ValueError("not a KWM blob")
+    pixels = np.frombuffer(blob, dtype=np.uint8, offset=_HEADER.size).reshape(
+        n_frames, height, width
+    )
+    return _KINDS[kind], width, height, n_frames, pixels
+
+
+# -- operators ---------------------------------------------------------------
+
+def media_meta(df: DataFrame, media_col: str = "media", id_col: str = "media_id") -> DataFrame:
+    """Typed metadata from the fixed-size header (payload never parsed).
+
+    Native column expressions over the binary prefix — codegen, no
+    Python: meta-only queries at 100 TB read 11 bytes per record and
+    prune the payload entirely at the Parquet scan when the layout
+    splits header/payload columns.
+    """
+    b = F.col(media_col)
+
+    def be_uint(pos: int, nbytes: int):
+        # big-endian unsigned int at 1-indexed byte offset: slice the
+        # binary, hex it, parse base-16 — all codegen'd builtins
+        return F.conv(F.hex(F.substring(b, pos, nbytes)), 16, 10).cast("int")
+
+    kind_code = be_uint(5, 1)
+    kind = (
+        F.when(kind_code == 0, "image")
+        .when(kind_code == 1, "audio")
+        .when(kind_code == 2, "video")
+        .otherwise("unknown")
+    )
+    return df.select(
+        F.col(id_col),
+        kind.alias("kind"),
+        be_uint(6, 2).alias("width"),
+        be_uint(8, 2).alias("height"),
+        be_uint(10, 2).alias("n_frames"),
+        F.length(b).cast("long").alias("n_bytes"),
+    )
+
+
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("features", ArrayType(FloatType(), containsNull=False)),
+    ]
+)
+
+
+def media_features(
+    df: DataFrame, media_col: str = "media", id_col: str = "media_id",
+    codec: str = "kwm", n_bins: int = 8,
+) -> DataFrame:
+    """Decode + per-media feature vector (histogram of pixel values +
+    mean/std), Arrow-batched. The output array<float> plugs straight
+    into knn / LSH / dedup operators."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, feats = [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                kind, _w, _h, _n, px = _decode_blob(bytes(blob), codec)
+                hist = np.histogram(px, bins=n_bins, range=(0, 256))[0]
+                hist = hist / max(1, px.size)
+                feats.append(
+                    np.concatenate(
+                        [hist, [px.mean() / 255.0, px.std() / 255.0]]
+                    ).astype(np.float32)
+                )
+                ids.append(int(mid))
+                kinds.append(kind)
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "features": [f.tolist() for f in feats]}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(extract, _FEATURES_SCHEMA)
+
+
+def resize_media(
+    df: DataFrame, out_w: int, out_h: int,
+    media_col: str = "media", id_col: str = "media_id", codec: str = "kwm",
+) -> DataFrame:
+    """Nearest-neighbor resize of every frame, re-encoded to KWM.
+
+    Narrow mapInPandas: bytes in, bytes out, no shuffle."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob in pdf[media_col]:
+                kind, w, h, n, px = _decode_blob(bytes(blob), codec)
+                ys = (np.arange(out_h) * h // out_h)
+                xs = (np.arange(out_w) * w // out_w)
+                small = px[:, ys][:, :, xs]
+                header = _pack_header(_kind_code(kind), out_w, out_h, n)
+                out.append(header + small.astype(np.uint8).tobytes())
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"), "media": out})
+
+    return df.select(id_col, media_col).mapInPandas(resize, MEDIA_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame, every_k: int,
+    media_col: str = "media", id_col: str = "media_id", codec: str = "kwm",
+) -> DataFrame:
+    """Keep every k-th frame of video media (frame 0 always kept),
+    re-encoded; images/audio pass through unchanged."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob in pdf[media_col]:
+                blob = bytes(blob)
+                kind, w, h, n, px = _decode_blob(blob, codec)
+                if kind != "video":
+                    out.append(blob)
+                    continue
+                kept = px[::every_k]
+                header = _pack_header(2, w, h, kept.shape[0])
+                out.append(header + kept.tobytes())
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"), "media": out})
+
+    return df.select(id_col, media_col).mapInPandas(sample, MEDIA_SCHEMA)
