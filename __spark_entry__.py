@@ -192,6 +192,135 @@ LIMIT 10
 """
 
 
+def q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-prefiltered search (F8 composed with Q2): predicate first,
+    score+rank only the survivors — at scale the filter prunes the scan
+    before any vector math."""
+    base = _t(spark, sf_dir, "embeddings").filter(F.col("label") == 3)
+    q = _query_vec(spark, sf_dir, 4)
+    return knn(base, q, 10, metric="cosine", id_col="vec_id", round_to=6)
+
+
+def _oracle_filtered_knn() -> str:
+    cos = _cos_sql("(e.embedding::DOUBLE[])", "q.qe")
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 4)
+SELECT e.vec_id AS vec_id, ROUND({cos}, 6) + 0.0 AS score
+FROM embeddings e CROSS JOIN q
+WHERE e.label = 3
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_lsh_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-quality metric G3 (utils.rs:64-79): per-query recall@10 of
+    the LSH bucket-probe path vs exact brute force, for 8 query vectors."""
+    from kowari_spark.operators.eval import recall_at_k
+
+    base = _t(spark, sf_dir, "embeddings")
+    queries = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = knn_batch(base, queries, 10, metric="cosine", id_col="vec_id", round_to=6)
+    approx = _LSH.query_batch(
+        base, queries, 10, metric="cosine", id_col="vec_id", round_to=6
+    )
+    rec = recall_at_k(exact, approx, 10, id_col="vec_id")
+    return rec.select(
+        "query_id", (F.round(F.col("recall"), 6) + F.lit(0.0)).alias("recall")
+    ).orderBy("query_id")
+
+
+def _oracle_lsh_recall_at_10() -> str:
+    cos = _cos_sql("(e.embedding::DOUBLE[])", "q.qe")
+    cos_flat = _cos_sql("(e.embedding::DOUBLE[])", "e.qe")
+    bucket_e = _bucket_sql("embedding::DOUBLE[]")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe,
+                  {bucket_e} AS qbucket
+           FROM embeddings WHERE vec_id < 8),
+b AS (SELECT vec_id, embedding, {bucket_e} AS bucket FROM embeddings),
+sizes AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+qs AS (SELECT q.*, coalesce(s.n, 0) AS bn FROM q LEFT JOIN sizes s ON q.qbucket = s.bucket),
+cand AS (
+  SELECT qs.query_id, qs.qe, b.vec_id, b.embedding
+  FROM qs JOIN b ON qs.bn >= 10 AND b.bucket = qs.qbucket
+  UNION ALL
+  SELECT qs.query_id, qs.qe, b.vec_id, b.embedding
+  FROM qs JOIN b ON qs.bn < 10
+),
+approx AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY ROUND({cos_flat}, 6) DESC, vec_id ASC) AS rnk
+  FROM (SELECT query_id, qe, vec_id, embedding FROM cand) e
+),
+exact AS (
+  SELECT q.query_id, e.vec_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY ROUND({cos}, 6) DESC, e.vec_id ASC) AS rnk
+  FROM embeddings e CROSS JOIN q
+),
+al AS (SELECT query_id, list(vec_id ORDER BY rnk) AS ids FROM approx WHERE rnk <= 10 GROUP BY query_id),
+el AS (SELECT query_id, list(vec_id ORDER BY rnk) AS ids FROM exact WHERE rnk <= 10 GROUP BY query_id)
+SELECT al.query_id,
+       ROUND(len(list_intersect(al.ids, el.ids)) / 10.0, 6) + 0.0 AS recall
+FROM al JOIN el ON al.query_id = el.query_id
+ORDER BY al.query_id
+"""
+
+
+def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW offline build + batch graph query (Q5/Q6) over a fixed
+    200-vector subset (the build is O(n²) per layer by reference
+    semantics — SURVEY.md §6). Graph search is not SQL-expressible, so
+    this entry is rows-only; recall vs brute force is asserted in
+    tests/test_hnsw.py."""
+    from kowari_spark.operators.hnsw import HNSW
+
+    base = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    queries = base.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    h = HNSW(m=8, ef=16, seed=42)
+    edges = h.build(base, id_col="vec_id")
+    out = h.query_batch(
+        base, edges, queries, 5, id_col="vec_id", round_to=6
+    )
+    return out.select("query_id", "vec_id", "score", "rank").orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-less JSON metadata access (F8): extract props.k, typed
+    aggregation per event_type."""
+    from kowari_spark.functions.metadata import meta_field
+
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("k", meta_field("props", "k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_EVENTS_PROPS_STATS = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 _ORACLE_VECTOR_STATS = """
 SELECT vec_id,
        CAST(len(embedding) AS BIGINT) AS dim,
@@ -582,13 +711,18 @@ ORDER BY id_a, id_b
 """
 
 
+_NDLSH_PLANES, _NDLSH_TABLES = 8, 4  # 256 buckets/table: verify work is
+# bounded by bucket size, recall at near-dup thresholds comes from the
+# 4-table OR-construction
+
+
 def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH OR-construction near-dup (the 100 TB path): candidates
     only form inside buckets; verified by exact cosine."""
     base = _t(spark, sf_dir, "embeddings")
     return D.embedding_near_dups_lsh(
-        base, threshold=0.3, num_planes=4, num_tables=2, seed=7,
-        id_col="vec_id", round_to=6,
+        base, threshold=0.3, num_planes=_NDLSH_PLANES, num_tables=_NDLSH_TABLES,
+        seed=7, id_col="vec_id", round_to=6,
     ).orderBy("id_a", "id_b")
 
 
@@ -604,8 +738,8 @@ def _bucket_sql_planes(planes, vec_expr: str) -> str:
 
 def _oracle_embedding_near_dups_lsh() -> str:
     tables = []
-    for t in range(2):
-        lsh = SignLSH(dim=64, num_planes=4, seed=7 + t)
+    for t in range(_NDLSH_TABLES):
+        lsh = SignLSH(dim=64, num_planes=_NDLSH_PLANES, seed=7 + t)
         bexpr = _bucket_sql_planes(lsh.planes, "v")
         tables.append(
             f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM "
@@ -694,6 +828,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "media_pipeline": q_media_pipeline,
+        "filtered_knn": q_filtered_knn,
+        "lsh_recall_at_10": q_lsh_recall_at_10,
+        "hnsw_knn": q_hnsw_knn,
+        "events_props_stats": q_events_props_stats,
     }
 
 
@@ -719,4 +857,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _ORACLE_EMBEDDING_NEAR_DUPS,
         "embedding_near_dups_lsh": _oracle_embedding_near_dups_lsh(),
         "media_pipeline": _ORACLE_MEDIA_PIPELINE,
+        "filtered_knn": _oracle_filtered_knn(),
+        "lsh_recall_at_10": _oracle_lsh_recall_at_10(),
+        "events_props_stats": _ORACLE_EVENTS_PROPS_STATS,
     }

@@ -29,9 +29,7 @@ from kowari_spark.functions.text import (
     fingerprint_key,
     minhash_params,
     shingles,
-    simhash,
 )
-from kowari_spark.functions.vector import cosine_similarity
 
 
 # -- exact ------------------------------------------------------------------
@@ -186,9 +184,28 @@ def minhash_dedup_pairs(
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col), simhash(F.col(text_col), bits).alias("simhash")
-    )
+    """Whole-table SimHash in the aggregation shape that scales: explode
+    tokens, hash each ONCE, then ``bits`` tiny sum() aggregates (map-side
+    partial) counting set bits; fingerprint bit j is set when ones_j
+    outvote zeros. Same values as the ``functions.text.simhash`` Column
+    form, which recomputes the token-hash array per bit and blows up
+    codegen at 32 bits."""
+    from kowari_spark.functions.text import tokens
+
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    ).select(id_col, base_hash64(F.col("__t")).alias("__h"))
+    aggs = [
+        F.sum(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1))).alias(f"__b{j}")
+        for j in range(bits)
+    ] + [F.count("*").alias("__n")]
+    per = exploded.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(
+            F.col(f"__b{j}") * 2 > F.col("__n"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return per.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -238,6 +255,18 @@ def fingerprint_dup_groups(
 
 # -- embedding near-dup ------------------------------------------------------
 
+def _pair_cosine() -> Column:
+    """cos(va, vb) from PREcomputed norms na/nb: each vector's norm is
+    computed once per row upstream, not once per pair — at n² pairs the
+    naive form does 3× the array math. Same expression shape as the
+    reference/oracle (dot / (sqrt·sqrt), 0.0 on zero norm)."""
+    from kowari_spark.functions.vector import dot
+
+    return F.when(
+        (F.col("na") == F.lit(0.0)) | (F.col("nb") == F.lit(0.0)), F.lit(0.0)
+    ).otherwise(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float,
@@ -249,9 +278,18 @@ def embedding_near_dups(
 
     O(n²) — the oracle-checkable baseline. Use
     ``embedding_near_dups_lsh`` as the scale path."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    from kowari_spark.functions.vector import magnitude
+
+    normed = df.select(
+        F.col(id_col), F.col(vec_col), magnitude(F.col(vec_col)).alias("__n")
+    )
+    a = normed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("__n").alias("na")
+    )
+    b = normed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("__n").alias("nb")
+    )
+    cos = _pair_cosine()
     if round_to is not None:
         cos = F.round(cos, round_to) + F.lit(0.0)
     return (
@@ -281,25 +319,39 @@ def embedding_near_dups_lsh(
     from kowari_spark.operators.lsh import SignLSH
 
     dim = len(df.select(vec_col).first()[0])
-    cand = None
-    for t in range(num_tables):
-        lsh = SignLSH(dim=dim, num_planes=num_planes, seed=seed + t)
-        bucketed = df.select(F.col(id_col), F.col(vec_col)).withColumn(
-            "bucket", lsh.bucket_expr(vec_col)
-        )
-        a = bucketed.select(F.col(id_col).alias("id_a"), "bucket")
-        b = bucketed.select(F.col(id_col).alias("id_b"), "bucket")
-        pairs = (
-            a.join(b, "bucket")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
+    # all tables' buckets in ONE pass over the data: posexplode the
+    # per-table bucket array, then a single (table, bucket) self-join —
+    # instead of num_tables scans + joins + a union
+    buckets = F.array(
+        *[
+            SignLSH(dim=dim, num_planes=num_planes, seed=seed + t).bucket_expr(vec_col)
+            for t in range(num_tables)
+        ]
+    )
+    bucketed = df.select(
+        F.col(id_col), F.posexplode(buckets).alias("__tbl", "bucket")
+    )
+    a = bucketed.select(F.col(id_col).alias("id_a"), "__tbl", "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), "__tbl", "bucket")
+    cand = (
+        a.join(b, ["__tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    cos = cosine_similarity(F.col("va"), F.col("vb"))
+    from kowari_spark.functions.vector import magnitude
+
+    normed = df.select(
+        F.col(id_col), F.col(vec_col), magnitude(F.col(vec_col)).alias("__n")
+    )
+    va = normed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("__n").alias("na")
+    )
+    vb = normed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("__n").alias("nb")
+    )
+    cos = _pair_cosine()
     if round_to is not None:
         cos = F.round(cos, round_to) + F.lit(0.0)
     return (
