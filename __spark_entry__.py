@@ -759,6 +759,129 @@ ORDER BY id_a, id_b
 """
 
 
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation: ROLLUP(region, nation) revenue with
+    subtotals + grand total; grouping_id disambiguates subtotal rows."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.asc_nulls_first("r_name"),
+            F.asc_nulls_first("n_name"),
+        )
+    )
+
+
+_ORACLE_REVENUE_ROLLUP = """
+SELECT r_name, n_name, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST
+"""
+
+
+def q_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (SURVEY.md §2.6): nations having BOTH customers and
+    suppliers (INTERSECT) vs customers only (EXCEPT), tagged and unioned."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    cust_nations = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("n_name")
+    supp_nations = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("n_name")
+    both = cust_nations.intersect(supp_nations).withColumn("tag", F.lit("both"))
+    cust_only = cust_nations.subtract(supp_nations).withColumn(
+        "tag", F.lit("cust_only")
+    )
+    return both.unionByName(cust_only).orderBy("tag", "n_name")
+
+
+_ORACLE_NATION_SET_OPS = """
+WITH cn AS (SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey),
+sn AS (SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+SELECT n_name, 'both' AS tag FROM (SELECT n_name FROM cn INTERSECT SELECT n_name FROM sn)
+UNION ALL
+SELECT n_name, 'cust_only' AS tag FROM (SELECT n_name FROM cn EXCEPT SELECT n_name FROM sn)
+ORDER BY tag, n_name
+"""
+
+
+def q_customer_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: substring/upper/length/regexp/concat over
+    customer names (reference's only string ops are UUID formatting —
+    SURVEY.md §2.6; these are the engine built-ins a user gets)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper(F.substring("c_name", 1, 8)).alias("prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.regexp_extract("c_name", "([0-9]+)$", 1).cast("long").alias("name_num"),
+        F.concat_ws("|", "c_mktsegment", F.lower("c_name")).alias("tagged"),
+    )
+
+
+_ORACLE_CUSTOMER_STRINGS = """
+SELECT c_custkey,
+       upper(substring(c_name, 1, 8)) AS prefix,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS name_num,
+       concat_ws('|', c_mktsegment, lower(c_name)) AS tagged
+FROM customer
+"""
+
+
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface: trunc/extract/datediff aggregation of
+    orders by calendar month."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.month("o_orderdate").cast("long").alias("mo"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            _dsum(F.col("o_totalprice")).alias("total"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_day"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_day"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+_ORACLE_ORDERS_BY_MONTH = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS total,
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_day,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_day
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end (operators/multimodal.py): synth
     deterministic KWM video blobs keyed by embeddings ids -> resize 16x12
@@ -832,6 +955,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall_at_10": q_lsh_recall_at_10,
         "hnsw_knn": q_hnsw_knn,
         "events_props_stats": q_events_props_stats,
+        "revenue_rollup": q_revenue_rollup,
+        "nation_set_ops": q_nation_set_ops,
+        "customer_strings": q_customer_strings,
+        "orders_by_month": q_orders_by_month,
     }
 
 
@@ -860,4 +987,8 @@ def oracle_sql() -> dict[str, str]:
         "filtered_knn": _oracle_filtered_knn(),
         "lsh_recall_at_10": _oracle_lsh_recall_at_10(),
         "events_props_stats": _ORACLE_EVENTS_PROPS_STATS,
+        "revenue_rollup": _ORACLE_REVENUE_ROLLUP,
+        "nation_set_ops": _ORACLE_NATION_SET_OPS,
+        "customer_strings": _ORACLE_CUSTOMER_STRINGS,
+        "orders_by_month": _ORACLE_ORDERS_BY_MONTH,
     }
