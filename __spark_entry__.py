@@ -293,6 +293,25 @@ def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (operators/ivf.py): seeded k-means fit,
+    probe 3/16 cells, exact rank within the probed region. Iterative
+    k-means is not SQL-expressible -> rows-only; recall vs brute force is
+    asserted in tests/test_ivf.py."""
+    from kowari_spark.operators.ivf import IVF
+
+    base = _t(spark, sf_dir, "embeddings")
+    ivf = IVF(n_lists=16, n_probe=3, max_iter=3, seed=42).fit(base, id_col="vec_id")
+    lists = ivf.with_lists(base)
+    queries = base.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf.query_batch(lists, queries, 10, id_col="vec_id", round_to=6)
+    return out.select("query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-less JSON metadata access (F8): extract props.k, typed
     aggregation per event_type."""
@@ -954,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_knn": q_filtered_knn,
         "lsh_recall_at_10": q_lsh_recall_at_10,
         "hnsw_knn": q_hnsw_knn,
+        "ivf_knn": q_ivf_knn,
         "events_props_stats": q_events_props_stats,
         "revenue_rollup": q_revenue_rollup,
         "nation_set_ops": q_nation_set_ops,

@@ -1,0 +1,191 @@
+"""IVF (inverted-file) ANN index — seeded distributed k-means coarse
+quantizer + partition-pruned probe.
+
+Beyond-reference surface (task north star "similarity search"): the
+reference ships brute force, sign-LSH and HNSW (src/index.rs); IVF is
+the standard scale path the task asks for — partition the vector space
+into ``n_lists`` Voronoi cells, store each cell as a partition, and at
+query time score only the ``n_probe`` cells nearest the query.
+
+Spark-first design:
+- **fit** is distributed Lloyd's k-means with deterministic seeding
+  (initial centroids = the k rows with the smallest md5(id) — a seeded
+  hash-order sample, no RNG state): assignment is a native argmin
+  expression over a broadcast centroid array; the update step reduces
+  (cell, dim) partial sums map-side, so each iteration shuffles at most
+  n_lists*d tiny rows, never vectors.
+- **build** writes the assigned table ``partitionBy("list_id")`` — a
+  probe then reads n_probe/n_lists of the data via partition pruning
+  (same layout trick as the LSH index, SURVEY.md §4.1).
+- **query** scores only the probed cells with the exact knn operators,
+  so results are exact *within* the probed region; recall is tuned by
+  n_probe and asserted against brute force in tests (the reference's own
+  acceptance style, utils.rs:64-79).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kowari_spark.operators.topk import knn, knn_batch
+
+
+class IVF:
+    def __init__(self, n_lists: int = 16, n_probe: int = 2, max_iter: int = 5,
+                 seed: int = 42):
+        self.n_lists = n_lists
+        self.n_probe = n_probe
+        self.max_iter = max_iter
+        self.seed = seed
+        self.centroids: np.ndarray | None = None  # (n_lists, d)
+
+    # -- fit ---------------------------------------------------------------
+
+    def _assign_expr(self, vec_col: str):
+        """list_id = argmin_i ||v - c_i||² as a native expression over a
+        broadcast-literal centroid array; ties -> lowest index."""
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.lit([float(x) for x in c]),
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in self.centroids
+            ]
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    def fit(self, df: DataFrame, id_col: str = "id", vec_col: str = "embedding") -> "IVF":
+        """Deterministic distributed k-means (Lloyd, ``max_iter`` rounds)."""
+        # seeded init: k rows in md5(id, seed) hash order — a uniform,
+        # reproducible sample with no RNG (TakeOrderedAndProject, no sort)
+        seed_rows = (
+            df.select(id_col, vec_col)
+            .orderBy(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{self.seed}"))))
+            .limit(self.n_lists)
+            .collect()
+        )
+        if len(seed_rows) < self.n_lists:
+            raise ValueError(
+                f"need >= {self.n_lists} vectors to fit {self.n_lists} lists"
+            )
+        self.centroids = np.asarray([list(r[vec_col]) for r in seed_rows], dtype=np.float64)
+
+        for _ in range(self.max_iter):
+            assigned = df.select(
+                self._assign_expr(vec_col).alias("list_id"),
+                F.col(vec_col),
+            )
+            # element-wise mean per cell: explode (cell, dim, value) and
+            # reduce — map-side partial aggregation keeps the shuffle at
+            # n_lists*d rows
+            sums = (
+                assigned.select("list_id", F.posexplode(vec_col).alias("dim", "val"))
+                .groupBy("list_id", "dim")
+                .agg(F.sum(F.col("val").cast("double")).alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            new_c = self.centroids.copy()
+            acc: dict[int, np.ndarray] = {}
+            cnt: dict[int, int] = {}
+            for r in sums:
+                acc.setdefault(r["list_id"], np.zeros(self.centroids.shape[1]))[r["dim"]] = r["s"]
+                cnt[r["list_id"]] = r["n"]
+            for lid, vec in acc.items():
+                new_c[lid] = vec / cnt[lid]  # empty cells keep old centroid
+            if np.allclose(new_c, self.centroids, atol=1e-12):
+                self.centroids = new_c
+                break
+            self.centroids = new_c
+        return self
+
+    # -- build (offline layout) -------------------------------------------
+
+    def with_lists(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        if self.centroids is None:
+            raise ValueError("fit() first")
+        return df.withColumn("list_id", self._assign_expr(vec_col))
+
+    def build(self, df: DataFrame, path: str, vec_col: str = "embedding") -> None:
+        """Materialize the inverted-file layout: one partition per cell;
+        probing n_probe cells is partition pruning, not a scan."""
+        self.with_lists(df, vec_col).write.mode("overwrite").partitionBy(
+            "list_id"
+        ).parquet(path)
+
+    def load(self, spark: SparkSession, path: str) -> DataFrame:
+        return spark.read.parquet(path)
+
+    # -- query -------------------------------------------------------------
+
+    def _probes_of(self, vec: Sequence[float]) -> list[int]:
+        v = np.asarray(vec, dtype=np.float64)
+        d2 = np.sum((self.centroids - v) ** 2, axis=1)
+        order = np.lexsort((np.arange(len(d2)), d2))
+        return [int(i) for i in order[: self.n_probe]]
+
+    def query(
+        self,
+        df: DataFrame,
+        query: Sequence[float],
+        k: int,
+        metric: str = "cosine",
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """Single-query probe: exact knn over the n_probe nearest cells."""
+        base = df if "list_id" in df.columns else self.with_lists(df, vec_col)
+        probes = self._probes_of(query)
+        cand = base.filter(F.col("list_id").isin(probes))
+        return knn(cand, query, k, metric=metric, id_col=id_col,
+                   vec_col=vec_col, round_to=round_to)
+
+    def query_batch(
+        self,
+        df: DataFrame,
+        queries: DataFrame,
+        k: int,
+        metric: str = "cosine",
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        query_id_col: str = "query_id",
+        query_vec_col: str = "embedding",
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """Batch probe: queries join their probed cells (broadcast of the
+        exploded (query, probe) pairs), per-query window top-k."""
+        from pyspark.sql.window import Window
+        from kowari_spark.operators.topk import _rounded, _score
+
+        base = df if "list_id" in df.columns else self.with_lists(df, vec_col)
+        qrows = queries.select(query_id_col, query_vec_col).collect()
+        pairs = [
+            (r[0], list(map(float, r[1])), p)
+            for r in qrows
+            for p in self._probes_of(r[1])
+        ]
+        spark = df.sparkSession
+        probe_df = spark.createDataFrame(
+            pairs, f"query_id {queries.schema[query_id_col].dataType.simpleString()}, "
+                   f"__qvec array<double>, list_id int"
+        )
+        scored = base.join(F.broadcast(probe_df), "list_id").select(
+            "query_id",
+            F.col(id_col),
+            _rounded(_score(metric, F.col(vec_col), F.col("__qvec")), round_to).alias("score"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )

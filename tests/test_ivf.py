@@ -1,0 +1,77 @@
+"""IVF index tests: deterministic fit, layout, probe recall vs exact."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kowari_spark.operators.ivf import IVF
+from kowari_spark.operators.topk import knn_batch
+from kowari_spark.operators.eval import mean_metric, recall_at_k
+
+
+@pytest.fixture(scope="module")
+def base(embeddings):
+    return embeddings.cache()
+
+
+def test_fit_deterministic(base):
+    a = IVF(n_lists=8, max_iter=3, seed=1).fit(base, id_col="vec_id")
+    b = IVF(n_lists=8, max_iter=3, seed=1).fit(base, id_col="vec_id")
+    assert (a.centroids == b.centroids).all()
+    c = IVF(n_lists=8, max_iter=3, seed=2).fit(base, id_col="vec_id")
+    assert (a.centroids != c.centroids).any()
+
+
+def test_assignment_covers_all_rows(base):
+    ivf = IVF(n_lists=8, max_iter=3).fit(base, id_col="vec_id")
+    lists = ivf.with_lists(base)
+    assert lists.count() == base.count()
+    ids = [r["list_id"] for r in lists.select("list_id").distinct().collect()]
+    assert all(0 <= i < 8 for i in ids)
+    # no cell should hold everything (the quantizer actually splits)
+    biggest = lists.groupBy("list_id").count().agg(F.max("count")).first()[0]
+    assert biggest < base.count()
+
+
+def test_build_layout_partition_pruned(base, tmp_path, spark):
+    ivf = IVF(n_lists=8, n_probe=2, max_iter=3).fit(base, id_col="vec_id")
+    path = str(tmp_path / "ivf")
+    ivf.build(base, path)
+    stored = ivf.load(spark, path)
+    assert stored.count() == base.count()
+    probe = stored.filter(F.col("list_id") == 3)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # partition filter must prune at the scan, not filter post-read
+    assert "PartitionFilters: [isnotnull(list_id" in plan
+
+
+def test_query_self_hit_and_recall(base, spark):
+    ivf = IVF(n_lists=8, n_probe=3, max_iter=3).fit(base, id_col="vec_id")
+    lists = ivf.with_lists(base).cache()
+    q = [float(x) for x in base.filter(F.col("vec_id") == 0).first()["embedding"]]
+    top = ivf.query(lists, q, 5, id_col="vec_id", round_to=6).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["score"] == pytest.approx(1.0)
+
+    queries = base.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = knn_batch(base, queries, 10, id_col="vec_id", round_to=6)
+    approx = ivf.query_batch(lists, queries, 10, id_col="vec_id", round_to=6)
+    rec = mean_metric(recall_at_k(exact, approx, 10, id_col="vec_id"), "recall")
+    # 3/8 of the space probed; near neighbors concentrate in the query's
+    # cells, so recall must be well above the 3/8 random-baseline
+    assert rec >= 0.55
+
+
+def test_batch_single_agreement(base):
+    ivf = IVF(n_lists=8, n_probe=2, max_iter=3).fit(base, id_col="vec_id")
+    lists = ivf.with_lists(base).cache()
+    q = [float(x) for x in base.filter(F.col("vec_id") == 7).first()["embedding"]]
+    single = [(r["vec_id"], r["score"]) for r in
+              ivf.query(lists, q, 5, id_col="vec_id", round_to=6).collect()]
+    queries = base.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = [(r["vec_id"], r["score"]) for r in
+             ivf.query_batch(lists, queries, 5, id_col="vec_id", round_to=6)
+             .orderBy("rank").collect()]
+    assert single == batch
