@@ -147,12 +147,21 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for given (id_a, id_b) pairs.
 
-    Joins shingle sets only for the candidate pairs."""
-    sh = df.select(
-        F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
-    )
-    a = sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a")
-    b = sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b")
+    Shingle sets are computed ONLY for documents that appear in a
+    candidate pair (semi-join pruning) — the candidate set is far
+    smaller than the corpus, so verification cost tracks |pairs|, not n."""
+    ids_a = pairs.select(F.col("id_a").alias(id_col))
+    ids_b = pairs.select(F.col("id_b").alias(id_col))
+
+    def _side(ids, out_id, out_sh):
+        pruned = df.join(ids.distinct(), id_col, "left_semi")
+        return pruned.select(
+            F.col(id_col).alias(out_id),
+            shingles(F.col(text_col), shingle_n).alias(out_sh),
+        )
+
+    a = _side(ids_a, "id_a", "sh_a")
+    b = _side(ids_b, "id_b", "sh_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
