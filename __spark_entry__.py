@@ -901,6 +901,49 @@ FROM orders GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+_SJ_PLANES, _SJ_TABLES = 8, 4
+
+
+def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table approximate similarity join (SURVEY.md §2.6 "Joins"):
+    even-id vectors x odd-id vectors with cosine >= 0.3 via shared-plane
+    sign-LSH OR-construction, exact-cosine verified."""
+    base = _t(spark, sf_dir, "embeddings")
+    left = base.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("lid"), "embedding"
+    )
+    right = base.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("rid"), "embedding"
+    )
+    return D.similarity_join(
+        left, right, 0.3, num_planes=_SJ_PLANES, num_tables=_SJ_TABLES, seed=7,
+        left_id="lid", right_id="rid", round_to=6,
+    ).orderBy("lid_l", "rid_r")
+
+
+def _oracle_similarity_join() -> str:
+    tables = []
+    for t in range(_SJ_TABLES):
+        lsh = SignLSH(dim=64, num_planes=_SJ_PLANES, seed=7 + t)
+        bexpr = _bucket_sql_planes(lsh.planes, "v")
+        tables.append(
+            f"SELECT l.vec_id AS lid, r.vec_id AS rid FROM "
+            f"(SELECT vec_id, v, {bexpr} AS bucket FROM l) l JOIN "
+            f"(SELECT vec_id, v, {bexpr} AS bucket FROM r) r USING (bucket)"
+        )
+    cand = " UNION ".join(tables)
+    cos = _COS.format(a="el.v", b="er.v")
+    return f"""
+WITH l AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 0),
+r AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 1),
+cand AS ({cand})
+SELECT cand.lid AS lid_l, cand.rid AS rid_r, ROUND({cos}, 6) + 0.0 AS cos
+FROM cand JOIN l el ON el.vec_id = cand.lid JOIN r er ON er.vec_id = cand.rid
+WHERE ROUND({cos}, 6) + 0.0 >= 0.3
+ORDER BY lid_l, rid_r
+"""
+
+
 def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end (operators/multimodal.py): synth
     deterministic KWM video blobs keyed by embeddings ids -> resize 16x12
@@ -970,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "media_pipeline": q_media_pipeline,
+        "similarity_join": q_similarity_join,
         "filtered_knn": q_filtered_knn,
         "lsh_recall_at_10": q_lsh_recall_at_10,
         "hnsw_knn": q_hnsw_knn,
@@ -1004,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _ORACLE_EMBEDDING_NEAR_DUPS,
         "embedding_near_dups_lsh": _oracle_embedding_near_dups_lsh(),
         "media_pipeline": _ORACLE_MEDIA_PIPELINE,
+        "similarity_join": _oracle_similarity_join(),
         "filtered_knn": _oracle_filtered_knn(),
         "lsh_recall_at_10": _oracle_lsh_recall_at_10(),
         "events_props_stats": _ORACLE_EVENTS_PROPS_STATS,

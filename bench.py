@@ -10,7 +10,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -22,8 +24,13 @@ from kowari_spark import get_session
 from kowari_spark.operators import knn_batch
 
 
-def bench_queries(spark, sf_dir):
-    """name -> zero-arg callable executing one benchmark query."""
+def bench_queries(spark, sf_dir, scratch):
+    """name -> zero-arg callable executing one benchmark query.
+
+    Covers every contract query plus the BASELINE.md measurement plan:
+    exact-knn-batch-100, lsh-build (bucket column + partitioned layout
+    write), ingest-validated (10k-vector dimension-checked append).
+    """
     out = {}
     for name, fn in entrymod.queries().items():
         out[name] = (lambda f=fn: f(spark, sf_dir).toPandas())
@@ -37,7 +44,62 @@ def bench_queries(spark, sf_dir):
             base, queries, 10, metric="cosine", id_col="vec_id", round_to=6
         ).toPandas()
 
+    def lsh_build():
+        from kowari_spark.operators.lsh import SignLSH
+
+        base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # p sized to the data: 256 buckets at sf0.1 (p=16's 65k buckets
+        # is a 100 TB layout, not a 5k-vector one)
+        SignLSH(dim=64, num_planes=8, seed=42).build(
+            base, f"{scratch}/lsh_build", vec_col="embedding"
+        )
+
+    def ingest_validated_10k():
+        from kowari_spark.catalog import CollectionManager
+
+        n = 10_000
+        vecs = (
+            spark.range(n)
+            .select(
+                F.col("id").cast("string").alias("id"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(64)),
+                    lambda i: F.rand(42) * 2 - 1,
+                ).cast("array<float>").alias("embedding"),
+                F.to_json(F.struct(F.col("id").alias("k"))).alias("metadata"),
+            )
+        )
+        mgr = CollectionManager(spark, f"{scratch}/wh")
+        coll = mgr.create_collection(f"bench_{time.monotonic_ns()}", dimension=64,
+                                     mode="strict")
+        coll.add_df(vecs)
+
     out["exact_knn_batch_100"] = knn_batch_100
+    out["lsh_build_p8"] = lsh_build
+    out["ingest_validated_10k"] = ingest_validated_10k
+    return out
+
+
+def quality_gates(spark, sf_dir) -> dict:
+    """BASELINE.md: recall@10 of the approximate paths vs brute force,
+    reported alongside any speedup."""
+    from kowari_spark.operators.eval import mean_metric, recall_at_k
+    from kowari_spark.operators.ivf import IVF
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = base.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = knn_batch(base, queries, 10, id_col="vec_id", round_to=6)
+    lsh = entrymod._LSH.query_batch(base, queries, 10, id_col="vec_id", round_to=6)
+    out = {"recall_lsh_at_10": round(
+        mean_metric(recall_at_k(exact, lsh, 10, id_col="vec_id"), "recall"), 4
+    )}
+    ivf = IVF(n_lists=16, n_probe=3, max_iter=3, seed=42).fit(base, id_col="vec_id")
+    approx = ivf.query_batch(ivf.with_lists(base), queries, 10, id_col="vec_id", round_to=6)
+    out["recall_ivf_at_10"] = round(
+        mean_metric(recall_at_k(exact, approx, 10, id_col="vec_id"), "recall"), 4
+    )
     return out
 
 
@@ -49,11 +111,16 @@ def main() -> None:
     # warm the JVM + parquet footers so timings measure the queries
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    timings = {}
-    for name, fn in bench_queries(spark, sf_dir).items():
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    scratch = tempfile.mkdtemp(prefix="kowari_bench_")
+    try:
+        timings = {}
+        for name, fn in bench_queries(spark, sf_dir, scratch).items():
+            t0 = time.perf_counter()
+            fn()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        quality = quality_gates(spark, sf_dir)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
     print(
         json.dumps(
@@ -62,6 +129,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "quality": quality,
                 "sf": sf,
             }
         )

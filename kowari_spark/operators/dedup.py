@@ -309,6 +309,76 @@ def embedding_near_dups(
     )
 
 
+def similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    left_id: str = "id",
+    right_id: str = "id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Approximate two-table similarity join (spark.ml
+    approxSimilarityJoin equivalent, SURVEY.md §2.6 "Joins"): all
+    (left, right) pairs with cosine >= threshold, found via sign-LSH
+    OR-construction over ``num_tables`` independent plane sets.
+
+    Both sides hash with the SAME planes, so true near pairs collide
+    with probability 1-(1-p^planes)^tables; each table's equi-join on
+    (table, bucket) shuffles only (id, bucket) pairs. Verification joins
+    vectors back for the candidate set only. Output: (left_id, right_id,
+    cos).
+    """
+    from kowari_spark.functions.vector import magnitude
+    from kowari_spark.operators.lsh import SignLSH
+
+    dim = len(left.select(vec_col).first()[0])
+    buckets = F.array(
+        *[
+            SignLSH(dim=dim, num_planes=num_planes, seed=seed + t).bucket_expr(vec_col)
+            for t in range(num_tables)
+        ]
+    )
+
+    def _bucketed(df, id_col, out):
+        return df.select(
+            F.col(id_col).alias(out), F.posexplode(buckets).alias("__tbl", "bucket")
+        )
+
+    cand = (
+        _bucketed(left, left_id, "__lid")
+        .join(_bucketed(right, right_id, "__rid"), ["__tbl", "bucket"])
+        .select("__lid", "__rid")
+        .distinct()
+    )
+
+    def _normed(df, id_col, out_id, out_vec, out_norm):
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            magnitude(F.col(vec_col)).alias(out_norm),
+        )
+
+    la = _normed(left, left_id, "__lid", "va", "na")
+    rb = _normed(right, right_id, "__rid", "vb", "nb")
+    cos = _pair_cosine()
+    if round_to is not None:
+        cos = F.round(cos, round_to) + F.lit(0.0)
+    return (
+        cand.join(la, "__lid")
+        .join(rb, "__rid")
+        .select(
+            F.col("__lid").alias(left_id + "_l"),
+            F.col("__rid").alias(right_id + "_r"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def embedding_near_dups_lsh(
     df: DataFrame,
     threshold: float,

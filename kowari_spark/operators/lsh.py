@@ -75,11 +75,16 @@ class SignLSH:
 
         With 2^p buckets the probe becomes partition pruning; at scale
         this is the difference between reading one bucket and scanning
-        the table.
+        the table. The repartition by bucket co-locates each bucket in
+        one task so the write emits one file per bucket — without it
+        every task writes a sliver of every bucket and the file count
+        explodes as tasks x buckets. Size num_planes to the data: 2^p
+        buckets should each hold many vectors (p=16 means 65k partitions
+        — right at 100 TB, pathological at sf0.1).
         """
-        self.with_buckets(df, vec_col).write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(path)
+        self.with_buckets(df, vec_col).repartition(F.col("bucket")).write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(path)
 
     def load(self, spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)

@@ -17,9 +17,12 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-@pytest.fixture(scope="module")
-def paths(sf_dir):
-    return sf_dir
+@pytest.fixture(autouse=True)
+def _uncached(spark):
+    """Plan assertions inspect the Parquet scan; a cached table from an
+    earlier test would swap it for InMemoryTableScan."""
+    spark.catalog.clearCache()
+    yield
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):

@@ -139,3 +139,35 @@ def test_embedding_near_dups_exact_vs_lsh(spark, embeddings):
     if e:
         # OR-construction recall: 1-(1-p^4)^4, p≈0.6 at cos 0.3 → ≈0.43
         assert len(a) / len(e) >= 0.2
+
+
+def test_similarity_join_two_tables(spark, embeddings):
+    from kowari_spark.operators.dedup import similarity_join
+
+    left = embeddings.filter(F.col("vec_id") % 2 == 0).limit(100).select(
+        F.col("vec_id").alias("lid"), "embedding"
+    )
+    right = embeddings.filter(F.col("vec_id") % 2 == 1).limit(100).select(
+        F.col("vec_id").alias("rid"), "embedding"
+    )
+    got = similarity_join(
+        left, right, 0.3, num_planes=4, num_tables=4, seed=7,
+        left_id="lid", right_id="rid", round_to=6,
+    )
+    rows = got.collect()
+    # exact ground truth on the same subsets
+    from kowari_spark.functions.vector import cosine_similarity
+    exact = (
+        left.withColumnRenamed("embedding", "va")
+        .crossJoin(right.withColumnRenamed("embedding", "vb"))
+        .select("lid", "rid",
+                (F.round(cosine_similarity("va", "vb"), 6) + F.lit(0.0)).alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+    )
+    e = {(r["lid"], r["rid"]): r["cos"] for r in exact.collect()}
+    g = {(r["lid_l"], r["rid_r"]): r["cos"] for r in rows}
+    assert set(g) <= set(e)              # no false positives survive verify
+    for k, v in g.items():
+        assert v == e[k]                 # verified scores are exact
+    if e:
+        assert len(g) / len(e) >= 0.2    # OR-construction recall floor
