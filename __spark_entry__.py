@@ -192,6 +192,56 @@ LIMIT 10
 """
 
 
+def q_knn_manhattan_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: manhattan metric through the open metric registry (negated
+    distance as descending similarity, like F7)."""
+    base = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 3)
+    return knn(base, q, 10, metric="manhattan", id_col="vec_id", round_to=6)
+
+
+_ORACLE_KNN_MANHATTAN = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 3)
+SELECT e.vec_id AS vec_id,
+       ROUND(-list_reduce(list_transform(list_zip(e.embedding::DOUBLE[], q.qe),
+             p -> abs(p[1] - p[2])), (acc, x) -> acc + x), 6) + 0.0 AS score
+FROM embeddings e CROSS JOIN q
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 normalize: unit-norm invariant + first component, per vector
+    (scalars, not arrays, so the cross-engine hash is dtype-stable)."""
+    from kowari_spark.functions.vector import magnitude, normalize
+
+    base = _t(spark, sf_dir, "embeddings")
+    normed = normalize(F.col("embedding"))
+    return base.select(
+        "vec_id",
+        (F.round(magnitude(normed), 6) + F.lit(0.0)).alias("unit_mag"),
+        (F.round(F.element_at(normed, 1), 6) + F.lit(0.0)).alias("first_comp"),
+    )
+
+
+_ORACLE_VECTOR_NORMALIZE = """
+WITH n AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) = 0
+              THEN embedding::DOUBLE[]
+              ELSE list_transform(embedding::DOUBLE[],
+                   x -> x / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))
+         END AS nv
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(sqrt(list_dot_product(nv, nv)), 6) + 0.0 AS unit_mag,
+       ROUND(nv[1], 6) + 0.0 AS first_comp
+FROM n
+"""
+
+
 def q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-prefiltered search (F8 composed with Q2): predicate first,
     score+rank only the survivors — at scale the filter prunes the scan
@@ -998,6 +1048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_batch_top5": q_knn_batch_top5,
         "lsh_knn_top10": q_lsh_knn_top10,
         "vector_stats": q_vector_stats,
+        "knn_manhattan_top10": q_knn_manhattan_top10,
+        "vector_normalize": q_vector_normalize,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customer_per_nation": q_top_customer_per_nation,
@@ -1033,6 +1085,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_batch_top5": _oracle_knn_batch_top5(),
         "lsh_knn_top10": _oracle_lsh_knn_top10(),
         "vector_stats": _ORACLE_VECTOR_STATS,
+        "knn_manhattan_top10": _ORACLE_KNN_MANHATTAN,
+        "vector_normalize": _ORACLE_VECTOR_NORMALIZE,
         "pricing_summary": _ORACLE_PRICING_SUMMARY,
         "revenue_by_nation": _ORACLE_REVENUE_BY_NATION,
         "top_customer_per_nation": _ORACLE_TOP_CUSTOMER_PER_NATION,
