@@ -111,3 +111,18 @@ def test_meta_field(spark):
     ).first()
     assert row["cat"] == "A"
     assert row["pri"] == "3"
+
+
+def test_generate_random_vectors_deterministic(spark):
+    from kowari_spark.functions.generators import generate_random_vectors
+
+    a = generate_random_vectors(spark, 20, 8, seed=5)
+    rows = {r["id"]: r["embedding"] for r in a.collect()}
+    assert len(rows) == 20 and all(len(v) == 8 for v in rows.values())
+    assert all(-1.0 <= x < 1.0 for v in rows.values() for x in v)
+    # same seed -> identical, independent of partitioning
+    b = generate_random_vectors(spark, 20, 8, seed=5).repartition(7)
+    assert {r["id"]: r["embedding"] for r in b.collect()} == rows
+    # different seed -> different values
+    c = generate_random_vectors(spark, 20, 8, seed=6)
+    assert {r["id"]: r["embedding"] for r in c.collect()} != rows
