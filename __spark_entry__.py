@@ -868,6 +868,35 @@ ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST
 """
 
 
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping combinations in one
+    pass (completes rollup/cube/grouping-sets coverage)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            _dsum(F.col("o_totalprice")).alias("total"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.asc_nulls_first("o_orderstatus"),
+            F.asc_nulls_first("o_orderpriority"),
+        )
+    )
+
+
+_ORACLE_ORDERS_CUBE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS total,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
 def q_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators (SURVEY.md §2.6): nations having BOTH customers and
     suppliers (INTERSECT) vs customers only (EXCEPT), tagged and unioned."""
@@ -1072,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn": q_ivf_knn,
         "events_props_stats": q_events_props_stats,
         "revenue_rollup": q_revenue_rollup,
+        "orders_cube": q_orders_cube,
         "nation_set_ops": q_nation_set_ops,
         "customer_strings": q_customer_strings,
         "orders_by_month": q_orders_by_month,
@@ -1107,6 +1137,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_recall_at_10": _oracle_lsh_recall_at_10(),
         "events_props_stats": _ORACLE_EVENTS_PROPS_STATS,
         "revenue_rollup": _ORACLE_REVENUE_ROLLUP,
+        "orders_cube": _ORACLE_ORDERS_CUBE,
         "nation_set_ops": _ORACLE_NATION_SET_OPS,
         "customer_strings": _ORACLE_CUSTOMER_STRINGS,
         "orders_by_month": _ORACLE_ORDERS_BY_MONTH,

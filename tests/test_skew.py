@@ -62,3 +62,20 @@ def test_salted_join_matches_plain(spark, skewed, how):
     g = got.groupBy("k", "label").count().collect()
     w = want.groupBy("k", "label").count().collect()
     assert sorted(map(tuple, g)) == sorted(map(tuple, w))
+
+
+def test_grouped_standardize_matches_native_window(spark, skewed):
+    from pyspark.sql.window import Window
+    from kowari_spark.operators.grouped import grouped_standardize
+
+    got = grouped_standardize(skewed, ["k"], "v")
+    w = Window.partitionBy("k")
+    want = skewed.withColumn(
+        "zscore",
+        F.when(F.stddev_pop("v").over(w) == 0, F.lit(0.0)).otherwise(
+            (F.col("v") - F.avg("v").over(w)) / F.stddev_pop("v").over(w)
+        ),
+    )
+    g = sorted((r["k"], r["v"], round(r["zscore"], 9)) for r in got.collect())
+    e = sorted((r["k"], r["v"], round(r["zscore"], 9)) for r in want.collect())
+    assert g == e
