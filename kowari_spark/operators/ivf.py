@@ -65,7 +65,18 @@ class IVF:
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
     def fit(self, df: DataFrame, id_col: str = "id", vec_col: str = "embedding") -> "IVF":
-        """Deterministic distributed k-means (Lloyd, ``max_iter`` rounds)."""
+        """Deterministic distributed k-means (Lloyd, ``max_iter`` rounds).
+
+        The (id, vector) projection is persisted for the duration of the
+        fit — every iteration re-scans it, and at 100 TB re-reading the
+        source per iteration would dominate the build."""
+        vecs = df.select(id_col, vec_col).persist()
+        try:
+            return self._fit(vecs, id_col, vec_col)
+        finally:
+            vecs.unpersist()
+
+    def _fit(self, df: DataFrame, id_col: str, vec_col: str) -> "IVF":
         # seeded init: k rows in md5(id, seed) hash order — a uniform,
         # reproducible sample with no RNG (TakeOrderedAndProject, no sort)
         seed_rows = (
