@@ -56,10 +56,18 @@ def _dsum(col):
     return F.sum(col.cast("decimal(30,10)")).cast("double")
 
 
+def _utc(spark: SparkSession) -> None:
+    """Timestamp semantics must not depend on the driver session's zone:
+    DuckDB's timestamps are naive, so Spark-side formatting/casting is
+    pinned to UTC (runtime-settable conf — works on any session)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores nanosecond timestamps, which Spark's parquet
     reader rejects; read them as long and convert with integer division
     (ns magnitudes exceed double's 53-bit mantissa, so no float math)."""
+    _utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
@@ -405,6 +413,7 @@ FROM embeddings
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: filter -> groupBy -> multi-agg -> order."""
     li = _t(spark, sf_dir, "lineitem")
+    _utc(spark)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -954,6 +963,7 @@ def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-function surface: trunc/extract/datediff aggregation of
     orders by calendar month."""
     orders = _t(spark, sf_dir, "orders")
+    _utc(spark)
     return (
         orders.groupBy(
             F.year("o_orderdate").cast("long").alias("yr"),
