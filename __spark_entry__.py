@@ -341,7 +341,7 @@ def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = base.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    h = HNSW(m=8, ef=16, seed=42)
+    h = HNSW(m=8, ef=16, seed=42, max_level=3)
     edges = h.build(base, id_col="vec_id")
     out = h.query_batch(
         base, edges, queries, 5, id_col="vec_id", round_to=6

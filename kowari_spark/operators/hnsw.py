@@ -58,10 +58,15 @@ class HNSW:
     """Offline-built layered neighbor graph (reference defaults M=16,
     ef=32, src/index.rs:364-368)."""
 
-    def __init__(self, m: int = 16, ef: int = 32, seed: int = 42):
+    def __init__(self, m: int = 16, ef: int = 32, seed: int = 42,
+                 max_level: int = 16):
         self.m = m
         self.ef = ef
         self.seed = seed
+        # levels are capped (the reference caps too, src/index.rs:218-225);
+        # a lower cap trades descent granularity for fewer build rounds —
+        # each level is one distributed knn-graph pass
+        self.max_level = max_level
 
     # -- build -------------------------------------------------------------
 
@@ -76,7 +81,8 @@ class HNSW:
         nearest neighbors within the layer. Returns the edge DataFrame
         (persist with .write.partitionBy('level').parquet(...) for the
         pruned-probe layout)."""
-        leveled = assign_levels(df.select(id_col, vec_col), id_col, self.seed)
+        leveled = assign_levels(df.select(id_col, vec_col), id_col, self.seed,
+                                self.max_level)
         top = leveled.agg(F.max("node_level")).first()[0] or 0
         edges = None
         for level in range(int(top) + 1):
@@ -127,7 +133,8 @@ class HNSW:
         lifecycle: src/index.rs:314-355 → final ranking :345-353).
         """
         spark = base.sparkSession
-        leveled = assign_levels(base.select(id_col, vec_col), id_col, self.seed)
+        leveled = assign_levels(base.select(id_col, vec_col), id_col, self.seed,
+                                self.max_level)
         ep_id, top_level = self.entry_point(leveled, id_col)
 
         q = queries.select(
