@@ -579,6 +579,80 @@ GROUP BY ws, event_type ORDER BY w_start, event_type
 """
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase event picks up the
+    user's latest click value at-or-before it. Oracle is DuckDB's native
+    ASOF JOIN. The right side is pre-deduped to one row per (user, ts)
+    so equal-time ties are deterministic in both engines."""
+    from kowari_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(left, right, "ts", ["user_id"])
+    return out.select(
+        "event_id",
+        (F.round(F.col("value"), 6) + F.lit(0.0)).alias("purchase_value"),
+        (F.round(F.col("click_value_asof"), 6) + F.lit(0.0)).alias("click_value_asof"),
+    ).orderBy("event_id")
+
+
+_ORACLE_EVENTS_ASOF = """
+WITH r AS (
+  SELECT user_id, ts, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+l AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id,
+       ROUND(l.value, 6) + 0.0 AS purchase_value,
+       ROUND(r.click_value, 6) + 0.0 AS click_value_asof
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
+def q_orders_fast_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: lineitems shipped within 7 days of their
+    order's date — equi key + range predicate, per-order aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    _utc(spark)
+    joined = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate <= F.date_add(orders.o_orderdate, 7)),
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_fast_lines"),
+            _dsum(F.col("l_extendedprice")).alias("fast_revenue"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_ORACLE_ORDERS_FAST_LINES = """
+SELECT o_orderkey, COUNT(*) AS n_fast_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS fast_revenue
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate <= o_orderdate + INTERVAL 7 DAY
+GROUP BY o_orderkey ORDER BY o_orderkey
+"""
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join (set difference on keys)."""
     cust = _t(spark, sf_dir, "customer")
@@ -1096,6 +1170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_sliding": q_events_sliding,
         "customers_without_orders": q_customers_without_orders,
+        "events_asof": q_events_asof,
+        "orders_fast_lines": q_orders_fast_lines,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_quality": q_doc_lang_quality,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -1134,6 +1210,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": _ORACLE_EVENTS_SESSIONS,
         "events_sliding": _ORACLE_EVENTS_SLIDING,
         "customers_without_orders": _ORACLE_CUSTOMERS_WITHOUT_ORDERS,
+        "events_asof": _ORACLE_EVENTS_ASOF,
+        "orders_fast_lines": _ORACLE_ORDERS_FAST_LINES,
         "doc_token_stats": _ORACLE_DOC_TOKEN_STATS,
         "doc_lang_quality": _oracle_doc_lang_quality(),
         "doc_exact_dedup": _ORACLE_DOC_EXACT_DEDUP,
