@@ -778,7 +778,9 @@ def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _oracle_doc_minhash_pairs() -> str:
+def _minhash_ctes() -> str:
+    """Shared CTE block computing verified minhash near-dup pairs
+    (reused by the pairs oracle and the clustering oracle)."""
     a, b = T.minhash_params(16, 42)
     sig_exprs = ", ".join(
         f"list_min(list_transform(hm, m -> ({ai} * m + {bi}) % 2147483647))"
@@ -790,8 +792,7 @@ def _oracle_doc_minhash_pairs() -> str:
     )
     sh = _SQL_SHINGLES3.format(t="t")
     h = _SQL_HASH64.format(s="x")
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
   SELECT doc_id, {sh} AS s
   FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
 ),
@@ -809,9 +810,40 @@ j AS (
   FROM cand
   JOIN sh sa ON sa.doc_id = cand.id_a
   JOIN sh sb ON sb.doc_id = cand.id_b
-)
+)"""
+
+
+def _oracle_doc_minhash_pairs() -> str:
+    return f"""
+WITH {_minhash_ctes()}
 SELECT id_a, id_b, ROUND(jac, 6) + 0.0 AS jaccard
 FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b
+"""
+
+
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup end-game: connected components over verified minhash pairs
+    (operators/dedup.dedup_clusters — distributed min-label
+    propagation); oracle = recursive-CTE reachability min."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
+    return D.dedup_clusters(pairs).orderBy("id")
+
+
+def _oracle_doc_dup_clusters() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT s AS id, s AS label FROM edges
+  UNION
+  SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.id
+)
+SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id ORDER BY id
 """
 
 
@@ -1176,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_quality": q_doc_lang_quality,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "doc_simhash_near": q_doc_simhash_near,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
@@ -1216,6 +1249,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_quality": _oracle_doc_lang_quality(),
         "doc_exact_dedup": _ORACLE_DOC_EXACT_DEDUP,
         "doc_minhash_pairs": _oracle_doc_minhash_pairs(),
+        "doc_dup_clusters": _oracle_doc_dup_clusters(),
         "doc_simhash_near": _oracle_doc_simhash_near(),
         "embedding_near_dups": _ORACLE_EMBEDDING_NEAR_DUPS,
         "embedding_near_dups_lsh": _oracle_embedding_near_dups_lsh(),

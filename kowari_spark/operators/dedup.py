@@ -262,6 +262,76 @@ def fingerprint_dup_groups(
     )
 
 
+# -- duplicate clustering ----------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: (id, cluster_id) where
+    cluster_id = min id reachable through the pair graph.
+
+    Near-dup relations aren't transitive, but dedup treats them so (one
+    survivor per component — the standard MinHash-dedup final step).
+    Distributed min-label propagation: each round every node takes the
+    min label among itself and its neighbors; converges in <= diameter
+    rounds, with early exit when a round changes nothing. Each round is
+    one join + one groupBy on (edge, label) rows — no component ever has
+    to fit on one executor. localCheckpoint truncates the per-round
+    lineage so the plan doesn't grow with iterations.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                labels.id,
+                F.least(
+                    labels.label, F.coalesce(F.col("nbr_label"), labels.label)
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_representatives(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 20
+) -> DataFrame:
+    """Drop every clustered document except its cluster's min-id
+    representative; documents in no near-dup pair survive untouched."""
+    clusters = dedup_clusters(pairs, max_iter)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # -- embedding near-dup ------------------------------------------------------
 
 def _pair_cosine() -> Column:

@@ -171,3 +171,22 @@ def test_similarity_join_two_tables(spark, embeddings):
         assert v == e[k]                 # verified scores are exact
     if e:
         assert len(g) / len(e) >= 0.2    # OR-construction recall floor
+
+
+def test_dedup_clusters_chain_and_triangle(spark):
+    from kowari_spark.operators.dedup import dedup_clusters, dedup_keep_representatives
+
+    # components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_keep_representatives(docs, pairs).collect())
+    assert kept == [1, 10, 20, 99]  # one rep per component + untouched 99
