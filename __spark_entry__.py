@@ -847,6 +847,47 @@ SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id ORDER BY id
 """
 
 
+def q_doc_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full text->vector->search pipeline: feature-hashed document
+    embeddings (functions/text.hashed_embedding, model-free) ranked by
+    cosine against doc 0's embedding — documents flow through the SAME
+    knn operator as the embeddings table."""
+    docs = _t(spark, sf_dir, "documents")
+    embedded = T.hashed_embeddings(docs, "text", "doc_id", 32)
+    qrow = embedded.filter(F.col("doc_id") == 0).first()
+    return knn(
+        embedded, [float(x) for x in qrow["embedding"]], 10,
+        metric="cosine", id_col="doc_id", round_to=6,
+    )
+
+
+def _oracle_doc_text_knn() -> str:
+    h = _SQL_HASH64.format(s="t")
+    counts = (
+        f"list_transform(range(0, 32), "
+        f"j -> CAST(len(list_filter(toks, t -> {h} % 32 = j)) AS DOUBLE))"
+    )
+    cos = _cos_sql("e.v", "q.v")
+    return f"""
+WITH c AS (
+  SELECT doc_id, {counts} AS cnt
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+n AS (
+  SELECT doc_id,
+         CASE WHEN sqrt(list_dot_product(cnt, cnt)) = 0 THEN cnt
+              ELSE list_transform(cnt, x -> x / sqrt(list_dot_product(cnt, cnt)))
+         END AS v
+  FROM c
+),
+q AS (SELECT v FROM n WHERE doc_id = 0)
+SELECT e.doc_id AS doc_id, ROUND({cos}, 6) + 0.0 AS score
+FROM n e CROSS JOIN q
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def q_doc_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-pairs: top-byte blocking + exact hamming filter."""
     docs = _t(spark, sf_dir, "documents")
@@ -1209,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_text_knn": q_doc_text_knn,
         "doc_simhash_near": q_doc_simhash_near,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
@@ -1250,6 +1292,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": _ORACLE_DOC_EXACT_DEDUP,
         "doc_minhash_pairs": _oracle_doc_minhash_pairs(),
         "doc_dup_clusters": _oracle_doc_dup_clusters(),
+        "doc_text_knn": _oracle_doc_text_knn(),
         "doc_simhash_near": _oracle_doc_simhash_near(),
         "embedding_near_dups": _ORACLE_EMBEDDING_NEAR_DUPS,
         "embedding_near_dups_lsh": _oracle_embedding_near_dups_lsh(),

@@ -131,6 +131,56 @@ def rolling_fingerprint(text) -> Column:
     )
 
 
+def hashed_embedding(text, dim: int = 32, normalize: bool = True) -> Column:
+    """Feature-hashing document embedding: component j = count of tokens
+    whose portable hash lands in bucket j, L2-normalized — a
+    deterministic, model-free text vector (the classic hashing trick),
+    so documents flow into the SAME knn/LSH/dedup operators as real
+    embeddings. Native expressions only; exact DuckDB oracle."""
+    toks = tokens(text)
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.size(F.filter(toks, lambda t: base_hash64(t) % dim == j)).cast(
+            "double"
+        ),
+    )
+    if not normalize:
+        return counts
+    norm = F.sqrt(
+        F.aggregate(counts, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.when(norm == 0.0, counts).otherwise(
+        F.transform(counts, lambda x: x / norm)
+    )
+
+
+def hashed_embeddings(
+    df, text_col: str = "text", id_col: str = "doc_id", dim: int = 32,
+    normalize: bool = True, out_col: str = "embedding",
+):
+    """Whole-table feature-hashed embeddings in the shape that scales:
+    explode tokens, hash each ONCE, then ``dim`` conditional-count
+    aggregates (map-side partial sums) — the Column form above recomputes
+    md5 dim× per token and blows up codegen. Output: (id_col, out_col
+    array<double>), L2-normalized.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    ).select(id_col, (base_hash64(F.col("__t")) % dim).alias("__b"))
+    aggs = [
+        F.sum(F.when(F.col("__b") == j, 1).otherwise(0)).cast("double").alias(f"c{j}")
+        for j in range(dim)
+    ]
+    per = exploded.groupBy(id_col).agg(*aggs)
+    counts = F.array(*[F.col(f"c{j}") for j in range(dim)])
+    if normalize:
+        norm = F.sqrt(F.aggregate(counts, F.lit(0.0), lambda acc, x: acc + x * x))
+        counts = F.when(norm == 0.0, counts).otherwise(
+            F.transform(counts, lambda x: x / norm)
+        )
+    return per.select(F.col(id_col), counts.alias(out_col))
+
+
 # -- language ID + quality ---------------------------------------------------
 
 STOPWORDS = {

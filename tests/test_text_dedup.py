@@ -190,3 +190,20 @@ def test_dedup_clusters_chain_and_triangle(spark):
     )
     kept = sorted(r["doc_id"] for r in dedup_keep_representatives(docs, pairs).collect())
     assert kept == [1, 10, 20, 99]  # one rep per component + untouched 99
+
+
+def test_hashed_embedding_properties(spark):
+    from kowari_spark.functions.text import hashed_embedding
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "zzz")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["e"] for r in
+            df.select("doc_id", hashed_embedding("text", 16).alias("e")).collect()}
+    assert all(len(v) == 16 for v in rows.values())
+    # bag-of-words: order-insensitive
+    assert rows[1] == rows[2]
+    # unit norm
+    for v in rows.values():
+        assert sum(x * x for x in v) == pytest.approx(1.0)
