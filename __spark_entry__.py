@@ -290,7 +290,29 @@ def q_lsh_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
-def _oracle_lsh_recall_at_10() -> str:
+def q_lsh_precision_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-quality metric G4 (utils.rs:81-96): precision@10 of the
+    LSH probe against the UNCLAMPED expected set (exact top-20)."""
+    from kowari_spark.operators.eval import precision_at_k
+
+    base = _t(spark, sf_dir, "embeddings")
+    queries = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact20 = knn_batch(base, queries, 20, metric="cosine", id_col="vec_id", round_to=6)
+    approx = _LSH.query_batch(
+        base, queries, 10, metric="cosine", id_col="vec_id", round_to=6
+    )
+    prec = precision_at_k(exact20, approx, 10, id_col="vec_id")
+    return prec.select(
+        "query_id", (F.round(F.col("precision"), 6) + F.lit(0.0)).alias("precision")
+    ).orderBy("query_id")
+
+
+def _oracle_lsh_quality(metric: str) -> str:
+    """Shared oracle for recall@10 (vs exact top-10) and precision@10
+    (vs unclamped exact top-20) of the LSH bucket-probe path."""
+    expected_k = 10 if metric == "recall" else 20
     cos = _cos_sql("(e.embedding::DOUBLE[])", "q.qe")
     cos_flat = _cos_sql("(e.embedding::DOUBLE[])", "e.qe")
     bucket_e = _bucket_sql("embedding::DOUBLE[]")
@@ -321,12 +343,20 @@ exact AS (
   FROM embeddings e CROSS JOIN q
 ),
 al AS (SELECT query_id, list(vec_id ORDER BY rnk) AS ids FROM approx WHERE rnk <= 10 GROUP BY query_id),
-el AS (SELECT query_id, list(vec_id ORDER BY rnk) AS ids FROM exact WHERE rnk <= 10 GROUP BY query_id)
+el AS (SELECT query_id, list(vec_id ORDER BY rnk) AS ids FROM exact WHERE rnk <= {expected_k} GROUP BY query_id)
 SELECT al.query_id,
-       ROUND(len(list_intersect(al.ids, el.ids)) / 10.0, 6) + 0.0 AS recall
+       ROUND(len(list_intersect(al.ids, el.ids)) / 10.0, 6) + 0.0 AS {metric}
 FROM al JOIN el ON al.query_id = el.query_id
 ORDER BY al.query_id
 """
+
+
+def _oracle_lsh_recall_at_10() -> str:
+    return _oracle_lsh_quality("recall")
+
+
+def _oracle_lsh_precision_at_10() -> str:
+    return _oracle_lsh_quality("precision")
 
 
 def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1258,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join": q_similarity_join,
         "filtered_knn": q_filtered_knn,
         "lsh_recall_at_10": q_lsh_recall_at_10,
+        "lsh_precision_at_10": q_lsh_precision_at_10,
         "hnsw_knn": q_hnsw_knn,
         "ivf_knn": q_ivf_knn,
         "events_props_stats": q_events_props_stats,
@@ -1300,6 +1331,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_join": _oracle_similarity_join(),
         "filtered_knn": _oracle_filtered_knn(),
         "lsh_recall_at_10": _oracle_lsh_recall_at_10(),
+        "lsh_precision_at_10": _oracle_lsh_precision_at_10(),
         "events_props_stats": _ORACLE_EVENTS_PROPS_STATS,
         "revenue_rollup": _ORACLE_REVENUE_ROLLUP,
         "orders_cube": _ORACLE_ORDERS_CUBE,
