@@ -1,0 +1,60 @@
+"""Training-data pipeline walkthrough: the beyond-reference surface on
+the driver's synthetic tables — text analysis, near-dedup with
+clustering, hashed embeddings into ANN search, media plumbing.
+
+Run: python examples/pipeline_demo.py [sf_dir]   (default sf0.001)
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from kowari_spark import get_session
+from kowari_spark.functions.text import hashed_embeddings, lang_id, quality_score
+from kowari_spark.operators import knn
+from kowari_spark.operators.dedup import (
+    dedup_keep_representatives,
+    minhash_dedup_pairs,
+)
+from kowari_spark.operators.multimodal import media_features, media_meta, synth_media
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = get_session(app="kowari_pipeline")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    n = docs.count()
+
+    # -- text analysis ---------------------------------------------------
+    profiled = docs.select(
+        "doc_id",
+        lang_id("text").alias("lang"),
+        F.round(quality_score("text"), 3).alias("q"),
+    )
+    print("language distribution:", profiled.groupBy("lang").count().collect())
+
+    # -- near-dedup: pairs -> clusters -> survivors ----------------------
+    pairs = minhash_dedup_pairs(docs, threshold=0.5)
+    kept = dedup_keep_representatives(docs, pairs)
+    print(f"dedup: {n} docs -> {kept.count()} after near-dup removal "
+          f"({pairs.count()} verified pairs)")
+
+    # -- model-free embeddings into the SAME search operators ------------
+    embedded = hashed_embeddings(kept, "text", "doc_id", dim=32).cache()
+    qvec = [float(x) for x in embedded.first()["embedding"]]
+    print("text knn:", [(r["doc_id"], r["score"])
+                        for r in knn(embedded, qvec, 3, id_col="doc_id", round_to=4).collect()])
+
+    # -- multimodal plumbing (deterministic KWM codec) -------------------
+    media = synth_media(docs.select(F.col("doc_id").alias("media_id")).limit(20),
+                        kind="video", width=16, height=12, n_frames=4)
+    print("media meta sample:", media_meta(media).first())
+    feats = media_features(media)
+    print("media feature dim:", len(feats.first()["features"]))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
