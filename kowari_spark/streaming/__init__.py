@@ -7,7 +7,7 @@ from kowari_spark.streaming.events import (
     streaming_dedup,
     user_running_stats,
 )
-from kowari_spark.streaming.ingest import stream_vectors_into
+from kowari_spark.streaming.ingest import stream_into_lsh_layout, stream_vectors_into
 
 __all__ = [
     "EVENT_SCHEMA",
@@ -18,4 +18,5 @@ __all__ = [
     "streaming_dedup",
     "user_running_stats",
     "stream_vectors_into",
+    "stream_into_lsh_layout",
 ]

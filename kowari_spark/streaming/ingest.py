@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from kowari_spark.catalog import Collection
+from kowari_spark.operators.lsh import SignLSH
 
 
 def stream_vectors_into(
@@ -46,3 +47,33 @@ def stream_vectors_into(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_into_lsh_layout(
+    stream_df: DataFrame,
+    lsh: SignLSH,
+    path: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    trigger_available_now: bool = True,
+):
+    """Maintain a bucket-partitioned LSH layout from a vector stream
+    (SURVEY.md §7.1 step 9: streaming ingest + index maintenance).
+
+    Each micro-batch computes its bucket column (narrow, codegen) and
+    appends into ``partitionBy(bucket)`` parquet — new vectors land in
+    the right partition immediately, so probes keep pruning without any
+    rebuild. Compaction of small per-batch files within a bucket is the
+    periodic maintenance job (``Collection.optimize`` semantics),
+    orthogonal to correctness.
+    """
+    bucketed = lsh.with_buckets(stream_df, vec_col)
+    return (
+        bucketed.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("bucket")
+        .outputMode("append")
+        .trigger(availableNow=trigger_available_now)
+        .start()
+    )

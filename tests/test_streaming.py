@@ -177,3 +177,29 @@ def test_stream_vectors_into_collection(spark, embeddings, tmp_path):
     assert coll.count() == 100
     got = coll.get("7")
     assert got is not None and len(got["embedding"]) == 64
+
+
+def test_stream_into_lsh_layout(spark, embeddings, tmp_path):
+    from kowari_spark.operators.lsh import SignLSH
+    from kowari_spark.streaming.ingest import stream_into_lsh_layout
+
+    src = str(tmp_path / "vsrc")
+    vecs = embeddings.select("vec_id", "embedding").limit(200)
+    vecs.repartition(4).write.mode("overwrite").parquet(src)
+
+    lsh = SignLSH(dim=64, num_planes=4, seed=42)
+    out = str(tmp_path / "lsh_layout")
+    stream = spark.readStream.schema(vecs.schema).parquet(src)
+    q = stream_into_lsh_layout(stream, lsh, out, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    stored = spark.read.parquet(out)
+    assert stored.count() == 200
+    # layout agrees with the batch bucketing
+    want = lsh.with_buckets(vecs)
+    got = {(r["vec_id"], r["bucket"]) for r in stored.collect()}
+    assert got == {(r["vec_id"], r["bucket"]) for r in want.collect()}
+    # a probe partition-prunes the streamed layout
+    probe = stored.filter(F.col("bucket") == want.first()["bucket"])
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
