@@ -98,6 +98,28 @@ class Collection:
         """C8 get_collection_info: catalog properties + computed count."""
         return {**self.meta, "vector_count": self.count()}
 
+    # -- search (QueryEngine parity, vector_db/src/query.rs:15-52) -------
+
+    def search_with_scores(
+        self, query, k: int, metric: str = "cosine", round_to: int | None = None
+    ):
+        """Q8 search_with_scores: top-k records with scores. The index
+        hit list resolves back to full records by inner join (missing
+        ids silently drop, matching query.rs:18-24)."""
+        from kowari_spark.operators import knn, resolve
+
+        hits = knn(
+            self.df(), [float(x) for x in query], k, metric=metric, round_to=round_to
+        )
+        return resolve(hits, self.df()).orderBy(
+            F.desc("score"), F.asc("id")
+        )
+
+    def search(self, query, k: int, metric: str = "cosine"):
+        """Q7/Q9 search (by raw vector): top-k full records, no score
+        column."""
+        return self.search_with_scores(query, k, metric=metric).drop("score")
+
     # -- writes ----------------------------------------------------------
 
     def _validate_dims(self, df: DataFrame) -> None:

@@ -121,3 +121,25 @@ def test_json_roundtrip(spark, tmp_path):
     assert got["y"]["metadata"] is None
     append_vectors(vector_df(spark, [vector_row([5.0, 6.0], id="z")]), path)
     assert load_vectors(spark, path).count() == 3
+
+
+def test_collection_search_api(spark, embeddings, tmp_path):
+    from pyspark.sql import functions as F
+    from kowari_spark.catalog import CollectionManager
+
+    mgr = CollectionManager(spark, str(tmp_path / "wh"))
+    coll = mgr.create_collection("searchable", dimension=64, mode="upsert")
+    coll.add_df(
+        embeddings.limit(60).select(
+            F.col("vec_id").cast("string").alias("id"),
+            "embedding",
+            F.to_json(F.struct("label")).alias("metadata"),
+        )
+    )
+    q = [float(x) for x in coll.get("5")["embedding"]]
+    scored = coll.search_with_scores(q, 3, round_to=6).collect()
+    assert scored[0]["id"] == "5" and scored[0]["score"] == 1.0
+    assert set(scored[0].asDict()) == {"id", "embedding", "metadata", "score"}
+    plain = coll.search(q, 3).collect()
+    assert [r["id"] for r in plain][0] == "5"
+    assert "score" not in plain[0].asDict()
