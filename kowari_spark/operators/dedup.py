@@ -277,11 +277,15 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     to fit on one executor. localCheckpoint truncates the per-round
     lineage so the plan doesn't grow with iterations.
     """
+    # materialize the edge list ONCE — `pairs` is typically the tail of
+    # an expensive pipeline (minhash bands + jaccard verify), and every
+    # propagation round (plus its convergence check) would otherwise
+    # replay it from the source
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
