@@ -203,3 +203,47 @@ def test_stream_into_lsh_layout(spark, embeddings, tmp_path):
     probe = stored.filter(F.col("bucket") == want.first()["bucket"])
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(bucket" in plan
+
+
+def test_late_data_dropped_after_watermark(spark, tmp_path):
+    """An event arriving after the watermark passed its window is
+    DROPPED (the documented late-data policy of hourly_rollup)."""
+    import datetime as dt
+    import time as _time
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+
+    def write_file(name, rows, mtime_bump):
+        df = spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1)
+        d = str(tmp_path / ("tmp_" + name))
+        df.write.mode("overwrite").parquet(d)
+        part = glob.glob(f"{d}/part-*.parquet")[0]
+        dst = f"{src}/{name}.parquet"
+        shutil.copy(part, dst)
+        t = _time.time() + mtime_bump
+        os.utime(dst, (t, t))
+
+    T = dt.datetime(2024, 1, 1, 0, 10)
+    H = dt.timedelta(hours=1)
+    ev = lambda i, ts, typ="x": (i, ts, 1, typ, 1.0, None)
+    # batch 1: one event in the 00:00 window
+    write_file("a", [ev(1, T)], 100)
+    # batch 2: advances watermark to 04:00 -> 00:00 window closes+emits
+    write_file("b", [ev(2, T + 6 * H)], 200)
+    # batch 3: settles the advanced watermark (Spark applies the late-row
+    # filter with the watermark finalized in the PREVIOUS batch)
+    write_file("b2", [ev(5, T + 6 * H + dt.timedelta(minutes=5))], 250)
+    # batch 4: LATE row for the closed 00:00 window (must be dropped)
+    write_file("c", [ev(3, T + dt.timedelta(minutes=20))], 300)
+    # batch 4: far-future flush so every open window emits
+    write_file("d", [ev(4, T + 48 * H, FLUSH_TYPE)], 400)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    got = _drain(spark, hourly_rollup(stream, watermark="2 hours"), "late_hourly").filter(
+        F.col("event_type") != FLUSH_TYPE
+    )
+    by_hour = {r["hour"]: r["n"] for r in got.collect()}
+    # the 00:00 window holds ONLY the on-time event; the late one is gone
+    assert by_hour["2024-01-01 00:00:00"] == 1
+    assert by_hour["2024-01-01 06:00:00"] == 2  # events 2 and 5

@@ -207,3 +207,40 @@ def test_hashed_embedding_properties(spark):
     # unit norm
     for v in rows.values():
         assert sum(x * x for x in v) == pytest.approx(1.0)
+
+
+def test_column_vs_aggregation_forms_agree(spark):
+    """The codegen-light aggregation forms (minhash_signatures,
+    simhash_fingerprints, hashed_embeddings) must produce EXACTLY the
+    values of their per-row Column-expression counterparts — guards the
+    two implementations against drift."""
+    from kowari_spark.functions.text import (
+        hashed_embedding,
+        hashed_embeddings,
+        minhash_signature,
+        simhash,
+    )
+    from kowari_spark.operators.dedup import minhash_signatures, simhash_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs"),
+         (3, "xy")],
+        "doc_id long, text string",
+    )
+    # minhash
+    col_form = {r["doc_id"]: list(r["sig"]) for r in
+                df.select("doc_id", minhash_signature("text").alias("sig")).collect()}
+    agg = minhash_signatures(df)
+    agg_form = {r["doc_id"]: [r[f"m{i}"] for i in range(16)] for r in agg.collect()}
+    assert col_form == agg_form
+    # simhash
+    c = {r["doc_id"]: r["s"] for r in df.select("doc_id", simhash("text").alias("s")).collect()}
+    a = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(df).collect()}
+    assert c == a
+    # hashed embedding
+    c = {r["doc_id"]: r["e"] for r in
+         df.select("doc_id", hashed_embedding("text", 16).alias("e")).collect()}
+    a = {r["doc_id"]: r["embedding"] for r in
+         hashed_embeddings(df, dim=16).collect()}
+    assert c == a
