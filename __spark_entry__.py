@@ -400,6 +400,45 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV distinct-count sketch (operators/sketch.py):
+    approx distinct users per event_type, bit-reproducible in DuckDB —
+    unlike HLL, the estimate depends only on the data."""
+    from kowari_spark.operators.sketch import kmv_distinct
+
+    ev = _events(spark, sf_dir)
+    return (
+        kmv_distinct(ev, ["event_type"], "user_id", k=64)
+        .select(
+            "event_type",
+            (F.round(F.col("distinct_est"), 6) + F.lit(0.0)).alias("distinct_est"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _oracle_events_kmv_users() -> str:
+    # _SQL_HASH64 is defined further down with the text oracles; build
+    # this SQL lazily so import order doesn't matter
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         {_SQL_HASH64.format(s="CAST(user_id AS VARCHAR)")}::DOUBLE / {float(16**15)!r} AS u
+  FROM events
+),
+ranked AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type ORDER BY u ASC) AS rn
+  FROM hashed
+),
+kept AS (SELECT * FROM ranked WHERE rn <= 64)
+SELECT event_type,
+       ROUND(CASE WHEN MAX(rn) < 64 THEN CAST(MAX(rn) AS DOUBLE)
+                  ELSE 63.0 / MAX(u) END, 6) + 0.0 AS distinct_est
+FROM kept GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-less JSON metadata access (F8): extract props.k, typed
     aggregation per event_type."""
@@ -1292,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_knn": q_hnsw_knn,
         "ivf_knn": q_ivf_knn,
         "events_props_stats": q_events_props_stats,
+        "events_kmv_users": q_events_kmv_users,
         "revenue_rollup": q_revenue_rollup,
         "orders_cube": q_orders_cube,
         "nation_set_ops": q_nation_set_ops,
@@ -1333,6 +1373,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_recall_at_10": _oracle_lsh_recall_at_10(),
         "lsh_precision_at_10": _oracle_lsh_precision_at_10(),
         "events_props_stats": _ORACLE_EVENTS_PROPS_STATS,
+        "events_kmv_users": _oracle_events_kmv_users(),
         "revenue_rollup": _ORACLE_REVENUE_ROLLUP,
         "orders_cube": _ORACLE_ORDERS_CUBE,
         "nation_set_ops": _ORACLE_NATION_SET_OPS,

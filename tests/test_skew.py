@@ -79,3 +79,21 @@ def test_grouped_standardize_matches_native_window(spark, skewed):
     g = sorted((r["k"], r["v"], round(r["zscore"], 9)) for r in got.collect())
     e = sorted((r["k"], r["v"], round(r["zscore"], 9)) for r in want.collect())
     assert g == e
+
+
+def test_kmv_distinct_exact_below_k_and_close_above(spark):
+    from kowari_spark.operators.sketch import kmv_distinct
+
+    # group 'small': 30 distinct (< k=64 -> exact); 'big': 5000 distinct
+    small = spark.range(30).select(F.lit("small").alias("g"), F.col("id").alias("v"))
+    big = spark.range(5000).select(F.lit("big").alias("g"), (F.col("id") + 1000).alias("v"))
+    dup = small.unionByName(small)  # duplicates must not inflate the count
+    df = dup.unionByName(big)
+    got = {r["g"]: r["distinct_est"] for r in
+           kmv_distinct(df, ["g"], "v", k=64).collect()}
+    assert got["small"] == 30.0
+    assert abs(got["big"] - 5000) / 5000 < 0.30  # ~1/sqrt(64) error bound
+    # determinism: same data -> same estimate, bit-for-bit
+    again = {r["g"]: r["distinct_est"] for r in
+             kmv_distinct(df, ["g"], "v", k=64).collect()}
+    assert got == again
