@@ -591,6 +591,34 @@ ORDER BY 1, 2
 """
 
 
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim join on part (TPC-H Q14 shape): per-brand revenue and
+    discounted-line share over large parts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_size") >= 25)),
+                li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_discounted"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_ORACLE_BRAND_REVENUE = """
+SELECT p_brand, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
+       SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size >= 25
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) per user — the streaming operator
     (streaming/events.py session_rollup) run in batch mode; stream/batch
@@ -1307,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_normalize": q_vector_normalize,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
+        "brand_revenue": q_brand_revenue,
         "top_customer_per_nation": q_top_customer_per_nation,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
@@ -1351,6 +1380,7 @@ def oracle_sql() -> dict[str, str]:
         "vector_normalize": _ORACLE_VECTOR_NORMALIZE,
         "pricing_summary": _ORACLE_PRICING_SUMMARY,
         "revenue_by_nation": _ORACLE_REVENUE_BY_NATION,
+        "brand_revenue": _ORACLE_BRAND_REVENUE,
         "top_customer_per_nation": _ORACLE_TOP_CUSTOMER_PER_NATION,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
         "events_sessions": _ORACLE_EVENTS_SESSIONS,
