@@ -250,6 +250,45 @@ FROM n
 """
 
 
+def q_knn_quantized_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized search (functions/quant.py): scan the 4x-smaller
+    code column, score against the dequantized vectors — the first stage
+    of two-stage retrieval. Deterministic floor-quantization, so the
+    oracle reproduces codes and scores exactly."""
+    from kowari_spark.functions.quant import dequantize, with_quantized
+
+    base = with_quantized(_t(spark, sf_dir, "embeddings"))
+    deq = base.select(
+        "vec_id", dequantize("q_codes", "q_min", "q_scale").alias("embedding")
+    )
+    q = _query_vec(spark, sf_dir, 6)
+    return knn(deq, q, 10, metric="cosine", id_col="vec_id", round_to=6)
+
+
+def _oracle_knn_quantized_top10() -> str:
+    cos = _cos_sql("e.deq", "q.qe")
+    return f"""
+WITH p AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_min(embedding::DOUBLE[]) AS mn,
+         (list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])) / 255.0 AS sc
+  FROM embeddings
+),
+d AS (
+  SELECT vec_id,
+         CASE WHEN sc = 0 THEN list_transform(v, x -> mn)
+              ELSE list_transform(v, x -> mn + least(255.0, floor((x - mn) / sc)) * sc)
+         END AS deq
+  FROM p
+),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 6)
+SELECT e.vec_id AS vec_id, ROUND({cos}, 6) + 0.0 AS score
+FROM d e CROSS JOIN q
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 def q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-prefiltered search (F8 composed with Q2): predicate first,
     score+rank only the survivors — at scale the filter prunes the scan
@@ -1332,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_knn_top10": q_lsh_knn_top10,
         "vector_stats": q_vector_stats,
         "knn_manhattan_top10": q_knn_manhattan_top10,
+        "knn_quantized_top10": q_knn_quantized_top10,
         "vector_normalize": q_vector_normalize,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1377,6 +1417,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_knn_top10": _oracle_lsh_knn_top10(),
         "vector_stats": _ORACLE_VECTOR_STATS,
         "knn_manhattan_top10": _ORACLE_KNN_MANHATTAN,
+        "knn_quantized_top10": _oracle_knn_quantized_top10(),
         "vector_normalize": _ORACLE_VECTOR_NORMALIZE,
         "pricing_summary": _ORACLE_PRICING_SUMMARY,
         "revenue_by_nation": _ORACLE_REVENUE_BY_NATION,

@@ -126,3 +126,32 @@ def test_generate_random_vectors_deterministic(spark):
     # different seed -> different values
     c = generate_random_vectors(spark, 20, 8, seed=6)
     assert {r["id"]: r["embedding"] for r in c.collect()} != rows
+
+
+def test_quantization_roundtrip_and_knn_recall(spark, embeddings):
+    from pyspark.sql import functions as F
+    from kowari_spark.functions.quant import dequantize, with_quantized
+    from kowari_spark.operators import knn
+    from kowari_spark.operators.topk import knn_batch
+    from kowari_spark.operators.eval import mean_metric, recall_at_k
+
+    base = embeddings.limit(300)
+    q = with_quantized(base).withColumn(
+        "deq", dequantize("q_codes", "q_min", "q_scale")
+    )
+    row = q.first()
+    # max reconstruction error is one scale step per element
+    err = max(abs(float(a) - float(b)) for a, b in zip(row["embedding"], row["deq"]))
+    assert err <= row["q_scale"] + 1e-12
+    # codes really are int8-ranged
+    assert all(-128 <= c <= 127 for c in row["q_codes"])
+
+    # search over dequantized vectors ~ search over originals
+    deq = q.select("vec_id", F.col("deq").alias("embedding"))
+    queries = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = knn_batch(base, queries, 10, id_col="vec_id", round_to=6)
+    approx = knn_batch(deq, queries, 10, id_col="vec_id", round_to=6)
+    rec = mean_metric(recall_at_k(exact, approx, 10, id_col="vec_id"), "recall")
+    assert rec >= 0.8  # int8 loses little at 64 dims
