@@ -75,3 +75,21 @@ def test_batch_self_query(spark, embeddings):
     for r in res:
         assert r["query_id"] == r["id"]
         assert r["score"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_knn_two_stage_matches_exact(spark, embeddings):
+    from pyspark.sql import functions as F
+    from kowari_spark.operators import knn
+    from kowari_spark.operators.topk import knn_two_stage
+
+    base = embeddings.limit(300)
+    q = [float(x) for x in base.filter(F.col("vec_id") == 3).first()["embedding"]]
+    exact = [(r["vec_id"], r["score"]) for r in
+             knn(base, q, 5, id_col="vec_id", round_to=6).collect()]
+    # with a generous candidate pool the two-stage result is exact
+    two = [(r["vec_id"], r["score"]) for r in
+           knn_two_stage(base, q, 5, candidates=100, id_col="vec_id", round_to=6).collect()]
+    assert two == exact
+    # even the default narrow pool must keep the self-hit at rank 1
+    narrow = knn_two_stage(base, q, 5, id_col="vec_id", round_to=6).collect()
+    assert narrow[0]["vec_id"] == 3 and narrow[0]["score"] == 1.0
