@@ -51,9 +51,34 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]
     return [float(x) for x in row["embedding"]]
 
 
-def _dsum(col):
-    """Order-independent sum: exact decimal accumulation, double output."""
-    return F.sum(col.cast("decimal(30,10)")).cast("double")
+def _dsum(col, typ: str = "decimal(18,2)"):
+    """Order-independent sum: exact decimal accumulation, double output.
+
+    Default scale is 2 (money/quantity columns): DuckDB implements
+    double->decimal by scaling the double by 10^scale, and at scale 10 a
+    ~1e5 money value lands near 2^53 where that multiply itself rounds,
+    diverging from Spark's exact BigDecimal cast by 1e-10 per row (caught
+    by the strict full-precision hash on rollup/cube grand totals). At
+    scale 2 the scaled value is ~1e7 — exact in both engines. Use a wider
+    scale explicitly only for genuinely high-precision columns."""
+    return F.sum(col.cast(typ)).cast("double")
+
+
+def _drev(price, disc):
+    """Exact-decimal revenue sum: SUM(price * (1 - disc)) with each factor
+    cast to decimal BEFORE the multiply. A double product rounds its binary
+    expansion to decimal differently across engines at the 1e-10 digit and
+    the ulps accumulate over ~1e6 rows past hash tolerance; decimal-first
+    makes the arithmetic exact end-to-end so Spark and DuckDB agree bitwise.
+    The paired oracle form is _SQL_REV."""
+    p = price.cast("decimal(12,2)")
+    d = F.lit(1).cast("decimal(12,2)") - disc.cast("decimal(12,2)")
+    return F.sum(p * d).cast("double")
+
+
+# DuckDB-side twin of _drev (format with the price/discount column names)
+_SQL_REV = ("CAST(SUM(CAST({p} AS DECIMAL(12,2)) * "
+            "(CAST(1 AS DECIMAL(12,2)) - CAST({d} AS DECIMAL(12,2)))) AS DOUBLE)")
 
 
 def _utc(spark: SparkSession) -> None:
@@ -499,7 +524,7 @@ def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_EVENTS_PROPS_STATS = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type
@@ -528,7 +553,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _dsum(F.col("l_quantity")).alias("sum_qty"),
             _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            _drev(F.col("l_extendedprice"), F.col("l_discount")).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -537,15 +562,15 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       {rev} AS sum_disc_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
-"""
+""".format(rev=_SQL_REV.format(p="l_extendedprice", d="l_discount"))
 
 
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,7 +585,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            _drev(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy("n_name")
@@ -569,7 +594,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_REVENUE_BY_NATION = """
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
+       {rev} AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -577,7 +602,7 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 ORDER BY n_name
-"""
+""".format(rev=_SQL_REV.format(p="l_extendedprice", d="l_discount"))
 
 
 def q_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -614,7 +639,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            _dsum(F.col("value")).alias("total_value"),
+            _dsum(F.col("value"), "decimal(30,10)").alias("total_value"),
         )
         .orderBy("hour", "event_type")
     )
@@ -641,7 +666,7 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_lines"),
-            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            _drev(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"),
             F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_discounted"),
         )
         .orderBy("p_brand")
@@ -650,12 +675,12 @@ def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_BRAND_REVENUE = """
 SELECT p_brand, COUNT(*) AS n_lines,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
-       SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_discounted
+       {rev} AS revenue,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_size >= 25
 GROUP BY p_brand ORDER BY p_brand
-"""
+""".format(rev=_SQL_REV.format(p="l_extendedprice", d="l_discount"))
 
 
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -780,7 +805,7 @@ def q_orders_fast_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_ORDERS_FAST_LINES = """
 SELECT o_orderkey, COUNT(*) AS n_fast_lines,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS fast_revenue
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS fast_revenue
 FROM lineitem JOIN orders
   ON l_orderkey = o_orderkey
  AND l_shipdate >= o_orderdate
@@ -1149,7 +1174,7 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_REVENUE_ROLLUP = """
 SELECT r_name, n_name, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
        CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -1181,7 +1206,7 @@ def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_ORDERS_CUBE = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
        CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
@@ -1266,7 +1291,7 @@ _ORACLE_ORDERS_BY_MONTH = """
 SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
        CAST(month(o_orderdate) AS BIGINT) AS mo,
        COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) AS total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
        strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_day,
        strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_day
 FROM orders GROUP BY 1, 2 ORDER BY 1, 2

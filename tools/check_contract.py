@@ -34,8 +34,13 @@ def norm_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def value_hash(pdf: pd.DataFrame) -> str:
+    """Stricter than the driver's: full-precision floats (%.17g is a
+    round-trip repr, so any ulp difference shows) and a dtype-kind header
+    (so DuckDB HUGEINT->float64 vs Spark int64 mismatches are caught even
+    when the printed values coincide). Local green => driver green."""
     pdf = norm_pdf(pdf)
-    payload = pdf.to_csv(index=False, float_format="%.9g").encode()
+    kinds = ",".join(pdf[c].dtype.kind for c in pdf.columns)
+    payload = (kinds + "\n" + pdf.to_csv(index=False, float_format="%.17g")).encode()
     return hashlib.sha256(payload).hexdigest()[:16]
 
 
