@@ -61,3 +61,68 @@ def test_read_multiple_files(spark, tmp_path):
 def test_bad_magic_raises():
     with pytest.raises(ValueError, match="bad magic"):
         decode_kwi(b"NOPE" + b"\x00" * 40)
+
+
+def _reference_localstorage_bytes():
+    """Hand-build a file with the reference writer's EXACT byte layout
+    (local_storage.rs:75-78 header, :126-164 records), independently of
+    encode_kwi, so the decoder is pinned to the genuine on-disk format:
+    20-byte header (u32 reserved), u32 id_len = string length, 36-byte
+    NUL-padded id block, bincode f32 array, u32 meta_len."""
+    import struct
+
+    uid = "123e4567-e89b-12d3-a456-426614174000"  # 36 chars, like Uuid
+    vec = [1.5, -2.0, 0.25]
+    meta = b'{"k":1}'
+    out = b"KWI\x00" + struct.pack("<I", 1)          # magic + version
+    out += struct.pack("<Q", 2)                       # count
+    out += struct.pack("<I", 0)                       # u32 reserved -> 20 B
+    for rid, m in ((uid, meta), ("short", b"")):
+        id_raw = rid.encode()
+        out += struct.pack("<I", len(id_raw))         # id_len = STRING len
+        out += id_raw + b"\x00" * (36 - len(id_raw))  # fixed 36-B NUL pad
+        data = struct.pack("<Q", len(vec)) + struct.pack(f"<{len(vec)}f", *vec)
+        out += struct.pack("<I", len(data)) + data
+        out += struct.pack("<I", len(m)) + m
+    return out, uid, vec
+
+
+def test_reference_layout_fixture_decodes():
+    blob, uid, vec = _reference_localstorage_bytes()
+    got = decode_kwi(blob)
+    assert [g[0] for g in got] == [uid, "short"]
+    assert got[0][1] == pytest.approx(vec)
+    assert got[0][2] == '{"k":1}'
+    assert got[1][2] is None
+
+
+def test_encoder_matches_reference_layout():
+    """encode_kwi must emit the same bytes the reference writer would:
+    records start at offset 20, id block NUL-padded."""
+    blob, uid, vec = _reference_localstorage_bytes()
+    ours = encode_kwi([(uid, vec, '{"k":1}'), ("short", vec, None)])
+    assert ours == blob
+
+
+def test_binary_index_salvage(spark, tmp_path):
+    """BinaryIndex framing: 28-byte header + id-less appended records
+    (binary_index.rs:48-59,103-146); salvage reader synthesizes ids."""
+    import struct
+
+    from kowari_spark.sources.kwi import decode_kwi_index
+
+    vec = [0.5, 1.0]
+    blob = b"KWI\x00" + struct.pack("<I", 1) + struct.pack("<I", 2)  # dim
+    blob += struct.pack("<Q", 0) + struct.pack("<Q", 0)  # count, reserved
+    for m in (b'{"a":2}', b""):
+        blob += struct.pack("<Q", len(vec)) + struct.pack(f"<{len(vec)}f", *vec)
+        blob += struct.pack("<I", len(m)) + m
+    got = decode_kwi_index(blob)
+    assert [g[0] for g in got] == ["row-0", "row-1"]
+    assert got[0][1] == pytest.approx(vec)
+    assert got[0][2] == '{"a":2}'
+
+    p = tmp_path / "idx.kwi"
+    p.write_bytes(blob)
+    df = read_kwi(spark, str(p), framing="index")
+    assert sorted(r["id"] for r in df.collect()) == ["row-0", "row-1"]
