@@ -71,8 +71,21 @@ def salted_join(
 
     Every (key, salt_i) bucket joins against its own replica of the
     small side's key rows, so a hot key's rows split across ``n_salts``
-    tasks. Output equals ``big.join(small, on, how)`` exactly.
+    tasks. Output equals ``big.join(small, on, how)`` exactly for the
+    supported ``how`` modes — those where every output row is driven by
+    a big-side row (each big row carries exactly one salt, so it meets
+    exactly one replica). Right/full outer modes would emit one
+    null-extended row per UNMATCHED small-side replica (n_salts
+    duplicates) and are rejected.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports big-side-driven joins {sorted(allowed)}; "
+            f"got how={how!r} — right/full outer would duplicate unmatched "
+            "small-side rows once per salt replica"
+        )
     salt_cols = salt_from or [c for c in big.columns if c not in on]
     if not salt_cols:
         salt_cols = on  # degenerate: key-only frame, salting is a no-op

@@ -52,3 +52,24 @@ def test_matches_pandas_merge_asof(spark, sf_dir):
     assert len(g) == len(w)
     for a, b in zip(g["click_value_asof"], w["click_value"]):
         assert (pd.isna(a) and pd.isna(b)) or a == b
+
+
+def test_equal_time_right_rows_deterministic(spark):
+    """Right rows sharing (key, time): the greatest tiebreak tuple wins,
+    independent of input/physical order."""
+    left = spark.createDataFrame([(1, 10, "l")], "k long, t long, name string")
+    dup = [(1, 10, 100.0), (1, 10, 300.0), (1, 10, 200.0)]
+    for perm in (dup, dup[::-1], [dup[1], dup[0], dup[2]]):
+        right = spark.createDataFrame(perm, "k long, t long, price double").repartition(3)
+        out = asof_join(left, right, "t", ["k"])
+        assert out.collect()[0]["price_asof"] == 300.0
+
+
+def test_explicit_tiebreak_column(spark):
+    left = spark.createDataFrame([(1, 10, "l")], "k long, t long, name string")
+    right = spark.createDataFrame(
+        [(1, 10, 5, 100.0), (1, 10, 9, 50.0)], "k long, t long, rid long, price double"
+    )
+    out = asof_join(left, right, "t", ["k"], value_cols=["price"], tiebreak=["rid"])
+    # rid=9 is the greatest tiebreak, so its price wins even though smaller
+    assert out.collect()[0]["price_asof"] == 50.0

@@ -97,3 +97,10 @@ def test_kmv_distinct_exact_below_k_and_close_above(spark):
     again = {r["g"]: r["distinct_est"] for r in
              kmv_distinct(df, ["g"], "v", k=64).collect()}
     assert got == again
+
+
+def test_salted_join_rejects_outer_modes(spark, skewed):
+    dim = spark.createDataFrame([("hot", "HOT")], "k string, label string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="big-side-driven"):
+            salted_join(skewed, dim, ["k"], n_salts=8, how=how)
