@@ -425,24 +425,46 @@ def _oracle_lsh_precision_at_10() -> str:
 
 def q_hnsw_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HNSW offline build + batch graph query (Q5/Q6) over a fixed
-    200-vector subset (the build is O(n²) per layer by reference
-    semantics — SURVEY.md §6). Graph search is not SQL-expressible, so
-    this entry is rows-only; recall vs brute force is asserted in
-    tests/test_hnsw.py."""
+    200-vector subset: distributed LSH-candidate + NN-descent graph
+    build (no driver-side collect — operators/hnsw.py), greedy descent
+    + beam search query. Graph traversal itself is not SQL-expressible,
+    but the search is engineered to achieve recall 1.0 on this contract
+    instance (beam ef=32 over a 200-node graph), so the EXACT top-5 SQL
+    is a true oracle: any regression in build or search breaks the hash.
+    The approximate regime (recall < 1) is gated in tests/test_hnsw.py."""
     from kowari_spark.operators.hnsw import HNSW
 
     base = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     queries = base.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    h = HNSW(m=8, ef=16, seed=42, max_level=3)
+    h = HNSW(m=8, ef=32, seed=42, max_level=3)
     edges = h.build(base, id_col="vec_id")
     out = h.query_batch(
         base, edges, queries, 5, id_col="vec_id", round_to=6
     )
-    return out.select("query_id", "vec_id", "score", "rank").orderBy(
-        "query_id", "rank"
-    )
+    return out.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+def _oracle_hnsw_knn() -> str:
+    cos = _cos_sql("(e.embedding::DOUBLE[])", "q.qe")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < 4),
+scored AS (
+  SELECT q.query_id, e.vec_id, ROUND({cos}, 6) + 0.0 AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id < 200
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5
+"""
 
 
 def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1475,4 +1497,5 @@ def oracle_sql() -> dict[str, str]:
         "nation_set_ops": _ORACLE_NATION_SET_OPS,
         "customer_strings": _ORACLE_CUSTOMER_STRINGS,
         "orders_by_month": _ORACLE_ORDERS_BY_MONTH,
+        "hnsw_knn": _oracle_hnsw_knn(),
     }

@@ -10,10 +10,29 @@ The reference build is inherently sequential (every insert mutates the
 global graph). A faithful distributed re-implementation is a research
 problem (SURVEY.md §7.2), so this engine builds the *batch equivalent*:
 per level L, the layer is {nodes with level >= L} and its edges are each
-node's M nearest neighbors within the layer — a distributed exact k-NN
-graph (same O(n²·d) work the reference spends, but spread across
-executors via the partition-heap knn_batch). Quality is validated by
-recall against brute force, not graph isomorphism.
+node's M (approximate) nearest neighbors within the layer. Quality is
+validated by recall against brute force, not graph isomorphism.
+
+The neighbor graph is built WITHOUT any driver-side collect, in one
+declarative plan covering every level at once:
+
+1. each node explodes into rows for levels 0..node_level, so a single
+   (level, table, bucket) self-join builds all layers together;
+2. candidate pairs come from a multi-table sign-LSH OR-construction
+   (same machinery as dedup.embedding_near_dups_lsh) — pairs only form
+   inside buckets, never the n² cross product;
+3. pairs are scored with native column expressions (JVM codegen, no
+   Python) and pruned to top-M per (level, src) by a window;
+4. ``refine_rounds`` rounds of NN-descent (candidates = neighbors of
+   neighbors over forward ∪ reverse edges, re-scored, re-pruned) repair
+   LSH misses — the standard distributed kNN-graph refinement;
+5. nodes the LSH missed entirely are patched with an edge to the entry
+   point so every node has out-degree ≥ 1.
+
+At 100 TB the shuffles are keyed by (level, bucket) and (level, src) —
+bucket width is tuned by ``num_planes`` (2^p buckets; size p so a
+bucket holds ~100-1000 vectors), and no stage ever materializes a
+layer on one node.
 
 Levels are assigned DETERMINISTICALLY (geometric via a seeded hash, same
 distribution as the reference's coin flips) so builds are reproducible —
@@ -33,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kowari_spark.operators.topk import knn_batch, _score, _rounded
+from kowari_spark.operators.topk import _score, _rounded
 
 
 def assign_levels(
@@ -59,16 +78,91 @@ class HNSW:
     ef=32, src/index.rs:364-368)."""
 
     def __init__(self, m: int = 16, ef: int = 32, seed: int = 42,
-                 max_level: int = 16):
+                 max_level: int = 16, num_planes: int = 4,
+                 num_tables: int = 6, refine_rounds: int = 1):
         self.m = m
         self.ef = ef
         self.seed = seed
-        # levels are capped (the reference caps too, src/index.rs:218-225);
-        # a lower cap trades descent granularity for fewer build rounds —
-        # each level is one distributed knn-graph pass
+        # levels are capped (the reference caps too, src/index.rs:218-225)
         self.max_level = max_level
+        # candidate-generation knobs: 2^num_planes buckets per table,
+        # num_tables independent tables OR-ed together. Size num_planes
+        # to the corpus (p ≈ log2(n / target_bucket_size)); more tables
+        # = higher build recall at linear candidate cost.
+        self.num_planes = num_planes
+        self.num_tables = num_tables
+        self.refine_rounds = refine_rounds
 
     # -- build -------------------------------------------------------------
+
+    def _exploded_levels(self, leveled: DataFrame, id_col: str,
+                         vec_col: str) -> DataFrame:
+        """One row per (node, level in 0..node_level): a single self-join
+        over this relation builds every layer's graph at once."""
+        return leveled.select(
+            F.col(id_col).alias("__vid"),
+            F.col(vec_col).alias("__v"),
+            F.explode(F.sequence(F.lit(0), F.col("node_level"))).alias("level"),
+        )
+
+    def candidate_graph(
+        self,
+        df: DataFrame,
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        metric: str = "cosine",
+    ) -> DataFrame:
+        """First-round edge set as ONE un-materialized declarative plan:
+        LSH (level, table, bucket) self-join candidates → JVM-side
+        scoring → per-(level, src) top-M. Exposed separately so the plan
+        can be asserted free of Python eval / driver collects."""
+        from kowari_spark.operators.lsh import SignLSH
+
+        dim = len(df.select(vec_col).first()[0])
+        leveled = assign_levels(df.select(id_col, vec_col), id_col, self.seed,
+                                self.max_level)
+        exploded = self._exploded_levels(leveled, id_col, vec_col)
+        vecs = exploded.filter(F.col("level") == 0).select("__vid", "__v")
+
+        buckets = F.array(
+            *[
+                SignLSH(dim=dim, num_planes=self.num_planes,
+                        seed=self.seed + t).bucket_expr("__v")
+                for t in range(self.num_tables)
+            ]
+        )
+        bucketed = exploded.select(
+            "level", "__vid", F.posexplode(buckets).alias("__tbl", "__bkt")
+        )
+        a = bucketed.select("level", F.col("__vid").alias("src"), "__tbl", "__bkt")
+        b = bucketed.select("level", F.col("__vid").alias("dst"), "__tbl", "__bkt")
+        cand = (
+            a.join(b, ["level", "__tbl", "__bkt"])
+            .filter(F.col("src") != F.col("dst"))
+            .select("level", "src", "dst")
+            .distinct()
+        )
+        return self._top_m(cand, vecs, metric)
+
+    def _top_m(self, cand: DataFrame, vecs: DataFrame, metric: str) -> DataFrame:
+        """Score candidate (level, src, dst) pairs and keep the M best
+        per (level, src). Pure column expressions — no Python eval."""
+        scored = (
+            cand.join(vecs.select(F.col("__vid").alias("src"),
+                                  F.col("__v").alias("__sv")), "src")
+            .join(vecs.select(F.col("__vid").alias("dst"),
+                              F.col("__v").alias("__dv")), "dst")
+            .select(
+                "level", "src", "dst",
+                _score(metric, F.col("__dv"), F.col("__sv")).alias("__s"),
+            )
+        )
+        w = Window.partitionBy("level", "src").orderBy(F.desc("__s"), F.asc("dst"))
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= self.m)
+            .select("src", "dst", "level")
+        )
 
     def build(
         self,
@@ -78,32 +172,57 @@ class HNSW:
         metric: str = "cosine",
     ) -> DataFrame:
         """Edges (src, dst, level): per level, each layer member's M
-        nearest neighbors within the layer. Returns the edge DataFrame
-        (persist with .write.partitionBy('level').parquet(...) for the
+        approximate nearest neighbors within the layer — built by LSH
+        candidate generation + NN-descent, all levels in ONE plan, with
+        no driver-side collect of any layer (the round-1 build broadcast
+        every layer member as a query batch; see module docstring for
+        the distributed design). Returns the edge DataFrame (persist
+        with .write.partitionBy('level').parquet(...) for the
         pruned-probe layout)."""
         leveled = assign_levels(df.select(id_col, vec_col), id_col, self.seed,
                                 self.max_level)
-        top = leveled.agg(F.max("node_level")).first()[0] or 0
-        edges = None
-        for level in range(int(top) + 1):
-            layer = leveled.filter(F.col("node_level") >= level)
-            qs = layer.select(F.col(id_col).alias("query_id"), F.col(vec_col))
-            nn = knn_batch(
-                layer, qs, self.m + 1, metric=metric, id_col=id_col, vec_col=vec_col
+        exploded = self._exploded_levels(leveled, id_col, vec_col)
+        vecs = exploded.filter(F.col("level") == 0).select("__vid", "__v")
+        edges = self.candidate_graph(df, id_col, vec_col, metric).localCheckpoint()
+
+        for _ in range(self.refine_rounds):
+            # NN-descent: candidates = 2-hop neighbors over the
+            # UNDIRECTED edge set (forward ∪ reverse), re-scored and
+            # re-pruned; repairs pairs the LSH buckets missed
+            nb = edges.select("level", "src", "dst").unionByName(
+                edges.select("level", F.col("dst").alias("src"),
+                             F.col("src").alias("dst"))
             )
-            lvl_edges = (
-                nn.filter(F.col("query_id") != F.col(id_col))
-                .select(
-                    F.col("query_id").alias("src"),
-                    F.col(id_col).alias("dst"),
-                    F.lit(level).alias("level"),
+            two_hop = (
+                nb.select("level", "src", F.col("dst").alias("__mid"))
+                .join(
+                    nb.select("level", F.col("src").alias("__mid"), "dst"),
+                    ["level", "__mid"],
                 )
+                .filter(F.col("src") != F.col("dst"))
+                .select("level", "src", "dst")
             )
-            edges = lvl_edges if edges is None else edges.unionByName(lvl_edges)
-        # materialize + truncate lineage: the union of per-level knn plans
-        # is a huge tree that would otherwise be replayed (and re-planned)
-        # by every downstream join
-        return edges.localCheckpoint()
+            cand = (
+                edges.select("level", "src", "dst")
+                .unionByName(two_hop)
+                .distinct()
+            )
+            edges = self._top_m(cand, vecs, metric).localCheckpoint()
+
+        # connectivity patch: a node alone in all its buckets has no
+        # out-edges; link it to the entry point so search can leave it
+        # (the NN-descent round then integrates it properly)
+        ep_id, _ = self.entry_point(leveled, id_col)
+        missing = (
+            exploded.select("level", F.col("__vid").alias("src"))
+            .join(edges.select("level", "src").distinct(), ["level", "src"],
+                  "left_anti")
+            .filter(F.col("src") != F.lit(ep_id))
+            .select("src", F.lit(ep_id).alias("dst"), "level")
+        )
+        # materialize + truncate lineage (executor-side blocks, not a
+        # driver collect): downstream query joins replay edges many times
+        return edges.unionByName(missing).localCheckpoint()
 
     # -- query -------------------------------------------------------------
 
@@ -124,7 +243,7 @@ class HNSW:
         vec_col: str = "embedding",
         query_id_col: str = "query_id",
         query_vec_col: str = "embedding",
-        hops: int = 3,
+        hops: int = 4,
         round_to: int | None = None,
     ) -> DataFrame:
         """Batch graph search: greedy one-hop descent through upper

@@ -17,7 +17,7 @@ def base(spark, embeddings):
 
 @pytest.fixture(scope="module")
 def index(base):
-    hnsw = HNSW(m=8, ef=16, seed=42)
+    hnsw = HNSW(m=8, ef=32, seed=42)
     edges = hnsw.build(base).cache()
     edges.count()
     return hnsw, edges
@@ -55,4 +55,27 @@ def test_recall_vs_bruteforce(base, index):
     approx = hnsw.query_batch(base, edges, queries, 10, round_to=6)
     exact = knn_batch(base, queries, 10, round_to=6)
     m = mean_metric(recall_at_k(exact, approx, 10), "recall")
-    assert m >= 0.6, f"hnsw recall@10 too low: {m}"
+    assert m >= 0.9, f"hnsw recall@10 too low: {m}"
+
+
+def test_build_plan_no_python_no_collect(base):
+    """The round-1 build collected every layer to the driver (via
+    knn_batch's query broadcast). The distributed build must be pure
+    JVM: no Python eval nodes, no driver-side collect of the layer —
+    candidates come from the LSH self-join, pruning from a window."""
+    hnsw = HNSW(m=8, ef=32, seed=42)
+    plan = hnsw.candidate_graph(base)._jdf.queryExecution().executedPlan().toString()
+    for forbidden in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert forbidden not in plan, f"{forbidden} in build plan"
+    assert "Window" in plan
+    # candidate generation is the bucketed self-join, not a cross join
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_zero_degree_nodes(base, index):
+    _, edges = index
+    lvl0 = edges.filter(F.col("level") == 0)
+    out_missing = base.select(F.col("id").alias("src")).join(
+        lvl0.select("src").distinct(), "src", "left_anti"
+    )
+    assert out_missing.isEmpty()
