@@ -467,22 +467,128 @@ SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5
 """
 
 
-def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer ANN (operators/ivf.py): seeded k-means fit,
-    probe 3/16 cells, exact rank within the probed region. Iterative
-    k-means is not SQL-expressible -> rows-only; recall vs brute force is
-    asserted in tests/test_ivf.py."""
+_IVF_PARAMS = dict(n_lists=16, n_probe=3, max_iter=3, seed=42, round_centroids=6)
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str):
+    """Offline-build / online-probe split: fit + ``build()`` the
+    partitionBy(list_id) layout ONCE per (source file, params) into a
+    scratch dir, then every query ``load()``s the prebuilt index and
+    probes it — the shape this index has at 100 TB, where the build is a
+    scheduled job and the probe a partition-pruned read. The cache key
+    includes the source mtime/size so a regenerated sf dir rebuilds."""
+    import hashlib
+    import os
+    import tempfile
+
     from kowari_spark.operators.ivf import IVF
 
-    base = _t(spark, sf_dir, "embeddings")
-    ivf = IVF(n_lists=16, n_probe=3, max_iter=3, seed=42).fit(base, id_col="vec_id")
-    lists = ivf.with_lists(base)
-    queries = base.filter(F.col("vec_id") < 4).select(
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "na"
+    key = f"{src}:{stamp}:{sorted(_IVF_PARAMS.items())}"
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kowari_ivf_{tag}")
+    ivf = IVF(**_IVF_PARAMS)
+    if not os.path.exists(os.path.join(path, "_ivf_meta.json")):
+        base = _t(spark, sf_dir, "embeddings")
+        ivf.fit(base, id_col="vec_id")
+        ivf.build(base, path)
+    lists = ivf.load(spark, path)
+    return ivf, lists
+
+
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (operators/ivf.py): seeded k-means fit
+    (centroids rounded to the 1e-6 grid each Lloyd round), offline-built
+    partitionBy(list_id) layout, probe 3/16 cells, exact rank within the
+    probed region. The WHOLE pipeline — hash-order init, 3 Lloyd
+    iterations, probe choice, in-cell ranking — is deterministic IEEE
+    arithmetic on grid-rounded centroids, so the oracle re-derives it
+    independently in SQL (unrolled k-means CTEs) and any regression in
+    fit, layout or probe breaks the hash."""
+    ivf, lists = _ivf_index(spark, sf_dir)
+    queries = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = ivf.query_batch(lists, queries, 10, id_col="vec_id", round_to=6)
     return out.select("query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")).orderBy(
         "query_id", "rank"
+    )
+
+
+def _oracle_ivf_knn() -> str:
+    """Independent SQL re-derivation of the full IVF pipeline: seeded
+    hash-order init, ``max_iter`` unrolled Lloyd iterations (assignment =
+    sequential-fold squared L2 argmin, update = per-dim mean ROUNDed to
+    the 1e-6 grid, empty cells keep their centroid), probe = n_probe
+    nearest final centroids, then exact cosine rank within probed cells.
+    Bit-parity holds because both engines do the same IEEE ops in the
+    same order on the same grid-rounded centroids."""
+    n_lists = _IVF_PARAMS["n_lists"]
+    n_probe = _IVF_PARAMS["n_probe"]
+    seed = _IVF_PARAMS["seed"]
+    rc = _IVF_PARAMS["round_centroids"]
+
+    def dist(a: str, b: str) -> str:
+        d = f"list_transform(list_zip({a}, {b}), x -> x[1] - x[2])"
+        return f"list_dot_product({d}, {d})"
+
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"""c0 AS (
+  SELECT cid, vec FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '#{seed}')) - 1 AS cid,
+           e AS vec
+    FROM v) WHERE cid < {n_lists})""",
+    ]
+    for i in range(_IVF_PARAMS["max_iter"]):
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist('v.e', 'c.vec')}, c.cid) AS rn
+    FROM v CROSS JOIN c{i} c) WHERE rn = 1)""")
+        ctes.append(f"""g{i} AS (
+  SELECT cid, dim, ROUND(SUM(val) / COUNT(*), {rc}) AS mval FROM (
+    SELECT cid, generate_subscripts(e, 1) AS dim, unnest(e) AS val FROM a{i})
+  GROUP BY cid, dim)""")
+        ctes.append(
+            f"n{i} AS (SELECT cid, list(mval ORDER BY dim) AS vec FROM g{i} GROUP BY cid)"
+        )
+        ctes.append(
+            f"c{i + 1} AS (SELECT c.cid, coalesce(n.vec, c.vec) AS vec "
+            f"FROM c{i} c LEFT JOIN n{i} n USING (cid))"
+        )
+    fin = f"c{_IVF_PARAMS['max_iter']}"
+    cos = _cos_sql("a.e", "p.qe")
+    ctes.append(f"""fa AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist('v.e', 'c.vec')}, c.cid) AS rn
+    FROM v CROSS JOIN {fin} c) WHERE rn = 1)""")
+    ctes.append(f"""p AS (
+  SELECT query_id, qe, cid FROM (
+    SELECT q.vec_id AS query_id, q.e AS qe, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist('q.e', 'c.vec')}, c.cid) AS rn
+    FROM (SELECT * FROM v WHERE vec_id < 4) q CROSS JOIN {fin} c)
+  WHERE rn <= {n_probe})""")
+    ctes.append(f"""scored AS (
+  SELECT p.query_id, a.vec_id, ROUND({cos}, 6) + 0.0 AS score
+  FROM p JOIN fa a ON a.cid = p.cid)""")
+    ctes.append("""ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored)""")
+    return (
+        "WITH\n" + ",\n".join(ctes)
+        + "\nSELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 10"
     )
 
 
@@ -1498,4 +1604,5 @@ def oracle_sql() -> dict[str, str]:
         "customer_strings": _ORACLE_CUSTOMER_STRINGS,
         "orders_by_month": _ORACLE_ORDERS_BY_MONTH,
         "hnsw_knn": _oracle_hnsw_knn(),
+        "ivf_knn": _oracle_ivf_knn(),
     }

@@ -32,6 +32,14 @@ def bench_queries(spark, sf_dir, scratch):
     write), ingest-validated (10k-vector dimension-checked append).
     """
     out = {}
+
+    def ivf_build():
+        # offline index build, timed on its own line; the ivf_knn contract
+        # query below then measures the online partition-pruned probe
+        # against the prebuilt layout (the split an IVF index exists for)
+        entrymod._ivf_index(spark, sf_dir)
+
+    out["ivf_build_16"] = ivf_build
     for name, fn in entrymod.queries().items():
         out[name] = (lambda f=fn: f(spark, sf_dir).toPandas())
 

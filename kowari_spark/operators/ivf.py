@@ -25,7 +25,10 @@ Spark-first design:
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Sequence
+from decimal import ROUND_HALF_UP, Decimal
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -33,14 +36,31 @@ from pyspark.sql import functions as F
 
 from kowari_spark.operators.topk import knn, knn_batch
 
+_META_NAME = "_ivf_meta.json"
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Decimal-correct HALF_UP rounding of a double — the exact semantics
+    of Spark's ROUND(col, n) (BigDecimal.setScale(n, HALF_UP) on the
+    binary expansion), so centroids rounded driver-side agree bit-for-bit
+    with an engine that rounds the same value SQL-side."""
+    return float(Decimal(x).quantize(Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP))
+
 
 class IVF:
     def __init__(self, n_lists: int = 16, n_probe: int = 2, max_iter: int = 5,
-                 seed: int = 42):
+                 seed: int = 42, round_centroids: int | None = None):
         self.n_lists = n_lists
         self.n_probe = n_probe
         self.max_iter = max_iter
         self.seed = seed
+        # rounding the centroids to a fixed decimal grid after every
+        # Lloyd update makes the fit reproducible ACROSS ENGINES: the
+        # only cross-engine divergence in the whole pipeline is the
+        # summation order inside each cell mean (ulp-level), which the
+        # grid absorbs — distances, argmin and ranking are then exact
+        # IEEE arithmetic on identical inputs everywhere
+        self.round_centroids = round_centroids
         self.centroids: np.ndarray | None = None  # (n_lists, d)
 
     # -- fit ---------------------------------------------------------------
@@ -113,6 +133,11 @@ class IVF:
                 cnt[r["list_id"]] = r["n"]
             for lid, vec in acc.items():
                 new_c[lid] = vec / cnt[lid]  # empty cells keep old centroid
+                if self.round_centroids is not None:
+                    new_c[lid] = [
+                        _round_half_up(float(x), self.round_centroids)
+                        for x in new_c[lid]
+                    ]
             if np.allclose(new_c, self.centroids, atol=1e-12):
                 self.centroids = new_c
                 break
@@ -128,20 +153,60 @@ class IVF:
 
     def build(self, df: DataFrame, path: str, vec_col: str = "embedding") -> None:
         """Materialize the inverted-file layout: one partition per cell;
-        probing n_probe cells is partition pruning, not a scan."""
+        probing n_probe cells is partition pruning, not a scan. The
+        fitted quantizer (centroids + params) is saved alongside as
+        ``_ivf_meta.json`` so a later session can ``load()`` and probe
+        without refitting — the offline-build/online-probe split this
+        index exists for (at 100 TB the build is a scheduled job, the
+        probe a sub-second partition-pruned read)."""
         self.with_lists(df, vec_col).write.mode("overwrite").partitionBy(
             "list_id"
         ).parquet(path)
+        meta = {
+            "n_lists": self.n_lists,
+            "n_probe": self.n_probe,
+            "max_iter": self.max_iter,
+            "seed": self.seed,
+            "round_centroids": self.round_centroids,
+            "centroids": [[float(x) for x in c] for c in self.centroids],
+        }
+        local = path[len("file:"):] if path.startswith("file:") else path
+        with open(os.path.join(local, _META_NAME), "w") as f:
+            json.dump(meta, f)
 
     def load(self, spark: SparkSession, path: str) -> DataFrame:
+        """Open a built layout. Restores the saved quantizer into this
+        instance when the ``_ivf_meta.json`` sidecar exists (so
+        ``IVF().load(...)`` is probe-ready with no fit)."""
+        local = path[len("file:"):] if path.startswith("file:") else path
+        meta_path = os.path.join(local, _META_NAME)
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self.n_lists = meta["n_lists"]
+            self.n_probe = meta["n_probe"]
+            self.max_iter = meta["max_iter"]
+            self.seed = meta["seed"]
+            self.round_centroids = meta["round_centroids"]
+            self.centroids = np.asarray(meta["centroids"], dtype=np.float64)
         return spark.read.parquet(path)
 
     # -- query -------------------------------------------------------------
 
     def _probes_of(self, vec: Sequence[float]) -> list[int]:
-        v = np.asarray(vec, dtype=np.float64)
-        d2 = np.sum((self.centroids - v) ** 2, axis=1)
-        order = np.lexsort((np.arange(len(d2)), d2))
+        """n_probe nearest cells by squared L2, ties -> lowest cell id.
+        The distance is a SEQUENTIAL left fold over dimensions (not a
+        numpy pairwise sum) so the value is bit-identical to the same
+        fold computed by Spark's aggregate(zip_with(...)) or an external
+        engine's list_dot_product — probe choice never diverges."""
+        v = [float(x) for x in vec]
+        d2 = []
+        for c in self.centroids:
+            acc = 0.0
+            for x, y in zip(v, c):
+                acc += (x - float(y)) * (x - float(y))
+            d2.append(acc)
+        order = sorted(range(len(d2)), key=lambda i: (d2[i], i))
         return [int(i) for i in order[: self.n_probe]]
 
     def query(
@@ -190,7 +255,14 @@ class IVF:
             pairs, f"query_id {queries.schema[query_id_col].dataType.simpleString()}, "
                    f"__qvec array<double>, list_id int"
         )
-        scored = base.join(F.broadcast(probe_df), "list_id").select(
+        # static partition pruning BEFORE the join: on a built
+        # partitionBy(list_id) layout this turns the scan into
+        # len(probed)/n_lists of the files; the broadcast join then only
+        # fans out rows that survived the prune
+        probed = sorted({p for _, _, p in pairs})
+        scored = base.filter(F.col("list_id").isin(probed)).join(
+            F.broadcast(probe_df), "list_id"
+        ).select(
             "query_id",
             F.col(id_col),
             _rounded(_score(metric, F.col(vec_col), F.col("__qvec")), round_to).alias("score"),

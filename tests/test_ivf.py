@@ -75,3 +75,18 @@ def test_batch_single_agreement(base):
              ivf.query_batch(lists, queries, 5, id_col="vec_id", round_to=6)
              .orderBy("rank").collect()]
     assert single == batch
+
+
+def test_build_saves_and_load_restores_quantizer(base, tmp_path, spark):
+    ivf = IVF(n_lists=8, n_probe=2, max_iter=2, seed=3,
+              round_centroids=6).fit(base, id_col="vec_id")
+    path = str(tmp_path / "ivf_meta")
+    ivf.build(base, path)
+    fresh = IVF()
+    stored = fresh.load(spark, path)
+    assert fresh.n_lists == 8 and fresh.n_probe == 2 and fresh.round_centroids == 6
+    assert (fresh.centroids == ivf.centroids).all()
+    # probe-ready straight from disk, no refit
+    q = [float(x) for x in base.first()["embedding"]]
+    top = fresh.query(stored, q, 3, id_col="vec_id", round_to=6).collect()
+    assert len(top) == 3
