@@ -187,9 +187,34 @@ SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5
 """
 
 
+def _lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline-built partitionBy(bucket) LSH layout, cached per source
+    file (same build-once/probe-many shape as ``_ivf_index``): a bucket
+    probe against it is STATIC partition pruning."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "na"
+    tag = hashlib.md5(
+        f"{src}:{stamp}:p{_LSH.num_planes}:s{_LSH.seed}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kowari_lsh_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _LSH.build(_t(spark, sf_dir, "embeddings"), path)
+    return _LSH.load(spark, path)
+
+
 def q_lsh_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH bucket-probe top-10 with brute-force fallback (Q3/Q4)."""
-    base = _t(spark, sf_dir, "embeddings")
+    """LSH bucket-probe top-10 with brute-force fallback (Q3/Q4),
+    probing the prebuilt bucket-partitioned layout: the candidate scan
+    and the fallback-decision count read only the probed partition."""
+    base = _lsh_index(spark, sf_dir)
     q = _query_vec(spark, sf_dir, 2)
     return _LSH.query(base, q, 10, metric="cosine", id_col="vec_id", round_to=6)
 

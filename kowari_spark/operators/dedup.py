@@ -270,58 +270,81 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
     Near-dup relations aren't transitive, but dedup treats them so (one
     survivor per component — the standard MinHash-dedup final step).
-    Distributed min-label propagation: each round every node takes the
-    min label among itself and its neighbors; converges in <= diameter
-    rounds, with early exit when a round changes nothing. Each round is
-    one join + one groupBy on (edge, label) rows — no component ever has
-    to fit on one executor. localCheckpoint truncates the per-round
-    lineage so the plan doesn't grow with iterations.
+
+    Algorithm: alternating large-star / small-star contraction (Kiveris
+    et al., "Connected Components in MapReduce and Beyond"), which
+    converges in O(log² n) rounds INDEPENDENT of graph diameter — the
+    min-label propagation it replaces moved labels one hop per round, so
+    a chain of near-dups needed diameter rounds (each a shuffle). Each
+    round here is two groupBy+join passes over the shrinking edge list:
+
+    - large-star: every node points its larger neighbors at the minimum
+      of its neighborhood (long chains collapse geometrically);
+    - small-star: every node and its smaller neighbors re-attach to that
+      minimum, keeping edges canonical (hi > lo).
+
+    The fixed point is a star forest: every node holds an edge straight
+    to its component's minimum id. Convergence is detected by an edge-set
+    signature (count + hash sum) — one tiny aggregate per round instead
+    of an anti-join diff. localCheckpoint truncates per-round lineage so
+    the plan doesn't grow with iterations, and materializes the input
+    edge list once (it is typically the tail of an expensive
+    minhash/jaccard pipeline).
     """
-    # materialize the edge list ONCE — `pairs` is typically the tail of
-    # an expensive pipeline (minhash bands + jaccard verify), and every
-    # propagation round (plus its convergence check) would otherwise
-    # replay it from the source
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    ).localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("id"))
+    canon = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("hi"),
+            F.least("id_a", "id_b").alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
         .distinct()
-        .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    all_nodes = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(
-                labels.select(F.col("id").alias("dst"), F.col("label").alias("nl")),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("nl").alias("nbr_label"))
+        # large-star: for each u, hang every LARGER neighbor v off
+        # m = min(N(u) ∪ {u})
+        sym = canon.select(
+            F.col("hi").alias("u"), F.col("lo").alias("v")
+        ).unionByName(canon.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+        mn = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        ls = (
+            sym.join(mn, "u")
+            .withColumn("m", F.least(F.col("u"), F.col("mv")))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
         )
-        new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.src, "left")
-            .select(
-                labels.id,
-                F.least(
-                    labels.label, F.coalesce(F.col("nbr_label"), labels.label)
-                ).alias("label"),
-            )
+        # small-star: for each hi, re-attach hi and its smaller
+        # neighbors to m = min of them (edges stay canonical: out > m)
+        mn2 = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        j = ls.join(mn2, "hi")
+        canon = (
+            j.filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .unionByName(j.select("hi", F.col("m").alias("lo")))
+            .distinct()
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+        sig = tuple(
+            canon.agg(
+                F.count("*").alias("n"), F.sum(F.hash("hi", "lo")).alias("h")
+            ).first()
         )
-        labels = new_labels
-        if changed == 0:
+        if sig == prev_sig:
             break
-    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+        prev_sig = sig
+    child = canon.select(F.col("hi").alias("id"), F.col("lo").alias("cluster_id"))
+    roots = all_nodes.join(
+        canon.select(F.col("hi").alias("id")), "id", "left_anti"
+    ).select("id", F.col("id").alias("cluster_id"))
+    return child.unionByName(roots)
 
 
 def dedup_keep_representatives(

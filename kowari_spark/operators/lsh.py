@@ -65,6 +65,83 @@ class SignLSH:
         signs = (self.planes @ v) >= 0.0
         return int(sum(1 << i for i, s in enumerate(signs) if s))
 
+    def probe_buckets_of(self, vec: Sequence[float], probes: int) -> list[int]:
+        """Driver-side twin of ``probe_buckets_expr`` (same ordering:
+        sign-flip subsets of the lowest-margin planes by total flipped
+        margin², ties by xor mask) — a single query's probe set needs no
+        Spark job, and the resulting literal list lets the bucket filter
+        prune partitions STATICALLY at the scan."""
+        base_bucket = self.bucket_of(vec)
+        if probes <= 1:
+            return [base_bucket]
+        v = np.asarray(vec, dtype=np.float64)
+        dots = self.planes @ v
+        fp = min(self.num_planes, self._FLIP)
+        ranked = sorted(
+            ((float(d * d), 1 << i) for i, d in enumerate(dots))
+        )[:fp]
+        subsets = []
+        for mask in range(1 << fp):
+            cost = sum(ranked[j][0] for j in range(fp) if (mask >> j) & 1)
+            xorv = sum(ranked[j][1] for j in range(fp) if (mask >> j) & 1)
+            subsets.append((cost, xorv))
+        subsets.sort()
+        return [base_bucket ^ x for _, x in subsets[:probes]]
+
+    # number of low-margin planes eligible for multi-probe perturbation;
+    # 2^_FLIP subsets are enumerated in the plan, so keep it small
+    _FLIP = 5
+
+    def probe_buckets_expr(self, vec_col: Column | str, probes: int) -> Column:
+        """Query-directed multi-probe sequence as ONE native expression:
+        an array of up to ``probes`` bucket ids, ordered by how likely the
+        bucket is to hold missed neighbors (Lv et al., multi-probe LSH).
+
+        A near neighbor that missed the query's bucket disagrees on the
+        planes where the query's margin |v·p| is smallest, so the probe
+        sequence enumerates sign-flip subsets of the ``_FLIP``
+        lowest-margin planes ordered by the total flipped margin². All of
+        it — margins, subset costs, xor masks — is array/struct algebra
+        inside whole-stage codegen; nothing runs in Python and the probe
+        set rides along each query row into the bucket equi-join."""
+        col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+        base_bucket = self.bucket_expr(col)
+        if probes <= 1:
+            return F.array(base_bucket)
+        fp = min(self.num_planes, self._FLIP)
+        dots = [
+            dot_expr(col, F.lit([float(x) for x in plane]))
+            for plane in self.planes
+        ]
+        margins = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        (d * d).cast("double").alias("m2"),
+                        F.lit(1 << i).cast("long").alias("bit"),
+                    )
+                    for i, d in enumerate(dots)
+                ]
+            )
+        )
+        sel = [F.element_at(margins, j + 1) for j in range(fp)]
+        subsets = []
+        for mask in range(1 << fp):
+            cost: Column | None = None
+            xorv: Column | None = None
+            for j in range(fp):
+                if (mask >> j) & 1:
+                    cost = sel[j]["m2"] if cost is None else cost + sel[j]["m2"]
+                    xorv = sel[j]["bit"] if xorv is None else xorv + sel[j]["bit"]
+            subsets.append(
+                F.struct(
+                    (F.lit(0.0) if cost is None else cost).alias("c"),
+                    (F.lit(0).cast("long") if xorv is None else xorv.cast("long")).alias("x"),
+                )
+            )
+        ordered = F.slice(F.array_sort(F.array(*subsets)), 1, probes)
+        return F.transform(ordered, lambda s: base_bucket.bitwiseXOR(s["x"]))
+
     def with_buckets(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         return df.withColumn("bucket", self.bucket_expr(vec_col))
 
@@ -100,13 +177,25 @@ class SignLSH:
         id_col: str = "id",
         vec_col: str = "embedding",
         round_to: int | None = None,
+        probes: int = 1,
     ) -> DataFrame:
-        """Single-query probe with the reference's fallback semantic:
-        if the query's bucket yields < k candidates, rank the FULL table
-        instead (src/index.rs:158-173)."""
-        qb = self.bucket_of(query)
+        """Single-query probe with the reference's fallback semantic: if
+        the probed bucket(s) yield < k candidates, rank the FULL table
+        instead (src/index.rs:158-173).
+
+        The probe set is computed driver-side (``probe_buckets_of`` —
+        pure numpy, no Spark job) so the candidate filter is a LITERAL
+        ``bucket IN (...)`` that prunes partitions statically on a
+        ``build`` layout. Two pruned jobs follow: the candidate count
+        (the fallback decision — on a built layout this reads
+        probes/2^p of the partitions' footers, not the table) and a
+        TakeOrderedAndProject top-k over the same pruned scan. Routing
+        n=1 through the batch machinery was measured 4-8x slower (its
+        size-aggregate + broadcast + isEmpty stages dominate a single
+        query), so the batch path is reserved for actual batches."""
+        buckets = self.probe_buckets_of(query, probes)
         base = df if "bucket" in df.columns else self.with_buckets(df, vec_col)
-        candidates = base.filter(F.col("bucket") == qb)
+        candidates = base.filter(F.col("bucket").isin(buckets))
         if candidates.count() < k:
             candidates = base  # brute-force fallback
         return knn(
@@ -125,29 +214,52 @@ class SignLSH:
         query_id_col: str = "query_id",
         query_vec_col: str = "embedding",
         round_to: int | None = None,
+        probes: int = 1,
     ) -> DataFrame:
         """Batch probe: equi-join queries to base on bucket + per-query
-        top-k; queries whose bucket has < k candidates are re-run through
-        the exact path and unioned in (per-query fallback)."""
+        top-k; queries whose probed buckets hold < k candidates total are
+        re-run through the exact path and unioned in (per-query fallback,
+        reference semantics). ``probes > 1`` widens each query to a
+        query-directed multi-probe bucket sequence (probe_buckets_expr) —
+        the recall knob that costs probes/2^p of the table instead of a
+        rebuild. Bucket sizes are counted on a probe-pruned scan (the
+        distinct probed buckets broadcast into the join lets dynamic
+        partition pruning skip every unprobed partition of a ``build``
+        layout), never a full-table groupBy."""
         from pyspark.sql.window import Window
 
         base = df if "bucket" in df.columns else self.with_buckets(df, vec_col)
         q = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).alias("__qvec"),
-        ).withColumn("bucket", self.bucket_expr("__qvec"))
-
-        bucket_sizes = base.groupBy("bucket").agg(F.count("*").alias("__n"))
-        q_sized = q.join(F.broadcast(bucket_sizes), "bucket", "left").fillna(
-            0, subset=["__n"]
         )
-        q_ok = q_sized.filter(F.col("__n") >= k).drop("__n")
-        q_fallback = q_sized.filter(F.col("__n") < k).drop("__n")
+        # one row per (query, probed bucket); buckets of one query are
+        # distinct by construction (distinct xor masks), so no candidate
+        # is scored twice
+        qp = q.withColumn(
+            "bucket", F.explode(self.probe_buckets_expr("__qvec", probes))
+        )
+
+        bucket_sizes = (
+            base.join(F.broadcast(qp.select("bucket").distinct()), "bucket")
+            .groupBy("bucket")
+            .agg(F.count("*").alias("__bn"))
+        )
+        q_sizes = (
+            qp.join(F.broadcast(bucket_sizes), "bucket", "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("__bn"), F.lit(0))).alias("__n"))
+        )
+        ok_ids = q_sizes.filter(F.col("__n") >= k).select("query_id")
+        q_fallback = q_sizes.filter(F.col("__n") < k).select("query_id").join(
+            q, "query_id"
+        )
 
         from kowari_spark.operators.topk import _rounded, _score
 
+        qp_ok = qp.join(F.broadcast(ok_ids), "query_id")
         probed = (
-            base.join(F.broadcast(q_ok), "bucket")
+            base.join(F.broadcast(qp_ok), "bucket")
             .select(
                 "query_id",
                 F.col(id_col),
@@ -177,3 +289,135 @@ class SignLSH:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+
+class MultiSignLSH:
+    """OR-construction over ``num_tables`` independent sign-LSH tables
+    (seeds seed..seed+T-1): a base row is a candidate for a query when
+    they share a bucket in ANY table — recall 1-(1-p^planes)^tables for
+    per-plane collision p = 1 - θ/π. Same amplification the near-dup
+    pipeline uses (dedup.embedding_near_dups_lsh), exposed on the knn
+    path as the recall knob the single-table probe lacks.
+
+    Scale shape: ``build`` writes the exploded (table, bucket) layout
+    partitionBy(__tbl, bucket) — storage ×T, but a batch probe reads only
+    the probed (table, bucket) partitions and candidate pairs only form
+    inside buckets. The tradeoff vs single-table multi-probe: multi-probe
+    costs extra probes at query time with no storage blowup; multi-table
+    buys independent hash views (better recall for weakly-clustered data)
+    at ×T storage. Both are knobs on the same machinery.
+    """
+
+    def __init__(self, dim: int, num_planes: int = 4, num_tables: int = 8,
+                 seed: int = 42):
+        self.dim = dim
+        self.num_planes = num_planes
+        self.num_tables = num_tables
+        self.seed = seed
+        self.tables = [
+            SignLSH(dim=dim, num_planes=num_planes, seed=seed + t)
+            for t in range(num_tables)
+        ]
+
+    def buckets_expr(self, vec_col: Column | str) -> Column:
+        """Array of per-table buckets — all tables hashed in ONE pass."""
+        return F.array(*[t.bucket_expr(vec_col) for t in self.tables])
+
+    def with_buckets(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        """Exploded (one row per table) bucketed relation."""
+        return df.select(
+            "*", F.posexplode(self.buckets_expr(vec_col)).alias("__tbl", "bucket")
+        )
+
+    def build(self, df: DataFrame, path: str, vec_col: str = "embedding") -> None:
+        self.with_buckets(df, vec_col).repartition(
+            F.col("__tbl"), F.col("bucket")
+        ).write.mode("overwrite").partitionBy("__tbl", "bucket").parquet(path)
+
+    def load(self, spark: SparkSession, path: str) -> DataFrame:
+        return spark.read.parquet(path)
+
+    def query_batch(
+        self,
+        df: DataFrame,
+        queries: DataFrame,
+        k: int,
+        metric: str = "cosine",
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        query_id_col: str = "query_id",
+        query_vec_col: str = "embedding",
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """Batch OR-probe: (table, bucket) equi-join, candidate pairs
+        de-duplicated across tables, exact score + per-query top-k;
+        queries with < k distinct candidates fall back to the exact scan
+        (the single-table reference semantic, generalized)."""
+        from pyspark.sql.window import Window
+
+        from kowari_spark.operators.topk import _rounded, _score
+
+        bucketed = (
+            df.select(F.col(id_col), "__tbl", "bucket")
+            if "__tbl" in df.columns
+            else df.select(
+                F.col(id_col),
+                F.posexplode(self.buckets_expr(vec_col)).alias("__tbl", "bucket"),
+            )
+        )
+        base_vecs = (
+            df.select(id_col, vec_col).dropDuplicates([id_col])
+            if "__tbl" in df.columns
+            else df.select(id_col, vec_col)
+        )
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qvec"),
+        )
+        qb = q.select(
+            "query_id", F.posexplode(self.buckets_expr("__qvec")).alias("__tbl", "bucket")
+        )
+        cand = (
+            bucketed.join(F.broadcast(qb), ["__tbl", "bucket"])
+            .select("query_id", id_col)
+            .distinct()
+        )
+        sizes = cand.groupBy("query_id").agg(F.count("*").alias("__n"))
+        ok_ids = sizes.filter(F.col("__n") >= k).select("query_id")
+        starved = q.join(
+            F.broadcast(sizes.filter(F.col("__n") >= k).select("query_id")),
+            "query_id",
+            "left_anti",
+        )
+
+        scored = (
+            cand.join(F.broadcast(ok_ids), "query_id")
+            .join(base_vecs, id_col)
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                F.col(id_col),
+                _rounded(
+                    _score(metric, F.col(vec_col), F.col("__qvec")), round_to
+                ).alias("score"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+        topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+
+        if starved.isEmpty():
+            return topk
+        fb = knn_batch(
+            df.drop("__tbl", "bucket").dropDuplicates([id_col])
+            if "__tbl" in df.columns
+            else df,
+            starved.select("query_id", F.col("__qvec").alias("embedding")),
+            k,
+            metric=metric,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_to=round_to,
+        )
+        return topk.unionByName(fb.select("query_id", id_col, "score", "rank"))

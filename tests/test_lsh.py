@@ -88,3 +88,96 @@ def test_eval_metrics_semantics(spark):
     assert r == pytest.approx(2 / 3)
     p = precision_at_k(exp, act, 2).first()["precision"]
     assert p == pytest.approx(1 / 2)  # actual[:2]={a,x}, expected set={a,b,c}
+
+
+def test_multiprobe_probe_sequence(base, lsh):
+    """probes=1 is exactly the base bucket; probes>1 prepends it and adds
+    distinct single/multi-bit perturbations of the low-margin planes."""
+    row = base.first()
+    probe_df = base.limit(3).select(
+        "id", lsh.probe_buckets_expr("embedding", 8).alias("probes"),
+        lsh.bucket_expr("embedding").alias("bucket"),
+    )
+    for r in probe_df.collect():
+        assert r["probes"][0] == r["bucket"]  # cost-0 subset first
+        assert len(r["probes"]) == 8
+        assert len(set(r["probes"])) == 8  # distinct buckets
+
+
+def test_multiprobe_sequence_prefix_property(base, lsh):
+    """The probe sequence is deterministic and monotone: probing more
+    buckets extends the same cost-ordered sequence (so the candidate
+    pool only grows), and every probe differs from the base bucket only
+    on low-margin planes. (End recall is NOT monotone in probes by
+    design: widening the pool past k candidates disables the reference's
+    brute-force fallback, which is the point of probing.)"""
+    rows = base.limit(5).select(
+        lsh.probe_buckets_expr("embedding", 4).alias("p4"),
+        lsh.probe_buckets_expr("embedding", 16).alias("p16"),
+    ).collect()
+    for r in rows:
+        assert list(r["p16"][:4]) == list(r["p4"])
+
+
+def test_probe_buckets_driver_matches_expr(base, lsh):
+    """probe_buckets_of (numpy, drives the single-query static prune)
+    must produce the same ordered probe sequence as the native
+    probe_buckets_expr used by the batch path."""
+    rows = base.limit(10).select(
+        "embedding", lsh.probe_buckets_expr("embedding", 8).alias("p")
+    ).collect()
+    for r in rows:
+        assert lsh.probe_buckets_of(r["embedding"], 8) == list(r["p"])
+        assert lsh.probe_buckets_of(r["embedding"], 1) == [lsh.bucket_of(r["embedding"])]
+
+
+def test_single_query_probe_prunes_built_layout(tmp_path, base, lsh, spark):
+    """On a built layout the single-query candidate scan must carry the
+    literal bucket IN (...) as a partition filter (static pruning) —
+    and multiprobe results must match the batch path's."""
+    path = str(tmp_path / "lsh_probe")
+    lsh.build(base, path)
+    loaded = lsh.load(spark, path)
+    q = base.first()["embedding"]
+    buckets = lsh.probe_buckets_of(q, 4)
+    cand = loaded.filter(F.col("bucket").isin(buckets))
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+    single = [(r["id"], r["score"]) for r in
+              lsh.query(loaded, q, 5, round_to=6, probes=4).collect()]
+    queries = base.limit(1).select(F.col("id").alias("query_id"), "embedding")
+    batch = [(r["id"], r["score"]) for r in
+             lsh.query_batch(loaded, queries, 5, round_to=6, probes=4)
+             .orderBy("rank").collect()]
+    assert single == batch
+
+
+def test_multitable_recall_beats_single_table(spark, base):
+    from kowari_spark.operators.lsh import MultiSignLSH
+
+    queries = base.select(F.col("id").alias("query_id"), "embedding").limit(8)
+    exact = knn_batch(base, queries, 10, round_to=6)
+    single = SignLSH(dim=64, num_planes=4, seed=42)
+    mt = MultiSignLSH(dim=64, num_planes=4, num_tables=8, seed=42)
+    r1 = mean_metric(recall_at_k(exact, single.query_batch(base, queries, 10, round_to=6), 10), "recall")
+    rT = mean_metric(recall_at_k(exact, mt.query_batch(base, queries, 10, round_to=6), 10), "recall")
+    assert rT >= r1
+    # every query fully served
+    counts = mt.query_batch(base, queries, 10, round_to=6).groupBy("query_id").count()
+    assert [c["count"] for c in counts.select("count").distinct().collect()] == [10]
+
+
+def test_multitable_built_layout_roundtrip(tmp_path, base, spark):
+    from kowari_spark.operators.lsh import MultiSignLSH
+
+    mt = MultiSignLSH(dim=64, num_planes=4, num_tables=4, seed=7)
+    path = str(tmp_path / "mt_lsh")
+    mt.build(base, path)
+    loaded = mt.load(spark, path)
+    queries = base.select(F.col("id").alias("query_id"), "embedding").limit(4)
+    from_layout = mt.query_batch(loaded, queries, 5, round_to=6)
+    from_df = mt.query_batch(base, queries, 5, round_to=6)
+    a = sorted(map(tuple, from_layout.select("query_id", "id", "rank").collect()))
+    b = sorted(map(tuple, from_df.select("query_id", "id", "rank").collect()))
+    assert a == b

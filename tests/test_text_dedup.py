@@ -244,3 +244,26 @@ def test_column_vs_aggregation_forms_agree(spark):
     a = {r["doc_id"]: r["embedding"] for r in
          hashed_embeddings(df, dim=16).collect()}
     assert c == a
+
+
+def test_dedup_clusters_long_chain_sublinear_rounds(spark):
+    """Large-star/small-star must collapse a 64-node chain (diameter 63)
+    well within max_iter=8 rounds — the old min-label propagation moved
+    one hop per round and could never finish this under 63."""
+    from kowari_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs, max_iter=8).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_dedup_clusters_self_pairs_and_empty(spark):
+    from kowari_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(5, 5), (7, 8)], "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert got == {5: 5, 7: 7, 8: 7}
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_clusters(empty).count() == 0
