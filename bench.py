@@ -33,13 +33,12 @@ def bench_queries(spark, sf_dir, scratch):
     """
     out = {}
 
-    def ivf_build():
-        # offline index build, timed on its own line; the ivf_knn contract
-        # query below then measures the online partition-pruned probe
-        # against the prebuilt layout (the split an IVF index exists for)
-        entrymod._ivf_index(spark, sf_dir)
-
-    out["ivf_build_16"] = ivf_build
+    # offline index builds, each timed on its own line; the contract
+    # queries below then measure the online probes against the prebuilt
+    # layouts (the build-once/probe-many split the indexes exist for)
+    out["ivf_build_16"] = lambda: entrymod._ivf_index(spark, sf_dir)
+    out["lsh_index_build"] = lambda: entrymod._lsh_index(spark, sf_dir)
+    out["hnsw_build"] = lambda: entrymod._hnsw_index(spark, sf_dir)
     for name, fn in entrymod.queries().items():
         out[name] = (lambda f=fn: f(spark, sf_dir).toPandas())
 

@@ -264,65 +264,34 @@ def fingerprint_dup_groups(
 
 # -- duplicate clustering ----------------------------------------------------
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Connected components over near-dup pairs: (id, cluster_id) where
-    cluster_id = min id reachable through the pair graph.
-
-    Near-dup relations aren't transitive, but dedup treats them so (one
-    survivor per component — the standard MinHash-dedup final step).
-
-    Algorithm: alternating large-star / small-star contraction (Kiveris
-    et al., "Connected Components in MapReduce and Beyond"), which
-    converges in O(log² n) rounds INDEPENDENT of graph diameter — the
-    min-label propagation it replaces moved labels one hop per round, so
-    a chain of near-dups needed diameter rounds (each a shuffle). Each
-    round here is two groupBy+join passes over the shrinking edge list:
+def _cc_star(canon: DataFrame, max_iter: int) -> DataFrame:
+    """Star-contraction connected components (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): alternating large-star /
+    small-star rounds converge in O(log² n) rounds INDEPENDENT of graph
+    diameter. Input: canonical edges (hi > lo), checkpointed. Output:
+    star edges (node, component-min) for every non-root node.
 
     - large-star: every node points its larger neighbors at the minimum
       of its neighborhood (long chains collapse geometrically);
     - small-star: every node and its smaller neighbors re-attach to that
       minimum, keeping edges canonical (hi > lo).
 
-    The fixed point is a star forest: every node holds an edge straight
-    to its component's minimum id. Convergence is detected by an edge-set
-    signature (count + hash sum) — one tiny aggregate per round instead
-    of an anti-join diff. localCheckpoint truncates per-round lineage so
-    the plan doesn't grow with iterations, and materializes the input
-    edge list once (it is typically the tail of an expensive
-    minhash/jaccard pipeline).
-    """
-    canon = (
-        pairs.select(
-            F.greatest("id_a", "id_b").alias("hi"),
-            F.least("id_a", "id_b").alias("lo"),
-        )
-        .filter(F.col("hi") != F.col("lo"))
-        .distinct()
-        .localCheckpoint()
-    )
-    all_nodes = (
-        pairs.select(F.col("id_a").alias("id"))
-        .unionByName(pairs.select(F.col("id_b").alias("id")))
-        .distinct()
-        .localCheckpoint()
-    )
+    Convergence is detected by an edge-set signature (count + hash sum)
+    — one tiny aggregate per round instead of an anti-join diff."""
     prev_sig = None
     for _ in range(max_iter):
-        # large-star: for each u, hang every LARGER neighbor v off
-        # m = min(N(u) ∪ {u})
         sym = canon.select(
             F.col("hi").alias("u"), F.col("lo").alias("v")
         ).unionByName(canon.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
         mn = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        # no distinct here: duplicate (hi, lo) rows collapse in the
+        # small-star groupBy/distinct below — one less shuffle per round
         ls = (
             sym.join(mn, "u")
             .withColumn("m", F.least(F.col("u"), F.col("mv")))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
-            .distinct()
         )
-        # small-star: for each hi, re-attach hi and its smaller
-        # neighbors to m = min of them (edges stay canonical: out > m)
         mn2 = ls.groupBy("hi").agg(F.min("lo").alias("m"))
         j = ls.join(mn2, "hi")
         canon = (
@@ -340,11 +309,150 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if sig == prev_sig:
             break
         prev_sig = sig
-    child = canon.select(F.col("hi").alias("id"), F.col("lo").alias("cluster_id"))
-    roots = all_nodes.join(
-        canon.select(F.col("hi").alias("id")), "id", "left_anti"
-    ).select("id", F.col("id").alias("cluster_id"))
-    return child.unionByName(roots)
+    return canon
+
+
+def _cc_propagate(canon: DataFrame, max_iter: int):
+    """Min-label propagation (one hop per round, 2 shuffles per round):
+    cheapest per round, needs O(diameter) rounds. Returns
+    (labels (id, label), converged) — caller must finish with star
+    contraction when not converged."""
+    edges = canon.select(
+        F.col("hi").alias("src"), F.col("lo").alias("dst")
+    ).unionByName(canon.select(F.col("lo").alias("src"), F.col("hi").alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                labels.id,
+                F.least(
+                    labels.label, F.coalesce(F.col("nbr_label"), labels.label)
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    return labels, converged
+
+
+# edge sets at or below this size route to propagation first in "auto"
+# mode: its 2-shuffle rounds beat star contraction's ~5 whenever the
+# graph is shallow, and the unconverged fall-through keeps correctness
+_CC_SMALL_EDGES = 65536
+
+
+def dedup_clusters(
+    pairs: DataFrame, max_iter: int = 20, algorithm: str = "auto"
+) -> DataFrame:
+    """Connected components over near-dup pairs: (id, cluster_id) where
+    cluster_id = min id reachable through the pair graph.
+
+    Near-dup relations aren't transitive, but dedup treats them so (one
+    survivor per component — the standard MinHash-dedup final step).
+
+    Adaptive algorithm choice (the edge count is a free aggregate on the
+    checkpointed edge list):
+
+    - big edge sets (or ``algorithm="star"``): large-star/small-star
+      contraction — O(log² n) rounds independent of diameter, the only
+      shape that survives a 100 TB high-diameter graph;
+    - small edge sets (``algorithm="auto"``, <= 64k edges): min-label
+      propagation — 2 shuffles/round beats star's ~5 on the shallow
+      graphs near-dup clusters actually form; if it has NOT converged
+      within ``max_iter`` hops (adversarially deep small graph), the
+      partially-contracted graph (edges relabeled through the current
+      labels) is finished by star contraction and the labels composed,
+      so the result is exact for every input.
+
+    localCheckpoint materializes the input edge list once (it is
+    typically the tail of an expensive minhash/jaccard pipeline) and
+    truncates per-round lineage so plans don't grow with iterations.
+    """
+    canon0 = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("hi"),
+            F.least("id_a", "id_b").alias("lo"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    canon = canon0.filter(F.col("hi") != F.col("lo"))
+    all_nodes = (
+        canon0.select(F.col("hi").alias("id"))
+        .unionByName(canon0.select(F.col("lo").alias("id")))
+        .distinct()
+    )
+
+    def _finish(star_edges: DataFrame) -> DataFrame:
+        child = star_edges.select(
+            F.col("hi").alias("id"), F.col("lo").alias("cluster_id")
+        )
+        roots = all_nodes.join(
+            star_edges.select(F.col("hi").alias("id")), "id", "left_anti"
+        ).select("id", F.col("id").alias("cluster_id"))
+        return child.unionByName(roots)
+
+    if algorithm == "star" or (
+        algorithm == "auto" and canon0.count() > _CC_SMALL_EDGES
+    ):
+        return _finish(_cc_star(canon, max_iter))
+
+    labels, converged = _cc_propagate(canon, max_iter)
+    if converged:
+        nodes_lab = labels.select("id", F.col("label").alias("cluster_id"))
+        lonely = all_nodes.join(labels.select("id"), "id", "left_anti").select(
+            "id", F.col("id").alias("cluster_id")
+        )
+        return nodes_lab.unionByName(lonely)
+    # not converged: contract edges through the partial labels and let
+    # star contraction finish on the (far smaller) quotient graph, then
+    # compose node -> partial label -> component min
+    la = labels.select(F.col("id").alias("hi"), F.col("label").alias("ha"))
+    lb = labels.select(F.col("id").alias("lo"), F.col("label").alias("hb"))
+    quotient = (
+        canon.join(la, "hi")
+        .join(lb, "lo")
+        .select(
+            F.greatest("ha", "hb").alias("hi"), F.least("ha", "hb").alias("lo")
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint()
+    )
+    star = _cc_star(quotient, max_iter)
+    root_of = star.select(F.col("hi").alias("label"), F.col("lo").alias("root"))
+    nodes_lab = labels.join(root_of, "label", "left").select(
+        "id", F.coalesce(F.col("root"), F.col("label")).alias("cluster_id")
+    )
+    lonely = all_nodes.join(labels.select("id"), "id", "left_anti").select(
+        "id", F.col("id").alias("cluster_id")
+    )
+    return nodes_lab.unionByName(lonely)
 
 
 def dedup_keep_representatives(

@@ -252,8 +252,12 @@ class HNSW:
         lifecycle: src/index.rs:314-355 → final ranking :345-353).
         """
         spark = base.sparkSession
-        leveled = assign_levels(base.select(id_col, vec_col), id_col, self.seed,
-                                self.max_level)
+        # the search loop touches (id, vector) once per hop/level — pin
+        # it in memory for the duration instead of re-reading the source
+        # every round (all uses are materialized by the localCheckpoints
+        # below, so the unpersist at the end is safe for the lazy result)
+        vecs = base.select(F.col(id_col), F.col(vec_col)).persist()
+        leveled = assign_levels(vecs, id_col, self.seed, self.max_level)
         ep_id, top_level = self.entry_point(leveled, id_col)
 
         q = queries.select(
@@ -264,7 +268,7 @@ class HNSW:
         def with_scores(nodes: DataFrame) -> DataFrame:
             """attach similarity(query, node)."""
             return (
-                nodes.join(base.select(F.col(id_col), F.col(vec_col)), id_col)
+                nodes.join(vecs, id_col)
                 .join(F.broadcast(q), "query_id")
                 .select(
                     "query_id",
@@ -277,9 +281,14 @@ class HNSW:
 
         # start every query at the global entry point
         frontier = q.select("query_id").withColumn(id_col, F.lit(ep_id))
-        best = with_scores(frontier).localCheckpoint()
+        best = with_scores(frontier)
 
-        # greedy descent: one expansion per upper level, keep best-1
+        # greedy descent: one expansion per upper level, keep best-1.
+        # Each level is checkpointed: the frontier re-enters the next
+        # level's plan on BOTH sides (broadcast probe + union), and
+        # without materialization the nested broadcast subplans replay
+        # the whole prefix per level (measured 3-4x slower).
+        best = best.localCheckpoint()
         for level in range(int(top_level), 0, -1):
             nbrs = (
                 F.broadcast(best.select("query_id", id_col))
@@ -298,11 +307,17 @@ class HNSW:
                 .localCheckpoint()
             )
 
-        # level-0 BFS: expand ef-bounded frontier `hops` times
+        # level-0 BFS: expand ef-bounded frontier `hops` times.
+        # Checkpoint every OTHER round: each checkpoint is a blocking
+        # Spark action, and at frontier sizes of ef·|queries| the job
+        # latency dominates — two rounds of joins+window per action
+        # halves the action count while keeping lineage bounded.
         visited = best
         frontier = best.select("query_id", id_col)
-        lvl0 = edges.filter(F.col("level") == 0)
-        for _ in range(hops):
+        # the level-0 adjacency is re-probed every hop — pin it (at
+        # scale this is the index working set; MEMORY_AND_DISK spills)
+        lvl0 = edges.filter(F.col("level") == 0).persist()
+        for h in range(hops):
             nbrs = (
                 F.broadcast(frontier)
                 .join(lvl0, F.col(id_col) == F.col("src"))
@@ -316,14 +331,16 @@ class HNSW:
                 .agg(F.max("score").alias("score"))
             )
             w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
-            nxt = (
-                merged.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= self.ef)
-                .localCheckpoint()
+            nxt = merged.withColumn("rn", F.row_number().over(w)).filter(
+                F.col("rn") <= self.ef
             )
+            if h % 2 == 1 or h == hops - 1:
+                nxt = nxt.localCheckpoint()
             frontier = nxt.select("query_id", id_col)
             visited = nxt.drop("rn")
 
+        vecs.unpersist()
+        lvl0.unpersist()
         # final exact ranking of the visited set
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
         return (

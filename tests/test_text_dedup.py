@@ -247,16 +247,22 @@ def test_column_vs_aggregation_forms_agree(spark):
 
 
 def test_dedup_clusters_long_chain_sublinear_rounds(spark):
-    """Large-star/small-star must collapse a 64-node chain (diameter 63)
-    well within max_iter=8 rounds — the old min-label propagation moved
-    one hop per round and could never finish this under 63."""
+    """A 64-node chain (diameter 63) with max_iter=8: pure star mode
+    collapses it in O(log) rounds (min-label propagation alone could
+    never finish under 63), and auto mode — which propagates 8 hops
+    without converging — must still be exact via the star fall-through
+    on the contracted quotient graph."""
     from kowari_spark.operators.dedup import dedup_clusters
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "id_a long, id_b long"
     )
-    got = {r["id"]: r["cluster_id"] for r in dedup_clusters(pairs, max_iter=8).collect()}
-    assert got == {i: 0 for i in range(64)}
+    for algorithm in ("star", "auto"):
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in dedup_clusters(pairs, max_iter=8, algorithm=algorithm).collect()
+        }
+        assert got == {i: 0 for i in range(64)}, algorithm
 
 
 def test_dedup_clusters_self_pairs_and_empty(spark):
