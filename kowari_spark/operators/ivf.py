@@ -67,20 +67,32 @@ class IVF:
 
     def _assign_expr(self, vec_col: str):
         """list_id = argmin_i ||v - c_i||² as a native expression over a
-        broadcast-literal centroid array; ties -> lowest index."""
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.lit([float(x) for x in c]),
-                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
+        literal centroid matrix; ties -> lowest index. The distance loop
+        is a higher-order transform over ONE array<array<double>> literal
+        rather than n_lists unrolled fold expressions: the generated code
+        is O(1) in n_lists so Janino compilation stays negligible, and
+        the literal is parsed from a single SQL string (a nested F.lit
+        costs one Py4J round-trip per element — ~0.7 s per call at
+        16x64). The D suffix keeps every element an exact DOUBLE literal
+        (repr() is the shortest round-trip decimal). Arithmetic is the
+        identical per-element (x-y)² sequential fold."""
+        cents = F.expr(
+            "array(" + ",".join(
+                "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
                 for c in self.centroids
-            ]
+            ) + ")"
+        )
+        dists = F.transform(
+            cents,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    c,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
         )
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
