@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from kowari_spark.errors import (
     CollectionNotFoundError,
+    CommitConflictError,
     DimensionMismatchError,
     DuplicateIdError,
     MissingIdError,
@@ -45,15 +46,119 @@ from kowari_spark.schema import VECTOR_SCHEMA, vector_row
 
 _META = "_meta.json"
 _DATA = "data"
+_VERSIONS = "_versions"
+
+
+class TransactionLog:
+    """Versioned-manifest commit log: the transactional core the plain
+    dir-swap `_rewrite` lacked (reference's SQLite gave it transactional
+    deletes, vector_db/src/sqlite_storage.rs:113-120; README known
+    limitation closed here).
+
+    Layout: data lives in immutable SEGMENT directories
+    (``data/seg-<uuid>/``, written once, never mutated); each table
+    version is a manifest ``_versions/v<N>.json`` listing the segments
+    visible at that version. Properties:
+
+    - **atomic commit**: a version exists iff its manifest file does;
+      the manifest is created with O_EXCL (``open(..., "x")``) after its
+      segments are fully written, so readers can never observe a
+      half-written version (on an object store the equivalent is
+      put-if-absent);
+    - **optimistic concurrency**: two writers racing to version N+1 —
+      exactly one O_EXCL create wins; the loser raises
+      ``CommitConflictError`` (append-only commits auto-retry on top of
+      the winner, rewrite commits surface the conflict);
+    - **snapshot isolation**: a reader resolves a manifest once and from
+      then on reads fixed immutable files — concurrent commits never
+      change a running query's input;
+    - **time travel**: any retained version can be read back;
+    - **vacuum**: segments unreferenced by retained versions are deleted.
+
+    At 100 TB this is the standard table-format shape (Delta/Iceberg);
+    local JSON manifests stand in for their catalogs, and the segment
+    granularity keeps commits O(metadata), never O(data).
+    """
+
+    def __init__(self, table_path: str):
+        self.dir = os.path.join(table_path, _VERSIONS)
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.dir, f"v{version:08d}.json")
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(self.dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def read(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def snapshot(self, version: int | None = None) -> tuple[int, list[str]]:
+        """(version, segment names) of the requested or latest version;
+        (0, []) for an empty log."""
+        v = self.latest_version() if version is None else version
+        if v == 0:
+            return 0, []
+        return v, self.read(v)["segments"]
+
+    def commit(self, base_version: int, segments: list[str], op: str) -> int:
+        """Atomically publish ``segments`` as version base+1. Raises
+        CommitConflictError when someone else already took that slot."""
+        version = base_version + 1
+        manifest = {
+            "version": version,
+            "segments": segments,
+            "op": op,
+            "ts": int(time.time()),
+        }
+        try:
+            with open(self._manifest_path(version), "x") as f:
+                json.dump(manifest, f)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"version {version} was committed concurrently"
+            ) from None
+        return version
 
 
 class Collection:
-    """A managed vector table: Parquet data + catalog properties."""
+    """A managed vector table: versioned Parquet segments (see
+    TransactionLog) + catalog properties."""
 
     def __init__(self, spark: SparkSession, path: str, meta: dict):
         self.spark = spark
         self.path = path
         self.meta = meta
+        self._migrate_legacy()
+        self.log = TransactionLog(path)
+
+    def _migrate_legacy(self) -> None:
+        """Adopt a pre-versioning layout (loose part files directly in
+        ``data/``) as version 1: move the files into a segment dir and
+        commit a manifest — a metadata-only rename, no data rewrite."""
+        data = self._data_path()
+        if not os.path.exists(data) or os.path.exists(
+            os.path.join(self.path, _VERSIONS)
+        ):
+            return
+        entries = [e for e in os.listdir(data) if not e.startswith("seg-")]
+        log = TransactionLog(self.path)
+        if not entries:
+            return
+        seg = f"seg-{uuid.uuid4().hex[:12]}"
+        os.makedirs(os.path.join(data, seg))
+        for e in entries:
+            os.rename(os.path.join(data, e), os.path.join(data, seg, e))
+        log.commit(0, [seg], "migrate")
 
     # -- properties ------------------------------------------------------
 
@@ -79,11 +184,23 @@ class Collection:
 
     # -- reads -----------------------------------------------------------
 
-    def df(self) -> DataFrame:
-        """The collection as a DataFrame (S4 all_vectors — the scan)."""
-        if not os.path.exists(self._data_path()):
+    def df(self, version: int | None = None) -> DataFrame:
+        """The collection as a DataFrame (S4 all_vectors — the scan).
+
+        Resolves a SNAPSHOT: the manifest is read once here, and the
+        returned (lazy) DataFrame scans only that version's immutable
+        segment files — a concurrent writer committing mid-query can
+        never change this query's input. ``version`` time-travels to any
+        retained version."""
+        _, segments = self.log.snapshot(version)
+        if not segments:
             return self.spark.createDataFrame([], VECTOR_SCHEMA)
-        return self.spark.read.schema(VECTOR_SCHEMA).parquet(self._data_path())
+        paths = [os.path.join(self._data_path(), s) for s in segments]
+        return self.spark.read.schema(VECTOR_SCHEMA).parquet(*paths)
+
+    def versions(self) -> list[dict]:
+        """Commit history (newest last): version, op, segment count."""
+        return [self.log.read(v) for v in self.log.versions()]
 
     def get(self, id: str):
         """Point lookup (S2); None when absent. Pushdown id filter."""
@@ -147,18 +264,40 @@ class Collection:
             )
             if dup_in_batch:
                 raise DuplicateIdError(f"duplicate id in batch: {dup_in_batch[0]['id']}")
-            existing = self.df()
-            clash = df.join(existing, "id", "left_semi").limit(1).collect()
-            if clash:
-                raise DuplicateIdError(f"vector with ID {clash[0]['id']} already exists")
-            df.write.mode("append").parquet(self._data_path())
-        elif mode == "upsert":
-            existing = self.df()
-            if existing.isEmpty():
-                df.write.mode("append").parquet(self._data_path())
+            # the segment is written ONCE; only the (cheap) uniqueness
+            # check and manifest commit retry on a concurrent append,
+            # re-validating against the winner's snapshot each time
+            seg = None
+            for _ in range(5):
+                version, segments = self.log.snapshot()
+                clash = df.join(self.df(), "id", "left_semi").limit(1).collect()
+                if clash:
+                    if seg is not None:
+                        shutil.rmtree(
+                            os.path.join(self._data_path(), seg), ignore_errors=True
+                        )
+                    raise DuplicateIdError(
+                        f"vector with ID {clash[0]['id']} already exists"
+                    )
+                if seg is None:
+                    seg = self._write_segment(df)
+                try:
+                    self.log.commit(version, segments + [seg], "append")
+                    break
+                except CommitConflictError:
+                    continue
             else:
-                merged = existing.join(df, "id", "left_anti").unionByName(df)
-                self._rewrite(merged)
+                raise CommitConflictError(
+                    "append lost the commit race 5 times; retry the operation"
+                )
+        elif mode == "upsert":
+            version, segments = self.log.snapshot()
+            if not segments:
+                seg = self._write_segment(df)
+                self.log.commit(version, [seg], "append")
+            else:
+                merged = self.df().join(df, "id", "left_anti").unionByName(df)
+                self._commit_rewrite(merged, "upsert", base_version=version)
         else:
             raise ValueError(f"unknown ingest mode {mode!r}")
         self._touch()
@@ -174,36 +313,82 @@ class Collection:
         (src/storage.rs:42-47); upsert mode ignores missing ids
         (vector_db/src/storage.rs:39-42)."""
         mode = mode or self.mode
-        existing = self.df()
+        version, _ = self.log.snapshot()
+        existing = self.df(version)
         if mode == "strict":
             if self.get(id) is None:
                 raise MissingIdError(f"vector with ID {id} not found")
-        self._rewrite(existing.filter(F.col("id") != id))
+        self._commit_rewrite(
+            existing.filter(F.col("id") != id), "delete", base_version=version
+        )
         self._touch()
 
     def clear(self) -> None:
-        """Truncate (S6)."""
-        self._rewrite(self.df().limit(0))
+        """Truncate (S6): an empty manifest — no data is written or
+        deleted (old versions stay readable until vacuum)."""
+        version, _ = self.log.snapshot()
+        self.log.commit(version, [], "clear")
         self._touch()
 
     def optimize(self, target_partitions: int | None = None) -> None:
-        """Compaction (S14/C9): rewrite into right-sized files. The
-        reference rewrites its `.kwi` dropping dead records
-        (binary_index.rs:239-257); Parquet deletes already rewrote, so
-        this is purely file-count/size hygiene."""
+        """Compaction (S14/C9): rewrite into right-sized files in ONE new
+        segment. The reference rewrites its `.kwi` dropping dead records
+        (binary_index.rs:239-257); here deletes already rewrote, so this
+        is file-count/size hygiene — and, being just another committed
+        version, it is safe under concurrent readers."""
         df = self.df()
         n = target_partitions or max(1, df.count() // 500_000)
-        self._rewrite(df.repartition(n))
+        self._commit_rewrite(df.repartition(n), "optimize")
         self._touch()
 
-    def _rewrite(self, df: DataFrame) -> None:
-        """Atomic-ish full rewrite: write to temp dir, swap."""
-        tmp = self._data_path() + "." + uuid.uuid4().hex[:8]
-        df.write.mode("overwrite").parquet(tmp)
-        old = self._data_path()
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(tmp, old)
+    def vacuum(self, keep_last: int = 1) -> int:
+        """Physically delete segments referenced ONLY by versions older
+        than the ``keep_last`` most recent, plus their manifests; returns
+        the number of segments removed. The one operation that destroys
+        time-travel history — everything else is append-only metadata."""
+        versions = self.log.versions()
+        if not versions:
+            return 0
+        keep = set(versions[-max(1, keep_last):])
+        live: set[str] = set()
+        for v in keep:
+            live.update(self.log.read(v)["segments"])
+        removed = 0
+        data = self._data_path()
+        if os.path.exists(data):
+            for seg in os.listdir(data):
+                if seg.startswith("seg-") and seg not in live:
+                    shutil.rmtree(os.path.join(data, seg), ignore_errors=True)
+                    removed += 1
+        for v in versions:
+            if v not in keep:
+                os.remove(self.log._manifest_path(v))
+        return removed
+
+    def _write_segment(self, df: DataFrame) -> str:
+        """Write one immutable segment directory; returns its name."""
+        seg = f"seg-{uuid.uuid4().hex[:12]}"
+        df.write.parquet(os.path.join(self._data_path(), seg))
+        return seg
+
+    def _commit_rewrite(
+        self, df: DataFrame, op: str, base_version: int | None = None
+    ) -> None:
+        """Full-table rewrite as one new segment + manifest swap. A
+        concurrent commit between snapshot and publish surfaces as
+        CommitConflictError (optimistic concurrency — the caller saw a
+        snapshot that is no longer latest, so silently winning could
+        drop the other writer's rows)."""
+        if base_version is None:
+            base_version, _ = self.log.snapshot()
+        seg = self._write_segment(df)
+        try:
+            self.log.commit(base_version, [seg], op)
+        except CommitConflictError:
+            shutil.rmtree(
+                os.path.join(self._data_path(), seg), ignore_errors=True
+            )
+            raise
 
 
 class CollectionManager:

@@ -26,3 +26,8 @@ class DimensionMismatchError(KowariError):
 
 class CollectionNotFoundError(KowariError):
     """Named collection does not exist in the catalog."""
+
+
+class CommitConflictError(KowariError):
+    """Optimistic-concurrency conflict: another writer committed a new
+    table version between this operation's snapshot and its commit."""

@@ -143,3 +143,126 @@ def test_collection_search_api(spark, embeddings, tmp_path):
     plain = coll.search(q, 3).collect()
     assert [r["id"] for r in plain][0] == "5"
     assert "score" not in plain[0].asDict()
+
+
+# -- versioned storage (TransactionLog) -------------------------------------
+
+def _mk(mgr_factory, spark, tmp_path, name, mode="upsert"):
+    from kowari_spark.catalog import CollectionManager
+
+    mgr = CollectionManager(spark, str(tmp_path / "wh"))
+    return mgr, mgr.create_collection(name, dimension=2, mode=mode)
+
+
+def test_versions_and_time_travel(spark, tmp_path):
+    from kowari_spark.catalog import CollectionManager
+
+    mgr = CollectionManager(spark, str(tmp_path / "wh"))
+    c = mgr.create_collection("tt", dimension=2, mode="upsert")
+    c.add([1.0, 0.0], id="a")
+    c.add([0.0, 1.0], id="b")
+    c.delete("a")
+    ops = [v["op"] for v in c.versions()]
+    assert ops == ["append", "upsert", "delete"]
+    # latest sees the delete; version 2 still has both rows
+    assert sorted(r["id"] for r in c.df().collect()) == ["b"]
+    assert sorted(r["id"] for r in c.df(version=2).collect()) == ["a", "b"]
+
+
+def test_snapshot_isolation_under_concurrent_commit(spark, tmp_path):
+    from kowari_spark.catalog import CollectionManager
+
+    mgr = CollectionManager(spark, str(tmp_path / "wh"))
+    c = mgr.create_collection("iso", dimension=2, mode="upsert")
+    c.add([1.0, 0.0], id="a")
+    snap = c.df()  # resolves the manifest NOW
+    c.delete("a")  # new version
+    # the pinned snapshot still reads the immutable old segment
+    assert [r["id"] for r in snap.collect()] == ["a"]
+    assert c.df().count() == 0
+
+
+def test_commit_conflict_on_rewrite(spark, tmp_path):
+    import pytest
+    from kowari_spark.catalog import CollectionManager
+    from kowari_spark.errors import CommitConflictError
+
+    mgr = CollectionManager(spark, str(tmp_path / "wh"))
+    c = mgr.create_collection("cc", dimension=2, mode="upsert")
+    c.add([1.0, 0.0], id="a")
+    version, segments = c.log.snapshot()
+    # another writer steals the next version slot
+    c.log.commit(version, segments, "optimize")
+    with pytest.raises(CommitConflictError):
+        c._commit_rewrite(c.df(version), "delete", base_version=version)
+
+
+def test_strict_append_retries_past_conflict(spark, tmp_path):
+    """A strict append that loses the version race must re-validate and
+    retry, not fail: simulate by pre-committing a competing version."""
+    from kowari_spark.catalog import CollectionManager, TransactionLog
+
+    mgr = CollectionManager(spark, str(tmp_path / "wh"))
+    c = mgr.create_collection("ra", dimension=2, mode="strict")
+    c.add([1.0, 0.0], id="a")
+    orig_commit = TransactionLog.commit
+    stolen = {"done": False}
+
+    def racing_commit(self, base_version, segments, op):
+        if not stolen["done"] and op == "append" and base_version >= 1:
+            stolen["done"] = True
+            # competitor publishes its own (unrelated) version first
+            orig_commit(self, base_version, segments[:-1], "steal")
+        return orig_commit(self, base_version, segments, op)
+
+    TransactionLog.commit = racing_commit
+    try:
+        c.add([0.0, 1.0], id="b")
+    finally:
+        TransactionLog.commit = orig_commit
+    assert sorted(r["id"] for r in c.df().collect()) == ["a", "b"]
+
+
+def test_vacuum_drops_old_segments_keeps_latest(spark, tmp_path):
+    import os
+    from kowari_spark.catalog import CollectionManager
+
+    mgr = CollectionManager(spark, str(tmp_path / "wh"))
+    c = mgr.create_collection("vac", dimension=2, mode="upsert")
+    c.add([1.0, 0.0], id="a")
+    c.add([0.0, 1.0], id="b")
+    c.optimize(target_partitions=1)
+    data = os.path.join(c.path, "data")
+    before = {d for d in os.listdir(data) if d.startswith("seg-")}
+    removed = c.vacuum(keep_last=1)
+    after = {d for d in os.listdir(data) if d.startswith("seg-")}
+    assert removed == len(before) - len(after) and len(after) == 1
+    assert sorted(r["id"] for r in c.df().collect()) == ["a", "b"]
+    assert [v["op"] for v in c.versions()] == ["optimize"]
+
+
+def test_legacy_layout_migrates_in_place(spark, tmp_path):
+    """A pre-versioning collection (loose part files under data/) must
+    open as version 1 with identical contents."""
+    import json as _json
+    import os
+    import time as _time
+    from kowari_spark.catalog import Collection
+    from kowari_spark.schema import VECTOR_SCHEMA, vector_row
+
+    path = str(tmp_path / "wh" / "legacy")
+    os.makedirs(path)
+    now = int(_time.time())
+    meta = {"name": "legacy", "dimension": 2, "mode": "upsert",
+            "created_at": now, "updated_at": now}
+    with open(os.path.join(path, "_meta.json"), "w") as f:
+        _json.dump(meta, f)
+    spark.createDataFrame(
+        [vector_row([1.0, 0.0], None, "a")], VECTOR_SCHEMA
+    ).write.parquet(os.path.join(path, "data"))
+
+    c = Collection(spark, path, meta)
+    assert [r["id"] for r in c.df().collect()] == ["a"]
+    assert [v["op"] for v in c.versions()] == ["migrate"]
+    c.add([0.0, 1.0], id="b")
+    assert sorted(r["id"] for r in c.df().collect()) == ["a", "b"]
