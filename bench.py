@@ -123,10 +123,18 @@ def quality_gates(spark, sf_dir) -> dict:
         mean_metric(recall_at_k(exact, lsh, 10, id_col="vec_id"), "recall"), 4
     )
     ivf = IVF(n_lists=16, n_probe=3, max_iter=3, seed=42).fit(base, id_col="vec_id")
-    approx = ivf.query_batch(ivf.with_lists(base), queries, 10, id_col="vec_id", round_to=6)
+    lists = ivf.with_lists(base).persist()
+    approx = ivf.query_batch(lists, queries, 10, id_col="vec_id", round_to=6)
     out["recall_ivf_at_10"] = round(
         mean_metric(recall_at_k(exact, approx, 10, id_col="vec_id"), "recall"), 4
     )
+    # the n_probe knob's recall/cost curve, second datapoint: 6/16 cells
+    ivf.n_probe = 6
+    approx6 = ivf.query_batch(lists, queries, 10, id_col="vec_id", round_to=6)
+    out["recall_ivf_at_10_probe6"] = round(
+        mean_metric(recall_at_k(exact, approx6, 10, id_col="vec_id"), "recall"), 4
+    )
+    lists.unpersist()
     return out
 
 

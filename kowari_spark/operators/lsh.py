@@ -228,7 +228,8 @@ class SignLSH:
         layout), never a full-table groupBy."""
         from pyspark.sql.window import Window
 
-        base = df if "bucket" in df.columns else self.with_buckets(df, vec_col)
+        prebuilt = "bucket" in df.columns
+        base = df if prebuilt else self.with_buckets(df, vec_col)
         q = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).alias("__qvec"),
@@ -240,11 +241,20 @@ class SignLSH:
             "bucket", F.explode(self.probe_buckets_expr("__qvec", probes))
         )
 
-        bucket_sizes = (
-            base.join(F.broadcast(qp.select("bucket").distinct()), "bucket")
-            .groupBy("bucket")
-            .agg(F.count("*").alias("__bn"))
-        )
+        if prebuilt:
+            # broadcast the distinct probed buckets into the count so
+            # dynamic partition pruning skips every unprobed partition
+            # of the build layout
+            bucket_sizes = (
+                base.join(F.broadcast(qp.select("bucket").distinct()), "bucket")
+                .groupBy("bucket")
+                .agg(F.count("*").alias("__bn"))
+            )
+        else:
+            # raw input: buckets are computed on the fly, nothing can be
+            # pruned — a plain one-pass groupBy beats the extra
+            # broadcast/join stages
+            bucket_sizes = base.groupBy("bucket").agg(F.count("*").alias("__bn"))
         q_sizes = (
             qp.join(F.broadcast(bucket_sizes), "bucket", "left")
             .groupBy("query_id")
