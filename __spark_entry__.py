@@ -1167,8 +1167,9 @@ FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b
 
 def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup end-game: connected components over verified minhash pairs
-    (operators/dedup.dedup_clusters — distributed min-label
-    propagation); oracle = recursive-CTE reachability min."""
+    (operators/dedup.dedup_clusters — adaptive: min-label propagation
+    with an exact large-star/small-star fall-through, star contraction
+    outright on big graphs); oracle = recursive-CTE reachability min."""
     docs = _t(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
     return D.dedup_clusters(pairs).orderBy("id")

@@ -111,3 +111,42 @@ def test_events_agg_prunes_unused_columns(spark, sf_dir):
     agg = ev.groupBy("event_type").agg(F.count("*").alias("n"))
     plan = _plan(agg)
     assert "ReadSchema: struct<event_type:string>" in plan
+
+
+def test_ivf_batch_probe_prunes_built_layout(spark, sf_dir, tmp_path):
+    """The batch probe must reach the built layout with a literal
+    list_id IN (...) partition filter (static pruning ahead of the
+    broadcast join), so only n_probe/n_lists of the files are read."""
+    from kowari_spark.operators.ivf import IVF
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf = IVF(n_lists=8, n_probe=2, max_iter=2, seed=42).fit(base, id_col="vec_id")
+    path = str(tmp_path / "ivf_plan")
+    ivf.build(base, path)
+    stored = ivf.load(spark, path)
+    queries = base.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf.query_batch(stored, queries, 5, id_col="vec_id", round_to=6)
+    plan = _plan(out)
+    assert "PartitionFilters" in plan and "list_id" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hnsw_query_no_python_eval(spark, sf_dir):
+    """The whole beam search — descent, expansion, scoring, ranking —
+    must stay JVM-side (joins + windows + native score expressions)."""
+    from kowari_spark.operators.hnsw import HNSW
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 100
+    )
+    h = HNSW(m=4, ef=8, seed=42, max_level=2)
+    edges = h.build(base, id_col="vec_id")
+    queries = base.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = h.query_batch(base, edges, queries, 3, id_col="vec_id", round_to=6)
+    plan = _plan(out)
+    for forbidden in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert forbidden not in plan, forbidden
