@@ -110,9 +110,17 @@ class TransactionLog:
             return 0, []
         return v, self.read(v)["segments"]
 
-    def commit(self, base_version: int, segments: list[str], op: str) -> int:
+    def commit(
+        self,
+        base_version: int,
+        segments: list[str],
+        op: str,
+        txn: str | None = None,
+    ) -> int:
         """Atomically publish ``segments`` as version base+1. Raises
-        CommitConflictError when someone else already took that slot."""
+        CommitConflictError when someone else already took that slot.
+        ``txn`` stamps the manifest with an idempotence token (see
+        ``txns()``) — the Delta-style streaming-sink pattern."""
         version = base_version + 1
         manifest = {
             "version": version,
@@ -120,6 +128,8 @@ class TransactionLog:
             "op": op,
             "ts": int(time.time()),
         }
+        if txn is not None:
+            manifest["txn"] = txn
         try:
             with open(self._manifest_path(version), "x") as f:
                 json.dump(manifest, f)
@@ -128,6 +138,17 @@ class TransactionLog:
                 f"version {version} was committed concurrently"
             ) from None
         return version
+
+    def txns(self) -> set[str]:
+        """Idempotence tokens of all RETAINED versions. A token vacuumed
+        away is forgotten — keep_last must exceed the replay horizon of
+        any streaming writer."""
+        out = set()
+        for v in self.versions():
+            t = self.read(v).get("txn")
+            if t is not None:
+                out.add(t)
+        return out
 
 
 class Collection:
@@ -247,15 +268,24 @@ class Collection:
                 f"collection {self.name!r} expects dimension {self.dimension}, got {got}"
             )
 
-    def add_df(self, df: DataFrame, mode: str | None = None) -> None:
+    def add_df(
+        self, df: DataFrame, mode: str | None = None, txn_id: str | None = None
+    ) -> None:
         """Validated append of a vectors DataFrame (C5 add_vector, batched).
 
         strict: any incoming id already present -> DuplicateIdError
         (src/storage.rs:30-36); duplicate ids *within* the batch also error.
         upsert: existing rows with incoming ids are replaced
         (vector_db/src/storage.rs:30-33).
+
+        ``txn_id`` makes the write IDEMPOTENT: if a retained manifest
+        already carries this token the call is a no-op — so a replayed
+        streaming micro-batch (foreachBatch re-runs the last batch after
+        a driver restart) commits exactly once.
         """
         mode = mode or self.mode
+        if txn_id is not None and txn_id in self.log.txns():
+            return
         df = df.select(*[f.name for f in VECTOR_SCHEMA])
         self._validate_dims(df)
         if mode == "strict":
@@ -270,6 +300,13 @@ class Collection:
             seg = None
             for _ in range(5):
                 version, segments = self.log.snapshot()
+                if txn_id is not None and txn_id in self.log.txns():
+                    # a racing replay of the same batch already landed
+                    if seg is not None:
+                        shutil.rmtree(
+                            os.path.join(self._data_path(), seg), ignore_errors=True
+                        )
+                    return
                 clash = df.join(self.df(), "id", "left_semi").limit(1).collect()
                 if clash:
                     if seg is not None:
@@ -282,7 +319,7 @@ class Collection:
                 if seg is None:
                     seg = self._write_segment(df)
                 try:
-                    self.log.commit(version, segments + [seg], "append")
+                    self.log.commit(version, segments + [seg], "append", txn=txn_id)
                     break
                 except CommitConflictError:
                     continue
@@ -294,10 +331,12 @@ class Collection:
             version, segments = self.log.snapshot()
             if not segments:
                 seg = self._write_segment(df)
-                self.log.commit(version, [seg], "append")
+                self.log.commit(version, [seg], "append", txn=txn_id)
             else:
                 merged = self.df().join(df, "id", "left_anti").unionByName(df)
-                self._commit_rewrite(merged, "upsert", base_version=version)
+                self._commit_rewrite(
+                    merged, "upsert", base_version=version, txn=txn_id
+                )
         else:
             raise ValueError(f"unknown ingest mode {mode!r}")
         self._touch()
@@ -372,7 +411,11 @@ class Collection:
         return seg
 
     def _commit_rewrite(
-        self, df: DataFrame, op: str, base_version: int | None = None
+        self,
+        df: DataFrame,
+        op: str,
+        base_version: int | None = None,
+        txn: str | None = None,
     ) -> None:
         """Full-table rewrite as one new segment + manifest swap. A
         concurrent commit between snapshot and publish surfaces as
@@ -383,7 +426,7 @@ class Collection:
             base_version, _ = self.log.snapshot()
         seg = self._write_segment(df)
         try:
-            self.log.commit(base_version, [seg], op)
+            self.log.commit(base_version, [seg], op, txn=txn)
         except CommitConflictError:
             shutil.rmtree(
                 os.path.join(self._data_path(), seg), ignore_errors=True

@@ -7,9 +7,14 @@ continuously via foreachBatch — each micro-batch goes through the SAME
 validated `Collection.add_df` path (dimension check, strict/upsert
 semantics), so streaming and batch ingest cannot diverge.
 
-Scale notes: foreachBatch gives exactly-once appends per micro-batch id
-when paired with a checkpoint; dimension validation is a metadata-only
-filter (size(embedding) != d) that codegens into the scan.
+Scale notes: foreachBatch alone is AT-LEAST-once — after a driver
+restart the last un-checkpointed micro-batch replays, and a bare append
+would double its rows. Exactly-once here comes from the collection's
+transaction log: each micro-batch commits with an idempotence token
+``<checkpoint_dir>:<batch_id>`` (the Delta streaming-sink pattern), so a
+replayed batch whose token is already in a retained manifest is a no-op.
+Dimension validation is a metadata-only filter (size(embedding) != d)
+that codegens into the scan.
 """
 
 from __future__ import annotations
@@ -37,7 +42,9 @@ def stream_vectors_into(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
-            collection.add_df(batch_df, mode=mode)
+            collection.add_df(
+                batch_df, mode=mode, txn_id=f"{checkpoint_dir}:{batch_id}"
+            )
 
     writer = (
         stream_df.writeStream.foreachBatch(_sink)

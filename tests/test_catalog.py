@@ -208,12 +208,12 @@ def test_strict_append_retries_past_conflict(spark, tmp_path):
     orig_commit = TransactionLog.commit
     stolen = {"done": False}
 
-    def racing_commit(self, base_version, segments, op):
+    def racing_commit(self, base_version, segments, op, txn=None):
         if not stolen["done"] and op == "append" and base_version >= 1:
             stolen["done"] = True
             # competitor publishes its own (unrelated) version first
             orig_commit(self, base_version, segments[:-1], "steal")
-        return orig_commit(self, base_version, segments, op)
+        return orig_commit(self, base_version, segments, op, txn=txn)
 
     TransactionLog.commit = racing_commit
     try:
@@ -266,3 +266,28 @@ def test_legacy_layout_migrates_in_place(spark, tmp_path):
     assert [v["op"] for v in c.versions()] == ["migrate"]
     c.add([0.0, 1.0], id="b")
     assert sorted(r["id"] for r in c.df().collect()) == ["a", "b"]
+
+
+def test_txn_id_makes_append_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same txn token) must commit exactly once,
+    in both strict and upsert modes."""
+    from kowari_spark.catalog import CollectionManager
+    from kowari_spark.schema import VECTOR_SCHEMA, vector_row
+
+    mgr = CollectionManager(spark, str(tmp_path / "wh"))
+    for mode in ("strict", "upsert"):
+        c = mgr.create_collection(f"txn_{mode}", dimension=2, mode=mode)
+        batch = spark.createDataFrame(
+            [vector_row([1.0, 0.0], None, "a"), vector_row([0.0, 1.0], None, "b")],
+            VECTOR_SCHEMA,
+        )
+        c.add_df(batch, txn_id="ckpt:0")
+        c.add_df(batch, txn_id="ckpt:0")  # replay -> no-op (even strict!)
+        assert c.count() == 2, mode
+        assert len([v for v in c.versions() if v.get("txn") == "ckpt:0"]) == 1
+        # a NEW batch id still commits
+        batch2 = spark.createDataFrame(
+            [vector_row([0.5, 0.5], None, "c")], VECTOR_SCHEMA
+        )
+        c.add_df(batch2, txn_id="ckpt:1")
+        assert c.count() == 3, mode
