@@ -1233,6 +1233,93 @@ LIMIT 10
 """
 
 
+def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint candidates (operators/dedup.
+    winnow_pairs): k=4-token grams, window=4 minimum selection, pairs
+    sharing >= 2 fingerprints — catches shared token RUNS (boilerplate,
+    quoted passages) that whole-document minhash dilutes. Exact DuckDB
+    oracle reproduces grams, hashes, window minima and the pair join."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.winnow_pairs(docs, k=4, window=4, min_shared=2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _oracle_doc_winnow_pairs() -> str:
+    h = _SQL_HASH64.format(s="s")
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) - 3 >= 1
+              THEN list_transform(range(1, len(toks) - 3 + 1),
+                                  i -> array_to_string(list_slice(toks, i, i + 3), ' '))
+              ELSE [array_to_string(toks, ' ')] END AS grams
+  FROM t),
+h AS (SELECT doc_id, list_transform(grams, s -> {h}) AS hashes FROM g),
+sel AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           list_transform(range(1, greatest(len(hashes) - 3, 1) + 1),
+                          j -> list_min(list_slice(hashes, j, j + 3))))) AS fps
+  FROM h),
+e AS (SELECT doc_id, unnest(fps) AS fp FROM sel)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+ORDER BY id_a, id_b
+"""
+
+
+def q_salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation primitives under the oracle's microscope
+    (operators/skew.py): lineitem joined to supplier through
+    ``salted_join`` (big side salted, small side replicated 8x) and
+    aggregated through ``salted_aggregate`` (two-stage partial/merge) —
+    the oracle is the PLAIN SQL join+groupBy, so the salting machinery
+    is pinned to change nothing but the shuffle layout. Money sums stay
+    exact-decimal through both stages (cast to double only at output)."""
+    from kowari_spark.operators.skew import salted_aggregate, salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice", "l_discount"
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    joined = salted_join(li, sup, ["suppkey"], n_salts=8)
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    d = F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)")
+    agg = salted_aggregate(
+        joined,
+        ["s_name"],
+        {
+            "revenue": (F.sum(p * d), F.sum(F.col("revenue"))),
+            "n_lines": (F.count("*"), F.sum(F.col("n_lines"))),
+        },
+        salt_from=["l_extendedprice", "l_discount"],
+        n_salts=8,
+    )
+    return agg.select(
+        "s_name",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+    ).orderBy("s_name")
+
+
+def _oracle_salted_supplier_revenue() -> str:
+    rev = _SQL_REV.format(p="l.l_extendedprice", d="l.l_discount")
+    return f"""
+SELECT s.s_name AS s_name,
+       {rev} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+ORDER BY s_name
+"""
+
+
 def q_doc_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-pairs: top-byte blocking + exact hamming filter."""
     docs = _t(spark, sf_dir, "documents")
@@ -1599,6 +1686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_text_knn": q_doc_text_knn,
         "doc_simhash_near": q_doc_simhash_near,
+        "doc_winnow_pairs": q_doc_winnow_pairs,
+        "salted_supplier_revenue": q_salted_supplier_revenue,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "media_pipeline": q_media_pipeline,
@@ -1645,6 +1734,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_clusters": _oracle_doc_dup_clusters(),
         "doc_text_knn": _oracle_doc_text_knn(),
         "doc_simhash_near": _oracle_doc_simhash_near(),
+        "doc_winnow_pairs": _oracle_doc_winnow_pairs(),
+        "salted_supplier_revenue": _oracle_salted_supplier_revenue(),
         "embedding_near_dups": _ORACLE_EMBEDDING_NEAR_DUPS,
         "embedding_near_dups_lsh": _oracle_embedding_near_dups_lsh(),
         "media_pipeline": _ORACLE_MEDIA_PIPELINE,

@@ -131,6 +131,49 @@ def rolling_fingerprint(text) -> Column:
     )
 
 
+def winnow_grams(text, k: int = 4) -> Column:
+    """Overlapping k-token grams as strings (positions preserved, unlike
+    ``shingles`` which dedups); docs shorter than k tokens gram their
+    whole text."""
+    toks = tokens(text)
+    nk = F.size(toks) - (k - 1)
+    return F.when(
+        nk >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(nk, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array(_c(text)))
+
+
+def winnow_fingerprints(text, k: int = 4, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken — the
+    MOSS algorithm): hash every k-token gram portably, then keep the
+    MINIMUM hash of each sliding window of ``window`` consecutive gram
+    hashes; the sorted distinct selections are the fingerprint set.
+
+    Guarantee: any shared token run of length >= window + k - 1 between
+    two documents yields at least one shared fingerprint, at expected
+    density 2/(window+1) — substring-robust dedup whose index size is a
+    tunable fraction of the corpus.
+
+    NOTE: this single-Column form nests higher-order lambdas, and
+    Catalyst re-evaluates the inner gram-hash array per window element —
+    O(T·window) md5 work per document. Fine for spot use; the corpus
+    pipeline (``dedup.winnow_pairs``) uses the aggregation form (explode
+    → hash once → sliding-window min), which computes identical values
+    (drift-guard test pins the two equal)."""
+    hashes = F.transform(winnow_grams(text, k), base_hash64)
+    nw = F.greatest(F.size(hashes) - (window - 1), F.lit(1))
+    sel = F.transform(
+        F.sequence(F.lit(1), nw),
+        lambda j: F.array_min(F.slice(hashes, j, window)),
+    )
+    return F.array_sort(F.array_distinct(sel))
+
+
 def hashed_embedding(text, dim: int = 32, normalize: bool = True) -> Column:
     """Feature-hashing document embedding: component j = count of tokens
     whose portable hash lands in bucket j, L2-normalized — a

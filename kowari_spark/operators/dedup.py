@@ -644,3 +644,58 @@ def embedding_near_dups_lsh(
         .select("id_a", "id_b", cos.alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-robust near-dup candidates via winnowing
+    (functions/text.winnow_fingerprints): documents sharing at least
+    ``min_shared`` selected fingerprints. Unlike minhash (whole-document
+    set similarity) this catches documents that share a long RUN of
+    tokens — boilerplate, quoted passages, templated text — because any
+    common token run of length >= window + k - 1 is guaranteed a shared
+    fingerprint.
+
+    Scale shape: candidate pairs only form inside fingerprint groups
+    (equi-join on the fingerprint hash), never all-pairs; the per-doc
+    fingerprint count is ~2/(window+1) of its token count, so the join
+    input is a tunable fraction of the corpus."""
+    from pyspark.sql.window import Window
+
+    from kowari_spark.functions.text import base_hash64, winnow_grams
+
+    # aggregation form (same values as functions.text.winnow_fingerprints,
+    # pinned by drift-guard test): posexplode grams, hash each ONCE, then
+    # a sliding rowsBetween window min — the nested-Column form would
+    # re-evaluate the gram-hash array per window element (O(T·window)
+    # md5 per doc; measured 30x slower at sf0.01)
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(winnow_grams(F.col(text_col), k)).alias("__pos", "__g"),
+    )
+    hashed = grams.select(id_col, "__pos", base_hash64(F.col("__g")).alias("__h"))
+    wpart = Window.partitionBy(id_col)
+    wslide = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, window - 1)
+    fps = (
+        hashed.withColumn("__n", F.count("*").over(wpart))
+        .withColumn("fp", F.min("__h").over(wslide))
+        # valid window START positions only (0-based): 0..max(n-window, 0)
+        .filter(F.col("__pos") <= F.greatest(F.col("__n") - window, F.lit(0)))
+        .select(F.col(id_col), "fp")
+        .distinct()
+    )
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

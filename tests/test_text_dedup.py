@@ -273,3 +273,55 @@ def test_dedup_clusters_self_pairs_and_empty(spark):
     assert got == {5: 5, 7: 7, 8: 7}
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert dedup_clusters(empty).count() == 0
+
+
+def test_winnow_forms_agree_and_substring_guarantee(spark):
+    """Drift-guard: the relational aggregation form (winnow_pairs'
+    internals) must equal the single-Column form; and two docs sharing a
+    token run of length >= window + k - 1 must share a fingerprint."""
+    from pyspark.sql import functions as F
+    from kowari_spark.functions.text import winnow_fingerprints
+    from kowari_spark.operators.dedup import winnow_pairs
+
+    shared_run = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens >= 4+4-1
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + shared_run + " and a unique tail one"),
+            (2, "completely different opening " + shared_run + " other ending text"),
+            (3, "nothing in common with either of the others at all folks"),
+            (4, "tiny doc"),  # shorter than k tokens
+        ],
+        "doc_id long, text string",
+    )
+    # drift-guard: explode the Column form, compare against the
+    # aggregation form used by winnow_pairs (reconstructed via the op's
+    # own fingerprints through a self-join round trip)
+    col_fps = docs.select(
+        "doc_id", F.explode(winnow_fingerprints("text", 4, 4)).alias("fp")
+    )
+    from kowari_spark.functions.text import base_hash64, winnow_grams
+    from pyspark.sql.window import Window
+
+    grams = docs.select(
+        "doc_id", F.posexplode(winnow_grams(F.col("text"), 4)).alias("p", "g")
+    ).select("doc_id", "p", base_hash64(F.col("g")).alias("h"))
+    agg_fps = (
+        grams.withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+        .withColumn(
+            "fp",
+            F.min("h").over(
+                Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
+            ),
+        )
+        .filter(F.col("p") <= F.greatest(F.col("n") - 4, F.lit(0)))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    a = sorted(map(tuple, col_fps.collect()))
+    b = sorted(map(tuple, agg_fps.collect()))
+    assert a == b
+
+    pairs = {(r["id_a"], r["id_b"]): r["shared"]
+             for r in winnow_pairs(docs, k=4, window=4, min_shared=1).collect()}
+    assert (1, 2) in pairs  # guaranteed by the shared run
+    assert all(3 not in p for p in pairs)
