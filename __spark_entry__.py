@@ -1320,6 +1320,40 @@ ORDER BY s_name
 """
 
 
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped order-statistic quantiles (operators/stats.py):
+    p50/p95/p99 of extended price per return flag — one window sort per
+    group, discrete ceil(p*n) rank, no interpolation, so the oracle
+    reproduces the exact selected rows. (percentile_approx is the
+    100 TB whole-table path; its sketch error is engine-specific, hence
+    the exact form is what gets oracle-pinned.)"""
+    from kowari_spark.operators.stats import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", (0.5, 0.95, 0.99)
+    ).orderBy("l_returnflag")
+
+
+def _oracle_price_quantiles() -> str:
+    return """
+WITH r AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY CAST(l_extendedprice AS DOUBLE) ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem)
+SELECT l_returnflag,
+       CAST(MAX(n) AS BIGINT) AS n,
+       MIN(CASE WHEN rn = greatest(ceil(0.5 * n), 1) THEN v END) AS p50,
+       MIN(CASE WHEN rn = greatest(ceil(0.95 * n), 1) THEN v END) AS p95,
+       MIN(CASE WHEN rn = greatest(ceil(0.99 * n), 1) THEN v END) AS p99
+FROM r
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q_doc_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-pairs: top-byte blocking + exact hamming filter."""
     docs = _t(spark, sf_dir, "documents")
@@ -1688,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_near": q_doc_simhash_near,
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "salted_supplier_revenue": q_salted_supplier_revenue,
+        "price_quantiles": q_price_quantiles,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "media_pipeline": q_media_pipeline,
@@ -1736,6 +1771,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_near": _oracle_doc_simhash_near(),
         "doc_winnow_pairs": _oracle_doc_winnow_pairs(),
         "salted_supplier_revenue": _oracle_salted_supplier_revenue(),
+        "price_quantiles": _oracle_price_quantiles(),
         "embedding_near_dups": _ORACLE_EMBEDDING_NEAR_DUPS,
         "embedding_near_dups_lsh": _oracle_embedding_near_dups_lsh(),
         "media_pipeline": _ORACLE_MEDIA_PIPELINE,
