@@ -44,6 +44,11 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("KOWARI_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime row-level filtering: build a bloom filter from the
+        # selective side of a big join and push it into the other side's
+        # scan — at 100 TB this prunes shuffle input the way DPP prunes
+        # partitions (explicit so the intent survives default changes)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
