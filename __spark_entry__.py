@@ -1320,6 +1320,54 @@ ORDER BY s_name
 """
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion over the event stream: users who
+    viewed, then clicked STRICTLY AFTER their first view, then purchased
+    strictly after that first qualifying click. Each step is one
+    aggregate + join on user_id (all three shuffles share the key, so a
+    cluster co-partitions them); the chained conditional-min formulation
+    is exactly expressible in SQL, giving a bit-for-bit oracle."""
+    ev = _events(spark, sf_dir)
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    a = t1.agg(F.count("*").cast("long").alias("users_viewed"))
+    b = t2.agg(F.count("*").cast("long").alias("users_clicked"))
+    c = t3.agg(F.count("*").cast("long").alias("users_purchased"))
+    return a.crossJoin(b).crossJoin(c)
+
+
+_ORACLE_EVENTS_FUNNEL = """
+WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS users_viewed,
+       CAST((SELECT COUNT(*) FROM t2) AS BIGINT) AS users_clicked,
+       CAST((SELECT COUNT(*) FROM t3) AS BIGINT) AS users_purchased
+"""
+
+
 def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped order-statistic quantiles (operators/stats.py):
     p50/p95/p99 of extended price per return flag — one window sort per
@@ -1723,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "salted_supplier_revenue": q_salted_supplier_revenue,
         "price_quantiles": q_price_quantiles,
+        "events_funnel": q_events_funnel,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "media_pipeline": q_media_pipeline,
@@ -1772,6 +1821,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_winnow_pairs": _oracle_doc_winnow_pairs(),
         "salted_supplier_revenue": _oracle_salted_supplier_revenue(),
         "price_quantiles": _oracle_price_quantiles(),
+        "events_funnel": _ORACLE_EVENTS_FUNNEL,
         "embedding_near_dups": _ORACLE_EMBEDDING_NEAR_DUPS,
         "embedding_near_dups_lsh": _oracle_embedding_near_dups_lsh(),
         "media_pipeline": _ORACLE_MEDIA_PIPELINE,
