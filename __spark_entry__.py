@@ -1320,6 +1320,55 @@ ORDER BY s_name
 """
 
 
+def q_doc_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-data splits + sampling
+    (operators/sampling.py): every document's train/val/test assignment
+    and 10%-sample membership is a pure function of its id hash —
+    reproducible across engines, partitionings and re-ingests (no RNG).
+    Output: per-split doc counts and sampled-doc counts; the oracle
+    recomputes the identical hash arithmetic in SQL."""
+    from kowari_spark.operators.sampling import hash_uniform, train_val_test
+
+    docs = _t(spark, sf_dir, "documents")
+    split = train_val_test(docs, id_col="doc_id", seed=7)
+    return (
+        split.withColumn(
+            "in_sample", (hash_uniform("doc_id", seed=11) < F.lit(0.1)).cast("int")
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("in_sample").cast("long").alias("n_sampled"),
+        )
+        .orderBy("split")
+    )
+
+
+def _oracle_doc_split_sample() -> str:
+    h7 = _SQL_HASH64.format(s="CAST(doc_id AS VARCHAR) || '#7'")
+    h11 = _SQL_HASH64.format(s="CAST(doc_id AS VARCHAR) || '#11'")
+    space = float(1 << 60)
+    # thresholds accumulated EXACTLY as split_assign does (0.8 + 0.1 is
+    # 0.9000000000000001 in IEEE — the boundary literal must match)
+    t_train = repr(0.8)
+    t_val = repr(0.8 + 0.1)
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         CAST({h7} AS DOUBLE) / {space!r} AS u7,
+         CAST({h11} AS DOUBLE) / {space!r} AS u11
+  FROM documents)
+SELECT CASE WHEN u7 < {t_train} THEN 'train'
+            WHEN u7 < {t_val} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN u11 < 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM u
+GROUP BY 1
+ORDER BY split
+"""
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel conversion over the event stream: users who
     viewed, then clicked STRICTLY AFTER their first view, then purchased
@@ -1772,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_supplier_revenue": q_salted_supplier_revenue,
         "price_quantiles": q_price_quantiles,
         "events_funnel": q_events_funnel,
+        "doc_split_sample": q_doc_split_sample,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "media_pipeline": q_media_pipeline,
@@ -1822,6 +1872,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_supplier_revenue": _oracle_salted_supplier_revenue(),
         "price_quantiles": _oracle_price_quantiles(),
         "events_funnel": _ORACLE_EVENTS_FUNNEL,
+        "doc_split_sample": _oracle_doc_split_sample(),
         "embedding_near_dups": _ORACLE_EMBEDDING_NEAR_DUPS,
         "embedding_near_dups_lsh": _oracle_embedding_near_dups_lsh(),
         "media_pipeline": _ORACLE_MEDIA_PIPELINE,
