@@ -1320,6 +1320,29 @@ ORDER BY s_name
 """
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/stats.retention_cohorts):
+    cohort = Monday of the week of a user's first event, cell = distinct
+    users active N weeks later. Exact distinct counts, date-truncation
+    parity pinned to DuckDB's ISO week."""
+    from kowari_spark.operators.stats import retention_cohorts
+
+    ev = _events(spark, sf_dir)
+    return retention_cohorts(ev).orderBy("cohort_week", "week_n")
+
+
+_ORACLE_EVENTS_RETENTION = """
+WITH f AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id),
+j AS (SELECT e.user_id, e.ts, f.t0 FROM events e JOIN f ON e.user_id = f.user_id)
+SELECT strftime(date_trunc('week', t0), '%Y-%m-%d') AS cohort_week,
+       CAST(FLOOR(date_diff('day', CAST(t0 AS DATE), CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week_n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+FROM j
+GROUP BY 1, 2
+ORDER BY cohort_week, week_n
+"""
+
+
 def q_doc_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-data splits + sampling
     (operators/sampling.py): every document's train/val/test assignment
@@ -1822,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantiles": q_price_quantiles,
         "events_funnel": q_events_funnel,
         "doc_split_sample": q_doc_split_sample,
+        "events_retention": q_events_retention,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "media_pipeline": q_media_pipeline,
@@ -1873,6 +1897,7 @@ def oracle_sql() -> dict[str, str]:
         "price_quantiles": _oracle_price_quantiles(),
         "events_funnel": _ORACLE_EVENTS_FUNNEL,
         "doc_split_sample": _oracle_doc_split_sample(),
+        "events_retention": _ORACLE_EVENTS_RETENTION,
         "embedding_near_dups": _ORACLE_EMBEDDING_NEAR_DUPS,
         "embedding_near_dups_lsh": _oracle_embedding_near_dups_lsh(),
         "media_pipeline": _ORACLE_MEDIA_PIPELINE,

@@ -74,3 +74,28 @@ def train_val_test(
     """Stable train/val/test assignment as a ``split`` column."""
     weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
     return df.withColumn("split", split_assign(id_col, weights, seed))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. rebalance languages in a
+    training mix): keep ~fractions[stratum] of each group, chosen by id
+    hash — the same reproducibility guarantees as deterministic_sample,
+    per group. Strata absent from ``fractions`` fall back to
+    ``default_fraction``. The fraction lookup is a literal map (native
+    expression), so the filter stays in whole-stage codegen."""
+    pairs: list[Column] = []
+    for k, v in fractions.items():
+        pairs.append(F.lit(str(k)))
+        pairs.append(F.lit(float(v)))
+    frac = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(strata_col).cast("string")),
+        F.lit(float(default_fraction)),
+    )
+    return df.filter(hash_uniform(id_col, seed) < frac)

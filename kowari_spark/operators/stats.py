@@ -53,3 +53,34 @@ def exact_quantiles(
         name = f"p{str(p * 100).rstrip('0').rstrip('.').replace('.', '_')}"
         aggs.append(F.min(F.when(F.col("__rn") == rank, F.col("__v"))).alias(name))
     return ranked.groupBy(*key_cols).agg(*aggs)
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix: cohort = ISO week of the user's
+    FIRST event, cell (cohort, week_n) = distinct users of that cohort
+    active week_n weeks after their first event.
+
+    Two shuffles — the first-event aggregate and the (cohort, week_n)
+    distinct-count — both keyed on user/cohort, so a cluster
+    co-partitions them; exact distinct (the oracle-checkable form),
+    with approx_count_distinct the knob at whole-corpus scale. Output
+    columns: cohort_week (yyyy-MM-dd string), week_n, users."""
+    first = events.groupBy(user_col).agg(F.min(ts_col).alias("__t0"))
+    joined = events.select(user_col, ts_col).join(first, user_col)
+    week_n = F.floor(
+        F.datediff(F.col(ts_col).cast("date"), F.col("__t0").cast("date")) / 7
+    ).cast("long")
+    cohort = F.date_format(F.date_trunc("week", F.col("__t0")), "yyyy-MM-dd")
+    return (
+        joined.select(
+            cohort.alias("cohort_week"),
+            week_n.alias("week_n"),
+            F.col(user_col).alias("__u"),
+        )
+        .groupBy("cohort_week", "week_n")
+        .agg(F.count_distinct("__u").cast("long").alias("users"))
+    )

@@ -42,3 +42,26 @@ def test_hash_uniform_range(spark):
     mm = df.agg(F.min("u"), F.max("u"), F.avg("u")).first()
     assert 0.0 <= mm[0] and mm[1] < 1.0
     assert 0.4 <= mm[2] <= 0.6
+
+
+def test_stratified_sample_per_group_rates(spark):
+    from kowari_spark.operators.sampling import stratified_sample
+
+    df = spark.range(6_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    out = stratified_sample(df, "lang", {"en": 0.5, "de": 0.1}, seed=5)
+    rates = {r["lang"]: r["n"] / 2_000 for r in
+             out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 0.44 <= rates["en"] <= 0.56
+    assert 0.05 <= rates["de"] <= 0.15
+    assert "fr" not in rates  # default fraction 0
+    # deterministic across partitionings
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in
+               stratified_sample(df.repartition(5), "lang", {"en": 0.5, "de": 0.1}, seed=5).collect())
+    assert a == b
