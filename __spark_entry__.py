@@ -89,13 +89,17 @@ def _utc(spark: SparkSession) -> None:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores nanosecond timestamps, which Spark's parquet
-    reader rejects; read them as long and convert with integer division
-    (ns magnitudes exceed double's 53-bit mantissa, so no float math)."""
+    """Load events with a TIMESTAMP ``ts`` regardless of how the file
+    stores it: timestamp[us] reads natively (cast NTZ->TIMESTAMP is
+    identity under the pinned UTC session); nanosecond files are read as
+    long and converted with integer division (ns magnitudes exceed
+    double's 53-bit mantissa, so no float math)."""
     _utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 # SQL fragments (DuckDB dialect) --------------------------------------------

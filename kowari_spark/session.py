@@ -47,8 +47,12 @@ def get_session(
         # runtime row-level filtering: build a bloom filter from the
         # selective side of a big join and push it into the other side's
         # scan — at 100 TB this prunes shuffle input the way DPP prunes
-        # partitions (explicit so the intent survives default changes)
-        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # partitions. KOWARI_BLOOM_FILTER=false turns it off; at small SF
+        # the build-and-probe cost is pure overhead (see BASELINE.md A/B).
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            os.environ.get("KOWARI_BLOOM_FILTER", "true"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -38,12 +38,9 @@ def events_dir(spark, sf_dir, tmp_path_factory):
     withheld at end-of-stream. The sentinel pushes the watermark past
     every real window; comparisons filter it back out."""
     out = str(tmp_path_factory.mktemp("events_src"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        .select([f.name for f in EVENT_SCHEMA])
-    )
+    import __spark_entry__ as entrymod
+
+    ev = entrymod._events(spark, sf_dir).select([f.name for f in EVENT_SCHEMA])
     ev.repartition(4).write.mode("overwrite").parquet(out)
     flush = ev.limit(0).sparkSession.createDataFrame(
         [(10**9, ev.agg(F.max("ts")).first()[0] + __import__("datetime").timedelta(days=30),
