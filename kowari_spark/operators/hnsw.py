@@ -185,6 +185,21 @@ class HNSW:
         vecs = exploded.filter(F.col("level") == 0).select("__vid", "__v")
         edges = self.candidate_graph(df, id_col, vec_col, metric).localCheckpoint()
 
+        # connectivity patch BEFORE refinement: a node alone in all its
+        # buckets has no out-edges; link it to the entry point so the
+        # NN-descent rounds below integrate it (its 2-hop candidates via
+        # the entry point are real neighbors, and top-M pruning never
+        # drops a src's last edge — every src keeps >= 1 edge).
+        ep_id, _ = self.entry_point(leveled, id_col)
+        missing = (
+            exploded.select("level", F.col("__vid").alias("src"))
+            .join(edges.select("level", "src").distinct(), ["level", "src"],
+                  "left_anti")
+            .filter(F.col("src") != F.lit(ep_id))
+            .select("level", "src", F.lit(ep_id).alias("dst"))
+        )
+        edges = edges.select("level", "src", "dst").unionByName(missing)
+
         for _ in range(self.refine_rounds):
             # NN-descent: candidates = 2-hop neighbors over the
             # UNDIRECTED edge set (forward ∪ reverse), re-scored and
@@ -209,20 +224,9 @@ class HNSW:
             )
             edges = self._top_m(cand, vecs, metric).localCheckpoint()
 
-        # connectivity patch: a node alone in all its buckets has no
-        # out-edges; link it to the entry point so search can leave it
-        # (the NN-descent round then integrates it properly)
-        ep_id, _ = self.entry_point(leveled, id_col)
-        missing = (
-            exploded.select("level", F.col("__vid").alias("src"))
-            .join(edges.select("level", "src").distinct(), ["level", "src"],
-                  "left_anti")
-            .filter(F.col("src") != F.lit(ep_id))
-            .select("src", F.lit(ep_id).alias("dst"), "level")
-        )
         # materialize + truncate lineage (executor-side blocks, not a
         # driver collect): downstream query joins replay edges many times
-        return edges.unionByName(missing).localCheckpoint()
+        return edges.select("src", "dst", "level").localCheckpoint()
 
     # -- query -------------------------------------------------------------
 
@@ -245,11 +249,25 @@ class HNSW:
         query_vec_col: str = "embedding",
         hops: int = 4,
         round_to: int | None = None,
+        entry_budget: int = 2048,
     ) -> DataFrame:
-        """Batch graph search: greedy one-hop descent through upper
-        levels, then ``hops`` rounds of ef-bounded frontier expansion at
-        level 0, then exact ranking of everything visited (reference
-        lifecycle: src/index.rs:314-355 → final ranking :345-353).
+        """Batch graph search: exact scoring of the whole layer at a cut
+        level (one plan replaces the per-level greedy walk above it),
+        greedy descent through the remaining upper levels, then ``hops``
+        rounds of ef-bounded frontier expansion at level 0, then exact
+        ranking of everything visited (reference lifecycle:
+        src/index.rs:314-355 → final ranking :345-353).
+
+        Upper-level routing exists only to find a good level-0 entry per
+        query. Layer L holds ~n/2^L nodes, so pick the smallest L_cut
+        whose layer fits ``entry_budget`` and score that WHOLE layer
+        against the (broadcast) query set in one distributed pass — the
+        exact best entry at L_cut, strictly better than the node a
+        greedy walk from the global entry point would reach, without the
+        one-blocking-job-per-level cost (~8 sequential barriers on a
+        10-level graph; the dominant latency term at local[32]). At
+        n=1e11 a capped L_cut=16 layer is ~1.5M rows — still one
+        broadcast-join map stage, no shuffle.
         """
         spark = base.sparkSession
         # the search loop touches (id, vector) once per hop/level — pin
@@ -258,7 +276,14 @@ class HNSW:
         # below, so the unpersist at the end is safe for the lazy result)
         vecs = base.select(F.col(id_col), F.col(vec_col)).persist()
         leveled = assign_levels(vecs, id_col, self.seed, self.max_level)
-        ep_id, top_level = self.entry_point(leveled, id_col)
+        stats = leveled.agg(
+            F.count("*").alias("n"), F.max("node_level").alias("top")
+        ).first()
+        n, top_level = int(stats["n"]), int(stats["top"] or 0)
+        import math
+
+        l_cut = max(1, math.ceil(math.log2(max(n / max(entry_budget, 1), 1.0))))
+        l_cut = min(l_cut, top_level)  # 0 on a flat graph -> score all
 
         q = queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -279,17 +304,25 @@ class HNSW:
                 )
             )
 
-        # start every query at the global entry point
-        frontier = q.select("query_id").withColumn(id_col, F.lit(ep_id))
-        best = with_scores(frontier)
+        # exact entry: every (query, layer>=L_cut node) pair, one plan
+        layer = leveled.filter(F.col("node_level") >= l_cut).select(id_col)
+        pairs = layer.crossJoin(F.broadcast(q.select("query_id")))
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+        best = (
+            with_scores(pairs)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .localCheckpoint()
+        )
 
-        # greedy descent: one expansion per upper level, keep best-1.
-        # Each level is checkpointed: the frontier re-enters the next
-        # level's plan on BOTH sides (broadcast probe + union), and
-        # without materialization the nested broadcast subplans replay
-        # the whole prefix per level (measured 3-4x slower).
-        best = best.localCheckpoint()
-        for level in range(int(top_level), 0, -1):
+        # greedy descent through the remaining upper levels, TWO levels
+        # per checkpoint: the frontier re-enters the next level's plan on
+        # BOTH sides (broadcast probe + union), so unbounded lineage
+        # doubles per level — materializing every other level keeps the
+        # replay bounded at half the blocking-job count.
+        down = list(range(l_cut - 1, 0, -1))
+        for i, level in enumerate(down):
             nbrs = (
                 F.broadcast(best.select("query_id", id_col))
                 .join(
@@ -299,13 +332,13 @@ class HNSW:
                 .select("query_id", F.col("dst").alias(id_col))
             )
             scored = with_scores(nbrs).unionByName(best)
-            w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
             best = (
                 scored.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == 1)
                 .drop("rn")
-                .localCheckpoint()
             )
+            if i % 2 == 1 or i == len(down) - 1:
+                best = best.localCheckpoint()
 
         # level-0 BFS: expand ef-bounded frontier `hops` times.
         # Checkpoint every OTHER round: each checkpoint is a blocking

@@ -58,15 +58,21 @@ def zorder_by(
     of them skip most files on parquet statistics alone."""
     n_buckets = (1 << bits) - 1
     qs = [i / n_buckets for i in range(1, n_buckets + 1)]
-    cuts = {
-        c: sorted(set(df.select(F.col(c).cast("double").alias("v"))
-                      .approxQuantile("v", qs, 0.001)))
-        for c in cols
-    }
+    # ONE driver job for every column's cut points (approxQuantile takes
+    # a column list and runs a single multi-sketch aggregate)
+    doubled = df.select(
+        *[F.col(c).cast("double").alias(f"__q{i}") for i, c in enumerate(cols)]
+    )
+    all_cuts = doubled.approxQuantile(
+        [f"__q{i}" for i in range(len(cols))], qs, 0.001
+    )
+    cuts = {c: sorted(set(all_cuts[i])) for i, c in enumerate(cols)}
     ranks = [_bucket_expr(F.col(c), cuts[c]) for c in cols]
     z = z_value(ranks, bits)
     out = df.withColumn("__z", z)
-    n = n_partitions or max(df.rdd.getNumPartitions(), 1)
+    n = n_partitions or max(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1
+    )
     return (
         out.repartitionByRange(n, F.col("__z"))
         .sortWithinPartitions("__z")
