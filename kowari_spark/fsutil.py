@@ -1,0 +1,100 @@
+"""Filesystem access through the JVM Hadoop FileSystem API.
+
+Small sidecar/maintenance IO (index metadata JSON, partition file
+listings) must work wherever the data lives — local paths in tests,
+``hdfs://`` / ``s3a://`` on a cluster. Python's ``open``/``os.listdir``
+only handle the first, so everything path-shaped outside of
+``spark.read``/``df.write`` goes through the Hadoop FileSystem the
+active session already carries (same credentials, same scheme
+resolution as the data reads themselves). No extra dependency: these
+classes ship inside any Spark distribution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_path(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` under the session's Hadoop conf."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(hconf), jpath
+
+
+def write_bytes(spark: SparkSession, path: str, data: bytes) -> None:
+    """Create/overwrite one small file (sidecar scale, not data scale)."""
+    fs, jpath = _fs_path(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+
+
+def read_bytes(spark: SparkSession, path: str) -> bytes:
+    """Read one small file fully."""
+    fs, jpath = _fs_path(spark, path)
+    if not fs.exists(jpath):
+        raise FileNotFoundError(path)
+    stream = fs.open(jpath)
+    try:
+        # IOUtils drains the stream without a Python read loop over JNI
+        jvm = spark.sparkContext._jvm
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, False)
+        return bytes(baos.toByteArray())
+    finally:
+        stream.close()
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _fs_path(spark, path)
+    return fs.exists(jpath)
+
+
+def create_marker(spark: SparkSession, path: str) -> bool:
+    """Create an empty marker file without overwrite (HDFS/local give
+    O_EXCL semantics; object stores approximate). Returns False if it
+    already existed — the idempotence check for replayed work."""
+    fs, jpath = _fs_path(spark, path)
+    if fs.exists(jpath):
+        return False
+    try:
+        out = fs.create(jpath, False)
+        out.close()
+        return True
+    except Exception:
+        return False
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    fs, jpath = _fs_path(spark, path)
+    return bool(fs.delete(jpath, recursive))
+
+
+def list_dirs(spark: SparkSession, path: str) -> list[str]:
+    """Names of immediate subdirectories (e.g. ``bucket=7`` partition
+    dirs of a partitioned layout)."""
+    fs, jpath = _fs_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(jpath)
+        if st.isDirectory()
+    ]
+
+
+def count_data_files(spark: SparkSession, path: str) -> int:
+    """Data files (non-hidden, non-marker) directly inside ``path``."""
+    fs, jpath = _fs_path(spark, path)
+    if not fs.exists(jpath):
+        return 0
+    n = 0
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isFile() and not name.startswith(("_", ".")):
+            n += 1
+    return n

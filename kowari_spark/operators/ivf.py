@@ -26,7 +26,6 @@ Spark-first design:
 from __future__ import annotations
 
 import json
-import os
 from collections.abc import Sequence
 from decimal import ROUND_HALF_UP, Decimal
 
@@ -182,19 +181,26 @@ class IVF:
             "round_centroids": self.round_centroids,
             "centroids": [[float(x) for x in c] for c in self.centroids],
         }
-        local = path[len("file:"):] if path.startswith("file:") else path
-        with open(os.path.join(local, _META_NAME), "w") as f:
-            json.dump(meta, f)
+        # sidecar goes through the Hadoop FileSystem API so the layout
+        # works wherever the parquet itself landed (file:, hdfs://,
+        # s3a://) — a local open() would silently scope the index to the
+        # driver's disk
+        from kowari_spark.fsutil import write_bytes
+
+        write_bytes(
+            df.sparkSession, f"{path}/{_META_NAME}", json.dumps(meta).encode()
+        )
 
     def load(self, spark: SparkSession, path: str) -> DataFrame:
         """Open a built layout. Restores the saved quantizer into this
         instance when the ``_ivf_meta.json`` sidecar exists (so
-        ``IVF().load(...)`` is probe-ready with no fit)."""
-        local = path[len("file:"):] if path.startswith("file:") else path
-        meta_path = os.path.join(local, _META_NAME)
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                meta = json.load(f)
+        ``IVF().load(...)`` is probe-ready with no fit). Sidecar IO uses
+        the Hadoop FileSystem API — any scheme the session can read."""
+        from kowari_spark.fsutil import exists, read_bytes
+
+        meta_path = f"{path}/{_META_NAME}"
+        if exists(spark, meta_path):
+            meta = json.loads(read_bytes(spark, meta_path).decode())
             self.n_lists = meta["n_lists"]
             self.n_probe = meta["n_probe"]
             self.max_iter = meta["max_iter"]

@@ -5,15 +5,18 @@ pipelines carry media as opaque ``binary`` columns next to typed
 metadata, and run decode / feature-extract / resize / frame-sample as
 Arrow-batched Python stages. The Spark-side plumbing here — schema,
 mapInPandas signatures, batch shaping, column pruning — is real and
-tested; only the *codec* is stubbed, because no image/audio library
-ships in this environment:
+tested, and so is image decode:
 
 - ``codec="kwm"`` (default): a deterministic fake format (see below)
-  that exercises every byte of the pipeline end-to-end;
-- ``codec="pil"`` / ``codec="ffmpeg"``: raise NotImplementedError at the
-  decode boundary — the single clearly-marked line where a real decoder
-  plugs in. Everything around it (schemas, partitioning, batch shape)
-  is unchanged by that swap.
+  that exercises every byte of the pipeline end-to-end and keeps the
+  oracle contract reproducible;
+- ``codec="png"``: REAL PNG decode with no external dependency
+  (kowari_spark/codecs.py — stdlib zlib inflate + per-spec unfilter);
+- ``codec="pil"``: any Pillow-supported format, gated behind an
+  import-try (Pillow is public but not in every runtime; tests skip
+  when absent);
+- ``codec="ffmpeg"``: still a documented NotImplementedError — no
+  ffmpeg binary or binding ships in this environment.
 
 KWM fake format (so tests are byte-level real):
   magic ``KWM1`` | u8 kind (0=image,1=audio,2=video) | u16be width |
@@ -127,14 +130,36 @@ def synth_media(
 def _decode_blob(blob: bytes, codec: str) -> tuple[str, int, int, int, np.ndarray]:
     """(kind, width, height, n_frames, pixels[f,h,w]) for one blob.
 
-    THE decode stub: a real pipeline swaps this single function for
-    PIL/ffmpeg; every schema and operator around it is codec-agnostic.
+    THE decode boundary — every schema and operator around it is
+    codec-agnostic:
+
+    - ``kwm``: the deterministic built-in test codec;
+    - ``png``: real PNG files via the dependency-free decoder
+      (kowari_spark.codecs.decode_png — stdlib zlib + numpy);
+    - ``pil``: any Pillow-supported format (PNG/JPEG/WebP/...);
+      import-gated, raises NotImplementedError with the install hint
+      where Pillow is absent;
+    - ``ffmpeg``: still stubbed — no ffmpeg binary or binding ships in
+      this environment; video beyond the KWM frame model needs it.
     """
-    if codec != "kwm":
+    if codec == "png":
+        from kowari_spark.codecs import decode_png
+
+        width, height, gray = decode_png(bytes(blob))
+        return "image", width, height, 1, gray[None, :, :]
+    if codec == "pil":
+        from kowari_spark.codecs import decode_with_pil
+
+        width, height, gray = decode_with_pil(bytes(blob))
+        return "image", width, height, 1, gray[None, :, :]
+    if codec == "ffmpeg":
         raise NotImplementedError(
-            f"codec {codec!r} needs an external library not present in this "
-            "environment; only the deterministic 'kwm' test codec is built in"
+            "codec 'ffmpeg' needs the ffmpeg binary/bindings, absent from "
+            "this environment; images decode via 'png'/'pil', video via the "
+            "deterministic 'kwm' test codec"
         )
+    if codec != "kwm":
+        raise ValueError(f"unknown codec {codec!r} (kwm, png, pil, ffmpeg)")
     magic, kind, width, height, n_frames = _HEADER.unpack_from(blob, 0)
     if magic != _MAGIC:
         raise ValueError("not a KWM blob")

@@ -13,6 +13,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _env_bool(name: str, default: bool) -> str:
+    """Read a boolean env knob tolerantly ('1'/'true'/'yes'/'on', any
+    case, surrounding whitespace) and return the canonical 'true'/'false'
+    string Spark's boolean confs require; raise a clear error on junk
+    instead of letting the session builder fail far from the env var."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return "true" if default else "false"
+    v = raw.strip().lower()
+    if v in ("1", "true", "yes", "on"):
+        return "true"
+    if v in ("0", "false", "no", "off"):
+        return "false"
+    raise ValueError(
+        f"{name}={raw!r} is not a boolean; use true/false (or 1/0, yes/no, on/off)"
+    )
+
+
 def get_session(
     app: str = "kowari_spark",
     master: str | None = None,
@@ -47,11 +65,13 @@ def get_session(
         # runtime row-level filtering: build a bloom filter from the
         # selective side of a big join and push it into the other side's
         # scan — at 100 TB this prunes shuffle input the way DPP prunes
-        # partitions. KOWARI_BLOOM_FILTER=false turns it off; at small SF
-        # the build-and-probe cost is pure overhead (see BASELINE.md A/B).
+        # partitions. KOWARI_BLOOM_FILTER=true forces it on; the local
+        # default is OFF because the BASELINE.md round-4 A/B measured the
+        # build-and-probe cost as pure overhead at bench scale (single
+        # JVM, sub-GB tables). On a real cluster deployment set it true.
         .config(
             "spark.sql.optimizer.runtime.bloomFilter.enabled",
-            os.environ.get("KOWARI_BLOOM_FILTER", "true"),
+            _env_bool("KOWARI_BLOOM_FILTER", default=False),
         )
     )
     for k, v in (extra_conf or {}).items():

@@ -27,10 +27,13 @@ def test_basic_backward_asof(spark):
 
 
 def test_matches_pandas_merge_asof(spark, sf_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.expr("ts DIV 1000"))
+    # Load via the same dtype-branching loader the entry point uses
+    # (events.parquet may store ts as int64-nanos or native timestamp[us]),
+    # then normalize to long microseconds for the pandas comparison.
+    from __spark_entry__ import _events
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ts", F.unix_micros(F.col("ts"))
     )
     left = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"

@@ -105,24 +105,64 @@ def test_encoder_matches_reference_layout():
 
 
 def test_binary_index_salvage(spark, tmp_path):
-    """BinaryIndex framing: 28-byte header + id-less appended records
-    (binary_index.rs:48-59,103-146); salvage reader synthesizes ids."""
+    """BinaryIndex framing, faithfully-clobbered fixture: the encoder
+    replays the reference's add_vector + update_header sequence
+    (binary_index.rs:103-146, 222-237), so the entry table at offset 32
+    physically overwrites the first record's bytes. The salvage reader
+    must recover the later records with their REAL uuids and skip the
+    clobbered one."""
+    import uuid
+
+    from kowari_spark.sources.kwi import decode_kwi_index, encode_kwi_index
+
+    ids = [str(uuid.UUID(int=i + 1)) for i in range(3)]
+    # dim 32: records (~140 B) outrun the 32 B/entry table, so only the
+    # first record is clobbered — the reference's typical corruption shape
+    vecs = [[i + j * 0.25 for j in range(32)] for i in range(3)]
+    metas = ['{"a":2}', None, '{"b":"x"}']
+    blob = encode_kwi_index(list(zip(ids, vecs, metas)))
+
+    # header truths the reference writer leaves behind: count=0 at the
+    # header field (offset 12, never rewritten), live count at offset 16
     import struct
 
-    from kowari_spark.sources.kwi import decode_kwi_index
+    assert struct.unpack_from("<Q", blob, 12)[0] & 0xFFFFFFFF == 0
+    assert struct.unpack_from("<Q", blob, 16)[0] == 3
 
-    vec = [0.5, 1.0]
-    blob = b"KWI\x00" + struct.pack("<I", 1) + struct.pack("<I", 2)  # dim
-    blob += struct.pack("<Q", 0) + struct.pack("<Q", 0)  # count, reserved
-    for m in (b'{"a":2}', b""):
-        blob += struct.pack("<Q", len(vec)) + struct.pack(f"<{len(vec)}f", *vec)
-        blob += struct.pack("<I", len(m)) + m
     got = decode_kwi_index(blob)
-    assert [g[0] for g in got] == ["row-0", "row-1"]
-    assert got[0][1] == pytest.approx(vec)
-    assert got[0][2] == '{"a":2}'
+    # record 0 (offset 28) overlaps the 3-entry table [32, 128): clobbered
+    assert [g[0] for g in got] == ids[1:]
+    assert got[0][1] == pytest.approx(vecs[1])
+    assert got[0][2] is None
+    assert got[1][1] == pytest.approx(vecs[2])
+    assert got[1][2] == '{"b":"x"}'
+
+    with pytest.raises(ValueError, match="unrecoverable"):
+        decode_kwi_index(blob, strict=True)
 
     p = tmp_path / "idx.kwi"
     p.write_bytes(blob)
     df = read_kwi(spark, str(p), framing="index")
-    assert sorted(r["id"] for r in df.collect()) == ["row-0", "row-1"]
+    assert sorted(r["id"] for r in df.collect()) == sorted(ids[1:])
+
+
+def test_binary_index_salvage_shuffled_table_order(tmp_path):
+    """The reference's entry table is HashMap-ordered (arbitrary); the
+    salvage reader must not depend on table order — output is offset
+    (append) order regardless."""
+    import struct
+    import uuid
+
+    from kowari_spark.sources.kwi import decode_kwi_index, encode_kwi_index
+
+    ids = [str(uuid.UUID(int=i + 10)) for i in range(4)]
+    vecs = [[float(i) + j * 0.5 for j in range(32)] for i in range(4)]
+    blob = bytearray(encode_kwi_index([(r, v, None) for r, v in zip(ids, vecs)]))
+    # swap two entry rows in place to simulate a different HashMap order
+    r1, r2 = blob[32 + 32 : 32 + 64], blob[32 + 64 : 32 + 96]
+    blob[32 + 32 : 32 + 64], blob[32 + 64 : 32 + 96] = r2, r1
+    got = decode_kwi_index(bytes(blob))
+    # entry 0 clobbered (4-entry table ends at 160 > offset 28); rest in
+    # append order by offset, ids preserved
+    assert [g[0] for g in got] == ids[1:]
+    assert got[0][1] == pytest.approx(vecs[1])

@@ -77,12 +77,18 @@ def test_frame_sample(spark, media_df):
     assert got[11 : 11 + 16 * 12] == orig[11 : 11 + 16 * 12]
 
 
-def test_unknown_codec_raises(spark, media_df):
+def test_ffmpeg_codec_stubbed(spark, media_df):
     with pytest.raises(Exception) as ei:
-        media_features(media_df, codec="pil").collect()
+        media_features(media_df, codec="ffmpeg").collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_unknown_codec_raises_valueerror(spark, media_df):
+    with pytest.raises(Exception) as ei:
+        media_features(media_df, codec="bmp").collect()
+    assert "unknown codec" in str(ei.value)
 
 
 def test_arrow_batch_shape_respected(spark):

@@ -202,6 +202,53 @@ def test_stream_into_lsh_layout(spark, embeddings, tmp_path):
     assert "PartitionFilters: [isnotnull(bucket" in plan
 
 
+def test_compact_bucketed_layout_bounds_files(spark, embeddings, tmp_path):
+    """N micro-batches leave ~N small files per touched bucket; one
+    compaction pass bounds every oversized bucket to target_files and
+    changes no data."""
+    from kowari_spark.fsutil import count_data_files, list_dirs
+    from kowari_spark.operators.lsh import SignLSH
+    from kowari_spark.streaming.ingest import (
+        compact_bucketed_layout,
+        stream_into_lsh_layout,
+    )
+
+    src = str(tmp_path / "vsrc")
+    out = str(tmp_path / "layout")
+    ck = str(tmp_path / "ck")
+    lsh = SignLSH(dim=64, num_planes=2, seed=42)  # 4 buckets -> files pile up
+    vecs = embeddings.select("vec_id", "embedding").limit(120)
+
+    # 6 micro-batches through ONE checkpoint (the parquet sink's
+    # _spark_metadata dedups batch ids, so each drain must be a new
+    # batch): append fresh source files, drain, repeat — every drain
+    # leaves one more small file per touched bucket
+    for i in range(6):
+        batch = vecs.filter(F.col("vec_id") % 6 == i)
+        batch.coalesce(1).write.mode("append").parquet(src)
+        q = stream_into_lsh_layout(
+            spark.readStream.schema(batch.schema).parquet(src),
+            lsh, out, ck,
+        )
+        q.awaitTermination(120)
+
+    before = {(r["vec_id"], r["bucket"]) for r in spark.read.parquet(out).collect()}
+    buckets = [d for d in list_dirs(spark, out) if d.startswith("bucket=")]
+    assert any(count_data_files(spark, f"{out}/{d}") > 4 for d in buckets)
+
+    rewritten = compact_bucketed_layout(spark, out, max_files=4, target_files=1)
+    assert rewritten  # something was oversized and got compacted
+
+    after_files = {d: count_data_files(spark, f"{out}/{d}") for d in buckets}
+    for d in rewritten:
+        assert after_files[d] <= 1, f"{d} still has {after_files[d]} files"
+    # data unchanged, probes still prune
+    after = {(r["vec_id"], r["bucket"]) for r in spark.read.parquet(out).collect()}
+    assert after == before
+    # second pass is a no-op: nothing oversized remains
+    assert compact_bucketed_layout(spark, out, max_files=4) == []
+
+
 def test_late_data_dropped_after_watermark(spark, tmp_path):
     """An event arriving after the watermark passed its window is
     DROPPED (the documented late-data policy of hourly_rollup)."""
