@@ -526,6 +526,50 @@ SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_cp_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-polytope LSH ANN (operators/cplsh.py — Andoni et al. 2015:
+    bucket = nearest signed basis vector of a rotated copy, the measured
+    recall/cost winner on this data, see BASELINE.md round-4 sweep).
+    T=40 tables at 4 probes captures every true top-10 neighbor at the
+    contract scale factors (swept: recall 1.0, min 1.0, at sf0.01 AND
+    sf0.001), and starved queries brute-force fall back — so the EXACT
+    top-10 SQL is a true oracle: any regression in rotation generation,
+    bucketing, probe ordering, the candidate join, or fallback breaks
+    the hash. The approximate regime (recall < 1) is gated in
+    tests/test_cplsh.py and the bench quality block."""
+    from kowari_spark.operators.cplsh import CrossPolytopeLSH
+
+    base = _t(spark, sf_dir, "embeddings")
+    queries = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cp = CrossPolytopeLSH(dim=64, num_tables=40, seed=100)
+    out = cp.query_batch(
+        base, queries, 10, id_col="vec_id", round_to=6, probes=4
+    )
+    return out.select(
+        "query_id", "vec_id", "score", F.col("rank").cast("long").alias("rank")
+    ).orderBy("query_id", "rank")
+
+
+def _oracle_cp_knn_top10() -> str:
+    cos = _cos_sql("(e.embedding::DOUBLE[])", "q.qe")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id, ROUND({cos}, 6) + 0.0 AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 10
+"""
+
+
 _IVF_PARAMS = dict(n_lists=16, n_probe=3, max_iter=3, seed=42, round_centroids=6)
 
 
@@ -1858,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall_at_10": q_lsh_recall_at_10,
         "lsh_precision_at_10": q_lsh_precision_at_10,
         "hnsw_knn": q_hnsw_knn,
+        "cp_knn_top10": q_cp_knn_top10,
         "ivf_knn": q_ivf_knn,
         "events_props_stats": q_events_props_stats,
         "events_kmv_users": q_events_kmv_users,
@@ -1917,5 +1962,6 @@ def oracle_sql() -> dict[str, str]:
         "customer_strings": _ORACLE_CUSTOMER_STRINGS,
         "orders_by_month": _ORACLE_ORDERS_BY_MONTH,
         "hnsw_knn": _oracle_hnsw_knn(),
+        "cp_knn_top10": _oracle_cp_knn_top10(),
         "ivf_knn": _oracle_ivf_knn(),
     }

@@ -122,6 +122,35 @@ def quality_gates(spark, sf_dir) -> dict:
     out["recall_lsh_single_bucket"] = round(
         mean_metric(recall_at_k(exact, lsh, 10, id_col="vec_id"), "recall"), 4
     )
+    # cross-polytope LSH — the round-4 recall/cost winner (BASELINE.md
+    # sweep): T=40 @ 1 probe is the swept default that hits the >=0.85
+    # recall @ <=0.25 candidate-fraction target on this data; the second
+    # point shows the probes knob trading candidates for recall
+    from kowari_spark.operators.cplsh import CrossPolytopeLSH
+
+    cp = CrossPolytopeLSH(dim=64, num_tables=40, seed=100)
+    cp_res = cp.query_batch(base, queries, 10, id_col="vec_id", round_to=6)
+    out["recall_cp_at_10"] = round(
+        mean_metric(recall_at_k(exact, cp_res, 10, id_col="vec_id"), "recall"), 4
+    )
+    cq = queries.select(
+        "query_id", F.posexplode(cp.buckets_udf()(F.col("embedding"))).alias("__tbl", "bucket")
+    )
+    cb = base.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(cp.buckets_udf()(F.col("embedding"))).alias("__tbl", "bucket"),
+    )
+    out["cp_cand_frac"] = round(
+        cb.join(F.broadcast(cq), ["__tbl", "bucket"]).select("query_id", "id").distinct().count()
+        / (queries.count() * n), 4
+    )
+    cp16 = CrossPolytopeLSH(dim=64, num_tables=16, seed=100)
+    cp16_res = cp16.query_batch(
+        base, queries, 10, id_col="vec_id", round_to=6, probes=3
+    )
+    out["recall_cp16_p3_at_10"] = round(
+        mean_metric(recall_at_k(exact, cp16_res, 10, id_col="vec_id"), "recall"), 4
+    )
     ivf = IVF(n_lists=16, n_probe=3, max_iter=3, seed=42).fit(base, id_col="vec_id")
     lists = ivf.with_lists(base).persist()
     approx = ivf.query_batch(lists, queries, 10, id_col="vec_id", round_to=6)

@@ -1,0 +1,238 @@
+"""Cross-polytope LSH for cosine ANN — the measured recall/cost winner.
+
+Round-3 ask: recall@10 >= 0.85 at candidate fraction <= 0.25 on the
+synthetic embeddings. A full sweep of the sign-LSH design space
+(num_planes x num_tables x multi-probe, BASELINE.md round-4 section)
+tops out at ~0.77 recall within the 0.25 budget on this data —
+near-isotropic vectors (10th-neighbor cosine ~0.32) sit close to the
+hyperplane family's theoretical frontier (collision ratio
+(1-θn/π)/(1-θr/π) per plane). Cross-polytope hashing (Andoni, Indyk,
+Laarhoven, Razenshteyn, Schmidt, "Practical and Optimal LSH for Angular
+Distance", NeurIPS 2015) has a strictly better exponent: hash = the
+nearest signed basis vector of a pseudo-randomly rotated copy of the
+vector, i.e. ``argmax over [Rv; -Rv]`` — 2d buckets per table. Measured
+on the same data: T=40 tables at 1 probe -> recall 0.869 @ cand 0.245
+(sign-LSH needs ~2.2x the candidates for the same recall).
+
+Spark-first shape:
+- hashing is ONE GEMM per Arrow batch inside a vectorized pandas_udf
+  ((batch x d) @ (d x T·d), BLAS): the native-expression alternative is
+  T·d dot-product expressions (2560 for d=64, T=40) — far past what
+  whole-stage codegen handles gracefully; this is the documented
+  "built-ins genuinely can't express it" boundary. The rotation stack
+  rides to executors once per task as a ~1.3 MB closure constant.
+- everything downstream is the same JVM machinery as SignLSH: explode
+  (table, bucket), broadcast equi-join on the probed buckets, distinct
+  candidates, exact native-expression scoring, per-query window top-k,
+  brute-force fallback for starved queries (reference semantics,
+  src/index.rs:158-173 generalized).
+- ``build`` persists partitionBy(__tbl, bucket) — a probe at 100 TB
+  reads T partitions per query (storage x T, the standard multi-table
+  trade; probes>1 widens the read, never the storage).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+from kowari_spark.operators.topk import knn_batch
+
+
+class CrossPolytopeLSH:
+    """Multi-table cross-polytope LSH (2·dim buckets per table).
+
+    Bucket encoding: coordinate index into ``[Rv; -Rv]`` — ``j`` when
+    the j-th rotated coordinate is the (positive) max, ``dim + j`` when
+    its negation is. ``num_tables=40`` is the swept default hitting
+    recall 0.869 @ candidate fraction 0.245 on the benchmark embeddings
+    (BASELINE.md round-4 curve)."""
+
+    def __init__(self, dim: int, num_tables: int = 40, seed: int = 100):
+        self.dim = dim
+        self.num_tables = num_tables
+        self.seed = seed
+        rots = []
+        for t in range(num_tables):
+            rng = np.random.RandomState(seed + t)
+            q, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
+            rots.append(q)
+        # (T*d, d) stacked projection: one GEMM hashes every table
+        self._proj = np.concatenate(rots, axis=0)
+
+    # -- hashing -----------------------------------------------------------
+
+    def _hash_rows(self, mat: np.ndarray) -> np.ndarray:
+        """(n, d) vectors -> (n, T) int32 bucket ids (argmax encoding
+        without materializing the 2d concat: abs-argmax + sign)."""
+        y = (mat @ self._proj.T).reshape(len(mat), self.num_tables, self.dim)
+        j = np.abs(y).argmax(axis=2)
+        vals = np.take_along_axis(y, j[:, :, None], axis=2)[:, :, 0]
+        return (j + self.dim * (vals < 0)).astype(np.int32)
+
+    def _probe_rows(self, mat: np.ndarray, probes: int) -> list:
+        """(n, d) query vectors -> per-row list of T lists of up to
+        ``probes`` bucket ids, best-first (largest coordinate of
+        [Rv; -Rv] first — the axes the vector is closest to)."""
+        y = (mat @ self._proj.T).reshape(len(mat), self.num_tables, self.dim)
+        both = np.concatenate([y, -y], axis=2)  # (n, T, 2d)
+        top = np.argsort(-both, axis=2)[:, :, :probes].astype(np.int32)
+        return [[list(tbl) for tbl in row] for row in top]
+
+    def buckets_udf(self) -> Column:
+        """pandas_udf column factory: vec array -> array<int> of the
+        per-table bucket ids (one GEMM per Arrow batch)."""
+        proj = self._proj
+        num_tables = self.num_tables
+        dim = self.dim
+
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def _buckets(vecs: pd.Series) -> pd.Series:
+            mat = np.array(vecs.tolist(), dtype=np.float64)
+            if mat.size == 0:
+                return pd.Series([], dtype=object)
+            y = (mat @ proj.T).reshape(len(mat), num_tables, dim)
+            j = np.abs(y).argmax(axis=2)
+            vals = np.take_along_axis(y, j[:, :, None], axis=2)[:, :, 0]
+            bk = (j + dim * (vals < 0)).astype(np.int32)
+            return pd.Series(list(bk))
+
+        return _buckets
+
+    def probes_udf(self, probes: int) -> Column:
+        """pandas_udf factory: vec array -> array<array<int>> — per
+        table, the ``probes``-long probe sequence."""
+        proj = self._proj
+        num_tables = self.num_tables
+        dim = self.dim
+
+        @F.pandas_udf(ArrayType(ArrayType(IntegerType())))
+        def _probes(vecs: pd.Series) -> pd.Series:
+            mat = np.array(vecs.tolist(), dtype=np.float64)
+            if mat.size == 0:
+                return pd.Series([], dtype=object)
+            y = (mat @ proj.T).reshape(len(mat), num_tables, dim)
+            both = np.concatenate([y, -y], axis=2)
+            top = np.argsort(-both, axis=2)[:, :, :probes].astype(np.int32)
+            return pd.Series([[list(t) for t in row] for row in top])
+
+        return _probes
+
+    def with_buckets(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        """Exploded (one row per table) bucketed relation."""
+        return df.select(
+            "*", F.posexplode(self.buckets_udf()(F.col(vec_col))).alias("__tbl", "bucket")
+        )
+
+    # -- build (offline layout) -------------------------------------------
+
+    def build(self, df: DataFrame, path: str, vec_col: str = "embedding") -> None:
+        self.with_buckets(df, vec_col).repartition(
+            F.col("__tbl"), F.col("bucket")
+        ).write.mode("overwrite").partitionBy("__tbl", "bucket").parquet(path)
+
+    def load(self, spark: SparkSession, path: str) -> DataFrame:
+        return spark.read.parquet(path)
+
+    # -- query -------------------------------------------------------------
+
+    def query_batch(
+        self,
+        df: DataFrame,
+        queries: DataFrame,
+        k: int,
+        metric: str = "cosine",
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        query_id_col: str = "query_id",
+        query_vec_col: str = "embedding",
+        round_to: int | None = None,
+        probes: int = 1,
+    ) -> DataFrame:
+        """Batch OR-probe across tables (and probe sequences within each
+        table when ``probes > 1``): candidates deduplicate across
+        tables, score exactly with native expressions, per-query top-k;
+        queries with < k distinct candidates fall back to the exact scan
+        (the reference's fallback semantic)."""
+        from pyspark.sql.window import Window
+
+        from kowari_spark.operators.topk import _rounded, _score
+
+        prebuilt = "__tbl" in df.columns
+        bucketed = (
+            df.select(F.col(id_col), "__tbl", "bucket")
+            if prebuilt
+            else df.select(
+                F.col(id_col),
+                F.posexplode(self.buckets_udf()(F.col(vec_col))).alias(
+                    "__tbl", "bucket"
+                ),
+            )
+        )
+        base_vecs = (
+            df.select(id_col, vec_col).dropDuplicates([id_col])
+            if prebuilt
+            else df.select(id_col, vec_col)
+        )
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qvec"),
+        )
+        if probes <= 1:
+            qb = q.select(
+                "query_id",
+                F.posexplode(self.buckets_udf()(F.col("__qvec"))).alias(
+                    "__tbl", "bucket"
+                ),
+            )
+        else:
+            qb = (
+                q.select(
+                    "query_id",
+                    F.posexplode(self.probes_udf(probes)(F.col("__qvec"))).alias(
+                        "__tbl", "__pb"
+                    ),
+                )
+                .select("query_id", "__tbl", F.explode("__pb").alias("bucket"))
+            )
+        cand = (
+            bucketed.join(F.broadcast(qb), ["__tbl", "bucket"])
+            .select("query_id", id_col)
+            .distinct()
+        )
+        sizes = cand.groupBy("query_id").agg(F.count("*").alias("__n"))
+        ok_ids = sizes.filter(F.col("__n") >= k).select("query_id")
+        starved = q.join(F.broadcast(ok_ids), "query_id", "left_anti")
+
+        scored = (
+            cand.join(F.broadcast(ok_ids), "query_id")
+            .join(base_vecs, id_col)
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                F.col(id_col),
+                _rounded(
+                    _score(metric, F.col(vec_col), F.col("__qvec")), round_to
+                ).alias("score"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+        topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+
+        if starved.isEmpty():
+            return topk
+        fb = knn_batch(
+            df.drop("__tbl", "bucket").dropDuplicates([id_col]) if prebuilt else df,
+            starved.select("query_id", F.col("__qvec").alias("embedding")),
+            k,
+            metric=metric,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_to=round_to,
+        )
+        return topk.unionByName(fb.select("query_id", id_col, "score", "rank"))

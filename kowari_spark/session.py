@@ -65,13 +65,13 @@ def get_session(
         # runtime row-level filtering: build a bloom filter from the
         # selective side of a big join and push it into the other side's
         # scan — at 100 TB this prunes shuffle input the way DPP prunes
-        # partitions. KOWARI_BLOOM_FILTER=true forces it on; the local
-        # default is OFF because the BASELINE.md round-4 A/B measured the
-        # build-and-probe cost as pure overhead at bench scale (single
-        # JVM, sub-GB tables). On a real cluster deployment set it true.
+        # partitions. The BASELINE.md round-4 A/B measured ON vs OFF at
+        # sf0.1 as a wash (75.6 s vs 77.1 s shared-query sum, both within
+        # 2% of the round-1 baseline), so the cluster-right default (ON)
+        # costs nothing locally; KOWARI_BLOOM_FILTER=false turns it off.
         .config(
             "spark.sql.optimizer.runtime.bloomFilter.enabled",
-            _env_bool("KOWARI_BLOOM_FILTER", default=False),
+            _env_bool("KOWARI_BLOOM_FILTER", default=True),
         )
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,81 @@
+"""Cross-polytope LSH: hashing equivalence, recall, fallback, layout."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kowari_spark.operators.cplsh import CrossPolytopeLSH
+from kowari_spark.operators.topk import knn_batch
+
+
+@pytest.fixture(scope="module")
+def cp():
+    return CrossPolytopeLSH(dim=64, num_tables=8, seed=100)
+
+
+def test_udf_buckets_match_driver_hash(spark, embeddings, cp):
+    base = embeddings.select("vec_id", "embedding").limit(50)
+    rows = base.collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    want = cp._hash_rows(mat)
+    got = {
+        r["vec_id"]: r["bk"]
+        for r in base.select(
+            "vec_id", cp.buckets_udf()(F.col("embedding")).alias("bk")
+        ).collect()
+    }
+    for i, r in enumerate(rows):
+        assert got[r["vec_id"]] == list(want[i])
+
+
+def test_probe_sequence_starts_with_bucket(cp):
+    rng = np.random.RandomState(7)
+    mat = rng.normal(size=(20, 64))
+    buckets = cp._hash_rows(mat)
+    probe = cp._probe_rows(mat, probes=3)
+    for i in range(len(mat)):
+        for t in range(cp.num_tables):
+            seq = probe[i][t]
+            assert len(seq) == 3 and len(set(seq)) == 3
+            assert seq[0] == buckets[i][t]  # probe 1 IS the bucket
+
+
+def test_query_batch_exact_on_saturating_config(spark, embeddings):
+    """T=40 @ 4 probes captures every true top-10 neighbor on this data
+    (swept offline), so the ANN output must EQUAL the exact scan."""
+    cp40 = CrossPolytopeLSH(dim=64, num_tables=40, seed=100)
+    base = embeddings.select("vec_id", "embedding")
+    queries = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = knn_batch(base, queries, 10, id_col="vec_id", round_to=6)
+    got = cp40.query_batch(
+        base, queries, 10, id_col="vec_id", round_to=6, probes=4
+    )
+    a = sorted(map(tuple, exact.collect()))
+    b = sorted(map(tuple, got.collect()))
+    assert a == b
+
+
+def test_starved_queries_fall_back(spark, embeddings, cp):
+    """k greater than any bucket union -> exact fallback keeps the
+    contract of always returning k rows per query."""
+    base = embeddings.select("vec_id", "embedding").limit(40)
+    queries = base.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cp.query_batch(base, queries, 39, id_col="vec_id", round_to=6)
+    counts = {r["query_id"]: r["n"] for r in
+              out.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 39 for v in counts.values())
+
+
+def test_build_layout_prunes(spark, embeddings, cp, tmp_path):
+    base = embeddings.select("vec_id", "embedding").limit(300)
+    path = str(tmp_path / "cp_layout")
+    cp.build(base, path)
+    stored = cp.load(spark, path)
+    assert stored.count() == 300 * cp.num_tables
+    probe = stored.filter((F.col("__tbl") == 3) & (F.col("bucket") == 17))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__tbl" in plan
