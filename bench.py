@@ -134,11 +134,11 @@ def quality_gates(spark, sf_dir) -> dict:
         mean_metric(recall_at_k(exact, cp_res, 10, id_col="vec_id"), "recall"), 4
     )
     cq = queries.select(
-        "query_id", F.posexplode(cp.buckets_udf()(F.col("embedding"))).alias("__tbl", "bucket")
+        "query_id", F.posexplode(cp.buckets_udf(spark)(F.col("embedding"))).alias("__tbl", "bucket")
     )
     cb = base.select(
         F.col("vec_id").alias("id"),
-        F.posexplode(cp.buckets_udf()(F.col("embedding"))).alias("__tbl", "bucket"),
+        F.posexplode(cp.buckets_udf(spark)(F.col("embedding"))).alias("__tbl", "bucket"),
     )
     out["cp_cand_frac"] = round(
         cb.join(F.broadcast(cq), ["__tbl", "bucket"]).select("query_id", "id").distinct().count()

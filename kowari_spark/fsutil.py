@@ -56,8 +56,11 @@ def exists(spark: SparkSession, path: str) -> bool:
 
 def create_marker(spark: SparkSession, path: str) -> bool:
     """Create an empty marker file without overwrite (HDFS/local give
-    O_EXCL semantics; object stores approximate). Returns False if it
-    already existed — the idempotence check for replayed work."""
+    O_EXCL semantics; object stores approximate). Returns False ONLY if
+    it already existed — the idempotence check for replayed work. Any
+    other IO failure propagates: a marker that silently failed to land
+    would disable replay dedup, so the caller (e.g. a streaming batch)
+    must fail and retry rather than commit its checkpoint."""
     fs, jpath = _fs_path(spark, path)
     if fs.exists(jpath):
         return False
@@ -65,8 +68,12 @@ def create_marker(spark: SparkSession, path: str) -> bool:
         out = fs.create(jpath, False)
         out.close()
         return True
-    except Exception:
-        return False
+    except Exception as e:  # Py4J wraps the Java exception
+        name = type(e).__name__
+        msg = str(e)
+        if "FileAlreadyExistsException" in msg or "AlreadyExists" in name:
+            return False
+        raise
 
 
 def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:

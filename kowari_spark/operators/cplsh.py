@@ -20,7 +20,13 @@ Spark-first shape:
   T·d dot-product expressions (2560 for d=64, T=40) — far past what
   whole-stage codegen handles gracefully; this is the documented
   "built-ins genuinely can't express it" boundary. The rotation stack
-  rides to executors once per task as a ~1.3 MB closure constant.
+  ships to executors as a float32 **broadcast variable** (one torrent
+  transfer per executor, cached), never a per-task closure constant —
+  at d=1024, T=40 the stack is ~160 MB in float32; riding it in every
+  serialized task would dominate scheduling at scale. The GEMM itself
+  runs in float32 (2x the BLAS throughput, half the transfer); bucket
+  choice is an argmax over well-separated rotated coordinates, so the
+  reduced mantissa does not move the measured recall.
 - everything downstream is the same JVM machinery as SignLSH: explode
   (table, bucket), broadcast equi-join on the probed buckets, distinct
   candidates, exact native-expression scoring, per-query window top-k,
@@ -60,71 +66,99 @@ class CrossPolytopeLSH:
             rng = np.random.RandomState(seed + t)
             q, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
             rots.append(q)
-        # (T*d, d) stacked projection: one GEMM hashes every table
-        self._proj = np.concatenate(rots, axis=0)
+        # (T*d, d) stacked projection: one GEMM hashes every table.
+        # float32: half the broadcast bytes, 2x the GEMM throughput;
+        # bucket argmaxes are ulp-insensitive on orthonormal rotations
+        self._proj = np.concatenate(rots, axis=0).astype(np.float32)
+        self._bc = None  # lazy per-SparkContext broadcast of _proj
+
+    def _proj_bc(self, spark: SparkSession):
+        """Broadcast the rotation stack once per SparkContext (torrent
+        transfer + executor-side cache) instead of serializing T·d²
+        floats into every task closure."""
+        sc = spark.sparkContext
+        if self._bc is None:
+            self._bc = sc.broadcast(self._proj)
+        return self._bc
 
     # -- hashing -----------------------------------------------------------
 
-    def _hash_rows(self, mat: np.ndarray) -> np.ndarray:
+    @staticmethod
+    def _hash_mat(mat: np.ndarray, proj: np.ndarray, num_tables: int,
+                  dim: int) -> np.ndarray:
         """(n, d) vectors -> (n, T) int32 bucket ids (argmax encoding
         without materializing the 2d concat: abs-argmax + sign)."""
-        y = (mat @ self._proj.T).reshape(len(mat), self.num_tables, self.dim)
+        y = (mat @ proj.T).reshape(len(mat), num_tables, dim)
         j = np.abs(y).argmax(axis=2)
         vals = np.take_along_axis(y, j[:, :, None], axis=2)[:, :, 0]
-        return (j + self.dim * (vals < 0)).astype(np.int32)
+        return (j + dim * (vals < 0)).astype(np.int32)
 
-    def _probe_rows(self, mat: np.ndarray, probes: int) -> list:
+    @staticmethod
+    def _probe_mat(mat: np.ndarray, proj: np.ndarray, num_tables: int,
+                   dim: int, probes: int) -> list:
         """(n, d) query vectors -> per-row list of T lists of up to
         ``probes`` bucket ids, best-first (largest coordinate of
         [Rv; -Rv] first — the axes the vector is closest to)."""
-        y = (mat @ self._proj.T).reshape(len(mat), self.num_tables, self.dim)
+        y = (mat @ proj.T).reshape(len(mat), num_tables, dim)
         both = np.concatenate([y, -y], axis=2)  # (n, T, 2d)
         top = np.argsort(-both, axis=2)[:, :, :probes].astype(np.int32)
         return [[list(tbl) for tbl in row] for row in top]
 
-    def buckets_udf(self) -> Column:
+    def _hash_rows(self, mat: np.ndarray) -> np.ndarray:
+        return self._hash_mat(mat.astype(np.float32), self._proj,
+                              self.num_tables, self.dim)
+
+    def _probe_rows(self, mat: np.ndarray, probes: int) -> list:
+        return self._probe_mat(mat.astype(np.float32), self._proj,
+                               self.num_tables, self.dim, probes)
+
+    def buckets_udf(self, spark: SparkSession | None = None) -> Column:
         """pandas_udf column factory: vec array -> array<int> of the
-        per-table bucket ids (one GEMM per Arrow batch)."""
-        proj = self._proj
+        per-table bucket ids (one GEMM per Arrow batch). The projection
+        rides as a broadcast variable when a session is available (it
+        always is from the public entry points)."""
+        bc = self._proj_bc(spark) if spark is not None else None
+        proj_local = self._proj if bc is None else None
         num_tables = self.num_tables
         dim = self.dim
+        hash_mat = self._hash_mat
 
         @F.pandas_udf(ArrayType(IntegerType()))
         def _buckets(vecs: pd.Series) -> pd.Series:
-            mat = np.array(vecs.tolist(), dtype=np.float64)
+            proj = bc.value if bc is not None else proj_local
+            mat = np.array(vecs.tolist(), dtype=np.float32)
             if mat.size == 0:
                 return pd.Series([], dtype=object)
-            y = (mat @ proj.T).reshape(len(mat), num_tables, dim)
-            j = np.abs(y).argmax(axis=2)
-            vals = np.take_along_axis(y, j[:, :, None], axis=2)[:, :, 0]
-            bk = (j + dim * (vals < 0)).astype(np.int32)
-            return pd.Series(list(bk))
+            return pd.Series(list(hash_mat(mat, proj, num_tables, dim)))
 
         return _buckets
 
-    def probes_udf(self, probes: int) -> Column:
+    def probes_udf(self, probes: int, spark: SparkSession | None = None) -> Column:
         """pandas_udf factory: vec array -> array<array<int>> — per
         table, the ``probes``-long probe sequence."""
-        proj = self._proj
+        bc = self._proj_bc(spark) if spark is not None else None
+        proj_local = self._proj if bc is None else None
         num_tables = self.num_tables
         dim = self.dim
+        probe_mat = self._probe_mat
 
         @F.pandas_udf(ArrayType(ArrayType(IntegerType())))
         def _probes(vecs: pd.Series) -> pd.Series:
-            mat = np.array(vecs.tolist(), dtype=np.float64)
+            proj = bc.value if bc is not None else proj_local
+            mat = np.array(vecs.tolist(), dtype=np.float32)
             if mat.size == 0:
                 return pd.Series([], dtype=object)
-            y = (mat @ proj.T).reshape(len(mat), num_tables, dim)
-            both = np.concatenate([y, -y], axis=2)
-            top = np.argsort(-both, axis=2)[:, :, :probes].astype(np.int32)
-            return pd.Series([[list(t) for t in row] for row in top])
+            return pd.Series(probe_mat(mat, proj, num_tables, dim, probes))
 
         return _probes
 
     def with_buckets(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         """Exploded (one row per table) bucketed relation."""
         return df.select(
-            "*", F.posexplode(self.buckets_udf()(F.col(vec_col))).alias("__tbl", "bucket")
+            "*",
+            F.posexplode(self.buckets_udf(df.sparkSession)(F.col(vec_col))).alias(
+                "__tbl", "bucket"
+            ),
         )
 
     # -- build (offline layout) -------------------------------------------
@@ -161,13 +195,14 @@ class CrossPolytopeLSH:
 
         from kowari_spark.operators.topk import _rounded, _score
 
+        spark = df.sparkSession
         prebuilt = "__tbl" in df.columns
         bucketed = (
             df.select(F.col(id_col), "__tbl", "bucket")
             if prebuilt
             else df.select(
                 F.col(id_col),
-                F.posexplode(self.buckets_udf()(F.col(vec_col))).alias(
+                F.posexplode(self.buckets_udf(spark)(F.col(vec_col))).alias(
                     "__tbl", "bucket"
                 ),
             )
@@ -184,7 +219,7 @@ class CrossPolytopeLSH:
         if probes <= 1:
             qb = q.select(
                 "query_id",
-                F.posexplode(self.buckets_udf()(F.col("__qvec"))).alias(
+                F.posexplode(self.buckets_udf(spark)(F.col("__qvec"))).alias(
                     "__tbl", "bucket"
                 ),
             )
@@ -192,16 +227,21 @@ class CrossPolytopeLSH:
             qb = (
                 q.select(
                     "query_id",
-                    F.posexplode(self.probes_udf(probes)(F.col("__qvec"))).alias(
+                    F.posexplode(self.probes_udf(probes, spark)(F.col("__qvec"))).alias(
                         "__tbl", "__pb"
                     ),
                 )
                 .select("query_id", "__tbl", F.explode("__pb").alias("bucket"))
             )
+        # materialize the candidate set ONCE (executor-side blocks): it
+        # feeds three consumers (starvation sizes, the exact re-score,
+        # the fallback anti-join) — without this the bucket join re-runs
+        # per consumer, roughly doubling every query_batch (ADVICE r4)
         cand = (
             bucketed.join(F.broadcast(qb), ["__tbl", "bucket"])
             .select("query_id", id_col)
             .distinct()
+            .localCheckpoint()
         )
         sizes = cand.groupBy("query_id").agg(F.count("*").alias("__n"))
         ok_ids = sizes.filter(F.col("__n") >= k).select("query_id")

@@ -276,9 +276,18 @@ def _cc_star(canon: DataFrame, max_iter: int) -> DataFrame:
     - small-star: every node and its smaller neighbors re-attach to that
       minimum, keeping edges canonical (hi > lo).
 
-    Convergence is detected by an edge-set signature (count + hash sum)
-    — one tiny aggregate per round instead of an anti-join diff."""
+    Convergence detection is two-stage: a cheap edge-set signature
+    (count + hash sum) screens each round, and a signature match is then
+    CONFIRMED with an exact symmetric-difference check (two anti-join
+    emptiness probes on the already-checkpointed edge sets) — a hash
+    collision can no longer end the contraction early. Exhausting
+    ``max_iter`` without a confirmed fixpoint raises a warning: the
+    returned labels may still be mid-contraction."""
+    import warnings
+
     prev_sig = None
+    prev_canon = None
+    converged = False
     for _ in range(max_iter):
         sym = canon.select(
             F.col("hi").alias("u"), F.col("lo").alias("v")
@@ -306,9 +315,24 @@ def _cc_star(canon: DataFrame, max_iter: int) -> DataFrame:
                 F.count("*").alias("n"), F.sum(F.hash("hi", "lo")).alias("h")
             ).first()
         )
-        if sig == prev_sig:
-            break
+        if sig == prev_sig and prev_canon is not None:
+            # exact confirmation of the signature match: both sets are
+            # localCheckpoint'ed, so the two anti-joins replay no lineage
+            if (
+                canon.join(prev_canon, ["hi", "lo"], "left_anti").isEmpty()
+                and prev_canon.join(canon, ["hi", "lo"], "left_anti").isEmpty()
+            ):
+                converged = True
+                break
         prev_sig = sig
+        prev_canon = canon
+    if not converged:
+        warnings.warn(
+            f"_cc_star: no fixpoint within max_iter={max_iter} rounds; "
+            "components may be incompletely contracted — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return canon
 
 

@@ -70,8 +70,14 @@ def zorder_by(
     ranks = [_bucket_expr(F.col(c), cuts[c]) for c in cols]
     z = z_value(ranks, bits)
     out = df.withColumn("__z", z)
+    # default output file count: never FEWER partitions than the input
+    # has — a 100k-partition source range-shuffled into
+    # shuffle.partitions (32) files would coarsen every file's min/max
+    # span ~3000x and destroy the skipping this operator exists for
     n = n_partitions or max(
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+        df.rdd.getNumPartitions(),
+        1,
     )
     return (
         out.repartitionByRange(n, F.col("__z"))

@@ -172,6 +172,10 @@ def decode_kwi_index(
     if blob[:4] != _MAGIC:
         raise ValueError("not a KWI file (bad magic)")
     (count,) = struct.unpack_from("<Q", blob, 16)
+    if count == 0:
+        # create_new_index writes a 28-byte header-only file
+        # (binary_index.rs:48-60); there is no entry table to bound
+        return []
     table_end = 32 + 32 * count
     if table_end > len(blob):
         raise ValueError(

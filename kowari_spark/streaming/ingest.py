@@ -121,6 +121,7 @@ def compact_bucketed_layout(
     partition_col: str = "bucket",
     max_files: int = 4,
     target_files: int = 1,
+    _post_stage_hook=None,
 ) -> list[str]:
     """Compact oversized partitions of a partitioned parquet layout
     (streaming micro-batch appends leave one small file per batch per
@@ -133,9 +134,9 @@ def compact_bucketed_layout(
     - only partitions with more than ``max_files`` data files are
       rewritten — the read is PARTITION-PRUNED to those buckets, so
       compaction cost tracks the backlog, never the table;
-    - ``repartition(n, partition_col)`` hash-routes every oversized
-      bucket to exactly one task -> ``target_files`` file(s) per bucket
-      (the write stays partitionBy-consistent so probes are unaffected);
+    - ``repartition`` on (partition column, a ``target_files``-way salt)
+      rewrites each oversized bucket into ``target_files`` file(s) (the
+      write stays partitionBy-consistent so probes are unaffected);
     - the swap uses dynamic partition overwrite: ONLY the rewritten
       partitions are replaced, concurrent readers of other buckets never
       see change. Like any non-transactional parquet overwrite a reader
@@ -143,18 +144,39 @@ def compact_bucketed_layout(
       compaction in the maintenance window, or use the manifest-backed
       ``Collection.optimize`` path when transactional swap is required.
 
-    Streaming-safe: the sink's checkpoint tracks offsets, not files, so
-    compaction between micro-batches never confuses the writer.
+    Writer-race guard: a CONCURRENT STREAM APPEND into an oversized
+    bucket between the staging snapshot and the overwrite would be
+    deleted by the overwrite (the staged copy predates it). Each
+    bucket's file listing is therefore re-checked after staging
+    completes, and buckets whose file set changed are EXCLUDED from the
+    swap (dynamic overwrite only touches partitions present in the
+    written data) — they keep their files and compact on the next run.
+    The sink's checkpoint tracks offsets, not files, so the swap itself
+    never confuses the writer.
     """
     from pyspark.sql import functions as F
 
-    from kowari_spark.fsutil import count_data_files, list_dirs
+    from kowari_spark.fsutil import count_data_files, delete, list_dirs
+
+    def _files_of(bucket_dir: str) -> frozenset:
+        from kowari_spark.fsutil import _fs_path
+
+        fs, jpath = _fs_path(spark, bucket_dir)
+        if not fs.exists(jpath):
+            return frozenset()
+        return frozenset(
+            st.getPath().getName()
+            for st in fs.listStatus(jpath)
+            if st.isFile() and not st.getPath().getName().startswith(("_", "."))
+        )
 
     prefix = f"{partition_col}="
     oversized = []
+    snapshot: dict[str, frozenset] = {}
     for d in list_dirs(spark, path):
         if d.startswith(prefix) and count_data_files(spark, f"{path}/{d}") > max_files:
             oversized.append(d[len(prefix):])
+            snapshot[d[len(prefix):]] = _files_of(f"{path}/{d}")
     if not oversized:
         return []
 
@@ -163,27 +185,62 @@ def compact_bucketed_layout(
     # dir is underscore-prefixed (invisible to readers of ``path``) and
     # already repartitioned, so the final overwrite is a pure move-shaped
     # rewrite. Values arrive as directory-name strings; cast against the
-    # layout's inferred partition type.
-    from kowari_spark.fsutil import delete
-
+    # layout's inferred partition type. The salt fans each bucket out to
+    # ``target_files`` tasks (a bare repartition on the partition column
+    # would hash-route every bucket to ONE task regardless of n).
     staging = f"{path}/_compact_staging"
+    backlog = spark.read.parquet(path).filter(
+        F.col(partition_col).cast("string").isin(oversized)
+    )
+    tf = max(1, target_files)
+    # deterministic per-row salt (content hash): safe under task retry,
+    # unlike monotonically_increasing_id-style salts. Persisted into the
+    # staging copy so the final writer can route on it.
+    salt = F.pmod(F.hash(*[F.col(c) for c in backlog.columns]), F.lit(tf))
     (
-        spark.read.parquet(path)
-        .filter(F.col(partition_col).cast("string").isin(oversized))
-        .repartition(max(1, len(oversized) * target_files), F.col(partition_col))
+        backlog.withColumn("__salt", salt)
+        .repartition(max(1, len(oversized) * tf), F.col(partition_col), F.col("__salt"))
         .write.mode("overwrite")
         .parquet(staging)
     )
+    if _post_stage_hook is not None:
+        _post_stage_hook()  # test seam: injects a concurrent append
+    # re-list each staged bucket: any bucket a writer touched since the
+    # snapshot is dropped from the swap (its staged copy is stale)
+    safe = [v for v in oversized if _files_of(f"{path}/{prefix}{v}") == snapshot[v]]
+    if not safe:
+        delete(spark, staging)
+        return []
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        (
-            spark.read.parquet(staging)
-            .write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(path)
+        # exactly ``target_files`` file(s) per rewritten bucket: one
+        # union leg per salt value, each leg hash-repartitioned on the
+        # partition column alone. Within a leg every bucket's rows land
+        # in ONE task (hash routing), and the union keeps each leg's
+        # shuffle partitions as separate writer tasks, so each non-empty
+        # leg contributes exactly one file per bucket dir. (A single
+        # repartition on (bucket, salt) can collide two salt groups of
+        # the same bucket into one task and silently halve the fan-out;
+        # range-partitioning a dense group index is sampling-dependent.)
+        staged = spark.read.parquet(staging).filter(
+            F.col(partition_col).cast("string").isin(safe)
         )
+        # the +s keeps each leg's partitioning distinct: identically
+        # partitioned union children get zipped back into one task set
+        # (verified against Spark 4's adaptive plan), which would merge
+        # the legs' files again
+        legs = [
+            staged.filter(F.col("__salt") == s)
+            .repartition(max(1, len(safe)) + s, F.col(partition_col))
+            .drop("__salt")
+            for s in range(tf)
+        ]
+        final = legs[0]
+        for leg in legs[1:]:
+            final = final.unionByName(leg)
+        final.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         delete(spark, staging)
-    return [f"{prefix}{v}" for v in oversized]
+    return [f"{prefix}{v}" for v in safe]

@@ -79,3 +79,46 @@ def test_build_layout_prunes(spark, embeddings, cp, tmp_path):
     probe = stored.filter((F.col("__tbl") == 3) & (F.col("bucket") == 17))
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "__tbl" in plan
+
+
+def test_rotation_stack_ships_as_broadcast(spark, embeddings):
+    """The T·d² rotation stack must ride as a broadcast variable (cached
+    once per executor), not a per-task closure constant — at d=1024,
+    T=40 the closure would be ~160 MB serialized into every task."""
+    from pyspark.broadcast import Broadcast
+
+    cp = CrossPolytopeLSH(dim=64, num_tables=8, seed=100)
+    assert cp._proj.dtype == np.float32  # half the transfer bytes
+    base = embeddings.select("vec_id", "embedding").limit(20)
+    out = cp.with_buckets(base).collect()
+    assert len(out) == 20 * cp.num_tables
+    # the session-aware path created exactly one broadcast and the udf
+    # closure holds the Broadcast handle, not the ndarray
+    assert isinstance(cp._bc, Broadcast)
+    col = cp.buckets_udf(spark)
+    udf_fn = col.func if hasattr(col, "func") else None
+    if udf_fn is not None:  # introspectable on this pyspark version
+        cells = {
+            n: c.cell_contents
+            for n, c in zip(udf_fn.__code__.co_freevars, udf_fn.__closure__ or ())
+        }
+        assert not any(isinstance(v, np.ndarray) for v in cells.values())
+        assert any(isinstance(v, Broadcast) for v in cells.values())
+
+
+def test_broadcast_and_closure_hash_identically(spark, embeddings):
+    """float32 broadcast path produces the same buckets as the driver
+    helper — the hash function is one function, two transports."""
+    cp = CrossPolytopeLSH(dim=64, num_tables=8, seed=100)
+    base = embeddings.select("vec_id", "embedding").limit(50)
+    rows = base.collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    want = cp._hash_rows(mat)
+    got = {
+        r["vec_id"]: r["bk"]
+        for r in base.select(
+            "vec_id", cp.buckets_udf(spark)(F.col("embedding")).alias("bk")
+        ).collect()
+    }
+    for i, r in enumerate(rows):
+        assert got[r["vec_id"]] == list(want[i])

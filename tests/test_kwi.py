@@ -166,3 +166,17 @@ def test_binary_index_salvage_shuffled_table_order(tmp_path):
     # append order by offset, ids preserved
     assert [g[0] for g in got] == ids[1:]
     assert got[0][1] == pytest.approx(vecs[1])
+
+
+def test_decode_empty_header_only_index():
+    """create_new_index writes a 28-byte header-only file
+    (binary_index.rs:48-60): count 0, no entry table. A valid empty
+    index decodes to [] instead of tripping the table-bounds check."""
+    import struct
+
+    from kowari_spark.sources.kwi import decode_kwi_index
+
+    blob = b"KWI\x00" + struct.pack("<IIQ", 1, 64, 0) + struct.pack("<Q", 0)
+    assert len(blob) == 28
+    assert decode_kwi_index(blob) == []
+    assert decode_kwi_index(blob, strict=True) == []

@@ -291,3 +291,80 @@ def test_late_data_dropped_after_watermark(spark, tmp_path):
     # the 00:00 window holds ONLY the on-time event; the late one is gone
     assert by_hour["2024-01-01 00:00:00"] == 1
     assert by_hour["2024-01-01 06:00:00"] == 2  # events 2 and 5
+
+
+def _small_file_layout(spark, embeddings, tmp_path, tag):
+    """Bucketed layout with many small files per bucket (no stream)."""
+    out = str(tmp_path / f"layout_{tag}")
+    vecs = embeddings.select("vec_id", "embedding").limit(120)
+    from kowari_spark.operators.lsh import SignLSH
+
+    lsh = SignLSH(dim=64, num_planes=2, seed=42)
+    for i in range(6):
+        lsh.with_buckets(vecs.filter(F.col("vec_id") % 6 == i)).coalesce(
+            1
+        ).write.mode("append").partitionBy("bucket").parquet(out)
+    return out
+
+
+def test_compact_target_files_fans_out(spark, embeddings, tmp_path):
+    """target_files=2 must genuinely produce 2 files per rewritten
+    bucket — the r4 repartition(n, partition_col) silently yielded 1."""
+    from kowari_spark.fsutil import count_data_files, list_dirs
+    from kowari_spark.streaming.ingest import compact_bucketed_layout
+
+    out = _small_file_layout(spark, embeddings, tmp_path, "fanout")
+    before = {(r["vec_id"], r["bucket"]) for r in spark.read.parquet(out).collect()}
+    rewritten = compact_bucketed_layout(spark, out, max_files=4, target_files=2)
+    assert rewritten
+    for d in rewritten:
+        n = count_data_files(spark, f"{out}/{d}")
+        assert n == 2, f"{d}: expected 2 files, got {n}"
+    after = {(r["vec_id"], r["bucket"]) for r in spark.read.parquet(out).collect()}
+    assert after == before
+
+
+def test_compact_skips_bucket_appended_during_staging(spark, embeddings, tmp_path):
+    """Writer-race guard: a micro-batch landing in an oversized bucket
+    AFTER the staging snapshot must not be deleted by the swap — that
+    bucket is excluded and keeps all its files (ADVICE r4 medium)."""
+    from kowari_spark.fsutil import count_data_files, list_dirs
+    from kowari_spark.streaming.ingest import compact_bucketed_layout
+
+    out = _small_file_layout(spark, embeddings, tmp_path, "race")
+    buckets = sorted(
+        d for d in list_dirs(spark, out) if d.startswith("bucket=")
+    )
+    oversized = [
+        d for d in buckets if count_data_files(spark, f"{out}/{d}") > 4
+    ]
+    assert oversized
+    victim = oversized[0]
+    victim_val = int(victim.split("=", 1)[1])
+    extra = embeddings.select("vec_id", "embedding").filter(
+        F.col("vec_id") >= 9000
+    ).limit(0)  # schema donor; real row below
+
+    racer_rows = spark.createDataFrame(
+        [(999999, [0.5] * 64)], "vec_id long, embedding array<float>"
+    ).withColumn("bucket", F.lit(victim_val))
+
+    def racer():
+        # concurrent stream append into the victim bucket mid-compaction
+        racer_rows.coalesce(1).write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(out)
+
+    before_all = {
+        (r["vec_id"], r["bucket"]) for r in spark.read.parquet(out).collect()
+    }
+    rewritten = compact_bucketed_layout(
+        spark, out, max_files=4, target_files=1, _post_stage_hook=racer
+    )
+    # the raced bucket was excluded from the swap...
+    assert victim not in rewritten
+    after_all = {
+        (r["vec_id"], r["bucket"]) for r in spark.read.parquet(out).collect()
+    }
+    # ...and no row was lost: old rows + the racer's row all present
+    assert after_all == before_all | {(999999, victim_val)}

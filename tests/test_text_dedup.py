@@ -325,3 +325,35 @@ def test_winnow_forms_agree_and_substring_guarantee(spark):
              for r in winnow_pairs(docs, k=4, window=4, min_shared=1).collect()}
     assert (1, 2) in pairs  # guaranteed by the shared run
     assert all(3 not in p for p in pairs)
+
+
+def test_cc_star_warns_on_max_iter_exhaustion(spark):
+    """A contraction cut off before its fixpoint must say so — silent
+    early exit was the round-4 probabilistic-convergence nit."""
+    import warnings
+
+    from kowari_spark.operators.dedup import _cc_star
+
+    # a long chain needs several star rounds; max_iter=1 cannot converge
+    # (and can never CONFIRM convergence, which needs a repeat round)
+    edges = [(i + 1, i) for i in range(12)]
+    canon = spark.createDataFrame(edges, "hi long, lo long").localCheckpoint()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        _cc_star(canon, max_iter=1)
+    assert any("no fixpoint" in str(w.message) for w in caught)
+
+
+def test_cc_star_converges_exactly_without_warning(spark):
+    import warnings
+
+    from kowari_spark.operators.dedup import _cc_star
+
+    edges = [(2, 1), (3, 2), (5, 4)]
+    canon = spark.createDataFrame(edges, "hi long, lo long").localCheckpoint()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = _cc_star(canon, max_iter=20)
+    assert not [w for w in caught if "no fixpoint" in str(w.message)]
+    got = {(r["hi"], r["lo"]) for r in out.collect()}
+    assert got == {(2, 1), (3, 1), (5, 4)}
