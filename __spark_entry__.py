@@ -592,7 +592,9 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
         stamp = f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         stamp = "na"
-    key = f"{src}:{stamp}:{sorted(_IVF_PARAMS.items())}"
+    # the algo tag versions the cache: a seeding/fit change must not
+    # reuse a layout built by the previous algorithm
+    key = f"{src}:{stamp}:{sorted(_IVF_PARAMS.items())}:maxmin-v1"
     tag = hashlib.md5(key.encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"kowari_ivf_{tag}")
     ivf = IVF(**_IVF_PARAMS)
@@ -605,14 +607,15 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
 
 
 def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer ANN (operators/ivf.py): seeded k-means fit
-    (centroids rounded to the 1e-6 grid each Lloyd round), offline-built
-    partitionBy(list_id) layout, probe 3/16 cells, exact rank within the
-    probed region. The WHOLE pipeline — hash-order init, 3 Lloyd
-    iterations, probe choice, in-cell ranking — is deterministic IEEE
-    arithmetic on grid-rounded centroids, so the oracle re-derives it
-    independently in SQL (unrolled k-means CTEs) and any regression in
-    fit, layout or probe breaks the hash."""
+    """IVF coarse-quantizer ANN (operators/ivf.py): deterministic
+    farthest-first seeding + k-means fit (centroids rounded to the 1e-6
+    grid each Lloyd round), offline-built partitionBy(list_id) layout,
+    probe 3/16 cells, exact rank within the probed region. The WHOLE
+    pipeline — maxmin seed traversal, 3 Lloyd iterations, probe choice,
+    in-cell ranking — is deterministic IEEE arithmetic on grid-rounded
+    centroids, so the oracle re-derives it independently in SQL
+    (unrolled seeding + k-means CTEs) and any regression in fit, layout
+    or probe breaks the hash."""
     ivf, lists = _ivf_index(spark, sf_dir)
     queries = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -624,13 +627,17 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_ivf_knn() -> str:
-    """Independent SQL re-derivation of the full IVF pipeline: seeded
-    hash-order init, ``max_iter`` unrolled Lloyd iterations (assignment =
-    sequential-fold squared L2 argmin, update = per-dim mean ROUNDed to
-    the 1e-6 grid, empty cells keep their centroid), probe = n_probe
-    nearest final centroids, then exact cosine rank within probed cells.
-    Bit-parity holds because both engines do the same IEEE ops in the
-    same order on the same grid-rounded centroids."""
+    """Independent SQL re-derivation of the full IVF pipeline:
+    deterministic farthest-first seeding (seed 0 = smallest md5(id#s);
+    seed i+1 = argmax of min squared distance to seeds 0..i, ties ->
+    lowest id — unrolled as a select/min-update CTE chain), ``max_iter``
+    unrolled Lloyd iterations (assignment = sequential-fold squared L2
+    argmin, update = per-dim mean ROUNDed to the 1e-6 grid, empty cells
+    keep their centroid), probe = n_probe nearest final centroids, then
+    exact cosine rank within probed cells. Bit-parity holds because both
+    engines do the same IEEE ops in the same order: seeds are exact data
+    vectors, min/least are order-independent, and Lloyd means land on
+    the same decimal grid."""
     n_lists = _IVF_PARAMS["n_lists"]
     n_probe = _IVF_PARAMS["n_probe"]
     seed = _IVF_PARAMS["seed"]
@@ -642,12 +649,31 @@ def _oracle_ivf_knn() -> str:
 
     ctes = [
         "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
-        f"""c0 AS (
-  SELECT cid, vec FROM (
-    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '#{seed}')) - 1 AS cid,
-           e AS vec
-    FROM v) WHERE cid < {n_lists})""",
+        f"""s0 AS MATERIALIZED (
+  SELECT e AS vec FROM v
+  ORDER BY md5(CAST(vec_id AS VARCHAR) || '#{seed}') LIMIT 1)""",
+        # MATERIALIZED: each m references its predecessor twice (via s
+        # and directly); inlined CTEs would expand the chain 2^k-fold
+        f"m0 AS MATERIALIZED (SELECT v.vec_id, v.e, {dist('v.e', 's0.vec')} AS md FROM v, s0)",
     ]
+    for i in range(1, n_lists):
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT e AS vec FROM m{i - 1} "
+            f"ORDER BY md DESC, vec_id ASC LIMIT 1)"
+        )
+        if i < n_lists - 1:
+            ctes.append(
+                f"m{i} AS MATERIALIZED (SELECT m.vec_id, m.e, "
+                f"LEAST(m.md, {dist('m.e', f's{i}.vec')}) AS md "
+                f"FROM m{i - 1} m, s{i})"
+            )
+    ctes.append(
+        "c0 AS ("
+        + " UNION ALL ".join(
+            f"SELECT {i} AS cid, vec FROM s{i}" for i in range(n_lists)
+        )
+        + ")"
+    )
     for i in range(_IVF_PARAMS["max_iter"]):
         ctes.append(f"""a{i} AS (
   SELECT vec_id, e, cid FROM (

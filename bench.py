@@ -61,6 +61,17 @@ def bench_queries(spark, sf_dir, scratch):
             base, f"{scratch}/lsh_build", vec_col="embedding"
         )
 
+    def cp_build_40():
+        # cold cross-polytope layout build at the T=40 recommended
+        # config: the storage-x-T partitionBy(__tbl, bucket) write whose
+        # cost precedes every probe-side win the quality block records
+        from kowari_spark.operators.cplsh import CrossPolytopeLSH
+
+        base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        CrossPolytopeLSH(dim=64, num_tables=40, seed=100).build(
+            base, f"{scratch}/cp_build", vec_col="embedding"
+        )
+
     def ingest_validated_10k():
         from kowari_spark.catalog import CollectionManager
 
@@ -83,6 +94,7 @@ def bench_queries(spark, sf_dir, scratch):
 
     out["exact_knn_batch_100"] = knn_batch_100
     out["lsh_build_p8"] = lsh_build
+    out["cp_build_40"] = cp_build_40
     out["ingest_validated_10k"] = ingest_validated_10k
     return out
 
@@ -151,18 +163,31 @@ def quality_gates(spark, sf_dir) -> dict:
     out["recall_cp16_p3_at_10"] = round(
         mean_metric(recall_at_k(exact, cp16_res, 10, id_col="vec_id"), "recall"), 4
     )
-    ivf = IVF(n_lists=16, n_probe=3, max_iter=3, seed=42).fit(base, id_col="vec_id")
+    # IVF tuned default (round-5): farthest-first seeding, 32 cells,
+    # 5 Lloyd rounds, probe 8/32 = 0.25 of the space — the measured
+    # config clearing recall >= 0.7 at the CP-LSH candidate budget.
+    # The full recall-vs-n_probe curve is published alongside so the
+    # probe knob's cost/recall trade is recorded, not implied.
+    ivf = IVF(n_lists=32, n_probe=8, max_iter=5, seed=42).fit(base, id_col="vec_id")
     lists = ivf.with_lists(base).persist()
-    approx = ivf.query_batch(lists, queries, 10, id_col="vec_id", round_to=6)
-    out["recall_ivf_at_10"] = round(
-        mean_metric(recall_at_k(exact, approx, 10, id_col="vec_id"), "recall"), 4
+    curve = {}
+    for p in (4, 6, 8, 10):
+        ivf.n_probe = p
+        got = ivf.query_batch(lists, queries, 10, id_col="vec_id", round_to=6)
+        curve[f"{p}/32"] = round(
+            mean_metric(recall_at_k(exact, got, 10, id_col="vec_id"), "recall"), 4
+        )
+    out["recall_ivf_at_10"] = curve["8/32"]
+    out["ivf_probe_frac"] = round(8 / 32, 4)
+    out["ivf_recall_curve"] = curve
+    # legacy 16-cell/3-probe point (rounds 2-4 comparison series)
+    ivf16 = IVF(n_lists=16, n_probe=3, max_iter=3, seed=42).fit(base, id_col="vec_id")
+    lists16 = ivf16.with_lists(base).persist()
+    approx16 = ivf16.query_batch(lists16, queries, 10, id_col="vec_id", round_to=6)
+    out["recall_ivf16_p3_at_10"] = round(
+        mean_metric(recall_at_k(exact, approx16, 10, id_col="vec_id"), "recall"), 4
     )
-    # the n_probe knob's recall/cost curve, second datapoint: 6/16 cells
-    ivf.n_probe = 6
-    approx6 = ivf.query_batch(lists, queries, 10, id_col="vec_id", round_to=6)
-    out["recall_ivf_at_10_probe6"] = round(
-        mean_metric(recall_at_k(exact, approx6, 10, id_col="vec_id"), "recall"), 4
-    )
+    lists16.unpersist()
     lists.unpersist()
     return out
 

@@ -8,12 +8,21 @@ into ``n_lists`` Voronoi cells, store each cell as a partition, and at
 query time score only the ``n_probe`` cells nearest the query.
 
 Spark-first design:
-- **fit** is distributed Lloyd's k-means with deterministic seeding
-  (initial centroids = the k rows with the smallest md5(id) — a seeded
-  hash-order sample, no RNG state): assignment is a native argmin
-  expression over a broadcast centroid array; the update step reduces
-  (cell, dim) partial sums map-side, so each iteration shuffles at most
-  n_lists*d tiny rows, never vectors.
+- **fit** is distributed Lloyd's k-means with deterministic
+  farthest-first seeding (Gonzalez 1985 "maxmin" traversal — the
+  deterministic analog of k-means++ D² sampling: instead of sampling
+  the next seed proportional to D², take its argmax; no RNG state, no
+  transcendentals, so the whole fit stays bit-reproducible across
+  engines). Each seeding round is ONE distributed argmax job (min
+  distance to the chosen set is a native fold over a literal centroid
+  matrix, TakeOrderedAndProject picks the farthest row); assignment is
+  a native argmin expression over a broadcast centroid array; the
+  update step reduces (cell, dim) partial sums map-side, so each Lloyd
+  iteration shuffles at most n_lists*d tiny rows, never vectors. At
+  100 TB run the k seeding scans over a hash-sampled subset
+  (``fit(df.sample(...))``) — seeds only need to cover the space, and
+  the measured recall win over the round-2 hash-order sample comes
+  from spread, not from seeing every row.
 - **build** writes the assigned table ``partitionBy("list_id")`` — a
   probe then reads n_probe/n_lists of the data via partition pruning
   (same layout trick as the LSH index, SURVEY.md §4.1).
@@ -64,34 +73,43 @@ class IVF:
 
     # -- fit ---------------------------------------------------------------
 
+    @staticmethod
+    def _cents_lit(cents) -> "F.Column":
+        """Literal array<array<double>> of centroids, parsed from ONE
+        SQL string (a nested F.lit costs one Py4J round-trip per
+        element — ~0.7 s per call at 16x64). The D suffix keeps every
+        element an exact DOUBLE literal (repr() is the shortest
+        round-trip decimal)."""
+        return F.expr(
+            "array(" + ",".join(
+                "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+                for c in cents
+            ) + ")"
+        )
+
+    @staticmethod
+    def _d2_fold(vec_col: str, c) -> "F.Column":
+        """Squared L2 as the identical per-element (x-y)² sequential
+        fold both engines run — the parity contract of the whole fit."""
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
     def _assign_expr(self, vec_col: str):
         """list_id = argmin_i ||v - c_i||² as a native expression over a
         literal centroid matrix; ties -> lowest index. The distance loop
         is a higher-order transform over ONE array<array<double>> literal
         rather than n_lists unrolled fold expressions: the generated code
-        is O(1) in n_lists so Janino compilation stays negligible, and
-        the literal is parsed from a single SQL string (a nested F.lit
-        costs one Py4J round-trip per element — ~0.7 s per call at
-        16x64). The D suffix keeps every element an exact DOUBLE literal
-        (repr() is the shortest round-trip decimal). Arithmetic is the
-        identical per-element (x-y)² sequential fold."""
-        cents = F.expr(
-            "array(" + ",".join(
-                "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
-                for c in self.centroids
-            ) + ")"
-        )
+        is O(1) in n_lists so Janino compilation stays negligible."""
         dists = F.transform(
-            cents,
-            lambda c: F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    c,
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
+            self._cents_lit(self.centroids),
+            lambda c: self._d2_fold(vec_col, c),
         )
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
@@ -107,20 +125,45 @@ class IVF:
         finally:
             vecs.unpersist()
 
-    def _fit(self, df: DataFrame, id_col: str, vec_col: str) -> "IVF":
-        # seeded init: k rows in md5(id, seed) hash order — a uniform,
-        # reproducible sample with no RNG (TakeOrderedAndProject, no sort)
-        seed_rows = (
+    def _seed_farthest_first(self, df: DataFrame, id_col: str,
+                             vec_col: str) -> np.ndarray:
+        """Deterministic farthest-first traversal (Gonzalez maxmin — the
+        greedy analog of k-means++ D² sampling). Seed 0 is the row with
+        the smallest md5(id#seed); seed i+1 is the row maximizing the
+        min squared distance to seeds 0..i (ties -> lowest id). Every
+        selected seed is an EXACT data vector (no arithmetic on it), and
+        min-of-distances is order-independent, so an external engine
+        re-running the same traversal lands on identical seeds."""
+        first = (
             df.select(id_col, vec_col)
-            .orderBy(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{self.seed}"))))
-            .limit(self.n_lists)
+            .orderBy(F.md5(F.concat(F.col(id_col).cast("string"),
+                                    F.lit(f"#{self.seed}"))))
+            .limit(1)
             .collect()
         )
-        if len(seed_rows) < self.n_lists:
+        if not first:
+            raise ValueError("cannot fit an IVF on an empty DataFrame")
+        seeds = [[float(x) for x in first[0][vec_col]]]
+        for _ in range(self.n_lists - 1):
+            mind = F.array_min(
+                F.transform(self._cents_lit(seeds),
+                            lambda c: self._d2_fold(vec_col, c))
+            )
+            row = (
+                df.select(F.col(id_col), F.col(vec_col), mind.alias("__mind"))
+                .orderBy(F.desc("__mind"), F.asc(id_col))
+                .limit(1)
+                .collect()[0]
+            )
+            seeds.append([float(x) for x in row[vec_col]])
+        return np.asarray(seeds, dtype=np.float64)
+
+    def _fit(self, df: DataFrame, id_col: str, vec_col: str) -> "IVF":
+        if df.count() < self.n_lists:
             raise ValueError(
                 f"need >= {self.n_lists} vectors to fit {self.n_lists} lists"
             )
-        self.centroids = np.asarray([list(r[vec_col]) for r in seed_rows], dtype=np.float64)
+        self.centroids = self._seed_farthest_first(df, id_col, vec_col)
 
         for _ in range(self.max_iter):
             assigned = df.select(
