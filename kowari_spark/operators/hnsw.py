@@ -189,16 +189,32 @@ class HNSW:
         # buckets has no out-edges; link it to the entry point so the
         # NN-descent rounds below integrate it (its 2-hop candidates via
         # the entry point are real neighbors, and top-M pruning never
-        # drops a src's last edge — every src keeps >= 1 edge).
+        # drops a src's last edge — every src keeps >= 1 edge). The
+        # entry point itself gets the same guarantee: when IT is the
+        # node the buckets isolated, it links to the smallest other
+        # member of the layer (singleton layers have nothing to link to
+        # and legitimately stay edgeless).
         ep_id, _ = self.entry_point(leveled, id_col)
-        missing = (
-            exploded.select("level", F.col("__vid").alias("src"))
-            .join(edges.select("level", "src").distinct(), ["level", "src"],
-                  "left_anti")
-            .filter(F.col("src") != F.lit(ep_id))
-            .select("level", "src", F.lit(ep_id).alias("dst"))
+        missing = exploded.select("level", F.col("__vid").alias("src")).join(
+            edges.select("level", "src").distinct(), ["level", "src"],
+            "left_anti",
         )
-        edges = edges.select("level", "src", "dst").unionByName(missing)
+        patched = missing.filter(F.col("src") != F.lit(ep_id)).select(
+            "level", "src", F.lit(ep_id).alias("dst")
+        )
+        alt = (
+            exploded.filter(F.col("__vid") != F.lit(ep_id))
+            .groupBy("level")
+            .agg(F.min("__vid").alias("__alt"))
+        )
+        patched_ep = (
+            missing.filter(F.col("src") == F.lit(ep_id))
+            .join(alt, "level")  # inner: drops singleton layers
+            .select("level", "src", F.col("__alt").alias("dst"))
+        )
+        edges = edges.select("level", "src", "dst").unionByName(
+            patched
+        ).unionByName(patched_ep)
 
         for _ in range(self.refine_rounds):
             # NN-descent: candidates = 2-hop neighbors over the
@@ -268,19 +284,29 @@ class HNSW:
         10-level graph; the dominant latency term at local[32]). At
         n=1e11 a capped L_cut=16 layer is ~1.5M rows — still one
         broadcast-join map stage, no shuffle.
+
+        Latency shape (round 5): every intermediate checkpoint is LAZY
+        (``localCheckpoint(eager=False)`` — lineage still truncates and
+        each round's result is computed once and cached, but no blocking
+        driver action fires per hop). The whole descent + BFS then runs
+        as ONE Spark job when the final (small, queries x k) result is
+        eagerly materialized at the end — 2 driver barriers total
+        instead of one per checkpointed round.
         """
+        import math
+        import warnings
+
         spark = base.sparkSession
         # the search loop touches (id, vector) once per hop/level — pin
-        # it in memory for the duration instead of re-reading the source
-        # every round (all uses are materialized by the localCheckpoints
-        # below, so the unpersist at the end is safe for the lazy result)
+        # it in memory for the duration (the eager materialization of
+        # the final result below happens BEFORE the unpersist, so the
+        # returned DataFrame never recomputes against an unpinned base)
         vecs = base.select(F.col(id_col), F.col(vec_col)).persist()
         leveled = assign_levels(vecs, id_col, self.seed, self.max_level)
         stats = leveled.agg(
             F.count("*").alias("n"), F.max("node_level").alias("top")
         ).first()
         n, top_level = int(stats["n"]), int(stats["top"] or 0)
-        import math
 
         l_cut = max(1, math.ceil(math.log2(max(n / max(entry_budget, 1), 1.0))))
         l_cut = min(l_cut, top_level)  # 0 on a flat graph -> score all
@@ -291,9 +317,14 @@ class HNSW:
         )
 
         def with_scores(nodes: DataFrame) -> DataFrame:
-            """attach similarity(query, node)."""
+            """attach similarity(query, node). ``nodes`` is a frontier
+            expansion (ef·|q|·M rows — small by construction), so it
+            broadcasts into the persisted vector table, and the tiny
+            query relation broadcasts on top (Spark reuses the one q
+            broadcast across every hop via ReusedExchange): zero
+            exchanges per hop, the scan side stays wherever it is."""
             return (
-                nodes.join(vecs, id_col)
+                F.broadcast(nodes).join(vecs, id_col)
                 .join(F.broadcast(q), "query_id")
                 .select(
                     "query_id",
@@ -304,25 +335,62 @@ class HNSW:
                 )
             )
 
-        # exact entry: every (query, layer>=L_cut node) pair, one plan
-        layer = leveled.filter(F.col("node_level") >= l_cut).select(id_col)
-        pairs = layer.crossJoin(F.broadcast(q.select("query_id")))
+        # exact entry: every (query, layer>=L_cut node) pair, one plan.
+        # Flat-graph guard: when every node sits at level 0 the "layer"
+        # is the whole table and the cross join would score n x |q|
+        # pairs with no budget — cap the entry set to a deterministic
+        # hash-ordered ``entry_budget`` sample and let the BFS refine.
+        # the layer relation still carries each node's vector (leveled
+        # derives from the persisted vecs), so entry scoring is a pure
+        # map over layer x broadcast(q) — no join back to vecs at all
+        layer_vecs = leveled.filter(F.col("node_level") >= l_cut).select(
+            id_col, vec_col
+        )
+        if l_cut == 0 and n > entry_budget:
+            warnings.warn(
+                f"hnsw.query_batch: flat graph (top level 0) with n={n} > "
+                f"entry_budget={entry_budget}; capping the exact entry "
+                "layer to a hash-ordered sample — entry quality degrades "
+                "gracefully, but consider rebuilding with a larger "
+                "max_level so upper layers exist",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            layer_vecs = (
+                leveled.select(
+                    F.col(id_col),
+                    F.col(vec_col),
+                    F.md5(F.concat(F.col(id_col).cast("string"),
+                                   F.lit(f"#entry{self.seed}"))).alias("__h"),
+                )
+                .orderBy("__h")
+                .limit(entry_budget)
+                .select(id_col, vec_col)
+            )
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
         best = (
-            with_scores(pairs)
+            layer_vecs.crossJoin(F.broadcast(q))
+            .select(
+                "query_id",
+                F.col(id_col),
+                _rounded(
+                    _score(metric, F.col(vec_col), F.col("__qvec")), round_to
+                ).alias("score"),
+            )
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .drop("rn")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
 
-        # greedy descent through the remaining upper levels, TWO levels
-        # per checkpoint: the frontier re-enters the next level's plan on
-        # BOTH sides (broadcast probe + union), so unbounded lineage
-        # doubles per level — materializing every other level keeps the
-        # replay bounded at half the blocking-job count.
+        # greedy descent through the remaining upper levels. Lazy
+        # checkpoints each level: the frontier re-enters the next
+        # level's plan on BOTH sides (broadcast probe + union), so
+        # unbounded lineage doubles per level — the lazy checkpoint
+        # truncates it and caches each level's result WITHOUT a
+        # blocking driver action.
         down = list(range(l_cut - 1, 0, -1))
-        for i, level in enumerate(down):
+        for level in down:
             nbrs = (
                 F.broadcast(best.select("query_id", id_col))
                 .join(
@@ -336,47 +404,53 @@ class HNSW:
                 scored.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == 1)
                 .drop("rn")
+                .localCheckpoint(eager=False)
             )
-            if i % 2 == 1 or i == len(down) - 1:
-                best = best.localCheckpoint()
 
-        # level-0 BFS: expand ef-bounded frontier `hops` times.
-        # Checkpoint every OTHER round: each checkpoint is a blocking
-        # Spark action, and at frontier sizes of ef·|queries| the job
-        # latency dominates — two rounds of joins+window per action
-        # halves the action count while keeping lineage bounded.
+        # level-0 BFS: expand ef-bounded frontier `hops` times — every
+        # round lazily checkpointed (lineage bounded, zero per-hop
+        # barriers; the whole BFS executes inside the single job below)
         visited = best
         frontier = best.select("query_id", id_col)
         # the level-0 adjacency is re-probed every hop — pin it (at
         # scale this is the index working set; MEMORY_AND_DISK spills)
         lvl0 = edges.filter(F.col("level") == 0).persist()
         for h in range(hops):
+            # no distinct here: duplicate (query, dst) expansions are
+            # collapsed by the groupBy below — one less shuffle per hop
             nbrs = (
                 F.broadcast(frontier)
                 .join(lvl0, F.col(id_col) == F.col("src"))
                 .select("query_id", F.col("dst").alias(id_col))
-                .distinct()
             )
             scored = with_scores(nbrs)
+            # ONE exchange per hop: re-cluster by query_id, after which
+            # both the dedup groupBy (grouping on a superset of the
+            # partition keys) and the ef window plan with no further
+            # exchange
             merged = (
                 visited.unionByName(scored)
+                .repartition(F.col("query_id"))
                 .groupBy("query_id", id_col)
                 .agg(F.max("score").alias("score"))
             )
             w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
             nxt = merged.withColumn("rn", F.row_number().over(w)).filter(
                 F.col("rn") <= self.ef
-            )
-            if h % 2 == 1 or h == hops - 1:
-                nxt = nxt.localCheckpoint()
+            ).localCheckpoint(eager=False)
             frontier = nxt.select("query_id", id_col)
             visited = nxt.drop("rn")
 
-        vecs.unpersist()
-        lvl0.unpersist()
-        # final exact ranking of the visited set
+        # final exact ranking of the visited set, EAGERLY materialized
+        # (small: |queries| x k rows) in the one job that executes the
+        # entire lazy pipeline, so the persisted base/adjacency can be
+        # released before returning
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
-        return (
+        out = (
             visited.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
+            .localCheckpoint(eager=True)
         )
+        vecs.unpersist()
+        lvl0.unpersist()
+        return out

@@ -79,3 +79,53 @@ def test_no_zero_degree_nodes(base, index):
         lvl0.select("src").distinct(), "src", "left_anti"
     )
     assert out_missing.isEmpty()
+
+
+def test_entry_point_has_out_edges_on_shared_levels(base, spark):
+    """Round-4 ADVICE low (c): the connectivity patch used to exempt
+    the entry point, so it could sit edgeless on levels it shares with
+    other nodes. Invariant: on every level with >= 2 members, EVERY
+    member — entry point included — has out-degree >= 1. num_planes=8
+    (256 buckets over 200 vectors) forces many singleton buckets, the
+    regime that starves the LSH candidate pass."""
+    hnsw = HNSW(m=4, ef=16, seed=42, num_planes=8, num_tables=2,
+                refine_rounds=0)
+    edges = hnsw.build(base).cache()
+    leveled = assign_levels(base.select("id", "embedding"), "id", 42, 16)
+    members = leveled.select(
+        "id", F.explode(F.sequence(F.lit(0), F.col("node_level"))).alias("level")
+    )
+    sizes = members.groupBy("level").count()
+    shared = sizes.filter(F.col("count") >= 2).select("level")
+    need = members.join(shared, "level").select(
+        "level", F.col("id").alias("src")
+    )
+    missing = need.join(edges.select("level", "src").distinct(),
+                        ["level", "src"], "left_anti")
+    rows = missing.collect()
+    assert rows == [], f"nodes without out-edges on shared levels: {rows}"
+
+
+def test_flat_graph_entry_guard_warns_and_caps(spark, embeddings):
+    """Round-4 ADVICE low (b): max_level=0 makes every node level 0;
+    the exact entry layer must not silently cross-join the whole table
+    with every query — it warns and caps to entry_budget."""
+    import warnings
+
+    base = embeddings.withColumnRenamed("vec_id", "id").limit(150).cache()
+    hnsw = HNSW(m=4, ef=16, seed=42, max_level=0, num_planes=3,
+                num_tables=4, refine_rounds=1)
+    edges = hnsw.build(base).cache()
+    queries = base.filter(F.col("id") < 3).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = hnsw.query_batch(base, edges, queries, 5, id_col="id",
+                               entry_budget=32)
+        rows = out.collect()
+    assert any("flat graph" in str(w.message) for w in caught)
+    counts = {}
+    for r in rows:
+        counts[r["query_id"]] = counts.get(r["query_id"], 0) + 1
+    assert all(v == 5 for v in counts.values()) and len(counts) == 3
