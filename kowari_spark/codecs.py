@@ -209,3 +209,128 @@ def decode_with_pil(blob: bytes) -> tuple[int, int, np.ndarray]:
     img = Image.open(io.BytesIO(blob)).convert("L")
     arr = np.asarray(img, dtype=np.uint8)
     return img.width, img.height, arr
+
+
+# -- Y4M (YUV4MPEG2) — public uncompressed video container -------------------
+#
+# The video analog of the dependency-free PNG path: YUV4MPEG2 is the
+# standard interchange format every ffmpeg/mjpegtools pipeline can emit
+# (`ffmpeg -i in.mp4 out.y4m`), and it is trivially parseable — an ASCII
+# stream header, then "FRAME\n"-delimited raw planar YUV. Decoding it
+# here keeps the video decode boundary REAL without shipping ffmpeg:
+# compressed containers are transcoded to .y4m upstream (the documented
+# boundary), and the engine's frame operators run on the result.
+
+_Y4M_MAGIC = b"YUV4MPEG2 "
+
+
+def _y4m_plane_sizes(cs: str, w: int, h: int) -> list[tuple[int, int]]:
+    """(plane_w, plane_h) per plane for the colorspaces we accept."""
+    if cs.startswith("C420"):  # C420, C420jpeg, C420mpeg2, C420paldv
+        return [(w, h), (w // 2, h // 2), (w // 2, h // 2)]
+    if cs == "C422":
+        return [(w, h), (w // 2, h), (w // 2, h)]
+    if cs == "C444":
+        return [(w, h), (w, h), (w, h)]
+    if cs == "Cmono":
+        return [(w, h)]
+    raise ValueError(f"unsupported Y4M colorspace {cs!r}")
+
+
+def decode_y4m(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """(width, height, luma[n_frames, h, w]) from a YUV4MPEG2 stream.
+
+    Parses the stream header (W/H mandatory, C colorspace optional —
+    spec default C420jpeg), then every FRAME section; chroma planes are
+    skipped (the engine's media operators are luma-based, like the
+    PNG/PIL image path)."""
+    if not blob.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 stream (bad magic)")
+    nl = blob.index(b"\n")
+    params = blob[len(_Y4M_MAGIC):nl].decode("ascii").split()
+    w = h = None
+    cs = "C420jpeg"
+    for p in params:
+        if p.startswith("W"):
+            w = int(p[1:])
+        elif p.startswith("H"):
+            h = int(p[1:])
+        elif p.startswith("C"):
+            cs = p
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    planes = _y4m_plane_sizes(cs, w, h)
+    frame_bytes = sum(pw * ph for pw, ph in planes)
+    frames = []
+    pos = nl + 1
+    while pos < len(blob):
+        if blob[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        fnl = blob.index(b"\n", pos)
+        body = blob[fnl + 1 : fnl + 1 + frame_bytes]
+        if len(body) < frame_bytes:
+            raise ValueError(f"truncated frame at offset {pos}")
+        frames.append(
+            np.frombuffer(body, dtype=np.uint8, count=w * h).reshape(h, w)
+        )
+        pos = fnl + 1 + frame_bytes
+    return w, h, np.stack(frames) if frames else np.empty((0, h, w), np.uint8)
+
+
+def encode_y4m(
+    frames: np.ndarray, colorspace: str = "C420jpeg", fps: str = "25:1"
+) -> bytes:
+    """YUV4MPEG2 stream from luma frames [n, h, w] (chroma planes are
+    written neutral 128). The test-fixture writer for the decoder above,
+    and a legitimate exporter toward any ffmpeg consumer."""
+    n, h, w = frames.shape
+    planes = _y4m_plane_sizes(colorspace, w, h)
+    head = f"YUV4MPEG2 W{w} H{h} F{fps} Ip A1:1 {colorspace}\n".encode()
+    out = [head]
+    for f in range(n):
+        out.append(b"FRAME\n")
+        out.append(frames[f].astype(np.uint8).tobytes())
+        for pw, ph in planes[1:]:
+            out.append(b"\x80" * (pw * ph))
+    return b"".join(out)
+
+
+# -- MJPEG — concatenated-JPEG stream ----------------------------------------
+
+def split_mjpeg(blob: bytes) -> list[bytes]:
+    """Split a raw MJPEG stream into its JPEG frames by SOI/EOI markers
+    (FFD8 ... FFD9). Pure byte scanning — frame PAYLOAD decode then goes
+    through the Pillow adapter (JPEG entropy decode is exactly the
+    boundary the import-gate exists for). Embedded FFD8/FFD9 byte pairs
+    inside entropy-coded data are preceded by a 0xFF00 stuffing byte per
+    the JPEG spec, so marker scanning is sound on baseline streams."""
+    frames = []
+    pos = 0
+    while True:
+        soi = blob.find(b"\xff\xd8", pos)
+        if soi < 0:
+            break
+        eoi = blob.find(b"\xff\xd9", soi + 2)
+        if eoi < 0:
+            raise ValueError(f"JPEG frame at offset {soi} has no EOI marker")
+        frames.append(blob[soi : eoi + 2])
+        pos = eoi + 2
+    return frames
+
+
+def decode_mjpeg(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """(width, height, luma[n, h, w]) from an MJPEG stream: marker split
+    (dependency-free) + per-frame Pillow decode (import-gated)."""
+    parts = split_mjpeg(blob)
+    if not parts:
+        raise ValueError("no JPEG frames found in MJPEG stream")
+    lumas = []
+    w = h = None
+    for p in parts:
+        fw, fh, arr = decode_with_pil(p)
+        if w is None:
+            w, h = fw, fh
+        elif (fw, fh) != (w, h):
+            raise ValueError("MJPEG frames disagree on dimensions")
+        lumas.append(arr)
+    return w, h, np.stack(lumas)

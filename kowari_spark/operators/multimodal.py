@@ -15,8 +15,13 @@ tested, and so is image decode:
 - ``codec="pil"``: any Pillow-supported format, gated behind an
   import-try (Pillow is public but not in every runtime; tests skip
   when absent);
-- ``codec="ffmpeg"``: still a documented NotImplementedError — no
-  ffmpeg binary or binding ships in this environment.
+- ``codec="y4m"``: REAL video decode, no dependency — YUV4MPEG2, the
+  uncompressed interchange stream every ffmpeg can emit;
+- ``codec="mjpeg"``: concatenated-JPEG video; dependency-free frame
+  split + Pillow-gated per-frame decode;
+- ``codec="ffmpeg"``: out of scope BY DESIGN — compressed containers
+  are transcoded to y4m/mjpeg upstream (SURVEY.md §7 scope decision);
+  the stub's message documents the boundary.
 
 KWM fake format (so tests are byte-level real):
   magic ``KWM1`` | u8 kind (0=image,1=audio,2=video) | u16be width |
@@ -139,8 +144,17 @@ def _decode_blob(blob: bytes, codec: str) -> tuple[str, int, int, int, np.ndarra
     - ``pil``: any Pillow-supported format (PNG/JPEG/WebP/...);
       import-gated, raises NotImplementedError with the install hint
       where Pillow is absent;
-    - ``ffmpeg``: still stubbed — no ffmpeg binary or binding ships in
-      this environment; video beyond the KWM frame model needs it.
+    - ``y4m``: REAL video decode with no external dependency — the
+      YUV4MPEG2 uncompressed interchange stream every ffmpeg pipeline
+      can emit (``ffmpeg -i in.mp4 out.y4m``); luma planes only, like
+      the image paths (kowari_spark.codecs.decode_y4m);
+    - ``mjpeg``: concatenated-JPEG video stream — the frame SPLIT is
+      dependency-free marker scanning, per-frame entropy decode rides
+      the import-gated Pillow adapter;
+    - ``ffmpeg``: intentionally NOT implemented — compressed containers
+      (mp4/webm/mkv) are transcoded to ``.y4m``/MJPEG upstream of the
+      engine; that transcode is the documented system boundary rather
+      than an in-engine binding.
     """
     if codec == "png":
         from kowari_spark.codecs import decode_png
@@ -152,14 +166,28 @@ def _decode_blob(blob: bytes, codec: str) -> tuple[str, int, int, int, np.ndarra
 
         width, height, gray = decode_with_pil(bytes(blob))
         return "image", width, height, 1, gray[None, :, :]
+    if codec == "y4m":
+        from kowari_spark.codecs import decode_y4m
+
+        width, height, frames = decode_y4m(bytes(blob))
+        return "video", width, height, frames.shape[0], frames
+    if codec == "mjpeg":
+        from kowari_spark.codecs import decode_mjpeg
+
+        width, height, frames = decode_mjpeg(bytes(blob))
+        return "video", width, height, frames.shape[0], frames
     if codec == "ffmpeg":
         raise NotImplementedError(
-            "codec 'ffmpeg' needs the ffmpeg binary/bindings, absent from "
-            "this environment; images decode via 'png'/'pil', video via the "
-            "deterministic 'kwm' test codec"
+            "codec 'ffmpeg' is out of scope by design: transcode "
+            "compressed containers to YUV4MPEG2 ('y4m') or MJPEG "
+            "('mjpeg') upstream (e.g. `ffmpeg -i in.mp4 out.y4m`) and "
+            "feed those — both decode here with no external dependency "
+            "(mjpeg entropy decode needs Pillow)"
         )
     if codec != "kwm":
-        raise ValueError(f"unknown codec {codec!r} (kwm, png, pil, ffmpeg)")
+        raise ValueError(
+            f"unknown codec {codec!r} (kwm, png, pil, y4m, mjpeg, ffmpeg)"
+        )
     magic, kind, width, height, n_frames = _HEADER.unpack_from(blob, 0)
     if magic != _MAGIC:
         raise ValueError("not a KWM blob")
@@ -269,7 +297,10 @@ def frame_sample(
     media_col: str = "media", id_col: str = "media_id", codec: str = "kwm",
 ) -> DataFrame:
     """Keep every k-th frame of video media (frame 0 always kept),
-    re-encoded; images/audio pass through unchanged."""
+    re-encoded; images/audio pass through unchanged. Like
+    ``resize_media``, output blobs are normalized to the engine's KWM
+    framing regardless of input codec (decode once at ingest, every
+    downstream stage reads one format)."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

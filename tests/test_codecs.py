@@ -110,3 +110,108 @@ def test_pil_absent_raises_not_implemented(spark):
     with pytest.raises(Exception) as ei:
         media_features(df, codec="pil").collect()
     assert "Pillow" in str(ei.value)
+
+
+# -- Y4M / MJPEG video codecs -------------------------------------------------
+
+def _luma_frames(n=5, h=12, w=16):
+    import numpy as np
+
+    f = np.arange(n)[:, None, None]
+    y = np.arange(h)[None, :, None]
+    x = np.arange(w)[None, None, :]
+    return ((f * 31 + y * 7 + x * 13) % 256).astype(np.uint8)
+
+
+def test_y4m_roundtrip_c420_and_mono():
+    import numpy as np
+
+    from kowari_spark.codecs import decode_y4m, encode_y4m
+
+    frames = _luma_frames()
+    for cs in ("C420jpeg", "C444", "C422", "Cmono"):
+        blob = encode_y4m(frames, colorspace=cs)
+        w, h, got = decode_y4m(blob)
+        assert (w, h) == (16, 12)
+        assert np.array_equal(got, frames), cs
+
+
+def test_y4m_header_defaults_and_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    from kowari_spark.codecs import decode_y4m, encode_y4m
+
+    # spec default colorspace (no C token) is C420jpeg
+    frames = _luma_frames(n=2)
+    blob = encode_y4m(frames).replace(b" C420jpeg", b"", 1)
+    w, h, got = decode_y4m(blob)
+    assert np.array_equal(got, frames)
+    with _pytest.raises(ValueError, match="bad magic"):
+        decode_y4m(b"JUNK")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_y4m(encode_y4m(frames)[:-5])
+
+
+def test_mjpeg_split_by_markers():
+    from kowari_spark.codecs import split_mjpeg
+
+    f1 = b"\xff\xd8" + b"\x01\x02\x03" + b"\xff\xd9"
+    f2 = b"\xff\xd8" + b"\x04\x05" + b"\xff\xd9"
+    assert split_mjpeg(f1 + f2) == [f1, f2]
+    assert split_mjpeg(b"") == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no EOI"):
+        split_mjpeg(b"\xff\xd8\x00\x00")
+
+
+def test_frame_sample_on_y4m_video(spark):
+    """The video frame-sample operator drives the REAL y4m decode path
+    end-to-end: 2 videos of 6 luma frames -> every 3rd frame kept,
+    output normalized to KWM framing."""
+    import numpy as np
+
+    from kowari_spark.codecs import encode_y4m
+    from kowari_spark.operators.multimodal import _decode_blob, frame_sample
+
+    vids = []
+    for key in (0, 1):
+        frames = (_luma_frames(n=6) + key).astype(np.uint8)
+        vids.append((key, bytearray(encode_y4m(frames))))
+    df = spark.createDataFrame(vids, "media_id long, media binary")
+    out = {r["media_id"]: bytes(r["media"])
+           for r in frame_sample(df, 3, codec="y4m").collect()}
+    for key in (0, 1):
+        kind, w, h, n, px = _decode_blob(out[key], "kwm")
+        assert (kind, w, h, n) == ("video", 16, 12, 2)
+        want = ((_luma_frames(n=6) + key).astype(np.uint8))[::3]
+        assert np.array_equal(px, want)
+
+
+def test_mjpeg_via_pil_or_gated(spark):
+    """MJPEG end-to-end where Pillow exists; the NotImplementedError
+    boundary where it doesn't (same gate the 'pil' image codec uses)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from kowari_spark.codecs import decode_mjpeg
+
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        with _pytest.raises(NotImplementedError, match="Pillow"):
+            decode_mjpeg(b"\xff\xd8\x00\xff\xd9")
+        return
+    frames = _luma_frames(n=3)
+    bufs = []
+    for f in frames:
+        b = io.BytesIO()
+        Image.fromarray(f, mode="L").save(b, format="JPEG", quality=95)
+        bufs.append(b.getvalue())
+    w, h, got = decode_mjpeg(b"".join(bufs))
+    assert (w, h) == (16, 12) and got.shape == (3, 12, 16)
+    # lossy codec: luma within JPEG quantization error of the source
+    assert np.abs(got.astype(int) - frames.astype(int)).mean() < 8
