@@ -239,24 +239,44 @@ class Collection:
     # -- search (QueryEngine parity, vector_db/src/query.rs:15-52) -------
 
     def search_with_scores(
-        self, query, k: int, metric: str = "cosine", round_to: int | None = None
+        self, query, k: int, metric: str = "cosine",
+        round_to: int | None = None, index=None,
     ):
         """Q8 search_with_scores: top-k records with scores. The index
         hit list resolves back to full records by inner join (missing
-        ids silently drop, matching query.rs:18-24)."""
+        ids silently drop, matching query.rs:18-24).
+
+        ``index``: an ``operators.ann.AnnIndex`` strategy (SignLSHIndex
+        / CrossPolytopeIndex / IVFIndex / HNSWIndex). When given, the
+        hit list comes from the unified candidates -> exact-rescore ->
+        fallback contract instead of the exact scan — the Spark shape
+        of the reference's pluggable Index trait (src/index.rs:8-12)."""
         from kowari_spark.operators import knn, resolve
 
-        hits = knn(
-            self.df(), [float(x) for x in query], k, metric=metric, round_to=round_to
-        )
+        if index is not None:
+            qdf = self.spark.createDataFrame(
+                [("__q0", [float(x) for x in query])],
+                "query_id string, embedding array<double>",
+            )
+            hits = index.search(
+                self.df(), qdf, k, metric=metric, round_to=round_to
+            ).drop("query_id", "rank")
+        else:
+            hits = knn(
+                self.df(), [float(x) for x in query], k, metric=metric,
+                round_to=round_to,
+            )
         return resolve(hits, self.df()).orderBy(
             F.desc("score"), F.asc("id")
         )
 
-    def search(self, query, k: int, metric: str = "cosine"):
+    def search(self, query, k: int, metric: str = "cosine", index=None):
         """Q7/Q9 search (by raw vector): top-k full records, no score
-        column."""
-        return self.search_with_scores(query, k, metric=metric).drop("score")
+        column. ``index`` dispatches to an ANN strategy (see
+        ``search_with_scores``)."""
+        return self.search_with_scores(
+            query, k, metric=metric, index=index
+        ).drop("score")
 
     # -- writes ----------------------------------------------------------
 

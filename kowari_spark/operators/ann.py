@@ -1,0 +1,264 @@
+"""Unified ANN index-strategy contract (SURVEY.md §2.6).
+
+The reference hides its three index strategies behind one trait —
+``build / query / clear`` over ``&[(id, data)]`` (src/index.rs:8-12) —
+and the engine's four strategies (sign-LSH, cross-polytope LSH, IVF,
+HNSW) grew similar-but-different ``query_batch`` signatures. This
+module is the Spark-shaped version of that trait, so callers (and
+``Collection.search(index=...)``) dispatch without knowing which
+strategy is behind the handle:
+
+- ``build_df(base)``  -> the index RELATION (bucketed layout, cell
+  assignment, or edge set) — write it with ``partitionBy(...)`` for the
+  offline layout, or pass it straight back in;
+- ``candidates(built, base, queries)`` -> ``(query_id, id)`` candidate
+  pairs — the only strategy-specific step;
+- ``search(...)`` (shared) -> exact re-score of the candidates with
+  native column expressions, per-query window top-k, and the
+  reference's brute-force fallback for queries whose candidate set is
+  smaller than k (src/index.rs:158-173 semantics, generalized).
+
+The shared path is exactly the machinery every strategy already used —
+one scoring join, one window — so an index plugged in here inherits the
+scale shape for free: candidates broadcast into the base table, the
+base scan stays partition-pruned when ``built`` is a loaded
+``partitionBy`` layout, and nothing ever materializes driver-side
+except the (contract-small) query batch where a strategy needs it
+(IVF probe selection).
+"""
+
+from __future__ import annotations
+
+import abc
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kowari_spark.operators.topk import _rounded, _score, knn_batch
+
+
+class AnnIndex(abc.ABC):
+    """Index-strategy contract: build_df -> candidates -> (shared) search."""
+
+    name: str = "ann"
+
+    @abc.abstractmethod
+    def build_df(self, base: DataFrame, id_col: str = "id",
+                 vec_col: str = "embedding") -> DataFrame:
+        """The index relation for ``base`` (bucketed/cell/edge table)."""
+
+    @abc.abstractmethod
+    def candidates(
+        self,
+        built: DataFrame,
+        base: DataFrame,
+        queries: DataFrame,
+        k: int,
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        query_id_col: str = "query_id",
+        query_vec_col: str = "embedding",
+    ) -> DataFrame:
+        """(query_id, <id_col>) candidate pairs, deduplicated."""
+
+    def search(
+        self,
+        base: DataFrame,
+        queries: DataFrame,
+        k: int,
+        metric: str = "cosine",
+        built: DataFrame | None = None,
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        query_id_col: str = "query_id",
+        query_vec_col: str = "embedding",
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """Shared candidate -> exact-rescore -> top-k -> fallback drive.
+
+        Returns (query_id, <id_col>, score, rank) like every
+        ``query_batch``. ``built`` defaults to ``build_df(base)`` — pass
+        a loaded offline layout to keep the probe partition-pruned."""
+        if built is None:
+            built = self.build_df(base, id_col, vec_col)
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("__qvec"),
+        )
+        cand = self.candidates(
+            built, base, queries, k, id_col, vec_col, query_id_col,
+            query_vec_col,
+        ).localCheckpoint()  # one computation feeds sizes + scoring + fallback
+        sizes = cand.groupBy("query_id").agg(F.count("*").alias("__n"))
+        ok_ids = sizes.filter(F.col("__n") >= k).select("query_id")
+        starved = q.join(F.broadcast(ok_ids), "query_id", "left_anti")
+
+        vecs = base.select(id_col, vec_col)
+        scored = (
+            cand.join(F.broadcast(ok_ids), "query_id")
+            .join(vecs, id_col)
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                F.col(id_col),
+                _rounded(
+                    _score(metric, F.col(vec_col), F.col("__qvec")), round_to
+                ).alias("score"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+        topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+        if starved.isEmpty():
+            return topk
+        fb = knn_batch(
+            base.select(id_col, vec_col),
+            starved.select("query_id", F.col("__qvec").alias("embedding")),
+            k,
+            metric=metric,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_to=round_to,
+        )
+        return topk.unionByName(fb.select("query_id", id_col, "score", "rank"))
+
+
+class SignLSHIndex(AnnIndex):
+    """Random-hyperplane LSH behind the contract (operators/lsh.py)."""
+
+    name = "sign_lsh"
+
+    def __init__(self, lsh, probes: int = 1):
+        self.lsh = lsh
+        self.probes = probes
+
+    def build_df(self, base, id_col="id", vec_col="embedding"):
+        return self.lsh.with_buckets(base, vec_col)
+
+    def candidates(self, built, base, queries, k, id_col="id",
+                   vec_col="embedding", query_id_col="query_id",
+                   query_vec_col="embedding"):
+        qp = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(
+                self.lsh.probe_buckets_expr(F.col(query_vec_col), self.probes)
+            ).alias("bucket"),
+        )
+        return (
+            built.select(F.col(id_col), "bucket")
+            .join(F.broadcast(qp), "bucket")
+            .select("query_id", id_col)
+            .distinct()
+        )
+
+
+class CrossPolytopeIndex(AnnIndex):
+    """Cross-polytope LSH behind the contract (operators/cplsh.py)."""
+
+    name = "cp_lsh"
+
+    def __init__(self, cp, probes: int = 1):
+        self.cp = cp
+        self.probes = probes
+
+    def build_df(self, base, id_col="id", vec_col="embedding"):
+        return self.cp.with_buckets(base, vec_col)
+
+    def candidates(self, built, base, queries, k, id_col="id",
+                   vec_col="embedding", query_id_col="query_id",
+                   query_vec_col="embedding"):
+        spark = queries.sparkSession
+        if self.probes <= 1:
+            qp = queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.posexplode(
+                    self.cp.buckets_udf(spark)(F.col(query_vec_col))
+                ).alias("__tbl", "bucket"),
+            )
+        else:
+            qp = (
+                queries.select(
+                    F.col(query_id_col).alias("query_id"),
+                    F.posexplode(
+                        self.cp.probes_udf(self.probes, spark)(
+                            F.col(query_vec_col)
+                        )
+                    ).alias("__tbl", "__pb"),
+                )
+                .select("query_id", "__tbl", F.explode("__pb").alias("bucket"))
+            )
+        return (
+            built.select(F.col(id_col), "__tbl", "bucket")
+            .join(F.broadcast(qp), ["__tbl", "bucket"])
+            .select("query_id", id_col)
+            .distinct()
+        )
+
+
+class IVFIndex(AnnIndex):
+    """IVF coarse quantizer behind the contract (operators/ivf.py).
+    ``build_df`` fits the quantizer when needed; ``candidates`` selects
+    n_probe cells per query (query batch collected driver-side —
+    contract-small, same as ivf.query_batch) and partition-prunes the
+    built layout to them."""
+
+    name = "ivf"
+
+    def __init__(self, ivf):
+        self.ivf = ivf
+
+    def build_df(self, base, id_col="id", vec_col="embedding"):
+        if self.ivf.centroids is None:
+            self.ivf.fit(base, id_col=id_col, vec_col=vec_col)
+        return self.ivf.with_lists(base, vec_col)
+
+    def candidates(self, built, base, queries, k, id_col="id",
+                   vec_col="embedding", query_id_col="query_id",
+                   query_vec_col="embedding"):
+        spark = queries.sparkSession
+        qrows = queries.select(query_id_col, query_vec_col).collect()
+        pairs = [
+            (r[0], p) for r in qrows for p in self.ivf._probes_of(r[1])
+        ]
+        qtype = queries.schema[query_id_col].dataType.simpleString()
+        probe_df = spark.createDataFrame(
+            pairs, f"query_id {qtype}, list_id int"
+        )
+        probed = sorted({p for _, p in pairs})
+        return (
+            built.filter(F.col("list_id").isin(probed))
+            .join(F.broadcast(probe_df), "list_id")
+            .select("query_id", id_col)
+            .distinct()
+        )
+
+
+class HNSWIndex(AnnIndex):
+    """HNSW graph behind the contract (operators/hnsw.py). The
+    candidate set is the beam-search visited set (ef wide), which the
+    shared path then re-scores exactly — identical ranking to
+    hnsw.query_batch because that, too, ends in an exact rank of the
+    visited set."""
+
+    name = "hnsw"
+
+    def __init__(self, hnsw, hops: int = 4, entry_budget: int = 2048):
+        self.hnsw = hnsw
+        self.hops = hops
+        self.entry_budget = entry_budget
+
+    def build_df(self, base, id_col="id", vec_col="embedding"):
+        return self.hnsw.build(base, id_col=id_col, vec_col=vec_col)
+
+    def candidates(self, built, base, queries, k, id_col="id",
+                   vec_col="embedding", query_id_col="query_id",
+                   query_vec_col="embedding"):
+        visited = self.hnsw.query_batch(
+            base, built, queries, max(k, self.hnsw.ef),
+            id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+            hops=self.hops, entry_budget=self.entry_budget,
+        )
+        return visited.select("query_id", id_col)
