@@ -57,11 +57,19 @@ def _round_half_up(x: float, digits: int) -> float:
 
 class IVF:
     def __init__(self, n_lists: int = 16, n_probe: int = 2, max_iter: int = 5,
-                 seed: int = 42, round_centroids: int | None = None):
+                 seed: int = 42, round_centroids: int | None = None,
+                 seed_sample: int | None = None):
         self.n_lists = n_lists
         self.n_probe = n_probe
         self.max_iter = max_iter
         self.seed = seed
+        # seed_sample: run the farthest-first traversal driver-side over
+        # the md5-top-``seed_sample`` rows (ONE collect) instead of k
+        # distributed argmax jobs — the 100 TB shape, where k full scans
+        # for seeding would dominate the build. The traversal arithmetic
+        # is identical, so seed_sample >= n reproduces the distributed
+        # result bit-for-bit (tested).
+        self.seed_sample = seed_sample
         # rounding the centroids to a fixed decimal grid after every
         # Lloyd update makes the fit reproducible ACROSS ENGINES: the
         # only cross-engine divergence in the whole pipeline is the
@@ -134,6 +142,8 @@ class IVF:
         selected seed is an EXACT data vector (no arithmetic on it), and
         min-of-distances is order-independent, so an external engine
         re-running the same traversal lands on identical seeds."""
+        if self.seed_sample is not None:
+            return self._seed_farthest_first_sampled(df, id_col, vec_col)
         first = (
             df.select(id_col, vec_col)
             .orderBy(F.md5(F.concat(F.col(id_col).cast("string"),
@@ -156,6 +166,47 @@ class IVF:
                 .collect()[0]
             )
             seeds.append([float(x) for x in row[vec_col]])
+        return np.asarray(seeds, dtype=np.float64)
+
+    def _seed_farthest_first_sampled(self, df: DataFrame, id_col: str,
+                                     vec_col: str) -> np.ndarray:
+        """Sampled variant of the traversal: collect the md5-top-
+        ``seed_sample`` rows once, then run the identical maxmin loop
+        driver-side — same sequential (x-y)² fold, same max-mind /
+        lowest-id tie-break, so with ``seed_sample >= n`` the seeds are
+        bit-identical to the distributed loop. Seeds only need to cover
+        the space; at scale a few-thousand-row sample does that while k
+        full argmax scans would dominate the build."""
+        if self.seed_sample < self.n_lists:
+            raise ValueError(
+                f"seed_sample={self.seed_sample} < n_lists={self.n_lists}"
+            )
+        rows = (
+            df.select(id_col, vec_col)
+            .orderBy(F.md5(F.concat(F.col(id_col).cast("string"),
+                                    F.lit(f"#{self.seed}"))))
+            .limit(self.seed_sample)
+            .collect()
+        )
+        if not rows:
+            raise ValueError("cannot fit an IVF on an empty DataFrame")
+        pts = [(r[id_col], [float(x) for x in r[vec_col]]) for r in rows]
+
+        def d2(a: list, b: list) -> float:
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += (x - y) * (x - y)
+            return acc
+
+        seeds = [pts[0][1]]
+        mind = {rid: d2(v, seeds[0]) for rid, v in pts}
+        for _ in range(self.n_lists - 1):
+            best_id, best_vec = min(pts, key=lambda p: (-mind[p[0]], p[0]))
+            seeds.append(best_vec)
+            for rid, v in pts:
+                dd = d2(v, best_vec)
+                if dd < mind[rid]:
+                    mind[rid] = dd
         return np.asarray(seeds, dtype=np.float64)
 
     def _fit(self, df: DataFrame, id_col: str, vec_col: str) -> "IVF":
@@ -222,6 +273,7 @@ class IVF:
             "max_iter": self.max_iter,
             "seed": self.seed,
             "round_centroids": self.round_centroids,
+            "seed_sample": self.seed_sample,
             "centroids": [[float(x) for x in c] for c in self.centroids],
         }
         # sidecar goes through the Hadoop FileSystem API so the layout
@@ -249,6 +301,7 @@ class IVF:
             self.max_iter = meta["max_iter"]
             self.seed = meta["seed"]
             self.round_centroids = meta["round_centroids"]
+            self.seed_sample = meta.get("seed_sample")
             self.centroids = np.asarray(meta["centroids"], dtype=np.float64)
         return spark.read.parquet(path)
 

@@ -90,3 +90,28 @@ def test_build_saves_and_load_restores_quantizer(base, tmp_path, spark):
     q = [float(x) for x in base.first()["embedding"]]
     top = fresh.query(stored, q, 3, id_col="vec_id", round_to=6).collect()
     assert len(top) == 3
+
+
+def test_sampled_seeding_matches_distributed_when_sample_covers(base):
+    """seed_sample >= n must reproduce the distributed farthest-first
+    traversal bit-for-bit — the parity claim of the driver-side loop
+    (same sequential fold, same max-mind/lowest-id tie-break)."""
+    full = IVF(n_lists=8, max_iter=2, seed=1).fit(base, id_col="vec_id")
+    sampled = IVF(n_lists=8, max_iter=2, seed=1, seed_sample=10_000).fit(
+        base, id_col="vec_id"
+    )
+    assert (full.centroids == sampled.centroids).all()
+
+
+def test_sampled_seeding_small_sample_still_quantizes(base):
+    ivf = IVF(n_lists=8, n_probe=3, max_iter=2, seed=1, seed_sample=64).fit(
+        base, id_col="vec_id"
+    )
+    lists = ivf.with_lists(base)
+    assert lists.count() == base.count()
+    biggest = lists.groupBy("list_id").count().agg(F.max("count")).first()[0]
+    assert biggest < base.count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seed_sample"):
+        IVF(n_lists=8, seed_sample=4).fit(base, id_col="vec_id")
