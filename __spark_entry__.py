@@ -570,7 +570,14 @@ SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 10
 """
 
 
-_IVF_PARAMS = dict(n_lists=16, n_probe=3, max_iter=3, seed=42, round_centroids=6)
+# seed_sample=512: the farthest-first traversal runs driver-side over
+# the md5-top-512 rows (one collect) — the 100 TB build shape, where
+# k full argmax scans would dominate. At the contract scale factors
+# (n=500/50 < 512) the sample covers every row, so seeds are
+# bit-identical to the unsampled traversal; the oracle still models
+# the LIMIT faithfully for any larger n.
+_IVF_PARAMS = dict(n_lists=16, n_probe=3, max_iter=3, seed=42,
+                   round_centroids=6, seed_sample=512)
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str):
@@ -647,14 +654,20 @@ def _oracle_ivf_knn() -> str:
         d = f"list_transform(list_zip({a}, {b}), x -> x[1] - x[2])"
         return f"list_dot_product({d}, {d})"
 
+    smp = _IVF_PARAMS["seed_sample"]
     ctes = [
         "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        # the seeding sample: md5-top-seed_sample rows (covers the whole
+        # table at contract scale, a true subsample beyond it)
+        f"""vs AS MATERIALIZED (
+  SELECT vec_id, e FROM v
+  ORDER BY md5(CAST(vec_id AS VARCHAR) || '#{seed}') LIMIT {smp})""",
         f"""s0 AS MATERIALIZED (
-  SELECT e AS vec FROM v
+  SELECT e AS vec FROM vs
   ORDER BY md5(CAST(vec_id AS VARCHAR) || '#{seed}') LIMIT 1)""",
         # MATERIALIZED: each m references its predecessor twice (via s
         # and directly); inlined CTEs would expand the chain 2^k-fold
-        f"m0 AS MATERIALIZED (SELECT v.vec_id, v.e, {dist('v.e', 's0.vec')} AS md FROM v, s0)",
+        f"m0 AS MATERIALIZED (SELECT vs.vec_id, vs.e, {dist('vs.e', 's0.vec')} AS md FROM vs, s0)",
     ]
     for i in range(1, n_lists):
         ctes.append(
