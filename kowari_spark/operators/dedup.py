@@ -303,12 +303,15 @@ def _cc_star(canon: DataFrame, max_iter: int) -> DataFrame:
         )
         mn2 = ls.groupBy("hi").agg(F.min("lo").alias("m"))
         j = ls.join(mn2, "hi")
+        # lazy checkpoint: lineage truncates and the round's result is
+        # cached, but the blocking action is the signature aggregate
+        # below — ONE driver barrier per round instead of two
         canon = (
             j.filter(F.col("lo") != F.col("m"))
             .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
             .unionByName(j.select("hi", F.col("m").alias("lo")))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         sig = tuple(
             canon.agg(
@@ -360,6 +363,8 @@ def _cc_propagate(canon: DataFrame, max_iter: int):
             .groupBy("src")
             .agg(F.min("nl").alias("nbr_label"))
         )
+        # lazy checkpoint: the changed-count probe below is the single
+        # blocking action that materializes (and caches) the round
         new_labels = (
             labels.join(nbr_min, labels.id == nbr_min.src, "left")
             .select(
@@ -368,7 +373,7 @@ def _cc_propagate(canon: DataFrame, max_iter: int):
                     labels.label, F.coalesce(F.col("nbr_label"), labels.label)
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
