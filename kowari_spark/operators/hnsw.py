@@ -183,7 +183,10 @@ class HNSW:
                                 self.max_level)
         exploded = self._exploded_levels(leveled, id_col, vec_col)
         vecs = exploded.filter(F.col("level") == 0).select("__vid", "__v")
-        edges = self.candidate_graph(df, id_col, vec_col, metric).localCheckpoint()
+        # lazy checkpoints through the build: lineage truncates per
+        # stage, but the only blocking actions are the entry-point
+        # lookup and the final eager materialization
+        edges = self.candidate_graph(df, id_col, vec_col, metric).localCheckpoint(eager=False)
 
         # connectivity patch BEFORE refinement: a node alone in all its
         # buckets has no out-edges; link it to the entry point so the
@@ -238,7 +241,7 @@ class HNSW:
                 .unionByName(two_hop)
                 .distinct()
             )
-            edges = self._top_m(cand, vecs, metric).localCheckpoint()
+            edges = self._top_m(cand, vecs, metric).localCheckpoint(eager=False)
 
         # materialize + truncate lineage (executor-side blocks, not a
         # driver collect): downstream query joins replay edges many times
