@@ -321,11 +321,16 @@ class HNSW:
 
         def with_scores(nodes: DataFrame) -> DataFrame:
             """attach similarity(query, node). ``nodes`` is a frontier
-            expansion (ef·|q|·M rows — small by construction), so it
-            broadcasts into the persisted vector table, and the tiny
-            query relation broadcasts on top (Spark reuses the one q
-            broadcast across every hop via ReusedExchange): zero
-            exchanges per hop, the scan side stays wherever it is."""
+            expansion (ef·|q|·M rows), so it broadcasts into the
+            persisted vector table, and the tiny query relation
+            broadcasts on top (Spark reuses the one q broadcast across
+            every hop via ReusedExchange): zero exchanges per hop, the
+            scan side stays wherever it is. Operating bound: the
+            broadcast scales with the QUERY BATCH, not the table — at
+            ef=32, M=16, ~50 bytes/row a 10k-query batch is ~250 MB;
+            split larger batches into sub-batches (each probes the same
+            layout independently) rather than raising the broadcast
+            threshold."""
             return (
                 F.broadcast(nodes).join(vecs, id_col)
                 .join(F.broadcast(q), "query_id")
