@@ -71,14 +71,18 @@ class CrossPolytopeLSH:
         # bucket argmaxes are ulp-insensitive on orthonormal rotations
         self._proj = np.concatenate(rots, axis=0).astype(np.float32)
         self._bc = None  # lazy per-SparkContext broadcast of _proj
+        self._bc_ctx = None
 
     def _proj_bc(self, spark: SparkSession):
         """Broadcast the rotation stack once per SparkContext (torrent
         transfer + executor-side cache) instead of serializing T·d²
-        floats into every task closure."""
+        floats into every task closure. Re-broadcasts if the index
+        object outlives the session that first used it — a cached
+        handle from a stopped context would fail at execution."""
         sc = spark.sparkContext
-        if self._bc is None:
+        if self._bc is None or self._bc_ctx is not sc:
             self._bc = sc.broadcast(self._proj)
+            self._bc_ctx = sc
         return self._bc
 
     # -- hashing -----------------------------------------------------------
