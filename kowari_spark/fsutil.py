@@ -68,10 +68,13 @@ def create_marker(spark: SparkSession, path: str) -> bool:
         out = fs.create(jpath, False)
         out.close()
         return True
-    except Exception as e:  # Py4J wraps the Java exception
-        name = type(e).__name__
-        msg = str(e)
-        if "FileAlreadyExistsException" in msg or "AlreadyExists" in name:
+    except Exception:
+        # Exception CLASS is not a reliable discriminator (Hadoop
+        # raises FileAlreadyExistsException for a parent-is-a-file
+        # error too); what decides is whether the MARKER is now there.
+        # If it is, another writer won the creation race -> False; any
+        # other failure propagates so the caller retries the batch.
+        if fs.exists(jpath):
             return False
         raise
 

@@ -368,3 +368,33 @@ def test_compact_skips_bucket_appended_during_staging(spark, embeddings, tmp_pat
     }
     # ...and no row was lost: old rows + the racer's row all present
     assert after_all == before_all | {(999999, victim_val)}
+
+
+def test_create_marker_propagates_real_io_errors(spark, tmp_path):
+    """Round-4 ADVICE low: a transient failure writing the idempotence
+    marker must FAIL the batch (so the checkpoint doesn't commit), not
+    silently disable replay dedup. Only already-exists maps to False."""
+    import pytest as _pytest
+
+    from kowari_spark.fsutil import create_marker
+
+    ok = str(tmp_path / "marker")
+    assert create_marker(spark, ok) is True
+    assert create_marker(spark, ok) is False  # exists -> idempotent False
+    # parent path is a FILE -> the create must raise, not return False
+    blocker = tmp_path / "blocker"
+    blocker.write_text("x")
+    with _pytest.raises(Exception):
+        create_marker(spark, str(blocker / "child-marker"))
+
+
+def test_compaction_preserves_partition_pruning(spark, embeddings, tmp_path):
+    """A probe on a compacted layout must still prune at the scan."""
+    from kowari_spark.streaming.ingest import compact_bucketed_layout
+
+    out = _small_file_layout(spark, embeddings, tmp_path, "prune")
+    assert compact_bucketed_layout(spark, out, max_files=4)
+    stored = spark.read.parquet(out)
+    probe = stored.filter(F.col("bucket") == 1)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
