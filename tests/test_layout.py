@@ -44,3 +44,23 @@ def test_zorder_write_clusters_both_columns(spark, tmp_path):
     # interior files sit inside one 32x32 quadrant (span <= 31); allow
     # slop for sampled boundaries. A plain sort gives median span 63.
     assert statistics.median(spans) <= 45, spans
+
+
+def test_zorder_default_partitions_never_below_input(spark):
+    """Round-4 ADVICE low (a): a wide input (more partitions than
+    spark.sql.shuffle.partitions) must not silently coarsen into
+    shuffle.partitions files — the default output partition count is
+    max(input partitions, shuffle.partitions)."""
+    wide = (
+        spark.range(2000)
+        .repartition(48)  # wider than the session's 32 shuffle partitions
+        .select(
+            (F.col("id") % 40).alias("x"),
+            (F.col("id") % 7).alias("y"),
+        )
+    )
+    out = zorder_by(wide, ["x", "y"], bits=4)
+    assert out.rdd.getNumPartitions() >= 48
+    # explicit n_partitions still wins
+    assert zorder_by(wide, ["x", "y"], bits=4,
+                     n_partitions=8).rdd.getNumPartitions() == 8
