@@ -123,7 +123,10 @@ def minhash_band_pairs(
                 ]
             )
         ).alias("band", "band_key"),
-    )
+        # lazy checkpoint: the signature subtree (shingle explode +
+        # num_hashes mins) feeds both sides of the band self-join —
+        # compute it once, not per side
+    ).localCheckpoint(eager=False)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -232,7 +235,11 @@ def simhash_near_pairs(
     avoids the full n² comparison. bit_count is a built-in in both
     engines."""
     fp = simhash_fingerprints(df, text_col, id_col, bits)
-    blocked = fp.withColumn("block", F.shiftright(F.col("simhash"), bits - block_bits))
+    # lazy checkpoint: the fingerprint aggregation feeds both sides of
+    # the blocked self-join — compute it once, not per side
+    blocked = fp.withColumn(
+        "block", F.shiftright(F.col("simhash"), bits - block_bits)
+    ).localCheckpoint(eager=False)
     a = blocked.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block"
     )
@@ -718,6 +725,11 @@ def winnow_pairs(
         .filter(F.col("__pos") <= F.greatest(F.col("__n") - window, F.lit(0)))
         .select(F.col(id_col), "fp")
         .distinct()
+        # lazy checkpoint: the fingerprint subtree (posexplode + md5 +
+        # two windows + distinct) feeds BOTH sides of the self-join and
+        # Spark does not reuse it across them (verified: 2 Generates,
+        # 4 Windows in the executed plan) — cache it, compute once
+        .localCheckpoint(eager=False)
     )
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
