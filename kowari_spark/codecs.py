@@ -227,8 +227,12 @@ _Y4M_MAGIC = b"YUV4MPEG2 "
 def _y4m_plane_sizes(cs: str, w: int, h: int) -> list[tuple[int, int]]:
     """(plane_w, plane_h) per plane for the colorspaces we accept."""
     if cs.startswith("C420"):  # C420, C420jpeg, C420mpeg2, C420paldv
+        if w % 2 or h % 2:
+            raise ValueError(f"{cs} requires even dimensions, got {w}x{h}")
         return [(w, h), (w // 2, h // 2), (w // 2, h // 2)]
     if cs == "C422":
+        if w % 2:
+            raise ValueError(f"C422 requires even width, got {w}")
         return [(w, h), (w // 2, h), (w // 2, h)]
     if cs == "C444":
         return [(w, h), (w, h), (w, h)]

@@ -215,3 +215,16 @@ def test_mjpeg_via_pil_or_gated(spark):
     assert (w, h) == (16, 12) and got.shape == (3, 12, 16)
     # lossy codec: luma within JPEG quantization error of the source
     assert np.abs(got.astype(int) - frames.astype(int)).mean() < 8
+
+
+def test_y4m_rejects_odd_dims_for_subsampled_chroma():
+    import numpy as np
+    import pytest as _pytest
+
+    from kowari_spark.codecs import encode_y4m
+
+    odd = np.zeros((1, 11, 16), dtype=np.uint8)
+    with _pytest.raises(ValueError, match="even dimensions"):
+        encode_y4m(odd, colorspace="C420jpeg")
+    # mono has no chroma planes: odd dims are legal
+    assert encode_y4m(odd, colorspace="Cmono")
