@@ -1620,7 +1620,7 @@ def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _t(spark, sf_dir, "embeddings")
     return D.embedding_near_dups_lsh(
         base, threshold=0.3, num_planes=_NDLSH_PLANES, num_tables=_NDLSH_TABLES,
-        seed=7, id_col="vec_id", round_to=6,
+        seed=7, id_col="vec_id", round_to=6, dim=64,
     ).orderBy("id_a", "id_b")
 
 
@@ -1826,7 +1826,7 @@ def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return D.similarity_join(
         left, right, 0.3, num_planes=_SJ_PLANES, num_tables=_SJ_TABLES, seed=7,
-        left_id="lid", right_id="rid", round_to=6,
+        left_id="lid", right_id="rid", round_to=6, dim=64,
     ).orderBy("lid_l", "rid_r")
 
 

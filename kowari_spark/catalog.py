@@ -278,6 +278,26 @@ class Collection:
             query, k, metric=metric, index=index
         ).drop("score")
 
+    def near_dups(
+        self,
+        threshold: float,
+        num_planes: int = 4,
+        num_tables: int = 4,
+        seed: int = 42,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """Near-duplicate pairs within the collection (id_a < id_b,
+        cosine >= threshold) via the bucketed sign-LSH path
+        (operators/dedup.embedding_near_dups_lsh). The collection knows
+        its dimension, so no inference job fires (ADVICE r5)."""
+        from kowari_spark.operators.dedup import embedding_near_dups_lsh
+
+        return embedding_near_dups_lsh(
+            self.df(), threshold, num_planes=num_planes,
+            num_tables=num_tables, seed=seed, round_to=round_to,
+            dim=self.dimension,
+        )
+
     # -- writes ----------------------------------------------------------
 
     def _validate_dims(self, df: DataFrame) -> None:

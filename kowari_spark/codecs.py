@@ -301,24 +301,82 @@ def encode_y4m(
 
 # -- MJPEG — concatenated-JPEG stream ----------------------------------------
 
+_JPEG_STANDALONE = frozenset([0x01, *range(0xD0, 0xD8)])  # TEM, RSTn
+
+
+def _jpeg_frame_end(blob: bytes, soi: int) -> int:
+    """Index just past the EOI of the JPEG starting at ``soi``, found by
+    walking the SEGMENT structure: length-prefixed markers (APPn, COM,
+    DQT, SOF, ...) are skipped whole — an FFD9 byte pair inside an APPn
+    payload (e.g. the full thumbnail JPEG EXIF embeds in APP1) is
+    payload, not this frame's EOI (ADVICE r5). Inside entropy-coded
+    data (after SOS) only FF00 stuffing and RSTn can follow FF, so
+    scanning for the next real marker there is sound per the spec.
+
+    Returns -1 when the bytes after SOI don't parse as JPEG segments —
+    the caller falls back to a flat EOI scan for that frame (loose
+    concatenations of non-conformant fragments keep splitting the old
+    way)."""
+    n = len(blob)
+    pos = soi + 2
+    while pos < n:
+        if blob[pos] != 0xFF:
+            return -1  # not segment-conformant
+        while pos < n and blob[pos] == 0xFF:  # optional fill bytes
+            pos += 1
+        if pos >= n:
+            break
+        marker = blob[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI
+            return pos
+        if marker == 0xD8 or marker in _JPEG_STANDALONE:
+            continue  # no payload
+        if marker == 0x00:
+            return -1  # stuffing outside entropy data: not conformant
+        if pos + 2 > n:
+            break  # truncated length field
+        seg_len = int.from_bytes(blob[pos : pos + 2], "big")
+        if seg_len < 2:
+            return -1
+        pos += seg_len
+        if marker == 0xDA:  # SOS: entropy-coded data until a real marker
+            while pos < n:
+                ff = blob.find(b"\xff", pos)
+                if ff < 0 or ff + 1 >= n:
+                    pos = n
+                    break
+                nxt = blob[ff + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    pos = ff + 2  # stuffed byte / restart marker
+                    continue
+                pos = ff  # next segment-level marker
+                break
+    raise ValueError(f"JPEG frame at offset {soi} has no EOI marker")
+
+
 def split_mjpeg(blob: bytes) -> list[bytes]:
-    """Split a raw MJPEG stream into its JPEG frames by SOI/EOI markers
-    (FFD8 ... FFD9). Pure byte scanning — frame PAYLOAD decode then goes
-    through the Pillow adapter (JPEG entropy decode is exactly the
-    boundary the import-gate exists for). Embedded FFD8/FFD9 byte pairs
-    inside entropy-coded data are preceded by a 0xFF00 stuffing byte per
-    the JPEG spec, so marker scanning is sound on baseline streams."""
+    """Split a raw MJPEG stream into its JPEG frames. Frame boundaries
+    come from a JPEG SEGMENT walk (``_jpeg_frame_end``), so an FFD9
+    inside a length-delimited APPn/COM payload — EXIF thumbnails embed
+    a complete JPEG — does not truncate the frame; fragments that don't
+    parse as segments fall back to the flat SOI..EOI scan. Frame
+    PAYLOAD decode then goes through the Pillow adapter (JPEG entropy
+    decode is exactly the boundary the import-gate exists for)."""
     frames = []
     pos = 0
     while True:
         soi = blob.find(b"\xff\xd8", pos)
         if soi < 0:
             break
-        eoi = blob.find(b"\xff\xd9", soi + 2)
-        if eoi < 0:
-            raise ValueError(f"JPEG frame at offset {soi} has no EOI marker")
-        frames.append(blob[soi : eoi + 2])
-        pos = eoi + 2
+        end = _jpeg_frame_end(blob, soi)
+        if end < 0:  # non-conformant fragment: flat scan
+            eoi = blob.find(b"\xff\xd9", soi + 2)
+            if eoi < 0:
+                raise ValueError(f"JPEG frame at offset {soi} has no EOI marker")
+            end = eoi + 2
+        frames.append(blob[soi:end])
+        pos = end
     return frames
 
 

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kowari_spark.operators.topk import _rounded, _score, knn_batch
+from kowari_spark.operators.topk import _rounded, _score
 
 
 class AnnIndex(abc.ABC):
@@ -59,8 +59,15 @@ class AnnIndex(abc.ABC):
         vec_col: str = "embedding",
         query_id_col: str = "query_id",
         query_vec_col: str = "embedding",
+        metric: str = "cosine",
     ) -> DataFrame:
-        """(query_id, <id_col>) candidate pairs, deduplicated."""
+        """(query_id, <id_col>) candidate pairs, deduplicated.
+
+        ``metric`` is the metric the caller will re-score with;
+        strategies whose candidate generation is metric-aware (HNSW
+        graph navigation, IVF probe selection via its own distance)
+        must honor it — hash-bucket strategies (sign-LSH, CP-LSH) are
+        cosine-family by construction and may ignore it."""
 
     def search(
         self,
@@ -79,22 +86,36 @@ class AnnIndex(abc.ABC):
 
         Returns (query_id, <id_col>, score, rank) like every
         ``query_batch``. ``built`` defaults to ``build_df(base)`` — pass
-        a loaded offline layout to keep the probe partition-pruned."""
+        a loaded offline layout to keep the probe partition-pruned.
+
+        The brute-force fallback for starved queries (< k candidates —
+        reference src/index.rs:158-173 semantics) is built
+        UNCONDITIONALLY from the left-anti lineage and unioned in: no
+        ``isEmpty()`` driver action fires at plan time, so the whole
+        search is one declarative plan. When no query is starved the
+        fallback's broadcast side materializes empty at runtime and
+        AQE's empty-relation propagation collapses that subtree before
+        the base scan runs."""
         if built is None:
             built = self.build_df(base, id_col, vec_col)
         q = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).alias("__qvec"),
         )
+        # ONE computation feeds sizes + scoring + fallback: every
+        # strategy's candidates() ends in an Exchange (distinct) or an
+        # already-materialized checkpoint (HNSW), so exchange reuse
+        # serves all three consumers without an eager barrier here
         cand = self.candidates(
             built, base, queries, k, id_col, vec_col, query_id_col,
-            query_vec_col,
-        ).localCheckpoint()  # one computation feeds sizes + scoring + fallback
+            query_vec_col, metric,
+        )
         sizes = cand.groupBy("query_id").agg(F.count("*").alias("__n"))
         ok_ids = sizes.filter(F.col("__n") >= k).select("query_id")
         starved = q.join(F.broadcast(ok_ids), "query_id", "left_anti")
 
         vecs = base.select(id_col, vec_col)
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
         scored = (
             cand.join(F.broadcast(ok_ids), "query_id")
             .join(vecs, id_col)
@@ -107,22 +128,24 @@ class AnnIndex(abc.ABC):
                 ).alias("score"),
             )
         )
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
         topk = scored.withColumn("rank", F.row_number().over(w)).filter(
             F.col("rank") <= k
         )
-        if starved.isEmpty():
-            return topk
-        fb = knn_batch(
-            base.select(id_col, vec_col),
-            starved.select("query_id", F.col("__qvec").alias("embedding")),
-            k,
-            metric=metric,
-            id_col=id_col,
-            vec_col=vec_col,
-            round_to=round_to,
+        # exact-scan fallback as lazy lineage: base x broadcast(starved)
+        # + window (identical results to knn_batch — topk.py docstring)
+        fb = (
+            vecs.crossJoin(F.broadcast(starved))
+            .select(
+                "query_id",
+                F.col(id_col),
+                _rounded(
+                    _score(metric, F.col(vec_col), F.col("__qvec")), round_to
+                ).alias("score"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
         )
-        return topk.unionByName(fb.select("query_id", id_col, "score", "rank"))
+        return topk.unionByName(fb)
 
 
 class SignLSHIndex(AnnIndex):
@@ -139,7 +162,9 @@ class SignLSHIndex(AnnIndex):
 
     def candidates(self, built, base, queries, k, id_col="id",
                    vec_col="embedding", query_id_col="query_id",
-                   query_vec_col="embedding"):
+                   query_vec_col="embedding", metric="cosine"):
+        # hyperplane buckets are cosine-family by construction; `metric`
+        # only affects the shared exact re-score
         qp = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.explode(
@@ -168,7 +193,9 @@ class CrossPolytopeIndex(AnnIndex):
 
     def candidates(self, built, base, queries, k, id_col="id",
                    vec_col="embedding", query_id_col="query_id",
-                   query_vec_col="embedding"):
+                   query_vec_col="embedding", metric="cosine"):
+        # cross-polytope buckets are cosine-family by construction;
+        # `metric` only affects the shared exact re-score
         spark = queries.sparkSession
         if self.probes <= 1:
             qp = queries.select(
@@ -216,7 +243,9 @@ class IVFIndex(AnnIndex):
 
     def candidates(self, built, base, queries, k, id_col="id",
                    vec_col="embedding", query_id_col="query_id",
-                   query_vec_col="embedding"):
+                   query_vec_col="embedding", metric="cosine"):
+        # probe selection is L2-to-centroid by IVF design for every
+        # re-score metric (module docstring of operators/ivf.py)
         spark = queries.sparkSession
         qrows = queries.select(query_id_col, query_vec_col).collect()
         pairs = [
@@ -254,9 +283,11 @@ class HNSWIndex(AnnIndex):
 
     def candidates(self, built, base, queries, k, id_col="id",
                    vec_col="embedding", query_id_col="query_id",
-                   query_vec_col="embedding"):
+                   query_vec_col="embedding", metric="cosine"):
+        # the graph is NAVIGATED with the caller's metric — a cosine
+        # walk over an l2 search would visit the wrong neighborhood
         visited = self.hnsw.query_batch(
-            base, built, queries, max(k, self.hnsw.ef),
+            base, built, queries, max(k, self.hnsw.ef), metric=metric,
             id_col=id_col, vec_col=vec_col,
             query_id_col=query_id_col, query_vec_col=query_vec_col,
             hops=self.hops, entry_budget=self.entry_budget,

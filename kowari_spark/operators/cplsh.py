@@ -45,8 +45,6 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
-from kowari_spark.operators.topk import knn_batch
-
 
 class CrossPolytopeLSH:
     """Multi-table cross-polytope LSH (2·dim buckets per table).
@@ -167,12 +165,62 @@ class CrossPolytopeLSH:
 
     # -- build (offline layout) -------------------------------------------
 
-    def build(self, df: DataFrame, path: str, vec_col: str = "embedding") -> None:
-        self.with_buckets(df, vec_col).repartition(
+    #: bucket ids depend on the projection dtype (argmax near ties can
+    #: flip between float32/float64) — persisted layouts record it so a
+    #: probe with mismatched hashing fails loudly instead of silently
+    #: losing recall (ADVICE r5)
+    _HASH_VERSION = "cplsh-f32-v1"
+    _META_NAME = "_cplsh_meta.json"
+
+    def _params(self) -> dict:
+        return {
+            "version": self._HASH_VERSION,
+            "dim": self.dim,
+            "num_tables": self.num_tables,
+            "seed": self.seed,
+        }
+
+    def build(self, df: DataFrame, path: str, vec_col: str = "embedding",
+              max_records_per_file: int | None = None) -> None:
+        """Persist the exploded (table, bucket) layout,
+        partitionBy(__tbl, bucket) = 2·dim·T dirs, plus a params sidecar
+        (hash version + dim/tables/seed) that ``load`` checks — probing
+        a layout hashed by an incompatible build must error, not lose
+        recall silently. ``max_records_per_file`` rolls big dirs into
+        several scan-parallel files."""
+        import json
+
+        from kowari_spark.fsutil import write_bytes
+
+        w = self.with_buckets(df, vec_col).repartition(
             F.col("__tbl"), F.col("bucket")
-        ).write.mode("overwrite").partitionBy("__tbl", "bucket").parquet(path)
+        ).write.mode("overwrite")
+        if max_records_per_file is not None:
+            w = w.option("maxRecordsPerFile", str(max_records_per_file))
+        w.partitionBy("__tbl", "bucket").parquet(path)
+        write_bytes(
+            df.sparkSession, f"{path}/{self._META_NAME}",
+            json.dumps(self._params()).encode(),
+        )
 
     def load(self, spark: SparkSession, path: str) -> DataFrame:
+        """Open a built layout, verifying the params sidecar against
+        THIS instance's hashing when present (legacy layouts without a
+        sidecar load unchecked — rebuild them to get the check)."""
+        import json
+
+        from kowari_spark.fsutil import exists, read_bytes
+
+        meta_path = f"{path}/{self._META_NAME}"
+        if exists(spark, meta_path):
+            saved = json.loads(read_bytes(spark, meta_path).decode())
+            want = self._params()
+            if saved != want:
+                raise ValueError(
+                    f"CP-LSH layout at {path} was built with {saved}, but "
+                    f"this index hashes with {want}; rebuild the layout "
+                    "or construct a matching CrossPolytopeLSH"
+                )
         return spark.read.parquet(path)
 
     # -- query -------------------------------------------------------------
@@ -194,7 +242,14 @@ class CrossPolytopeLSH:
         table when ``probes > 1``): candidates deduplicate across
         tables, score exactly with native expressions, per-query top-k;
         queries with < k distinct candidates fall back to the exact scan
-        (the reference's fallback semantic)."""
+        (the reference's fallback semantic).
+
+        The whole search is ONE declarative plan — no driver action
+        fires inside this call (tested). The fallback is built
+        unconditionally from the left-anti starved lineage; when no
+        query is starved its broadcast side materializes empty at
+        runtime and AQE's empty-relation propagation collapses the
+        subtree before the exact scan runs."""
         from pyspark.sql.window import Window
 
         from kowari_spark.operators.topk import _rounded, _score
@@ -237,15 +292,19 @@ class CrossPolytopeLSH:
                 )
                 .select("query_id", "__tbl", F.explode("__pb").alias("bucket"))
             )
-        # materialize the candidate set ONCE (executor-side blocks): it
-        # feeds three consumers (starvation sizes, the exact re-score,
-        # the fallback anti-join) — without this the bucket join re-runs
-        # per consumer, roughly doubling every query_batch (ADVICE r4)
+        # the candidate set feeds three consumers (starvation sizes, the
+        # exact re-score, the fallback anti-join). No checkpoint: the
+        # expensive subtree (scan -> GEMM hash -> bucket join -> partial
+        # agg -> shuffle write) ends in the distinct's Exchange, and
+        # Spark's exchange reuse serves every consumer from that one
+        # shuffle — measured equal to an explicit localCheckpoint at
+        # sf0.01/T=40 while keeping plan construction action-free
+        # (a localCheckpoint under AQE executes the upstream stages at
+        # PLAN time — the r5 driver-barrier complaint in new clothes)
         cand = (
             bucketed.join(F.broadcast(qb), ["__tbl", "bucket"])
             .select("query_id", id_col)
             .distinct()
-            .localCheckpoint()
         )
         sizes = cand.groupBy("query_id").agg(F.count("*").alias("__n"))
         ok_ids = sizes.filter(F.col("__n") >= k).select("query_id")
@@ -268,15 +327,20 @@ class CrossPolytopeLSH:
             F.col("rank") <= k
         )
 
-        if starved.isEmpty():
-            return topk
-        fb = knn_batch(
-            df.drop("__tbl", "bucket").dropDuplicates([id_col]) if prebuilt else df,
-            starved.select("query_id", F.col("__qvec").alias("embedding")),
-            k,
-            metric=metric,
-            id_col=id_col,
-            vec_col=vec_col,
-            round_to=round_to,
+        # exact-scan fallback as lazy lineage: base x broadcast(starved)
+        # + window — identical results to knn_batch (topk.py docstring),
+        # zero cost when nothing is starved (empty broadcast -> AQE
+        # collapses the subtree)
+        fb = (
+            base_vecs.crossJoin(F.broadcast(starved))
+            .select(
+                "query_id",
+                F.col(id_col),
+                _rounded(
+                    _score(metric, F.col(vec_col), F.col("__qvec")), round_to
+                ).alias("score"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
         )
-        return topk.unionByName(fb.select("query_id", id_col, "score", "rank"))
+        return topk.unionByName(fb)

@@ -561,6 +561,7 @@ def similarity_join(
     right_id: str = "id",
     vec_col: str = "embedding",
     round_to: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate two-table similarity join (spark.ml
     approxSimilarityJoin equivalent, SURVEY.md §2.6 "Joins"): all
@@ -572,11 +573,16 @@ def similarity_join(
     (table, bucket) shuffles only (id, bucket) pairs. Verification joins
     vectors back for the candidate set only. Output: (left_id, right_id,
     cos).
+
+    Pass ``dim`` when the caller knows the vector dimension (a
+    Collection always does) — the ``first()`` fallback costs one Spark
+    job per invocation (ADVICE r5).
     """
     from kowari_spark.functions.vector import magnitude
     from kowari_spark.operators.lsh import SignLSH
 
-    dim = len(left.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(left.select(vec_col).first()[0])
     buckets = F.array(
         *[
             SignLSH(dim=dim, num_planes=num_planes, seed=seed + t).bucket_expr(vec_col)
@@ -629,16 +635,22 @@ def embedding_near_dups_lsh(
     id_col: str = "id",
     vec_col: str = "embedding",
     round_to: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup via sign-LSH OR-construction: ``num_tables``
     independent plane sets; a pair becomes a candidate when it collides
     in ANY table (recall 1-(1-p^planes)^tables, p = 1 - θ/π). Each
     table's join shuffles by bucket, so candidate pairs only form inside
     buckets — never the n² explosion. This is the 100 TB path; the exact
-    variant above is the oracle baseline."""
+    variant above is the oracle baseline.
+
+    Pass ``dim`` when known (a Collection always knows) — the
+    ``first()`` fallback costs one Spark job per invocation (ADVICE
+    r5)."""
     from kowari_spark.operators.lsh import SignLSH
 
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     # all tables' buckets in ONE pass over the data: posexplode the
     # per-table bucket array, then a single (table, bucket) self-join —
     # instead of num_tables scans + joins + a union

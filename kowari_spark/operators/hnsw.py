@@ -269,6 +269,7 @@ class HNSW:
         hops: int = 4,
         round_to: int | None = None,
         entry_budget: int = 2048,
+        max_batch: int | None = 8192,
     ) -> DataFrame:
         """Batch graph search: exact scoring of the whole layer at a cut
         level (one plan replaces the per-level greedy walk above it),
@@ -295,9 +296,42 @@ class HNSW:
         as ONE Spark job when the final (small, queries x k) result is
         eagerly materialized at the end — 2 driver barriers total
         instead of one per checkpointed round.
+
+        Operating bound, ENFORCED: the per-hop broadcast scales with the
+        QUERY BATCH (ef·M·~50 bytes per query — a 10k batch is ~250 MB),
+        so batches larger than ``max_batch`` are automatically split
+        into sub-batches that probe the same graph independently and
+        union their (eagerly materialized, |queries|·k-row) results —
+        identical output to the unsplit path (tested). Pass
+        ``max_batch=None`` to disable the split.
         """
         import math
         import warnings
+
+        if max_batch is not None:
+            nq = queries.count()  # the batch is driver-bounded by contract
+            if nq > max_batch:
+                q_norm = queries.select(
+                    F.col(query_id_col).alias("query_id"),
+                    F.col(query_vec_col).alias("__qvec"),
+                )
+                w_split = Window.orderBy("query_id")
+                chunked = q_norm.withColumn(
+                    "__chunk",
+                    F.floor((F.row_number().over(w_split) - 1) / max_batch),
+                ).localCheckpoint()
+                out = None
+                for i in range(math.ceil(nq / max_batch)):
+                    sub = chunked.filter(F.col("__chunk") == i).drop("__chunk")
+                    part = self.query_batch(
+                        base, edges, sub, k, metric=metric, id_col=id_col,
+                        vec_col=vec_col, query_id_col="query_id",
+                        query_vec_col="__qvec", hops=hops,
+                        round_to=round_to, entry_budget=entry_budget,
+                        max_batch=None,
+                    )
+                    out = part if out is None else out.unionByName(part)
+                return out
 
         spark = base.sparkSession
         # the search loop touches (id, vector) once per hop/level — pin
@@ -328,8 +362,9 @@ class HNSW:
             scan side stays wherever it is. Operating bound: the
             broadcast scales with the QUERY BATCH, not the table — at
             ef=32, M=16, ~50 bytes/row a 10k-query batch is ~250 MB;
-            split larger batches into sub-batches (each probes the same
-            layout independently) rather than raising the broadcast
+            ``max_batch`` enforces this bound by auto-splitting larger
+            batches into sub-batches (each probes the same layout
+            independently) rather than raising the broadcast
             threshold."""
             return (
                 F.broadcast(nodes).join(vecs, id_col)

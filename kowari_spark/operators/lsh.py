@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kowari_spark.functions.vector import dot as dot_expr
-from kowari_spark.operators.topk import knn, knn_batch
+from kowari_spark.operators.topk import knn
 
 
 class SignLSH:
@@ -147,7 +147,8 @@ class SignLSH:
 
     # -- build (offline) --------------------------------------------------
 
-    def build(self, df: DataFrame, path: str, vec_col: str = "embedding") -> None:
+    def build(self, df: DataFrame, path: str, vec_col: str = "embedding",
+              max_records_per_file: int | None = None) -> None:
         """Materialize the bucketed layout: partitionBy(bucket) parquet.
 
         With 2^p buckets the probe becomes partition pruning; at scale
@@ -158,10 +159,18 @@ class SignLSH:
         explodes as tasks x buckets. Size num_planes to the data: 2^p
         buckets should each hold many vectors (p=16 means 65k partitions
         — right at 100 TB, pathological at sf0.1).
-        """
-        self.with_buckets(df, vec_col).repartition(F.col("bucket")).write.mode(
+
+        ``max_records_per_file`` is the file-size control for big
+        buckets: the writer rolls to a new file inside a bucket dir
+        after that many rows, so a hot bucket becomes several
+        scan-parallel files instead of one monolith (file count stays
+        proportional to data, not tasks x buckets)."""
+        w = self.with_buckets(df, vec_col).repartition(F.col("bucket")).write.mode(
             "overwrite"
-        ).partitionBy("bucket").parquet(path)
+        )
+        if max_records_per_file is not None:
+            w = w.option("maxRecordsPerFile", str(max_records_per_file))
+        w.partitionBy("bucket").parquet(path)
 
     def load(self, spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
@@ -191,7 +200,7 @@ class SignLSH:
         probes/2^p of the partitions' footers, not the table) and a
         TakeOrderedAndProject top-k over the same pruned scan. Routing
         n=1 through the batch machinery was measured 4-8x slower (its
-        size-aggregate + broadcast + isEmpty stages dominate a single
+        size-aggregate + broadcast stages dominate a single
         query), so the batch path is reserved for actual batches."""
         buckets = self.probe_buckets_of(query, probes)
         base = df if "bucket" in df.columns else self.with_buckets(df, vec_col)
@@ -283,22 +292,26 @@ class SignLSH:
             probed.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
         )
 
-        parts = [probed_topk]
-        if not q_fallback.isEmpty():
-            fb = knn_batch(
-                base.drop("bucket"),
-                q_fallback.select("query_id", F.col("__qvec").alias("embedding")),
-                k,
-                metric=metric,
-                id_col=id_col,
-                vec_col=vec_col,
-                round_to=round_to,
+        # exact-scan fallback as lazy lineage (no isEmpty driver action):
+        # base x broadcast(starved queries) + the same window — identical
+        # results to knn_batch (topk.py docstring); when nothing is
+        # starved the broadcast side is empty and AQE's empty-relation
+        # propagation collapses the subtree before the scan runs
+        fb = (
+            base.drop("bucket")  # single-table layout: one row per id
+            .select(id_col, vec_col)
+            .crossJoin(F.broadcast(q_fallback))
+            .select(
+                "query_id",
+                F.col(id_col),
+                _rounded(
+                    _score(metric, F.col(vec_col), F.col("__qvec")), round_to
+                ).alias("score"),
             )
-            parts.append(fb.select("query_id", id_col, "score", "rank"))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        return probed_topk.unionByName(fb)
 
 
 class MultiSignLSH:
@@ -339,10 +352,17 @@ class MultiSignLSH:
             "*", F.posexplode(self.buckets_expr(vec_col)).alias("__tbl", "bucket")
         )
 
-    def build(self, df: DataFrame, path: str, vec_col: str = "embedding") -> None:
-        self.with_buckets(df, vec_col).repartition(
+    def build(self, df: DataFrame, path: str, vec_col: str = "embedding",
+              max_records_per_file: int | None = None) -> None:
+        """Exploded multi-table layout, partitionBy(__tbl, bucket) —
+        2^p·T dirs. ``max_records_per_file`` rolls big (table, bucket)
+        dirs into several scan-parallel files (see SignLSH.build)."""
+        w = self.with_buckets(df, vec_col).repartition(
             F.col("__tbl"), F.col("bucket")
-        ).write.mode("overwrite").partitionBy("__tbl", "bucket").parquet(path)
+        ).write.mode("overwrite")
+        if max_records_per_file is not None:
+            w = w.option("maxRecordsPerFile", str(max_records_per_file))
+        w.partitionBy("__tbl", "bucket").parquet(path)
 
     def load(self, spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
@@ -387,6 +407,11 @@ class MultiSignLSH:
         qb = q.select(
             "query_id", F.posexplode(self.buckets_expr("__qvec")).alias("__tbl", "bucket")
         )
+        # one candidate computation feeds the sizes, the re-score and
+        # the fallback anti-join: the subtree ends in the distinct's
+        # Exchange and exchange reuse serves all consumers from that one
+        # shuffle (see CrossPolytopeLSH.query_batch) — plan construction
+        # stays action-free
         cand = (
             bucketed.join(F.broadcast(qb), ["__tbl", "bucket"])
             .select("query_id", id_col)
@@ -394,11 +419,7 @@ class MultiSignLSH:
         )
         sizes = cand.groupBy("query_id").agg(F.count("*").alias("__n"))
         ok_ids = sizes.filter(F.col("__n") >= k).select("query_id")
-        starved = q.join(
-            F.broadcast(sizes.filter(F.col("__n") >= k).select("query_id")),
-            "query_id",
-            "left_anti",
-        )
+        starved = q.join(F.broadcast(ok_ids), "query_id", "left_anti")
 
         scored = (
             cand.join(F.broadcast(ok_ids), "query_id")
@@ -417,17 +438,18 @@ class MultiSignLSH:
             F.col("rank") <= k
         )
 
-        if starved.isEmpty():
-            return topk
-        fb = knn_batch(
-            df.drop("__tbl", "bucket").dropDuplicates([id_col])
-            if "__tbl" in df.columns
-            else df,
-            starved.select("query_id", F.col("__qvec").alias("embedding")),
-            k,
-            metric=metric,
-            id_col=id_col,
-            vec_col=vec_col,
-            round_to=round_to,
+        # unconditional lazy fallback (see SignLSH.query_batch): empty
+        # starved broadcast -> AQE collapses the subtree at runtime
+        fb = (
+            base_vecs.crossJoin(F.broadcast(starved))
+            .select(
+                "query_id",
+                F.col(id_col),
+                _rounded(
+                    _score(metric, F.col(vec_col), F.col("__qvec")), round_to
+                ).alias("score"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
         )
-        return topk.unionByName(fb.select("query_id", id_col, "score", "rank"))
+        return topk.unionByName(fb)

@@ -52,6 +52,19 @@ def test_add_get_count_delete(mgr):
     assert c.get(vid) is None
 
 
+def test_near_dups_uses_collection_dimension(mgr):
+    """Collection.near_dups plumbs its known dimension into the LSH
+    near-dup pipeline — the duplicate pair is found and no dimension
+    inference is needed (the dim= path is job-count-tested in
+    test_text_dedup)."""
+    c = mgr.create_collection("dupes", 4)
+    c.add([1.0, 0.0, 0.0, 0.0], id="a")
+    c.add([1.0, 0.001, 0.0, 0.0], id="b")
+    c.add([0.0, 0.0, 1.0, 0.0], id="far")
+    pairs = c.near_dups(threshold=0.99, round_to=6).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [("a", "b")]
+
+
 def test_strict_duplicate_and_missing(mgr):
     c = mgr.create_collection("strictc", 3)
     c.add([1.0, 0.0, 0.0], id="v1")

@@ -166,6 +166,23 @@ def test_mjpeg_split_by_markers():
         split_mjpeg(b"\xff\xd8\x00\x00")
 
 
+def test_mjpeg_split_skips_eoi_inside_app_segments():
+    """An FFD9 inside a length-delimited APPn payload (EXIF thumbnails
+    embed a complete JPEG) must NOT terminate the frame — the splitter
+    walks the segment structure instead of flat-scanning (ADVICE r5)."""
+    from kowari_spark.codecs import split_mjpeg
+
+    thumb = b"\xff\xd8\x01\x02\xff\xd9"  # a full tiny "JPEG" as payload
+    app1 = b"\xff\xe1" + (len(thumb) + 2).to_bytes(2, "big") + thumb
+    # minimal conformant-enough frame: SOI, APP1(with embedded EOI),
+    # SOS with 2-byte header then entropy data with a stuffed FF00 and
+    # an RST marker, then the real EOI
+    sos = b"\xff\xda\x00\x02" + b"\x10\xff\x00\x20\xff\xd0\x30"
+    f1 = b"\xff\xd8" + app1 + sos + b"\xff\xd9"
+    f2 = b"\xff\xd8" + b"\x04\x05" + b"\xff\xd9"  # loose fragment after
+    assert split_mjpeg(f1 + f2) == [f1, f2]
+
+
 def test_frame_sample_on_y4m_video(spark):
     """The video frame-sample operator drives the REAL y4m decode path
     end-to-end: 2 videos of 6 luma frames -> every 3rd frame kept,

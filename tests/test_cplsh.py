@@ -70,6 +70,26 @@ def test_starved_queries_fall_back(spark, embeddings, cp):
     assert all(v == 39 for v in counts.values())
 
 
+def test_query_batch_plan_construction_is_lazy(spark, embeddings, cp):
+    """query_batch builds ONE declarative plan: zero Spark jobs fire
+    before the caller's own action (VERDICT r5 — the old path ran an
+    eager localCheckpoint plus a starved.isEmpty() probe per call)."""
+    base = embeddings.select("vec_id", "embedding").limit(200)
+    queries = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sc = spark.sparkContext
+    group = "cplsh-lazy-plan-probe"
+    sc.setJobGroup(group, "plan-time job probe", interruptOnCancel=False)
+    try:
+        out = cp.query_batch(base, queries, 5, id_col="vec_id", round_to=6)
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup(group) == []
+    # and the plan still executes correctly afterwards
+    assert out.count() == 15
+
+
 def test_build_layout_prunes(spark, embeddings, cp, tmp_path):
     base = embeddings.select("vec_id", "embedding").limit(300)
     path = str(tmp_path / "cp_layout")
@@ -122,3 +142,57 @@ def test_broadcast_and_closure_hash_identically(spark, embeddings):
     }
     for i, r in enumerate(rows):
         assert got[r["vec_id"]] == list(want[i])
+
+
+def _data_files_by_dir(root):
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        data = [f for f in files if f.endswith(".parquet") and not f.startswith("_")]
+        if data:
+            out[os.path.relpath(dirpath, root)] = len(data)
+    return out
+
+
+def test_build_file_count_control(spark, embeddings, tmp_path):
+    """max_records_per_file rolls big (table, bucket) dirs into several
+    scan-parallel files; the default stays one file per dir (VERDICT
+    r5 #5)."""
+    import math
+
+    cp2 = CrossPolytopeLSH(dim=64, num_tables=2, seed=100)
+    base = embeddings.select("vec_id", "embedding").limit(300)
+
+    plain = str(tmp_path / "cp_plain")
+    cp2.build(base, plain)
+    assert set(_data_files_by_dir(plain).values()) == {1}
+
+    rolled = str(tmp_path / "cp_rolled")
+    cp2.build(base, rolled, max_records_per_file=2)
+    files = _data_files_by_dir(rolled)
+    rows = {
+        f"__tbl={r['__tbl']}/bucket={r['bucket']}": r["n"]
+        for r in cp2.load(spark, rolled)
+        .groupBy("__tbl", "bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert files == {d: math.ceil(n / 2) for d, n in rows.items()}
+    assert max(files.values()) > 1  # at least one dir actually rolled
+
+
+def test_layout_sidecar_rejects_mismatched_hashing(spark, embeddings, tmp_path, cp):
+    """The params sidecar makes probing a layout with incompatible
+    hashing fail loudly (ADVICE r5: a silent dtype/params mismatch
+    loses recall)."""
+    base = embeddings.select("vec_id", "embedding").limit(100)
+    path = str(tmp_path / "cp_meta")
+    cp.build(base, path)
+    # same params -> loads fine
+    same = CrossPolytopeLSH(dim=cp.dim, num_tables=cp.num_tables, seed=cp.seed)
+    assert same.load(spark, path).count() == 100 * cp.num_tables
+    # different seed -> different rotations -> must refuse
+    other = CrossPolytopeLSH(dim=cp.dim, num_tables=cp.num_tables, seed=cp.seed + 1)
+    with pytest.raises(ValueError, match="rebuild"):
+        other.load(spark, path)

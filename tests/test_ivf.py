@@ -96,11 +96,41 @@ def test_sampled_seeding_matches_distributed_when_sample_covers(base):
     """seed_sample >= n must reproduce the distributed farthest-first
     traversal bit-for-bit — the parity claim of the driver-side loop
     (same sequential fold, same max-mind/lowest-id tie-break)."""
-    full = IVF(n_lists=8, max_iter=2, seed=1).fit(base, id_col="vec_id")
+    full = IVF(n_lists=8, max_iter=2, seed=1, seed_sample=None).fit(
+        base, id_col="vec_id"
+    )
     sampled = IVF(n_lists=8, max_iter=2, seed=1, seed_sample=10_000).fit(
         base, id_col="vec_id"
     )
     assert (full.centroids == sampled.centroids).all()
+
+
+def test_default_seeding_is_sampled_one_collect(base, spark):
+    """The DEFAULT constructor takes the one-collect sampled seeding
+    path ("auto" = 64*n_lists): a user calling IVF(n_lists=k) must not
+    get k-1 sequential full-table argmax scans (VERDICT r5). Pinned by
+    a job-count bound: the whole fit runs far fewer jobs than the
+    exact traversal's n_lists-1 seeding scans alone."""
+    ivf = IVF(n_lists=8, max_iter=2, seed=1)
+    assert ivf.seed_sample == "auto"
+    sc = spark.sparkContext
+    group = "ivf-default-seeding-probe"
+    sc.setJobGroup(group, "count fit jobs", interruptOnCancel=False)
+    try:
+        ivf.fit(base, id_col="vec_id")
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    # sampled path: 1 seeding collect + max_iter Lloyd collects (limit
+    # collects may split into incremental jobs) — the exact path would
+    # add n_lists-1 = 7 more full-scan seeding jobs on top, so the
+    # bound below separates the two paths with room to spare
+    assert len(jobs) < ivf.n_lists - 1, jobs
+    # and "auto" is bit-identical to the explicit 64*n_lists sample
+    explicit = IVF(n_lists=8, max_iter=2, seed=1, seed_sample=64 * 8).fit(
+        base, id_col="vec_id"
+    )
+    assert (ivf.centroids == explicit.centroids).all()
 
 
 def test_sampled_seeding_small_sample_still_quantizes(base):

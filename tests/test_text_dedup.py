@@ -141,6 +141,30 @@ def test_embedding_near_dups_exact_vs_lsh(spark, embeddings):
         assert len(a) / len(e) >= 0.2
 
 
+def test_near_dup_dim_param_skips_inference_job(spark, embeddings):
+    """Passing dim= makes plan construction job-free (the first()
+    fallback costs one Spark job per invocation — ADVICE r5), with
+    identical results either way."""
+    base = embeddings.limit(150).cache()
+    base.count()
+    sc = spark.sparkContext
+    group = "neardup-dim-probe"
+    sc.setJobGroup(group, "plan-time job probe", interruptOnCancel=False)
+    try:
+        withdim = embedding_near_dups_lsh(
+            base, threshold=0.3, id_col="vec_id", round_to=6, dim=64
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup(group) == []
+    inferred = embedding_near_dups_lsh(
+        base, threshold=0.3, id_col="vec_id", round_to=6
+    )
+    assert sorted(map(tuple, withdim.collect())) == sorted(
+        map(tuple, inferred.collect())
+    )
+
+
 def test_similarity_join_two_tables(spark, embeddings):
     from kowari_spark.operators.dedup import similarity_join
 
