@@ -56,6 +56,36 @@ def stream_vectors_into(
     return writer.start()
 
 
+#: layout-level marker a compaction holds for the duration of its
+#: stage/re-list/swap; cooperative writers (the LSH layout sink) wait on
+#: it before starting an append. A crashed compactor can leave it
+#: behind — the sink's bounded wait then fails the batch with a message
+#: naming the marker so an operator can remove the stale file.
+COMPACTING_MARKER = "_compacting"
+
+
+def _wait_not_compacting(spark, path: str, timeout_secs: float) -> None:
+    """Block until ``path`` carries no in-flight compaction marker.
+    Raises RuntimeError after ``timeout_secs`` (fail the micro-batch —
+    its checkpoint won't commit, so it replays once the lock clears)."""
+    import time
+
+    from kowari_spark import fsutil
+
+    marker = f"{path}/{COMPACTING_MARKER}"
+    deadline = time.monotonic() + timeout_secs
+    delay = 0.1
+    while fsutil.exists(spark, marker):
+        if time.monotonic() >= deadline:
+            raise RuntimeError(
+                f"layout at {path} has carried the {COMPACTING_MARKER} "
+                f"marker for over {timeout_secs}s; if no compaction is "
+                "actually running, remove the stale marker file"
+            )
+        time.sleep(delay)
+        delay = min(delay * 2, 2.0)
+
+
 def stream_into_lsh_layout(
     stream_df: DataFrame,
     lsh: SignLSH,
@@ -63,6 +93,7 @@ def stream_into_lsh_layout(
     checkpoint_dir: str,
     vec_col: str = "embedding",
     trigger_available_now: bool = True,
+    compaction_wait_secs: float = 60.0,
 ):
     """Maintain a bucket-partitioned LSH layout from a vector stream
     (SURVEY.md §7.1 step 9: streaming ingest + index maintenance).
@@ -102,6 +133,12 @@ def stream_into_lsh_layout(
         marker = f"{path}/_batches/{ck_tag}-{batch_id}"
         if fsutil.exists(spark, marker):
             return
+        # cooperative compaction lock: never START an append while a
+        # compaction is swapping partitions (see COMPACTING_MARKER).
+        # Waiting (bounded) then failing the batch is safe — no files
+        # have landed yet and the checkpoint won't commit, so the batch
+        # replays cleanly after the compactor finishes.
+        _wait_not_compacting(spark, path, compaction_wait_secs)
         if not batch_df.isEmpty():
             batch_df.write.mode("append").partitionBy("bucket").parquet(path)
         fsutil.create_marker(spark, marker)
@@ -144,19 +181,34 @@ def compact_bucketed_layout(
       compaction in the maintenance window, or use the manifest-backed
       ``Collection.optimize`` path when transactional swap is required.
 
-    Writer-race guard: a CONCURRENT STREAM APPEND into an oversized
-    bucket between the staging snapshot and the overwrite would be
-    deleted by the overwrite (the staged copy predates it). Each
-    bucket's file listing is therefore re-checked after staging
-    completes, and buckets whose file set changed are EXCLUDED from the
-    swap (dynamic overwrite only touches partitions present in the
-    written data) — they keep their files and compact on the next run.
-    The sink's checkpoint tracks offsets, not files, so the swap itself
-    never confuses the writer.
-    """
-    from pyspark.sql import functions as F
+    Writer-race guard, two layers:
 
-    from kowari_spark.fsutil import count_data_files, delete, list_dirs
+    1. A layout-level ``_compacting`` marker (``COMPACTING_MARKER``) is
+       held for the whole stage/re-list/swap; the LSH layout sink waits
+       on it before STARTING an append, so no cooperative write begins
+       mid-compaction. A second concurrent compaction seeing the marker
+       returns [] (no-op). The marker is removed on every exit path.
+    2. A CONCURRENT STREAM APPEND into an oversized bucket between the
+       staging snapshot and the overwrite would be deleted by the
+       overwrite (the staged copy predates it). Each bucket's file
+       listing is therefore re-checked after staging completes, and
+       buckets whose file set changed are EXCLUDED from the swap
+       (dynamic overwrite only touches partitions present in the
+       written data) — they keep their files and compact on the next
+       run.
+
+    RESIDUAL WINDOW (documented, not closed): an append that was
+    already in flight when the marker appeared — or one from a
+    non-cooperative writer that never checks the marker — can land its
+    files AFTER the post-stage re-list and BEFORE the overwrite commit;
+    the swap then deletes those files. The re-list narrows this to the
+    swap's commit latency, the marker narrows it to writes in flight at
+    acquisition, but only a transactional log closes it: use the
+    manifest-backed ``Collection.optimize`` path when that guarantee is
+    required. The sink's checkpoint tracks offsets, not files, so the
+    swap itself never confuses the writer.
+    """
+    from kowari_spark.fsutil import create_marker, delete
 
     def _files_of(bucket_dir: str) -> frozenset:
         from kowari_spark.fsutil import _fs_path
@@ -169,6 +221,29 @@ def compact_bucketed_layout(
             for st in fs.listStatus(jpath)
             if st.isFile() and not st.getPath().getName().startswith(("_", "."))
         )
+
+    # acquire the layout-level compaction lock BEFORE the snapshot:
+    # cooperative writers stop starting appends, and a concurrent
+    # compaction run no-ops instead of double-swapping
+    lock = f"{path}/{COMPACTING_MARKER}"
+    if not create_marker(spark, lock):
+        return []
+    try:
+        return _compact_locked(
+            spark, path, partition_col, max_files, target_files,
+            _post_stage_hook, _files_of,
+        )
+    finally:
+        delete(spark, lock)
+
+
+def _compact_locked(
+    spark, path, partition_col, max_files, target_files,
+    _post_stage_hook, _files_of,
+) -> list[str]:
+    from pyspark.sql import functions as F
+
+    from kowari_spark.fsutil import count_data_files, delete, list_dirs
 
     prefix = f"{partition_col}="
     oversized = []

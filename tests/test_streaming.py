@@ -398,3 +398,48 @@ def test_compaction_preserves_partition_pruning(spark, embeddings, tmp_path):
     probe = stored.filter(F.col("bucket") == 1)
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(bucket" in plan
+
+
+def test_compaction_lock_blocks_and_releases(spark, embeddings, tmp_path):
+    """The layout-level _compacting marker: a sink-side wait raises
+    after its bounded timeout while the marker is held, returns once it
+    clears, and a second compactor no-ops while the first holds the
+    lock (ADVICE r5: make in-flight compaction detectable)."""
+    import threading
+    import time as _time
+
+    import pytest as _pytest
+
+    from kowari_spark import fsutil
+    from kowari_spark.streaming.ingest import (
+        COMPACTING_MARKER,
+        _wait_not_compacting,
+        compact_bucketed_layout,
+    )
+
+    out = _small_file_layout(spark, embeddings, tmp_path, "lock")
+    marker = f"{out}/{COMPACTING_MARKER}"
+
+    # no marker -> returns immediately
+    _wait_not_compacting(spark, out, timeout_secs=0.5)
+
+    # held marker -> bounded wait then a clear, actionable error
+    assert fsutil.create_marker(spark, marker)
+    with _pytest.raises(RuntimeError, match="_compacting"):
+        _wait_not_compacting(spark, out, timeout_secs=0.4)
+    # ...and a concurrent compaction no-ops instead of double-swapping
+    assert compact_bucketed_layout(spark, out, max_files=4) == []
+    assert fsutil.exists(spark, marker)  # a no-op must NOT steal the lock
+
+    # marker released by the holder -> the waiter proceeds
+    t = threading.Timer(0.5, lambda: fsutil.delete(spark, marker))
+    t.start()
+    t0 = _time.monotonic()
+    _wait_not_compacting(spark, out, timeout_secs=10.0)
+    assert _time.monotonic() - t0 < 9.0
+    t.join()
+
+    # with the lock free, compaction runs and releases it on exit
+    rewritten = compact_bucketed_layout(spark, out, max_files=4)
+    assert rewritten
+    assert not fsutil.exists(spark, marker)
