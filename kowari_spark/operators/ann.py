@@ -45,8 +45,12 @@ class AnnIndex(abc.ABC):
 
     @abc.abstractmethod
     def build_df(self, base: DataFrame, id_col: str = "id",
-                 vec_col: str = "embedding") -> DataFrame:
-        """The index relation for ``base`` (bucketed/cell/edge table)."""
+                 vec_col: str = "embedding",
+                 metric: str = "cosine") -> DataFrame:
+        """The index relation for ``base`` (bucketed/cell/edge table).
+        ``metric`` matters where the index structure itself is
+        metric-aware (HNSW edge selection); hash/cell strategies may
+        ignore it."""
 
     @abc.abstractmethod
     def candidates(
@@ -97,7 +101,7 @@ class AnnIndex(abc.ABC):
         AQE's empty-relation propagation collapses that subtree before
         the base scan runs."""
         if built is None:
-            built = self.build_df(base, id_col, vec_col)
+            built = self.build_df(base, id_col, vec_col, metric)
         q = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).alias("__qvec"),
@@ -157,7 +161,8 @@ class SignLSHIndex(AnnIndex):
         self.lsh = lsh
         self.probes = probes
 
-    def build_df(self, base, id_col="id", vec_col="embedding"):
+    def build_df(self, base, id_col="id", vec_col="embedding",
+                 metric="cosine"):
         return self.lsh.with_buckets(base, vec_col)
 
     def candidates(self, built, base, queries, k, id_col="id",
@@ -188,7 +193,8 @@ class CrossPolytopeIndex(AnnIndex):
         self.cp = cp
         self.probes = probes
 
-    def build_df(self, base, id_col="id", vec_col="embedding"):
+    def build_df(self, base, id_col="id", vec_col="embedding",
+                 metric="cosine"):
         return self.cp.with_buckets(base, vec_col)
 
     def candidates(self, built, base, queries, k, id_col="id",
@@ -236,7 +242,10 @@ class IVFIndex(AnnIndex):
     def __init__(self, ivf):
         self.ivf = ivf
 
-    def build_df(self, base, id_col="id", vec_col="embedding"):
+    def build_df(self, base, id_col="id", vec_col="embedding",
+                 metric="cosine"):
+        # cells are L2-Voronoi regardless of the re-score metric (IVF
+        # module docstring)
         if self.ivf.centroids is None:
             self.ivf.fit(base, id_col=id_col, vec_col=vec_col)
         return self.ivf.with_lists(base, vec_col)
@@ -278,8 +287,12 @@ class HNSWIndex(AnnIndex):
         self.hops = hops
         self.entry_budget = entry_budget
 
-    def build_df(self, base, id_col="id", vec_col="embedding"):
-        return self.hnsw.build(base, id_col=id_col, vec_col=vec_col)
+    def build_df(self, base, id_col="id", vec_col="embedding",
+                 metric="cosine"):
+        # edges are the M nearest UNDER THE SEARCH METRIC — a cosine
+        # graph navigated for l2 queries visits the wrong neighborhood
+        return self.hnsw.build(base, id_col=id_col, vec_col=vec_col,
+                               metric=metric)
 
     def candidates(self, built, base, queries, k, id_col="id",
                    vec_col="embedding", query_id_col="query_id",

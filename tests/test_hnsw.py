@@ -185,3 +185,7 @@ def test_contract_forwards_metric_to_graph_navigation(spark):
     assert all(r["score"] <= 0.0 for r in rows)
     top1 = {r["query_id"]: r["id"] for r in rows if r["rank"] == 1}
     assert sum(1 for q, i in top1.items() if q == i) >= 4
+    # without built=, search() must BUILD the graph under the search
+    # metric too — identical output to the explicit euclidean build
+    auto = strategy.search(df, queries, 3, metric="euclidean", round_to=6)
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, rows))

@@ -1,0 +1,226 @@
+"""Scale-evidence bench: run the headline operators on 10x / 100x the
+sf0.1 data and measure how wall-time grows vs data volume.
+
+The contract queries in ``__spark_entry__`` pin some inputs (e.g. the
+HNSW instance is a fixed 200-vector subset so its SQL oracle stays
+exact), so this harness drives the OPERATORS directly over derived
+tables whose size actually scales:
+
+- embeddings x M: M jittered copies (deterministic per-element hash
+  jitter keeps the distribution's shape — copies are near but not
+  exact duplicates, so bucket occupancy scales ~linearly like real
+  growth would);
+- documents x M: M word-rotated copies (cyclic shift by a per-copy
+  offset rewrites almost every shingle, so cross-copy Jaccard stays
+  low and the near-dup pair count scales like independent data).
+
+Derived data lands under ``.scale/x<M>`` (gitignored) and is reused
+across runs. Output: one JSON line per (query, multiplier) plus a
+summary table of time-ratio vs data-ratio — the measurement behind
+BASELINE.md's scale-evidence section.
+
+Usage: python tools/scale_bench.py [--mults 1,10,100] [--base sfdir]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from kowari_spark import get_session
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCALE_DIR = os.path.join(REPO, ".scale")
+
+
+def derive(spark, base_dir: str, mult: int) -> str:
+    """Materialize the x``mult`` derived tables (idempotent)."""
+    out = os.path.join(SCALE_DIR, f"x{mult}")
+    if os.path.exists(os.path.join(out, "embeddings.parquet", "_SUCCESS")) and (
+        os.path.exists(os.path.join(out, "documents.parquet", "_SUCCESS"))
+    ):
+        return out
+
+    emb = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{base_dir}/documents.parquet")
+    n_emb = emb.count()
+    n_doc = docs.count()
+
+    copies = spark.range(mult).select(F.col("id").cast("int").alias("__copy"))
+
+    # embeddings: deterministic per-(copy, vec, dim) jitter in
+    # [-0.1, 0.1] — near the original, never identical (copy 0 exact)
+    jittered = (
+        emb.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("vec_id") + F.col("__copy").cast("long") * n_emb).alias("vec_id"),
+            F.when(F.col("__copy") == 0, F.col("embedding"))
+            .otherwise(
+                F.transform(
+                    "embedding",
+                    lambda x, i: (
+                        x
+                        + (
+                            F.pmod(
+                                F.hash(F.col("vec_id"), F.col("__copy"), i),
+                                F.lit(2001),
+                            )
+                            - 1000
+                        )
+                        / 10000.0
+                    ).cast("float"),
+                )
+            )
+            .alias("embedding"),
+            F.col("label"),
+        )
+    )
+    jittered.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+
+    # documents: per-copy deterministic word SHUFFLE (sort by
+    # hash(word, position, copy)) — a permutation rewrites essentially
+    # every word shingle (a rotation would preserve them and make every
+    # copy a near-dup of its original, exploding pair counts
+    # quadratically), so cross-copy Jaccard stays low and the near-dup
+    # pair count scales ~linearly like independent data would
+    words = F.split(F.col("text"), " ")
+    keyed = F.transform(
+        words,
+        lambda w, i: F.struct(
+            F.hash(w, i, F.col("__copy")).alias("k"), w.alias("w")
+        ),
+    )
+    shuffled = F.transform(F.array_sort(keyed), lambda s: s["w"])
+    rdocs = (
+        docs.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("doc_id") + F.col("__copy").cast("long") * n_doc).alias("doc_id"),
+            F.when(F.col("__copy") == 0, F.col("text"))
+            .otherwise(F.array_join(shuffled, " "))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    rdocs.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    return out
+
+
+def timed(fn) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = fn()
+    return time.perf_counter() - t0, n
+
+
+def run_suite(spark, sf_dir: str, mult: int) -> dict[str, dict]:
+    from kowari_spark.operators.cplsh import CrossPolytopeLSH
+    from kowari_spark.operators.dedup import dedup_clusters, minhash_dedup_pairs
+    from kowari_spark.operators.hnsw import HNSW
+    from kowari_spark.operators.ivf import IVF
+    from kowari_spark.operators.lsh import MultiSignLSH
+    from kowari_spark.operators.topk import knn_batch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+    n = emb.count()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out: dict[str, dict] = {}
+
+    def rec(name, secs, rows):
+        out[name] = {"sec": round(secs, 3), "rows": rows, "n": n}
+        print(
+            f"  x{mult:<4} {name:<22} {secs:7.2f}s rows={rows}",
+            flush=True,
+        )
+
+    s, r = timed(lambda: knn_batch(
+        emb, queries, 5, id_col="vec_id", round_to=6).count())
+    rec("knn_batch_top5", s, r)
+
+    cp = CrossPolytopeLSH(dim=64, num_tables=40, seed=100)
+    s, r = timed(lambda: cp.query_batch(
+        emb, queries, 10, id_col="vec_id", round_to=6, probes=4).count())
+    rec("cp_knn_top10", s, r)
+
+    # bucket width sized to the corpus: ~2^p buckets of ~100 vectors
+    import math
+
+    p = max(4, int(math.log2(max(n / 100, 2))))
+    ml = MultiSignLSH(dim=64, num_planes=p, num_tables=8, seed=42)
+    s, r = timed(lambda: ml.query_batch(
+        emb, queries, 10, id_col="vec_id", round_to=6).count())
+    rec("lsh_knn_top10", s, r)
+
+    ivf = IVF(n_lists=16, n_probe=3, max_iter=3, seed=42)
+    s, _ = timed(lambda: ivf.fit(emb, id_col="vec_id") and 0)
+    rec("ivf_fit", s, 0)
+    lists = ivf.with_lists(emb).persist()
+    lists.count()
+    s, r = timed(lambda: ivf.query_batch(
+        lists, queries.limit(4), 10, id_col="vec_id", round_to=6).count())
+    rec("ivf_knn", s, r)
+    lists.unpersist()
+
+    h = HNSW(m=8, ef=32, seed=42, num_planes=p, num_tables=4)
+    t0 = time.perf_counter()
+    edges = h.build(emb, id_col="vec_id")
+    rec("hnsw_build", time.perf_counter() - t0, edges.count())
+    s, r = timed(lambda: h.query_batch(
+        emb, edges, queries, 10, id_col="vec_id", round_to=6).count())
+    rec("hnsw_knn", s, r)
+
+    pairs = minhash_dedup_pairs(docs, threshold=0.5)
+    s, r = timed(lambda: pairs.count())
+    rec("doc_minhash_pairs", s, r)
+    s, r = timed(lambda: dedup_clusters(pairs).count())
+    rec("doc_dup_clusters", s, r)
+
+    emb.unpersist()
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mults", default="1,10,100")
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+    mults = [int(m) for m in args.mults.split(",")]
+
+    spark = get_session(app="kowari_scale_bench")
+    results: dict[int, dict] = {}
+    for m in mults:
+        sf_dir = args.base if m == 1 else derive(spark, args.base, m)
+        print(f"== x{m} ({sf_dir}) ==", flush=True)
+        results[m] = run_suite(spark, sf_dir, m)
+
+    print("\n== scaling summary (time ratio vs x1; data ratio = mult) ==")
+    base = results[mults[0]]
+    names = list(base)
+    header = "query".ljust(22) + "".join(f"x{m}".rjust(10) for m in mults)
+    print(header)
+    for q in names:
+        row = q.ljust(22)
+        for m in mults:
+            sec = results[m][q]["sec"]
+            row += f"{sec:9.2f}s"
+        print(row)
+    print(json.dumps({"mults": mults, "results": {str(m): r for m, r in results.items()}}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
