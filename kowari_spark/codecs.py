@@ -335,9 +335,12 @@ def _jpeg_frame_end(blob: bytes, soi: int) -> int:
         if marker == 0x00:
             return -1  # stuffing outside entropy data: not conformant
         if pos + 2 > n:
-            break  # truncated length field
+            return -1  # truncated length field -> let the flat scan try
         seg_len = int.from_bytes(blob[pos : pos + 2], "big")
-        if seg_len < 2:
+        if seg_len < 2 or pos + seg_len > n:
+            # nonsense / overrunning length (corrupt segment): fall back
+            # rather than declaring the whole frame EOI-less — a valid
+            # FFD9 may still exist past the corruption
             return -1
         pos += seg_len
         if marker == 0xDA:  # SOS: entropy-coded data until a real marker
@@ -352,7 +355,9 @@ def _jpeg_frame_end(blob: bytes, soi: int) -> int:
                     continue
                 pos = ff  # next segment-level marker
                 break
-    raise ValueError(f"JPEG frame at offset {soi} has no EOI marker")
+    # ran out of bytes with no EOI: defer to the caller's flat scan
+    # (which raises the no-EOI error if there is truly none)
+    return -1
 
 
 def split_mjpeg(blob: bytes) -> list[bytes]:

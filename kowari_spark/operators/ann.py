@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kowari_spark.operators.topk import _rounded, _score
+from kowari_spark.operators.topk import _rounded, _score, brute_force_fallback
 
 
 class AnnIndex(abc.ABC):
@@ -135,19 +135,8 @@ class AnnIndex(abc.ABC):
         topk = scored.withColumn("rank", F.row_number().over(w)).filter(
             F.col("rank") <= k
         )
-        # exact-scan fallback as lazy lineage: base x broadcast(starved)
-        # + window (identical results to knn_batch — topk.py docstring)
-        fb = (
-            vecs.crossJoin(F.broadcast(starved))
-            .select(
-                "query_id",
-                F.col(id_col),
-                _rounded(
-                    _score(metric, F.col(vec_col), F.col("__qvec")), round_to
-                ).alias("score"),
-            )
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+        fb = brute_force_fallback(
+            vecs, starved, k, metric, id_col, vec_col, round_to
         )
         return topk.unionByName(fb)
 

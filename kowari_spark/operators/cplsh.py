@@ -252,7 +252,11 @@ class CrossPolytopeLSH:
         subtree before the exact scan runs."""
         from pyspark.sql.window import Window
 
-        from kowari_spark.operators.topk import _rounded, _score
+        from kowari_spark.operators.topk import (
+            _rounded,
+            _score,
+            brute_force_fallback,
+        )
 
         spark = df.sparkSession
         prebuilt = "__tbl" in df.columns
@@ -327,20 +331,7 @@ class CrossPolytopeLSH:
             F.col("rank") <= k
         )
 
-        # exact-scan fallback as lazy lineage: base x broadcast(starved)
-        # + window — identical results to knn_batch (topk.py docstring),
-        # zero cost when nothing is starved (empty broadcast -> AQE
-        # collapses the subtree)
-        fb = (
-            base_vecs.crossJoin(F.broadcast(starved))
-            .select(
-                "query_id",
-                F.col(id_col),
-                _rounded(
-                    _score(metric, F.col(vec_col), F.col("__qvec")), round_to
-                ).alias("score"),
-            )
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+        fb = brute_force_fallback(
+            base_vecs, starved, k, metric, id_col, vec_col, round_to
         )
         return topk.unionByName(fb)

@@ -126,6 +126,14 @@ class HNSW:
             if metric not in self._GEMM_METRICS:
                 return "expr"
             return "gemm" if n is None or n >= self.AUTO_GEMM_MIN_ROWS else "expr"
+        if self.scorer == "gemm" and metric not in self._GEMM_METRICS:
+            # a custom registered metric has no numpy form — silently
+            # scoring it as something else would build the graph on the
+            # wrong geometry
+            raise ValueError(
+                f"scorer='gemm' supports only {self._GEMM_METRICS}; "
+                f"use scorer='expr' (or 'auto') for metric {metric!r}"
+            )
         return self.scorer
 
     # -- build -------------------------------------------------------------
@@ -237,9 +245,12 @@ class HNSW:
     def _bucket_topm_gemm(self, bucketed: DataFrame, metric: str) -> DataFrame:
         """Bucket-local GEMM scoring: one ``applyInPandas`` group per
         (level, table, bucket) computes the group's score matrix with
-        numpy (row-chunked so memory is O(chunk·b), skew-safe) and
-        emits each member's top-m — per-row reductions, so results are
-        independent of Arrow batching and deterministic."""
+        numpy, row-chunked so the SCORE matrix is O(chunk·b). The
+        group's vectors themselves (O(b·d)) must fit in one worker —
+        that is the standing LSH sizing rule (num_planes ≈
+        log2(n / target_bucket_size), module docstring), not a new
+        constraint of this scorer. Per-row reductions only, so results
+        are independent of Arrow batching and deterministic."""
         import numpy as np
         import pandas as pd
 
@@ -263,7 +274,12 @@ class HNSW:
                 Vn = V / norms
             out_src, out_dst, out_s = [], [], []
             k = min(m, n - 1)
-            chunk = max(1, min(1024, (1 << 22) // max(n, 1)))
+            d = V.shape[1]
+            if metric == "manhattan":
+                # the |diff| broadcast temp is (chunk, b, d) — budget it
+                chunk = max(1, min(1024, (1 << 24) // max(n * d, 1)))
+            else:
+                chunk = max(1, min(1024, (1 << 22) // max(n, 1)))
             for lo in range(0, n, chunk):
                 hi = min(lo + chunk, n)
                 if metric == "cosine":
@@ -468,17 +484,30 @@ class HNSW:
         import warnings
 
         if max_batch is not None:
-            nq = queries.count()  # the batch is driver-bounded by contract
-            if nq > max_batch:
+            # bounded probe, not a full count: LIMIT terminates early,
+            # so a small batch with expensive lineage never evaluates
+            # past max_batch+1 rows just to learn it needs no split
+            over = (
+                len(
+                    queries.select(query_id_col)
+                    .limit(max_batch + 1)
+                    .collect()
+                )
+                > max_batch
+            )
+            if over:
                 q_norm = queries.select(
                     F.col(query_id_col).alias("query_id"),
                     F.col(query_vec_col).alias("__qvec"),
                 )
                 w_split = Window.orderBy("query_id")
+                # materialize the chunk assignment ONCE; the true size
+                # is then a metadata-cheap count on the checkpoint
                 chunked = q_norm.withColumn(
                     "__chunk",
                     F.floor((F.row_number().over(w_split) - 1) / max_batch),
                 ).localCheckpoint()
+                nq = chunked.count()
                 out = None
                 for i in range(math.ceil(nq / max_batch)):
                     sub = chunked.filter(F.col("__chunk") == i).drop("__chunk")

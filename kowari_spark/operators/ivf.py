@@ -79,6 +79,12 @@ class IVF:
         # r5); pass seed_sample=None to opt IN to the exact distributed
         # traversal.
         self.seed_sample = seed_sample
+        if isinstance(seed_sample, str) and seed_sample != "auto":
+            # catch typos at construction, not as a TypeError deep in fit
+            raise ValueError(
+                f"seed_sample must be an int, None (exact traversal) or "
+                f"'auto', got {seed_sample!r}"
+            )
         # rounding the centroids to a fixed decimal grid after every
         # Lloyd update makes the fit reproducible ACROSS ENGINES: the
         # only cross-engine divergence in the whole pipeline is the

@@ -274,7 +274,11 @@ class SignLSH:
             q, "query_id"
         )
 
-        from kowari_spark.operators.topk import _rounded, _score
+        from kowari_spark.operators.topk import (
+            _rounded,
+            _score,
+            brute_force_fallback,
+        )
 
         qp_ok = qp.join(F.broadcast(ok_ids), "query_id")
         probed = (
@@ -292,24 +296,10 @@ class SignLSH:
             probed.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
         )
 
-        # exact-scan fallback as lazy lineage (no isEmpty driver action):
-        # base x broadcast(starved queries) + the same window — identical
-        # results to knn_batch (topk.py docstring); when nothing is
-        # starved the broadcast side is empty and AQE's empty-relation
-        # propagation collapses the subtree before the scan runs
-        fb = (
-            base.drop("bucket")  # single-table layout: one row per id
-            .select(id_col, vec_col)
-            .crossJoin(F.broadcast(q_fallback))
-            .select(
-                "query_id",
-                F.col(id_col),
-                _rounded(
-                    _score(metric, F.col(vec_col), F.col("__qvec")), round_to
-                ).alias("score"),
-            )
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+        # single-table layout: one row per id, so no dedup needed
+        fb = brute_force_fallback(
+            base.drop("bucket"), q_fallback, k, metric, id_col, vec_col,
+            round_to,
         )
         return probed_topk.unionByName(fb)
 
@@ -385,7 +375,11 @@ class MultiSignLSH:
         (the single-table reference semantic, generalized)."""
         from pyspark.sql.window import Window
 
-        from kowari_spark.operators.topk import _rounded, _score
+        from kowari_spark.operators.topk import (
+            _rounded,
+            _score,
+            brute_force_fallback,
+        )
 
         bucketed = (
             df.select(F.col(id_col), "__tbl", "bucket")
@@ -438,18 +432,7 @@ class MultiSignLSH:
             F.col("rank") <= k
         )
 
-        # unconditional lazy fallback (see SignLSH.query_batch): empty
-        # starved broadcast -> AQE collapses the subtree at runtime
-        fb = (
-            base_vecs.crossJoin(F.broadcast(starved))
-            .select(
-                "query_id",
-                F.col(id_col),
-                _rounded(
-                    _score(metric, F.col(vec_col), F.col("__qvec")), round_to
-                ).alias("score"),
-            )
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+        fb = brute_force_fallback(
+            base_vecs, starved, k, metric, id_col, vec_col, round_to
         )
         return topk.unionByName(fb)

@@ -242,6 +242,38 @@ def _knn_batch_heap(
     )
 
 
+def brute_force_fallback(
+    vecs: DataFrame,
+    starved: DataFrame,
+    k: int,
+    metric: str,
+    id_col: str,
+    vec_col: str,
+    round_to: int | None,
+    qvec_col: str = "__qvec",
+) -> DataFrame:
+    """Lazy exact-scan fallback shared by every ANN ``query_batch``:
+    ``vecs`` x broadcast(``starved`` (query_id, qvec)) scored + per-query
+    window top-k — identical results to ``knn_batch`` (module
+    docstring), built as pure lineage so no driver action fires at plan
+    time; when ``starved`` materializes empty, AQE's empty-relation
+    propagation collapses the subtree before the scan runs."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        vecs.select(id_col, vec_col)
+        .crossJoin(F.broadcast(starved))
+        .select(
+            "query_id",
+            F.col(id_col),
+            _rounded(
+                _score(metric, F.col(vec_col), F.col(qvec_col)), round_to
+            ).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def knn_two_stage(
     df: DataFrame,
     query: Sequence[float],

@@ -245,3 +245,16 @@ def test_y4m_rejects_odd_dims_for_subsampled_chroma():
         encode_y4m(odd, colorspace="C420jpeg")
     # mono has no chroma planes: odd dims are legal
     assert encode_y4m(odd, colorspace="Cmono")
+
+
+def test_mjpeg_split_survives_corrupt_segment_length():
+    """A frame whose APPn length field is corrupt (claims more bytes
+    than exist) must fall back to the flat EOI scan, not fail the whole
+    stream — the segment walk only decides boundaries when the bytes
+    actually parse as segments."""
+    from kowari_spark.codecs import split_mjpeg
+
+    # APP0 claiming 0xFFFF payload bytes in a 10-byte frame
+    f_corrupt = b"\xff\xd8" + b"\xff\xe0\xff\xff" + b"\x01\x02" + b"\xff\xd9"
+    f_next = b"\xff\xd8" + b"\x07\x08" + b"\xff\xd9"
+    assert split_mjpeg(f_corrupt + f_next) == [f_corrupt, f_next]

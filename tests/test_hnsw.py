@@ -214,3 +214,13 @@ def test_contract_forwards_metric_to_graph_navigation(spark):
     # metric too — identical output to the explicit euclidean build
     auto = strategy.search(df, queries, 3, metric="euclidean", round_to=6)
     assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, rows))
+
+
+def test_gemm_scorer_rejects_unknown_metric():
+    """An explicit scorer="gemm" with a custom registered metric must
+    error, not silently score with the wrong geometry."""
+    h = HNSW(scorer="gemm")
+    with pytest.raises(ValueError, match="gemm"):
+        h._resolve_scorer("my_custom_metric")
+    # auto degrades to the expression path instead
+    assert HNSW(scorer="auto")._resolve_scorer("my_custom_metric") == "expr"

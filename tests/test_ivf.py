@@ -145,3 +145,11 @@ def test_sampled_seeding_small_sample_still_quantizes(base):
 
     with _pytest.raises(ValueError, match="seed_sample"):
         IVF(n_lists=8, seed_sample=4).fit(base, id_col="vec_id")
+
+
+def test_seed_sample_string_typos_rejected_at_construction():
+    with pytest.raises(ValueError, match="auto"):
+        IVF(seed_sample="AUTO")
+    with pytest.raises(ValueError, match="auto"):
+        IVF(seed_sample="Auto")
+    assert IVF(seed_sample="auto").seed_sample == "auto"

@@ -10,9 +10,11 @@ tables whose size actually scales:
   jitter keeps the distribution's shape — copies are near but not
   exact duplicates, so bucket occupancy scales ~linearly like real
   growth would);
-- documents x M: M word-rotated copies (cyclic shift by a per-copy
-  offset rewrites almost every shingle, so cross-copy Jaccard stays
-  low and the near-dup pair count scales like independent data).
+- documents x M: M hash-shuffled copies (words re-ordered by a
+  per-copy deterministic sort key, which rewrites essentially every
+  shingle, so cross-copy Jaccard stays low and the near-dup pair
+  count scales like independent data — a cyclic rotation would
+  PRESERVE shingles and explode pair counts quadratically).
 
 Derived data lands under ``.scale/x<M>`` (gitignored) and is reused
 across runs. Output: one JSON line per (query, multiplier) plus a
