@@ -72,6 +72,17 @@ def bench_queries(spark, sf_dir, scratch):
             base, f"{scratch}/cp_build", vec_col="embedding"
         )
 
+    def hnsw_build_full():
+        # full-table graph build with the r6 GEMM bucket scorer ("auto"
+        # picks it above 1000 rows — the contract hnsw_build line stays
+        # on the 200-vector expr instance, so this line is what tracks
+        # the scale-path build cost)
+        from kowari_spark.operators.hnsw import HNSW
+
+        base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        h = HNSW(m=8, ef=32, seed=42, num_planes=5, num_tables=4)
+        h.build(base, id_col="vec_id").count()
+
     def ingest_validated_10k():
         from kowari_spark.catalog import CollectionManager
 
@@ -95,6 +106,7 @@ def bench_queries(spark, sf_dir, scratch):
     out["exact_knn_batch_100"] = knn_batch_100
     out["lsh_build_p8"] = lsh_build
     out["cp_build_40"] = cp_build_40
+    out["hnsw_build_full"] = hnsw_build_full
     out["ingest_validated_10k"] = ingest_validated_10k
     return out
 
