@@ -271,17 +271,21 @@ class HNSWIndex(AnnIndex):
 
     name = "hnsw"
 
-    def __init__(self, hnsw, hops: int = 4, entry_budget: int = 2048):
+    def __init__(self, hnsw, hops: int = 4, entry_budget: int = 2048,
+                 dim: int | None = None):
         self.hnsw = hnsw
         self.hops = hops
         self.entry_budget = entry_budget
+        # vector dimension, when the caller knows it (a Collection
+        # always does) — skips the first() inference job in build
+        self.dim = dim
 
     def build_df(self, base, id_col="id", vec_col="embedding",
                  metric="cosine"):
         # edges are the M nearest UNDER THE SEARCH METRIC — a cosine
         # graph navigated for l2 queries visits the wrong neighborhood
         return self.hnsw.build(base, id_col=id_col, vec_col=vec_col,
-                               metric=metric)
+                               metric=metric, dim=self.dim)
 
     def candidates(self, built, base, queries, k, id_col="id",
                    vec_col="embedding", query_id_col="query_id",

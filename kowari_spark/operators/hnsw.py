@@ -154,6 +154,7 @@ class HNSW:
         id_col: str = "id",
         vec_col: str = "embedding",
         metric: str = "cosine",
+        dim: int | None = None,
     ) -> DataFrame:
         """First-round edge set as ONE un-materialized declarative plan.
 
@@ -173,10 +174,15 @@ class HNSW:
         ~10x the expression fold on the 20k/200k-row scale benches);
         "expr" keeps the whole plan in native JVM expressions — use it
         when auditing plans for Python-free execution or with custom
-        registered metrics."""
+        registered metrics.
+
+        Pass ``dim`` when the caller knows the vector dimension (a
+        Collection always does) — the ``first()`` fallback costs one
+        Spark job per build (ADVICE r5, same pattern as dedup)."""
         from kowari_spark.operators.lsh import SignLSH
 
-        dim = len(df.select(vec_col).first()[0])
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
         leveled = assign_levels(df.select(id_col, vec_col), id_col, self.seed,
                                 self.max_level)
         exploded = self._exploded_levels(leveled, id_col, vec_col)
@@ -345,6 +351,7 @@ class HNSW:
         id_col: str = "id",
         vec_col: str = "embedding",
         metric: str = "cosine",
+        dim: int | None = None,
     ) -> DataFrame:
         """Edges (src, dst, level): per level, each layer member's M
         approximate nearest neighbors within the layer — built by LSH
@@ -361,7 +368,9 @@ class HNSW:
         # lazy checkpoints through the build: lineage truncates per
         # stage, but the only blocking actions are the entry-point
         # lookup and the final eager materialization
-        edges = self.candidate_graph(df, id_col, vec_col, metric).localCheckpoint(eager=False)
+        edges = self.candidate_graph(
+            df, id_col, vec_col, metric, dim=dim
+        ).localCheckpoint(eager=False)
 
         # connectivity patch BEFORE refinement: a node alone in all its
         # buckets has no out-edges; link it to the entry point so the

@@ -224,3 +224,23 @@ def test_gemm_scorer_rejects_unknown_metric():
         h._resolve_scorer("my_custom_metric")
     # auto degrades to the expression path instead
     assert HNSW(scorer="auto")._resolve_scorer("my_custom_metric") == "expr"
+
+
+def test_build_dim_param_skips_inference_job(spark, base):
+    """candidate_graph(dim=) makes plan construction job-free for an
+    explicit scorer (the first() dim inference costs one Spark job per
+    build — ADVICE r5, same pattern as the dedup joins), with an edge
+    set identical to the inferred-dim build."""
+    hnsw = HNSW(m=4, ef=16, seed=42, scorer="expr")
+    sc = spark.sparkContext
+    group = "hnsw-dim-probe"
+    sc.setJobGroup(group, "plan-time job probe", interruptOnCancel=False)
+    try:
+        withdim = hnsw.candidate_graph(base, dim=64)
+    finally:
+        sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup(group) == []
+    inferred = hnsw.candidate_graph(base)
+    assert sorted(map(tuple, withdim.collect())) == sorted(
+        map(tuple, inferred.collect())
+    )
