@@ -22,6 +22,7 @@ summary table of time-ratio vs data-ratio — the measurement behind
 BASELINE.md's scale-evidence section.
 
 Usage: python tools/scale_bench.py [--mults 1,10,100] [--base sfdir]
+       [--ops knn_batch_top5,cp_knn_top10,...]   (default: all)
 """
 
 from __future__ import annotations
@@ -126,7 +127,9 @@ def timed(fn) -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
-def run_suite(spark, sf_dir: str, mult: int) -> dict[str, dict]:
+def run_suite(
+    spark, sf_dir: str, mult: int, ops: set[str] | None = None
+) -> dict[str, dict]:
     from kowari_spark.operators.cplsh import CrossPolytopeLSH
     from kowari_spark.operators.dedup import dedup_clusters, minhash_dedup_pairs
     from kowari_spark.operators.hnsw import HNSW
@@ -142,6 +145,9 @@ def run_suite(spark, sf_dir: str, mult: int) -> dict[str, dict]:
     )
     out: dict[str, dict] = {}
 
+    def want(name):
+        return ops is None or name in ops
+
     def rec(name, secs, rows):
         out[name] = {"sec": round(secs, 3), "rows": rows, "n": n}
         print(
@@ -149,47 +155,59 @@ def run_suite(spark, sf_dir: str, mult: int) -> dict[str, dict]:
             flush=True,
         )
 
-    s, r = timed(lambda: knn_batch(
-        emb, queries, 5, id_col="vec_id", round_to=6).count())
-    rec("knn_batch_top5", s, r)
+    if want("knn_batch_top5"):
+        s, r = timed(lambda: knn_batch(
+            emb, queries, 5, id_col="vec_id", round_to=6).count())
+        rec("knn_batch_top5", s, r)
 
-    cp = CrossPolytopeLSH(dim=64, num_tables=40, seed=100)
-    s, r = timed(lambda: cp.query_batch(
-        emb, queries, 10, id_col="vec_id", round_to=6, probes=4).count())
-    rec("cp_knn_top10", s, r)
+    if want("cp_knn_top10"):
+        cp = CrossPolytopeLSH(dim=64, num_tables=40, seed=100)
+        s, r = timed(lambda: cp.query_batch(
+            emb, queries, 10, id_col="vec_id", round_to=6, probes=4).count())
+        rec("cp_knn_top10", s, r)
 
     # bucket width sized to the corpus: ~2^p buckets of ~100 vectors
     import math
 
     p = max(4, int(math.log2(max(n / 100, 2))))
-    ml = MultiSignLSH(dim=64, num_planes=p, num_tables=8, seed=42)
-    s, r = timed(lambda: ml.query_batch(
-        emb, queries, 10, id_col="vec_id", round_to=6).count())
-    rec("lsh_knn_top10", s, r)
+    if want("lsh_knn_top10"):
+        ml = MultiSignLSH(dim=64, num_planes=p, num_tables=8, seed=42)
+        s, r = timed(lambda: ml.query_batch(
+            emb, queries, 10, id_col="vec_id", round_to=6).count())
+        rec("lsh_knn_top10", s, r)
 
-    ivf = IVF(n_lists=16, n_probe=3, max_iter=3, seed=42)
-    s, _ = timed(lambda: ivf.fit(emb, id_col="vec_id") and 0)
-    rec("ivf_fit", s, 0)
-    lists = ivf.with_lists(emb).persist()
-    lists.count()
-    s, r = timed(lambda: ivf.query_batch(
-        lists, queries.limit(4), 10, id_col="vec_id", round_to=6).count())
-    rec("ivf_knn", s, r)
-    lists.unpersist()
+    if want("ivf_fit") or want("ivf_knn"):
+        ivf = IVF(n_lists=16, n_probe=3, max_iter=3, seed=42)
+        s, _ = timed(lambda: ivf.fit(emb, id_col="vec_id") and 0)
+        if want("ivf_fit"):
+            rec("ivf_fit", s, 0)
+        if want("ivf_knn"):
+            lists = ivf.with_lists(emb).persist()
+            lists.count()
+            s, r = timed(lambda: ivf.query_batch(
+                lists, queries.limit(4), 10, id_col="vec_id", round_to=6).count())
+            rec("ivf_knn", s, r)
+            lists.unpersist()
 
-    h = HNSW(m=8, ef=32, seed=42, num_planes=p, num_tables=4)
-    t0 = time.perf_counter()
-    edges = h.build(emb, id_col="vec_id")
-    rec("hnsw_build", time.perf_counter() - t0, edges.count())
-    s, r = timed(lambda: h.query_batch(
-        emb, edges, queries, 10, id_col="vec_id", round_to=6).count())
-    rec("hnsw_knn", s, r)
+    if want("hnsw_build") or want("hnsw_knn"):
+        h = HNSW(m=8, ef=32, seed=42, num_planes=p, num_tables=4)
+        t0 = time.perf_counter()
+        edges = h.build(emb, id_col="vec_id")
+        if want("hnsw_build"):
+            rec("hnsw_build", time.perf_counter() - t0, edges.count())
+        if want("hnsw_knn"):
+            s, r = timed(lambda: h.query_batch(
+                emb, edges, queries, 10, id_col="vec_id", round_to=6).count())
+            rec("hnsw_knn", s, r)
 
-    pairs = minhash_dedup_pairs(docs, threshold=0.5)
-    s, r = timed(lambda: pairs.count())
-    rec("doc_minhash_pairs", s, r)
-    s, r = timed(lambda: dedup_clusters(pairs).count())
-    rec("doc_dup_clusters", s, r)
+    if want("doc_minhash_pairs") or want("doc_dup_clusters"):
+        pairs = minhash_dedup_pairs(docs, threshold=0.5)
+        if want("doc_minhash_pairs"):
+            s, r = timed(lambda: pairs.count())
+            rec("doc_minhash_pairs", s, r)
+        if want("doc_dup_clusters"):
+            s, r = timed(lambda: dedup_clusters(pairs).count())
+            rec("doc_dup_clusters", s, r)
 
     emb.unpersist()
     return out
@@ -199,15 +217,18 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,10,100")
     ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--ops", default=None,
+                    help="comma-separated op names to run (default all)")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
+    ops = set(args.ops.split(",")) if args.ops else None
 
     spark = get_session(app="kowari_scale_bench")
     results: dict[int, dict] = {}
     for m in mults:
         sf_dir = args.base if m == 1 else derive(spark, args.base, m)
         print(f"== x{m} ({sf_dir}) ==", flush=True)
-        results[m] = run_suite(spark, sf_dir, m)
+        results[m] = run_suite(spark, sf_dir, m, ops)
 
     print("\n== scaling summary (time ratio vs x1; data ratio = mult) ==")
     base = results[mults[0]]
