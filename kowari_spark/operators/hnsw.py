@@ -155,6 +155,7 @@ class HNSW:
         vec_col: str = "embedding",
         metric: str = "cosine",
         dim: int | None = None,
+        scorer: str | None = None,
     ) -> DataFrame:
         """First-round edge set as ONE un-materialized declarative plan.
 
@@ -199,9 +200,13 @@ class HNSW:
         )
 
         # "auto" sizes the choice to the corpus (one cheap count against
-        # a build that is O(n·bucket·T)); explicit scorers skip the job
-        n = df.count() if self.scorer == "auto" else None
-        if self._resolve_scorer(metric, n) == "gemm":
+        # a build that is O(n·bucket·T)); explicit scorers skip the job.
+        # ``scorer`` (already-resolved) lets build() decide ONCE for the
+        # candidate pass and every refine round together.
+        if scorer is None:
+            n = df.count() if self.scorer == "auto" else None
+            scorer = self._resolve_scorer(metric, n)
+        if scorer == "gemm":
             per_bucket = self._bucket_topm_gemm(bucketed, metric)
         else:
             per_bucket = self._bucket_topm_expr(bucketed, metric)
@@ -248,20 +253,20 @@ class HNSW:
             .select("level", "src", "dst", "__s")
         )
 
-    def _bucket_topm_gemm(self, bucketed: DataFrame, metric: str) -> DataFrame:
-        """Bucket-local GEMM scoring: one ``applyInPandas`` group per
-        (level, table, bucket) computes the group's score matrix with
-        numpy, row-chunked so the SCORE matrix is O(chunk·b). The
-        group's vectors themselves (O(b·d)) must fit in one worker —
-        that is the standing LSH sizing rule (num_planes ≈
-        log2(n / target_bucket_size), module docstring), not a new
-        constraint of this scorer. Per-row reductions only, so results
-        are independent of Arrow batching and deterministic."""
+    def _group_topm_fn(self, metric: str, id_type: str):
+        """(pandas fn, output schema) scoring every ordered pair inside
+        one group — the shared kernel of the bucket scorer (groups =
+        (level, table, bucket)) and the GEMM refine (groups = (level,
+        common-neighbor)). The group's rows must carry ``level``,
+        ``__vid`` and ``__v``; extra group-key columns are ignored.
+        Per-row reductions only, so scores are independent of grouping
+        and Arrow batching — the same pair scores identically in every
+        group that contains it, which is what lets the downstream
+        groupBy(level, src, dst).max dedupe across groups."""
         import numpy as np
         import pandas as pd
 
         m = self.m
-        id_type = bucketed.schema["__vid"].dataType.simpleString()
         out_schema = f"level int, src {id_type}, dst {id_type}, __s double"
 
         def group_topm(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -321,8 +326,21 @@ class HNSW:
                 {"level": level, "src": out_src, "dst": out_dst, "__s": out_s}
             )
 
+        return group_topm, out_schema
+
+    def _bucket_topm_gemm(self, bucketed: DataFrame, metric: str) -> DataFrame:
+        """Bucket-local GEMM scoring: one ``applyInPandas`` group per
+        (level, table, bucket) computes the group's score matrix with
+        numpy, row-chunked so the SCORE matrix is O(chunk·b). The
+        group's vectors themselves (O(b·d)) must fit in one worker —
+        that is the standing LSH sizing rule (num_planes ≈
+        log2(n / target_bucket_size), module docstring), not a new
+        constraint of this scorer."""
+        fn, out_schema = self._group_topm_fn(
+            metric, bucketed.schema["__vid"].dataType.simpleString()
+        )
         return bucketed.groupBy("level", "__tbl", "__bkt").applyInPandas(
-            group_topm, out_schema
+            fn, out_schema
         )
 
     def _top_m(self, cand: DataFrame, vecs: DataFrame, metric: str) -> DataFrame:
@@ -341,6 +359,60 @@ class HNSW:
         w = Window.partitionBy("level", "src").orderBy(F.desc("__s"), F.asc("dst"))
         return (
             scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= self.m)
+            .select("src", "dst", "level")
+        )
+
+    def _refine_topm_gemm(self, edges: DataFrame, vecs: DataFrame,
+                          metric: str) -> DataFrame:
+        """One NN-descent round with group-local GEMM scoring.
+
+        The expression path materializes the two-hop pair relation
+        (~n·M² rows per level) and attaches BOTH vectors to it through
+        two joins — at x1000 of the scale bench that intermediate is
+        hundreds of GB of wide shuffle (it filled the local disk). Here
+        the same candidate set scores inside its common-neighbor group:
+        every two-hop pair (u, w) shares some mid with u, w ∈
+        nbh(mid), so grouping the UNDIRECTED adjacency by (level, mid)
+        and scoring all ordered member pairs per group — one numpy GEMM
+        each, exact per-(group, src) top-m pushdown (any global top-M
+        edge of src beats all but <M candidates overall, hence all but
+        <M inside any one group) — reproduces exactly the candidates of
+        ``edges ∪ two_hop``; the 1-hop edges themselves (a skinny n·M
+        relation) score through the native-expression joins and merge
+        before the global window. Only skinny (level, src, dst, score)
+        rows ever shuffle; the wide rows are the once-shuffled
+        (member, vector) attachment, n·2M·d not n·M²·d."""
+        nb = edges.select("level", "src", "dst").unionByName(
+            edges.select("level", F.col("dst").alias("src"),
+                         F.col("src").alias("dst"))
+        )
+        members = (
+            nb.select("level", F.col("src").alias("__mid"),
+                      F.col("dst").alias("__vid"))
+            .distinct()  # forward ∪ reverse can list a member twice
+            .join(vecs, "__vid")
+        )
+        fn, out_schema = self._group_topm_fn(
+            metric, edges.schema["src"].dataType.simpleString()
+        )
+        grouped = members.groupBy("level", "__mid").applyInPandas(fn, out_schema)
+        edge_scored = (
+            edges.join(vecs.select(F.col("__vid").alias("src"),
+                                   F.col("__v").alias("__sv")), "src")
+            .join(vecs.select(F.col("__vid").alias("dst"),
+                              F.col("__v").alias("__dv")), "dst")
+            .select(
+                "level", "src", "dst",
+                _score(metric, F.col("__dv"), F.col("__sv")).alias("__s"),
+            )
+        )
+        deduped = grouped.unionByName(edge_scored).groupBy(
+            "level", "src", "dst"
+        ).agg(F.max("__s").alias("__s"))
+        w = Window.partitionBy("level", "src").orderBy(F.desc("__s"), F.asc("dst"))
+        return (
+            deduped.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= self.m)
             .select("src", "dst", "level")
         )
@@ -365,11 +437,17 @@ class HNSW:
                                 self.max_level)
         exploded = self._exploded_levels(leveled, id_col, vec_col)
         vecs = exploded.filter(F.col("level") == 0).select("__vid", "__v")
+        # resolve the scorer ONCE for the whole build: the refine rounds
+        # use the matching path (GEMM group scoring vs expression joins)
+        # so a big corpus never falls back into the wide two-hop shuffle
+        scorer = self._resolve_scorer(
+            metric, df.count() if self.scorer == "auto" else None
+        )
         # lazy checkpoints through the build: lineage truncates per
         # stage, but the only blocking actions are the entry-point
         # lookup and the final eager materialization
         edges = self.candidate_graph(
-            df, id_col, vec_col, metric, dim=dim
+            df, id_col, vec_col, metric, dim=dim, scorer=scorer
         ).localCheckpoint(eager=False)
 
         # connectivity patch BEFORE refinement: a node alone in all its
@@ -407,6 +485,14 @@ class HNSW:
             # NN-descent: candidates = 2-hop neighbors over the
             # UNDIRECTED edge set (forward ∪ reverse), re-scored and
             # re-pruned; repairs pairs the LSH buckets missed
+            if scorer == "gemm":
+                # group-local scoring — identical candidate set, but the
+                # n·M² pair relation never shuffles carrying vectors
+                # (see _refine_topm_gemm)
+                edges = self._refine_topm_gemm(
+                    edges, vecs, metric
+                ).localCheckpoint(eager=False)
+                continue
             nb = edges.select("level", "src", "dst").unionByName(
                 edges.select("level", F.col("dst").alias("src"),
                              F.col("src").alias("dst"))

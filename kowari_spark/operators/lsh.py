@@ -26,6 +26,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -322,11 +323,26 @@ class MultiSignLSH:
     """
 
     def __init__(self, dim: int, num_planes: int = 4, num_tables: int = 8,
-                 seed: int = 42):
+                 seed: int = 42, hasher: str = "expr"):
         self.dim = dim
         self.num_planes = num_planes
         self.num_tables = num_tables
         self.seed = seed
+        # hasher: "expr" (default) hashes with native aggregate/zip_with
+        # folds — pure JVM, bit-parity with a SQL oracle replaying the
+        # same sequential fold, but higher-order functions are
+        # INTERPRETED per element, so T·p folds per row dominate large
+        # corpora (measured 283 s of the x1000 scale-bench probe vs
+        # 56 s for CP-LSH, which hashes with one GEMM). "gemm" computes
+        # all T·p dots per Arrow batch as one numpy float64 GEMM — the
+        # same "built-ins can't express it" boundary as CP-LSH hashing.
+        # Sign bits agree with the fold except when |v·p| is below the
+        # two summation orders' ulp gap (measure-zero on real data;
+        # parity-tested on the bench corpus) — keep one hasher per
+        # LAYOUT: probe a layout with the hasher that built it.
+        if hasher not in ("expr", "gemm"):
+            raise ValueError(f"hasher must be expr|gemm, got {hasher!r}")
+        self.hasher = hasher
         self.tables = [
             SignLSH(dim=dim, num_planes=num_planes, seed=seed + t)
             for t in range(num_tables)
@@ -336,10 +352,40 @@ class MultiSignLSH:
         """Array of per-table buckets — all tables hashed in ONE pass."""
         return F.array(*[t.bucket_expr(vec_col) for t in self.tables])
 
+    def buckets_gemm_udf(self) -> Column:
+        """pandas_udf column factory hashing every table with one
+        float64 GEMM per Arrow batch: signs of (batch × d) @ (d × T·p),
+        bits packed per table. The plane stack is T·p·d floats (~57 KB
+        at p=14, T=8, d=64) — small enough to ride the task closure; a
+        plane stack big enough to need a broadcast variable wants
+        CrossPolytopeLSH's machinery instead."""
+        from pyspark.sql.types import ArrayType, LongType
+
+        P = np.concatenate([t.planes for t in self.tables], axis=0)
+        T, p = self.num_tables, self.num_planes
+        weights = (1 << np.arange(p, dtype=np.int64))
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def _buckets(vecs: pd.Series) -> pd.Series:
+            mat = np.array(vecs.tolist(), dtype=np.float64)
+            if mat.size == 0:
+                return pd.Series([], dtype=object)
+            signs = ((mat @ P.T) >= 0.0).reshape(len(mat), T, p)
+            return pd.Series(list((signs * weights).sum(axis=2)))
+
+        return _buckets
+
+    def _buckets_col(self, vec_col: Column | str) -> Column:
+        """The per-table bucket array under the configured hasher."""
+        if self.hasher == "gemm":
+            col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+            return self.buckets_gemm_udf()(col)
+        return self.buckets_expr(vec_col)
+
     def with_buckets(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         """Exploded (one row per table) bucketed relation."""
         return df.select(
-            "*", F.posexplode(self.buckets_expr(vec_col)).alias("__tbl", "bucket")
+            "*", F.posexplode(self._buckets_col(vec_col)).alias("__tbl", "bucket")
         )
 
     def build(self, df: DataFrame, path: str, vec_col: str = "embedding",
@@ -386,7 +432,7 @@ class MultiSignLSH:
             if "__tbl" in df.columns
             else df.select(
                 F.col(id_col),
-                F.posexplode(self.buckets_expr(vec_col)).alias("__tbl", "bucket"),
+                F.posexplode(self._buckets_col(vec_col)).alias("__tbl", "bucket"),
             )
         )
         base_vecs = (
@@ -399,7 +445,7 @@ class MultiSignLSH:
             F.col(query_vec_col).alias("__qvec"),
         )
         qb = q.select(
-            "query_id", F.posexplode(self.buckets_expr("__qvec")).alias("__tbl", "bucket")
+            "query_id", F.posexplode(self._buckets_col("__qvec")).alias("__tbl", "bucket")
         )
         # one candidate computation feeds the sizes, the re-score and
         # the fallback anti-join: the subtree ends in the distinct's

@@ -244,3 +244,21 @@ def test_build_dim_param_skips_inference_job(spark, base):
     assert sorted(map(tuple, withdim.collect())) == sorted(
         map(tuple, inferred.collect())
     )
+
+
+def test_gemm_refine_build_matches_expr_build(base):
+    """The GEMM refine (group-local scoring of the two-hop candidates,
+    _refine_topm_gemm) must reproduce the expression path's NN-descent:
+    identical candidate set (edges ∪ two-hop via a shared neighbor, plus
+    the 1-hop edges scored separately), so full builds agree except at
+    ulp-level score ties (BLAS vs fold summation)."""
+    gemm = HNSW(m=8, ef=32, seed=42, scorer="gemm", refine_rounds=2)
+    expr = HNSW(m=8, ef=32, seed=42, scorer="expr", refine_rounds=2)
+    eg = set(map(tuple, gemm.build(base).collect()))
+    ee = set(map(tuple, expr.build(base).collect()))
+    assert len(eg ^ ee) <= max(4, len(ee) // 100), (
+        f"gemm vs expr refined builds diverge: {len(eg ^ ee)} of {len(ee)}"
+    )
+    # determinism of the gemm refine
+    eg2 = set(map(tuple, gemm.build(base).collect()))
+    assert eg == eg2

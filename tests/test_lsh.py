@@ -181,3 +181,32 @@ def test_multitable_built_layout_roundtrip(tmp_path, base, spark):
     a = sorted(map(tuple, from_layout.select("query_id", "id", "rank").collect()))
     b = sorted(map(tuple, from_df.select("query_id", "id", "rank").collect()))
     assert a == b
+
+
+def test_multitable_gemm_hasher_parity_and_results(base):
+    """The GEMM hasher (one float64 numpy GEMM per Arrow batch) must
+    assign every vector to the same (table, bucket) cells as the native
+    expression fold — sign bits only diverge when |v·p| sits inside the
+    two summation orders' ulp gap, which real data never does — and the
+    full query_batch must return identical rows under either hasher."""
+    from kowari_spark.operators.lsh import MultiSignLSH
+
+    expr = MultiSignLSH(dim=64, num_planes=6, num_tables=4, seed=42)
+    gemm = MultiSignLSH(dim=64, num_planes=6, num_tables=4, seed=42,
+                        hasher="gemm")
+    a = sorted(map(tuple, expr.with_buckets(base)
+                 .select("id", "__tbl", "bucket").collect()))
+    b = sorted(map(tuple, gemm.with_buckets(base)
+                 .select("id", "__tbl", "bucket").collect()))
+    assert a == b
+    queries = base.select(F.col("id").alias("query_id"), "embedding").limit(6)
+    ra = sorted(map(tuple, expr.query_batch(base, queries, 5, round_to=6).collect()))
+    rb = sorted(map(tuple, gemm.query_batch(base, queries, 5, round_to=6).collect()))
+    assert ra == rb
+
+
+def test_multitable_hasher_validation():
+    from kowari_spark.operators.lsh import MultiSignLSH
+
+    with pytest.raises(ValueError, match="hasher"):
+        MultiSignLSH(dim=8, hasher="blas")

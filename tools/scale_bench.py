@@ -23,6 +23,13 @@ BASELINE.md's scale-evidence section.
 
 Usage: python tools/scale_bench.py [--mults 1,10,100] [--base sfdir]
        [--ops knn_batch_top5,cp_knn_top10,...]   (default: all)
+
+Sizing: shuffle partitions scale with sqrt(mult) per suite (see
+run_suite). local[32] shares ONE JVM heap across all 32 tasks, so big
+multipliers also need a realistic heap for that one process —
+``KOWARI_DRIVER_MEM=48g python tools/scale_bench.py --mults 1000`` (a
+cluster gives each executor its own heap; the default 8g models a
+*driver*, not 32 executors).
 """
 
 from __future__ import annotations
@@ -130,6 +137,26 @@ def timed(fn) -> tuple[float, int]:
 def run_suite(
     spark, sf_dir: str, mult: int, ops: set[str] | None = None
 ) -> dict[str, dict]:
+    # size the shuffle to the multiplier (the standing rule: partitions
+    # must fit the executor heap at the target SF). local[32] keeps 32
+    # concurrent tasks inside ONE driver JVM, so at x1000 the default 32
+    # shuffle partitions put ~16M-row hash aggregates in every task at
+    # once — sqrt growth keeps per-task state roughly flat and AQE
+    # coalesces the small ones back down.
+    import math as _math
+
+    parts = max(32, min(512, int(32 * _math.sqrt(mult))))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        return _run_suite(spark, sf_dir, mult, ops)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _run_suite(
+    spark, sf_dir: str, mult: int, ops: set[str] | None = None
+) -> dict[str, dict]:
     from kowari_spark.operators.cplsh import CrossPolytopeLSH
     from kowari_spark.operators.dedup import dedup_clusters, minhash_dedup_pairs
     from kowari_spark.operators.hnsw import HNSW
@@ -175,6 +202,15 @@ def run_suite(
         s, r = timed(lambda: ml.query_batch(
             emb, queries, 10, id_col="vec_id", round_to=6).count())
         rec("lsh_knn_top10", s, r)
+
+    if want("lsh_knn_top10_gemm"):
+        # same probe, GEMM hasher: T·p interpreted folds per row vs one
+        # numpy GEMM per Arrow batch — identical buckets (parity-tested)
+        mlg = MultiSignLSH(dim=64, num_planes=p, num_tables=8, seed=42,
+                           hasher="gemm")
+        s, r = timed(lambda: mlg.query_batch(
+            emb, queries, 10, id_col="vec_id", round_to=6).count())
+        rec("lsh_knn_top10_gemm", s, r)
 
     if want("ivf_fit") or want("ivf_knn"):
         ivf = IVF(n_lists=16, n_probe=3, max_iter=3, seed=42)
