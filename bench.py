@@ -201,6 +201,19 @@ def quality_gates(spark, sf_dir) -> dict:
     )
     lists16.unpersist()
     lists.unpersist()
+    # HNSW full-table graph (auto scorer = GEMM at this n), so all four
+    # index families publish recall next to their cost lines
+    from kowari_spark.operators.hnsw import HNSW
+
+    h = HNSW(m=16, ef=48, seed=42, num_planes=4, num_tables=6)
+    hb = base.withColumnRenamed("vec_id", "id")
+    hedges = h.build(hb, id_col="id")
+    hres = h.query_batch(
+        hb, hedges, queries, 10, id_col="id", round_to=6
+    ).withColumnRenamed("id", "vec_id")
+    out["recall_hnsw_at_10"] = round(
+        mean_metric(recall_at_k(exact, hres, 10, id_col="vec_id"), "recall"), 4
+    )
     return out
 
 
