@@ -193,6 +193,24 @@ def _run_suite(
             emb, queries, 10, id_col="vec_id", round_to=6, probes=4).count())
         rec("cp_knn_top10", s, r)
 
+    if want("cp_build") or want("cp_knn_prebuilt"):
+        # the 100 TB serving shape: build the partitionBy(__tbl, bucket)
+        # layout once offline, then probes read only the probed
+        # partitions (cp_knn_top10 above hashes the whole base per call)
+        cpb = CrossPolytopeLSH(dim=64, num_tables=40, seed=100)
+        layout = os.path.join(SCALE_DIR, f"x{mult}", "cp_layout")
+        s, _ = timed(lambda: cpb.build(
+            emb, layout, vec_col="embedding",
+            max_records_per_file=1_000_000) or 0)
+        if want("cp_build"):
+            rec("cp_build", s, 0)
+        if want("cp_knn_prebuilt"):
+            loaded = cpb.load(spark, layout)
+            s, r = timed(lambda: cpb.query_batch(
+                loaded, queries, 10, id_col="vec_id", round_to=6,
+                probes=4).count())
+            rec("cp_knn_prebuilt", s, r)
+
     # bucket width sized to the corpus: ~2^p buckets of ~100 vectors
     import math
 
