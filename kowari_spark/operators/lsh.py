@@ -435,8 +435,11 @@ class MultiSignLSH:
                 F.posexplode(self._buckets_col(vec_col)).alias("__tbl", "bucket"),
             )
         )
+        # table 0 of a built layout holds every id exactly once — a
+        # duplicate-free vector set from 1/T of the partitions, no
+        # dedup shuffle (see CrossPolytopeLSH.query_batch)
         base_vecs = (
-            df.select(id_col, vec_col).dropDuplicates([id_col])
+            df.filter(F.col("__tbl") == 0).select(id_col, vec_col)
             if "__tbl" in df.columns
             else df.select(id_col, vec_col)
         )
