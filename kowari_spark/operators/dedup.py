@@ -550,6 +550,31 @@ def embedding_near_dups(
     )
 
 
+def _sign_buckets_col(vec_col, dim: int, num_planes: int, num_tables: int,
+                      seed: int, hasher: str):
+    """Per-table sign-LSH bucket array (array<long>) under the chosen
+    hasher. Plane construction — seeds ``seed..seed+T-1`` — matches
+    MultiSignLSH exactly, so ``hasher="gemm"`` reuses its GEMM kernel:
+    one float64 matmul per Arrow batch instead of T·p interpreted
+    aggregate/zip_with folds per row, the measured hash bottleneck of
+    the x1000 scale bench (bucket-for-bucket parity tested there)."""
+    from kowari_spark.operators.lsh import MultiSignLSH, SignLSH
+
+    if hasher == "gemm":
+        ml = MultiSignLSH(dim=dim, num_planes=num_planes,
+                          num_tables=num_tables, seed=seed, hasher="gemm")
+        col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+        return ml.buckets_gemm_udf()(col)
+    if hasher != "expr":
+        raise ValueError(f"hasher must be expr|gemm, got {hasher!r}")
+    return F.array(
+        *[
+            SignLSH(dim=dim, num_planes=num_planes, seed=seed + t).bucket_expr(vec_col)
+            for t in range(num_tables)
+        ]
+    )
+
+
 def similarity_join(
     left: DataFrame,
     right: DataFrame,
@@ -562,6 +587,7 @@ def similarity_join(
     vec_col: str = "embedding",
     round_to: int | None = None,
     dim: int | None = None,
+    hasher: str = "expr",
 ) -> DataFrame:
     """Approximate two-table similarity join (spark.ml
     approxSimilarityJoin equivalent, SURVEY.md §2.6 "Joins"): all
@@ -576,19 +602,16 @@ def similarity_join(
 
     Pass ``dim`` when the caller knows the vector dimension (a
     Collection always does) — the ``first()`` fallback costs one Spark
-    job per invocation (ADVICE r5).
+    job per invocation (ADVICE r5). ``hasher="gemm"`` swaps the bucket
+    expressions for the MultiSignLSH GEMM kernel (identical buckets,
+    one matmul per Arrow batch — the big-corpus hash path).
     """
     from kowari_spark.functions.vector import magnitude
-    from kowari_spark.operators.lsh import SignLSH
 
     if dim is None:
         dim = len(left.select(vec_col).first()[0])
-    buckets = F.array(
-        *[
-            SignLSH(dim=dim, num_planes=num_planes, seed=seed + t).bucket_expr(vec_col)
-            for t in range(num_tables)
-        ]
-    )
+    buckets = _sign_buckets_col(vec_col, dim, num_planes, num_tables,
+                                seed, hasher)
 
     def _bucketed(df, id_col, out):
         return df.select(
@@ -636,6 +659,7 @@ def embedding_near_dups_lsh(
     vec_col: str = "embedding",
     round_to: int | None = None,
     dim: int | None = None,
+    hasher: str = "expr",
 ) -> DataFrame:
     """Approximate near-dup via sign-LSH OR-construction: ``num_tables``
     independent plane sets; a pair becomes a candidate when it collides
@@ -646,20 +670,15 @@ def embedding_near_dups_lsh(
 
     Pass ``dim`` when known (a Collection always knows) — the
     ``first()`` fallback costs one Spark job per invocation (ADVICE
-    r5)."""
-    from kowari_spark.operators.lsh import SignLSH
-
+    r5). ``hasher="gemm"`` hashes with the MultiSignLSH GEMM kernel
+    (identical buckets, one matmul per Arrow batch)."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     # all tables' buckets in ONE pass over the data: posexplode the
     # per-table bucket array, then a single (table, bucket) self-join —
     # instead of num_tables scans + joins + a union
-    buckets = F.array(
-        *[
-            SignLSH(dim=dim, num_planes=num_planes, seed=seed + t).bucket_expr(vec_col)
-            for t in range(num_tables)
-        ]
-    )
+    buckets = _sign_buckets_col(vec_col, dim, num_planes, num_tables,
+                                seed, hasher)
     bucketed = df.select(
         F.col(id_col), F.posexplode(buckets).alias("__tbl", "bucket")
     )

@@ -381,3 +381,35 @@ def test_cc_star_converges_exactly_without_warning(spark):
     assert not [w for w in caught if "no fixpoint" in str(w.message)]
     got = {(r["hi"], r["lo"]) for r in out.collect()}
     assert got == {(2, 1), (3, 1), (5, 4)}
+
+
+def test_embedding_dedup_gemm_hasher_parity(spark, embeddings):
+    """hasher="gemm" (MultiSignLSH GEMM kernel) must produce the same
+    near-dup pairs and similarity-join rows as the expression hasher —
+    identical plane construction (seed..seed+T-1), bucket-for-bucket
+    identical sign bits on real data."""
+    from kowari_spark.operators.dedup import (
+        embedding_near_dups_lsh,
+        similarity_join,
+    )
+
+    base = embeddings.limit(200).cache()
+    base.count()
+    a = sorted(map(tuple, embedding_near_dups_lsh(
+        base, threshold=0.3, id_col="vec_id", round_to=6, dim=64
+    ).collect()))
+    b = sorted(map(tuple, embedding_near_dups_lsh(
+        base, threshold=0.3, id_col="vec_id", round_to=6, dim=64,
+        hasher="gemm",
+    ).collect()))
+    assert a == b and len(a) > 0
+    left = base.select(F.col("vec_id").alias("lid"), "embedding")
+    right = base.select((F.col("vec_id") + 10000).alias("rid"), "embedding")
+    sa = sorted(map(tuple, similarity_join(
+        left, right, 0.5, left_id="lid", right_id="rid", round_to=6, dim=64
+    ).collect()))
+    sb = sorted(map(tuple, similarity_join(
+        left, right, 0.5, left_id="lid", right_id="rid", round_to=6, dim=64,
+        hasher="gemm",
+    ).collect()))
+    assert sa == sb and len(sa) > 0
