@@ -196,3 +196,32 @@ def test_layout_sidecar_rejects_mismatched_hashing(spark, embeddings, tmp_path, 
     other = CrossPolytopeLSH(dim=cp.dim, num_tables=cp.num_tables, seed=cp.seed + 1)
     with pytest.raises(ValueError, match="rebuild"):
         other.load(spark, path)
+
+
+def test_prebuilt_layout_probe_matches_onthefly_and_prunes(
+    spark, embeddings, cp, tmp_path
+):
+    """query_batch against a loaded layout must (a) return exactly the
+    rows the on-the-fly path returns and (b) recover the scoring /
+    fallback vector set from TABLE 0 ONLY — a partition-pruned 1/T scan
+    (every id appears once per table), never a dropDuplicates shuffle
+    over all T copies (the x1000 scale bench measured that dedup as
+    2/3 of the probe wall)."""
+    base = embeddings.select("vec_id", "embedding").limit(300)
+    queries = base.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "cp_probe_layout")
+    cp.build(base, path)
+    loaded = cp.load(spark, path)
+
+    from_layout = cp.query_batch(loaded, queries, 5, id_col="vec_id", round_to=6)
+    from_df = cp.query_batch(base, queries, 5, id_col="vec_id", round_to=6)
+    assert sorted(map(tuple, from_layout.collect())) == sorted(
+        map(tuple, from_df.collect())
+    )
+
+    plan = from_layout._jdf.queryExecution().executedPlan().toString()
+    # the vector-recovery scan is pruned to __tbl=0 at the source
+    assert "__tbl = 0" in plan or "__tbl#" in plan and "= 0" in plan
+    assert "dropDuplicates" not in plan and "Deduplicate" not in plan
