@@ -1479,6 +1479,43 @@ ORDER BY split
 """
 
 
+def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/pack.py): every
+    document's (stream, token span, chunk range) under 512-token chunks
+    across 32 hash-assigned streams — the standard LLM-pretraining
+    packing step as ONE window cumulative sum per stream (one shuffle on
+    stream, no single-partition window, no UDF). The assignment is a
+    pure function of (ids, token counts), so the oracle replays it
+    exactly in SQL."""
+    from kowari_spark.operators.pack import pack_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_documents(docs, budget=512, num_streams=32)
+
+
+def _oracle_doc_pack_chunks() -> str:
+    h = _SQL_HASH64.format(s="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         {h} % 32 AS stream,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, stream, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS end_pos
+  FROM t)
+SELECT doc_id, stream, n_tokens,
+       end_pos - n_tokens AS start_pos,
+       end_pos,
+       (end_pos - n_tokens) // 512 AS first_chunk,
+       (end_pos - 1) // 512 AS last_chunk
+FROM c
+"""
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel conversion over the event stream: users who
     viewed, then clicked STRICTLY AFTER their first view, then purchased
@@ -1932,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantiles": q_price_quantiles,
         "events_funnel": q_events_funnel,
         "doc_split_sample": q_doc_split_sample,
+        "doc_pack_chunks": q_doc_pack_chunks,
         "events_retention": q_events_retention,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
@@ -1985,6 +2023,7 @@ def oracle_sql() -> dict[str, str]:
         "price_quantiles": _oracle_price_quantiles(),
         "events_funnel": _ORACLE_EVENTS_FUNNEL,
         "doc_split_sample": _oracle_doc_split_sample(),
+        "doc_pack_chunks": _oracle_doc_pack_chunks(),
         "events_retention": _ORACLE_EVENTS_RETENTION,
         "embedding_near_dups": _ORACLE_EMBEDDING_NEAR_DUPS,
         "embedding_near_dups_lsh": _oracle_embedding_near_dups_lsh(),
