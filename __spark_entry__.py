@@ -1516,6 +1516,45 @@ FROM c
 """
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (operators/quality.py):
+    per document, the occurrence share of its most frequent word 2-gram
+    and the share of 5-gram occurrences that are within-document
+    repeats — two explode+groupBy passes whose shuffles both key on
+    doc_id, no UDFs, exact SQL oracle."""
+    from kowari_spark.operators.quality import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, top_n=2, dup_n=5)
+
+
+def _oracle_doc_repetition() -> str:
+    def grams(n: int) -> str:
+        parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+        return (
+            f"SELECT doc_id, unnest(list_transform(range(1, len(t) - {n - 2}),"
+            f" i -> {parts})) AS g FROM tk WHERE len(t) >= {n}"
+        )
+
+    return f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM ({grams(2)}) GROUP BY 1, 2),
+a2 AS (SELECT doc_id, MAX(c) AS topc, SUM(c) AS tott FROM c2 GROUP BY 1),
+c5 AS (SELECT doc_id, g, COUNT(*) AS c FROM ({grams(5)}) GROUP BY 1, 2),
+a5 AS (SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+              SUM(c) AS totd
+       FROM c5 GROUP BY 1)
+SELECT d.doc_id,
+       ROUND(COALESCE(CAST(topc AS DOUBLE) / tott, 0), 6) + 0.0
+         AS top2gram_frac,
+       ROUND(COALESCE(CAST(dup AS DOUBLE) / totd, 0), 6) + 0.0
+         AS dup5gram_frac
+FROM documents d
+LEFT JOIN a2 USING (doc_id)
+LEFT JOIN a5 USING (doc_id)
+"""
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel conversion over the event stream: users who
     viewed, then clicked STRICTLY AFTER their first view, then purchased
@@ -1970,6 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "doc_split_sample": q_doc_split_sample,
         "doc_pack_chunks": q_doc_pack_chunks,
+        "doc_repetition": q_doc_repetition,
         "events_retention": q_events_retention,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
@@ -2024,6 +2064,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _ORACLE_EVENTS_FUNNEL,
         "doc_split_sample": _oracle_doc_split_sample(),
         "doc_pack_chunks": _oracle_doc_pack_chunks(),
+        "doc_repetition": _oracle_doc_repetition(),
         "events_retention": _ORACLE_EVENTS_RETENTION,
         "embedding_near_dups": _ORACLE_EMBEDDING_NEAR_DUPS,
         "embedding_near_dups_lsh": _oracle_embedding_near_dups_lsh(),

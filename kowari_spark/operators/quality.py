@@ -1,0 +1,105 @@
+"""Repetition-based quality filters for training-data pipelines.
+
+Beyond-reference surface (task north star): the Gopher-style repetition
+signals used to drop low-quality / boilerplate documents from
+pretraining corpora (Rae et al., "Scaling Language Models: Methods,
+Analysis & Insights from Training Gopher", 2021, §A1.1 — fraction of
+content in the most common n-gram, fraction in duplicated n-grams).
+
+Spark-first shape: word n-grams are generated with native array
+expressions (no UDF), EXPLODED once per n, counted with a
+``groupBy(doc, gram)`` whose shuffle carries only (id, gram-hash-sized)
+rows with map-side partial counts, then reduced to one row per document.
+Both shuffles key on the document id, so at 100 TB the two n-gram
+passes co-partition and nothing wide ever moves. Every step is plain
+aggregation — the whole operator has an exact ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kowari_spark.functions.text import _c, tokens
+
+
+def word_ngrams(text, n: int) -> Column:
+    """Non-distinct word n-grams, order preserved (COUNTS matter here —
+    ``functions.text.shingles`` dedupes, which is right for Jaccard and
+    wrong for repetition). Docs shorter than ``n`` tokens yield an
+    empty array (explode drops them; callers re-attach with a left
+    join)."""
+    toks = tokens(_c(text))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    # guard: sequence(1, x) with x < 1 counts DOWN in Spark
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Per-document repetition fractions:
+
+    - ``top{top_n}gram_frac`` — occurrences of the document's most
+      frequent ``top_n``-gram over its total ``top_n``-gram count
+      (boilerplate headers/footers push this up);
+    - ``dup{dup_n}gram_frac`` — fraction of ``dup_n``-gram occurrences
+      belonging to grams seen more than once in the document (copy-paste
+      repetition pushes this up).
+
+    Documents with fewer than ``n`` tokens have no such n-grams and
+    report 0.0 (no evidence of repetition), so the output keeps exactly
+    one row per input document. Fractions are rounded to 6 decimals
+    (+0.0 normalizes negative zero) for cross-engine comparison."""
+    if not 0 < top_n < dup_n:
+        raise ValueError(f"need 0 < top_n < dup_n, got {top_n}, {dup_n}")
+
+    def per_doc(n: int, aggs):
+        counts = (
+            df.select(
+                F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("__g")
+            )
+            .groupBy(id_col, "__g")
+            .agg(F.count("*").alias("__c"))
+        )
+        return counts.groupBy(id_col).agg(*aggs)
+
+    top = per_doc(
+        top_n,
+        [
+            F.max("__c").alias("__top"),
+            F.sum("__c").alias("__tot_t"),
+        ],
+    )
+    dup = per_doc(
+        dup_n,
+        [
+            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)).alias("__dup"),
+            F.sum("__c").alias("__tot_d"),
+        ],
+    )
+
+    def frac(num, den):
+        return (
+            F.round(F.coalesce(num / den, F.lit(0.0)), 6) + F.lit(0.0)
+        )
+
+    return (
+        df.select(id_col)
+        .join(top, id_col, "left")
+        .join(dup, id_col, "left")
+        .select(
+            id_col,
+            frac(F.col("__top"), F.col("__tot_t")).alias(f"top{top_n}gram_frac"),
+            frac(F.col("__dup"), F.col("__tot_d")).alias(f"dup{dup_n}gram_frac"),
+        )
+    )

@@ -1,0 +1,65 @@
+"""Repetition quality filters (operators/quality.py): handcrafted
+corpora pin both fractions (the synthetic documents table has no
+repeated 5-grams, so the contract row alone never exercises the dup
+branch)."""
+
+import pytest
+
+from kowari_spark.operators.quality import repetition_stats, word_ngrams
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            # "a b" x3, "b a" x2 -> top2 = 3/5; eight tokens of xy-cycle
+            # -> four 5-grams, each appearing twice-ish (2+2) -> dup = 1
+            (0, "a b a b a b"),
+            (1, "x y x y x y x y"),
+            # all-distinct tokens: top 2-gram is any (count 1) -> 1/6;
+            # 5-grams all unique -> dup 0
+            (2, "q w e r t y u"),
+            # shorter than 5 tokens: no 5-grams -> dup 0.0
+            (3, "just four small words"),
+            # single token: no 2-grams either -> both 0.0
+            (4, "one"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_word_ngrams_counts_not_distinct(spark, docs):
+    from pyspark.sql import functions as F
+
+    row = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(word_ngrams("text", 2).alias("g"))
+        .first()
+    )
+    assert row["g"] == ["a b", "b a", "a b", "b a", "a b"]
+    short = (
+        docs.filter(F.col("doc_id") == 4)
+        .select(word_ngrams("text", 2).alias("g"))
+        .first()
+    )
+    assert short["g"] == []
+
+
+def test_repetition_fractions(spark, docs):
+    got = {
+        r["doc_id"]: (r["top2gram_frac"], r["dup5gram_frac"])
+        for r in repetition_stats(docs).collect()
+    }
+    # doc 0's two 5-grams ("a b a b a" / "b a b a b") are distinct, so
+    # even the maximally repetitive bigram doc has dup5 = 0
+    assert got[0] == (pytest.approx(0.6), 0.0)
+    assert got[1] == (pytest.approx(round(4 / 7, 6)), pytest.approx(1.0))
+    assert got[2] == (pytest.approx(round(1 / 6, 6)), 0.0)
+    assert got[3] == (pytest.approx(round(1 / 3, 6)), 0.0)
+    assert got[4] == (0.0, 0.0)
+    assert len(got) == 5  # one row per input doc, short docs included
+
+
+def test_parameter_validation(spark, docs):
+    with pytest.raises(ValueError, match="top_n"):
+        repetition_stats(docs, top_n=5, dup_n=5)
