@@ -36,23 +36,16 @@ from __future__ import annotations
 
 import json
 from collections.abc import Sequence
-from decimal import ROUND_HALF_UP, Decimal
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# decimal-correct Spark ROUND parity for driver-side centroid rounding
+from kowari_spark.numerics import round_half_up as _round_half_up
 from kowari_spark.operators.topk import knn, knn_batch
 
 _META_NAME = "_ivf_meta.json"
-
-
-def _round_half_up(x: float, digits: int) -> float:
-    """Decimal-correct HALF_UP rounding of a double — the exact semantics
-    of Spark's ROUND(col, n) (BigDecimal.setScale(n, HALF_UP) on the
-    binary expansion), so centroids rounded driver-side agree bit-for-bit
-    with an engine that rounds the same value SQL-side."""
-    return float(Decimal(x).quantize(Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP))
 
 
 class IVF:

@@ -40,12 +40,67 @@ def word_ngrams(text, n: int) -> Column:
     )
 
 
+def _repetition_arrow(
+    df: DataFrame, text_col: str, id_col: str, top_n: int, dup_n: int
+) -> DataFrame:
+    """Arrow-batched engine: per-document repetition is ROW-LOCAL, so
+    the whole computation runs inside ``mapInPandas`` — one pass over
+    the scan, ZERO shuffles, output one row per input row. This is the
+    100 TB shape: the expression engine below explodes ~2·tokens gram
+    strings per document through interpreted ``transform`` lambdas
+    (measured ~90% of its wall at 500k docs) and shuffles them twice;
+    here each worker counts its own documents' grams with a hash map
+    and nothing ever leaves the task. Results are bit-identical to the
+    expression engine (same tokenization, same fractions, the same
+    decimal HALF_UP rounding Spark's ROUND applies — parity-tested)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from kowari_spark.numerics import round_half_up
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    top_name, dup_name = f"top{top_n}gram_frac", f"dup{dup_n}gram_frac"
+    schema = f"{id_col} {id_type}, {top_name} double, {dup_name} double"
+
+    def frac_top(toks: list, n: int) -> float:
+        total = len(toks) - n + 1
+        if total < 1:
+            return 0.0
+        counts = Counter(zip(*(toks[i:] for i in range(n))))
+        return round_half_up(max(counts.values()) / total, 6)
+
+    def frac_dup(toks: list, n: int) -> float:
+        total = len(toks) - n + 1
+        if total < 1:
+            return 0.0
+        counts = Counter(zip(*(toks[i:] for i in range(n))))
+        dup = sum(c for c in counts.values() if c > 1)
+        return round_half_up(dup / total, 6)
+
+    def score(batches):
+        for pdf in batches:
+            tops, dups = [], []
+            for text in pdf[text_col]:
+                # "".split(" ") == [""] — same single empty token Spark's
+                # split produces, so short-doc semantics agree
+                toks = ("" if text is None else text).split(" ")
+                tops.append(frac_top(toks, top_n))
+                dups.append(frac_dup(toks, dup_n))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], top_name: tops, dup_name: dups}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(score, schema)
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     top_n: int = 2,
     dup_n: int = 5,
+    engine: str = "expr",
 ) -> DataFrame:
     """Per-document repetition fractions:
 
@@ -59,9 +114,20 @@ def repetition_stats(
     Documents with fewer than ``n`` tokens have no such n-grams and
     report 0.0 (no evidence of repetition), so the output keeps exactly
     one row per input document. Fractions are rounded to 6 decimals
-    (+0.0 normalizes negative zero) for cross-engine comparison."""
+    (+0.0 normalizes negative zero) for cross-engine comparison.
+
+    ``engine="expr"`` (default) is the pure-expression plan with the
+    exact SQL oracle; ``engine="arrow"`` computes identical values
+    shuffle-free inside ``mapInPandas`` — gram construction through
+    interpreted ``transform`` lambdas dominates the expression plan at
+    scale (see ``_repetition_arrow``), the same boundary the LSH GEMM
+    hasher sits behind."""
     if not 0 < top_n < dup_n:
         raise ValueError(f"need 0 < top_n < dup_n, got {top_n}, {dup_n}")
+    if engine == "arrow":
+        return _repetition_arrow(df, text_col, id_col, top_n, dup_n)
+    if engine != "expr":
+        raise ValueError(f"engine must be expr|arrow, got {engine!r}")
 
     def per_doc(n: int, aggs):
         counts = (

@@ -63,3 +63,29 @@ def test_repetition_fractions(spark, docs):
 def test_parameter_validation(spark, docs):
     with pytest.raises(ValueError, match="top_n"):
         repetition_stats(docs, top_n=5, dup_n=5)
+
+
+def test_arrow_engine_parity(spark, docs, sf_dir):
+    """engine="arrow" (shuffle-free mapInPandas) must reproduce the
+    expression plan bit-for-bit — handcrafted dup corpus AND the real
+    documents table (tokenization, short-doc and rounding semantics)."""
+    real = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (docs, real):
+        a = sorted(map(tuple, repetition_stats(df).collect()))
+        b = sorted(map(tuple, repetition_stats(df, engine="arrow").collect()))
+        assert a == b
+
+
+def test_arrow_engine_plan_is_shuffle_free(spark, docs):
+    plan = (
+        repetition_stats(docs, engine="arrow")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_engine_validation(docs):
+    with pytest.raises(ValueError, match="engine"):
+        repetition_stats(docs, engine="gemm")

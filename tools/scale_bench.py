@@ -254,6 +254,38 @@ def _run_suite(
                 emb, edges, queries, 10, id_col="vec_id", round_to=6).count())
             rec("hnsw_knn", s, r)
 
+    if want("doc_pack_chunks"):
+        # sequence packing: one window cumsum per hash-assigned stream;
+        # num_streams sized ~sqrt growth like the shuffle partitions so
+        # per-stream sort state stays flat as the corpus grows
+        from kowari_spark.operators.pack import pack_documents
+
+        streams = max(32, int(32 * (mult ** 0.5)))
+        # aggregate OVER the computed columns: a bare count() lets the
+        # optimizer prune the window away and times only the scan
+        s, r = timed(lambda: int(pack_documents(
+            docs, budget=512, num_streams=streams
+        ).agg(F.count("*").alias("n"), F.max("last_chunk"),
+              F.sum("end_pos")).collect()[0]["n"]))
+        rec("doc_pack_chunks", s, r)
+
+    if want("doc_repetition") or want("doc_repetition_arrow"):
+        from kowari_spark.operators.quality import repetition_stats
+
+        def rep(engine):
+            return int(repetition_stats(docs, engine=engine).agg(
+                F.count("*").alias("n"), F.sum("top2gram_frac"),
+                F.sum("dup5gram_frac")).collect()[0]["n"])
+
+        if want("doc_repetition"):
+            s, r = timed(lambda: rep("expr"))
+            rec("doc_repetition", s, r)
+        if want("doc_repetition_arrow"):
+            # shuffle-free mapInPandas engine (parity-tested): the expr
+            # plan's interpreted gram lambdas dominate at scale
+            s, r = timed(lambda: rep("arrow"))
+            rec("doc_repetition_arrow", s, r)
+
     if want("doc_minhash_pairs") or want("doc_dup_clusters"):
         pairs = minhash_dedup_pairs(docs, threshold=0.5)
         if want("doc_minhash_pairs"):
