@@ -1555,6 +1555,44 @@ LEFT JOIN a5 USING (doc_id)
 """
 
 
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit (operators/pii.py): per document, the
+    URL/email/phone redaction counts plus a fingerprint of the scrubbed
+    text (md5, so the compare stays compact). The synthetic corpus
+    carries no PII, so this row pins the IDENTITY path — the chained
+    regexp_replace must not mangle clean text and the counts must be
+    zero; the regexes' positive behavior is pinned cross-engine by
+    tests/test_pii.py on handcrafted PII-laden docs."""
+    from kowari_spark.operators.pii import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    return pii_scrub(docs).select(
+        "doc_id", F.md5("scrubbed").alias("scrub_fp"),
+        "n_url", "n_email", "n_phone",
+    )
+
+
+def _oracle_doc_pii_scrub() -> str:
+    from kowari_spark.operators.pii import PII_PATTERNS
+
+    (u_name, u_pat, u_tok), (e_name, e_pat, e_tok), (p_name, p_pat, p_tok) = (
+        PII_PATTERNS
+    )
+    return f"""
+WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),
+s1 AS (SELECT doc_id, t0,
+              regexp_replace(t0, '{u_pat}', '{u_tok}', 'g') AS t1 FROM s0),
+s2 AS (SELECT doc_id, t0, t1,
+              regexp_replace(t1, '{e_pat}', '{e_tok}', 'g') AS t2 FROM s1)
+SELECT doc_id,
+       md5(regexp_replace(t2, '{p_pat}', '{p_tok}', 'g')) AS scrub_fp,
+       CAST(len(regexp_extract_all(t0, '{u_pat}')) AS BIGINT) AS n_{u_name},
+       CAST(len(regexp_extract_all(t1, '{e_pat}')) AS BIGINT) AS n_{e_name},
+       CAST(len(regexp_extract_all(t2, '{p_pat}')) AS BIGINT) AS n_{p_name}
+FROM s2
+"""
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel conversion over the event stream: users who
     viewed, then clicked STRICTLY AFTER their first view, then purchased
@@ -2010,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_sample": q_doc_split_sample,
         "doc_pack_chunks": q_doc_pack_chunks,
         "doc_repetition": q_doc_repetition,
+        "doc_pii_scrub": q_doc_pii_scrub,
         "events_retention": q_events_retention,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
@@ -2065,6 +2104,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_split_sample": _oracle_doc_split_sample(),
         "doc_pack_chunks": _oracle_doc_pack_chunks(),
         "doc_repetition": _oracle_doc_repetition(),
+        "doc_pii_scrub": _oracle_doc_pii_scrub(),
         "events_retention": _ORACLE_EVENTS_RETENTION,
         "embedding_near_dups": _ORACLE_EMBEDDING_NEAR_DUPS,
         "embedding_near_dups_lsh": _oracle_embedding_near_dups_lsh(),
