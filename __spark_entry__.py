@@ -1520,12 +1520,16 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filters (operators/quality.py):
     per document, the occurrence share of its most frequent word 2-gram
     and the share of 5-gram occurrences that are within-document
-    repeats — two explode+groupBy passes whose shuffles both key on
-    doc_id, no UDFs, exact SQL oracle."""
+    repeats. The contract runs the ARROW engine — the shuffle-free
+    mapInPandas scale path — so the oracle validates the engine a real
+    corpus would use; it is bit-identical to the default expression
+    plan (integer counts, same IEEE division, same decimal HALF_UP
+    rounding), and that equivalence is itself pinned by
+    tests/test_quality.py::test_arrow_engine_parity."""
     from kowari_spark.operators.quality import repetition_stats
 
     docs = _t(spark, sf_dir, "documents")
-    return repetition_stats(docs, top_n=2, dup_n=5)
+    return repetition_stats(docs, top_n=2, dup_n=5, engine="arrow")
 
 
 def _oracle_doc_repetition() -> str:
