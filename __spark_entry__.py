@@ -1516,6 +1516,52 @@ FROM c
 """
 
 
+def q_doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): flag corpus
+    documents sharing any word 13-gram with an evaluation set — the
+    GPT-3/Gopher/Pile pre-training hygiene filter. The contract's eval
+    set is the `doc_id % 17 == 0` slice of the corpus itself, so the
+    row pins both branches: eval members are fully self-contaminated
+    (contam_frac = 1) and the rest exercise the no-match path; docs
+    under 13 tokens take the whole-text fallback gram. Eval gram hashes
+    broadcast; the only shuffle is the per-doc count."""
+    from kowari_spark.operators.decontam import ngram_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 17 == 0)
+    return ngram_decontaminate(docs, eval_df, n=13)
+
+
+def _oracle_doc_decontam() -> str:
+    gram13 = " || ' ' || ".join(f"t[i+{j}]" for j in range(13))
+    grams = f"""
+  SELECT doc_id,
+         CASE WHEN len(t) >= 13
+              THEN list_transform(range(1, len(t) - 11), i -> {gram13})
+              ELSE [text] END AS gs
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)"""
+    h = _SQL_HASH64.format(s="g")
+    return f"""
+WITH g AS ({grams}),
+eg AS (SELECT DISTINCT {h} AS h
+       FROM (SELECT unnest(gs) AS g FROM g WHERE doc_id % 17 = 0)),
+dg AS (SELECT doc_id, {h} AS h
+       FROM (SELECT doc_id, unnest(list_distinct(gs)) AS g FROM g)),
+tot AS (SELECT doc_id, COUNT(*) AS total_grams FROM dg GROUP BY 1),
+mat AS (SELECT doc_id, COUNT(*) AS contam_grams FROM dg
+        WHERE h IN (SELECT h FROM eg) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(contam_grams, 0) AS BIGINT) AS contam_grams,
+       CAST(COALESCE(total_grams, 0) AS BIGINT) AS total_grams,
+       ROUND(COALESCE(CAST(contam_grams AS DOUBLE) / total_grams, 0), 6) + 0.0
+         AS contam_frac,
+       COALESCE(contam_grams, 0) > 0 AS is_contaminated
+FROM documents d
+LEFT JOIN tot USING (doc_id)
+LEFT JOIN mat USING (doc_id)
+"""
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filters (operators/quality.py):
     per document, the occurrence share of its most frequent word 2-gram
@@ -2051,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "doc_split_sample": q_doc_split_sample,
         "doc_pack_chunks": q_doc_pack_chunks,
+        "doc_decontam": q_doc_decontam,
         "doc_repetition": q_doc_repetition,
         "doc_pii_scrub": q_doc_pii_scrub,
         "events_retention": q_events_retention,
@@ -2107,6 +2154,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _ORACLE_EVENTS_FUNNEL,
         "doc_split_sample": _oracle_doc_split_sample(),
         "doc_pack_chunks": _oracle_doc_pack_chunks(),
+        "doc_decontam": _oracle_doc_decontam(),
         "doc_repetition": _oracle_doc_repetition(),
         "doc_pii_scrub": _oracle_doc_pii_scrub(),
         "events_retention": _ORACLE_EVENTS_RETENTION,

@@ -1,0 +1,104 @@
+"""Benchmark decontamination (operators/decontam.py)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kowari_spark.operators.decontam import ngram_decontaminate
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # 15 tokens: contains the eval 13-gram "a b c d e f g h i j k l m"
+        (0, "x a b c d e f g h i j k l m y"),
+        # clean 15-token doc, no overlap
+        (1, "p q r s t u v w z aa bb cc dd ee ff"),
+        # exact copy of the short eval prompt (5 tokens -> fallback gram)
+        (2, "short prompt to match here"),
+        # short doc, no overlap
+        (3, "another tiny clean doc"),
+        # shares 12-gram but NOT 13-gram with the eval doc -> clean at n=13
+        (4, "x a b c d e f g h i j k l zz y"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def eval_set(spark):
+    rows = [
+        (100, "a b c d e f g h i j k l m"),  # exactly one 13-gram
+        (101, "short prompt to match here"),  # 5 tokens -> whole-text gram
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_flags_only_overlapping_docs(corpus, eval_set):
+    out = {
+        r["doc_id"]: r
+        for r in ngram_decontaminate(corpus, eval_set, n=13).collect()
+    }
+    assert out[0]["is_contaminated"] and out[0]["contam_grams"] == 1
+    assert not out[1]["is_contaminated"] and out[1]["contam_grams"] == 0
+    # short-doc fallback: exact copy of a short eval prompt is caught...
+    assert out[2]["is_contaminated"] and out[2]["contam_frac"] == 1.0
+    # ...but an unrelated short doc is not
+    assert not out[3]["is_contaminated"]
+    # a 12-gram overlap does not trip the 13-gram filter
+    assert not out[4]["is_contaminated"]
+    # doc 0 has 15 tokens -> 3 distinct 13-grams, 1 contaminated
+    assert out[0]["total_grams"] == 3 and out[0]["contam_frac"] == 0.333333
+
+
+def test_one_row_per_doc_and_self_contamination(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_df = docs.filter(F.col("doc_id") % 17 == 0)
+    out = ngram_decontaminate(docs, eval_df, n=13)
+    assert out.count() == docs.count()
+    # every eval member is fully self-contaminated
+    flagged = out.filter(F.col("doc_id") % 17 == 0)
+    assert flagged.filter(~F.col("is_contaminated")).count() == 0
+    assert flagged.filter(F.col("contam_frac") != 1.0).count() == 0
+
+
+def test_eval_side_is_broadcast_semi_join(corpus, eval_set):
+    plan = ngram_decontaminate(corpus, eval_set, n=13)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "Broadcast" in plan
+
+
+def test_matches_duckdb_oracle(spark, corpus, eval_set):
+    """Cross-engine pin on the handcrafted corpus (the contract row pins
+    the real documents table at sf0.01)."""
+    sql_hash = "(('0x' || substring(md5({s}), 1, 15))::BIGINT)"
+    grams = (
+        "SELECT doc_id, CASE WHEN len(t) >= 13 THEN "
+        "list_transform(range(1, len(t) - 11), i -> "
+        + " || ' ' || ".join(f"t[i+{j}]" for j in range(13))
+        + ") ELSE [text] END AS gs "
+        "FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM {src})"
+    )
+    q = f"""
+WITH eg AS (SELECT DISTINCT {sql_hash.format(s='g')} AS h
+            FROM (SELECT unnest(gs) AS g FROM ({grams.format(src='ev')}))),
+dg AS (SELECT doc_id, {sql_hash.format(s='g')} AS h
+       FROM (SELECT doc_id, unnest(list_distinct(gs)) AS g
+             FROM ({grams.format(src='co')}))),
+tot AS (SELECT doc_id, COUNT(*) AS total_grams FROM dg GROUP BY 1),
+mat AS (SELECT doc_id, COUNT(*) AS contam_grams FROM dg
+        WHERE h IN (SELECT h FROM eg) GROUP BY 1)
+SELECT c.doc_id, COALESCE(contam_grams, 0) AS contam_grams,
+       COALESCE(total_grams, 0) AS total_grams
+FROM co c LEFT JOIN tot USING (doc_id) LEFT JOIN mat USING (doc_id)
+ORDER BY doc_id
+"""
+    con = duckdb.connect()
+    con.register("co", corpus.toPandas())
+    con.register("ev", eval_set.toPandas())
+    expected = con.execute(q).df()
+    got = (
+        ngram_decontaminate(corpus, eval_set, n=13)
+        .select("doc_id", "contam_grams", "total_grams")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert got.astype("int64").values.tolist() == expected.astype("int64").values.tolist()
