@@ -1516,6 +1516,65 @@ FROM c
 """
 
 
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "es": 0.15, "fr": 0.15}
+
+
+def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling (operators/sampling.py): downsample the
+    corpus so the language mix matches target weights, with the
+    scarcest language used in full (λ = min c_s/w_s sizing). One
+    counting aggregate over the corpus; the ≤|strata|-row rates
+    relation broadcasts into a deterministic id-hash filter, so
+    membership is a pure function of row identity — repartition-,
+    retry- and streaming-safe, with an exact SQL oracle."""
+    from kowari_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(docs, "lang", _MIX_WEIGHTS, seed=7).select(
+        "doc_id", "lang"
+    )
+
+
+def _oracle_doc_mixture_sample() -> str:
+    vals = ", ".join(f"('{s}', {w!r})" for s, w in _MIX_WEIGHTS.items())
+    h = _SQL_HASH64.format(s="CAST(doc_id AS VARCHAR) || '#7'")
+    space = float(1 << 60)
+    return f"""
+WITH w(s, wt) AS (VALUES {vals}),
+cnt AS (SELECT lang AS s, COUNT(*) AS c FROM documents GROUP BY 1),
+j AS (SELECT s, c, wt FROM cnt JOIN w USING (s)),
+lam AS (SELECT MIN(c / wt) AS l FROM j),
+r AS (SELECT s, LEAST(l * wt / c, 1.0) AS rate FROM j CROSS JOIN lam)
+SELECT doc_id, lang
+FROM documents JOIN r ON lang = s
+WHERE CAST({h} AS DOUBLE) / {space!r} < rate
+"""
+
+
+_BM25_QUERY = "vector hash join batch"
+
+
+def q_doc_bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (operators/search.py): top-10 documents for
+    a 4-term query. Inverted-index-on-demand plan — the exploded token
+    stream filters to the query terms BEFORE any aggregation, document
+    frequencies come back as a broadcast, corpus stats are one scalar
+    aggregate, and the per-document score folds term contributions in
+    fixed query-term order (one conditional aggregate per term) so
+    float addition order is part of the plan; idf is rounded before use
+    for cross-engine ln() parity. Top-k is TakeOrderedAndProject."""
+    from kowari_spark.operators.search import bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_search(docs, _BM25_QUERY, k=10)
+
+
+def _oracle_doc_bm25_top10() -> str:
+    from kowari_spark.operators.search import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_QUERY, k=10)
+
+
 def q_doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py): flag corpus
     documents sharing any word 13-gram with an evaluation set — the
@@ -2098,6 +2157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_sample": q_doc_split_sample,
         "doc_pack_chunks": q_doc_pack_chunks,
         "doc_decontam": q_doc_decontam,
+        "doc_bm25_top10": q_doc_bm25_top10,
+        "doc_mixture_sample": q_doc_mixture_sample,
         "doc_repetition": q_doc_repetition,
         "doc_pii_scrub": q_doc_pii_scrub,
         "events_retention": q_events_retention,
@@ -2155,6 +2216,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_split_sample": _oracle_doc_split_sample(),
         "doc_pack_chunks": _oracle_doc_pack_chunks(),
         "doc_decontam": _oracle_doc_decontam(),
+        "doc_bm25_top10": _oracle_doc_bm25_top10(),
+        "doc_mixture_sample": _oracle_doc_mixture_sample(),
         "doc_repetition": _oracle_doc_repetition(),
         "doc_pii_scrub": _oracle_doc_pii_scrub(),
         "events_retention": _ORACLE_EVENTS_RETENTION,

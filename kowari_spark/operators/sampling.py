@@ -76,6 +76,84 @@ def train_val_test(
     return df.withColumn("split", split_assign(id_col, weights, seed))
 
 
+def mixture_rates(
+    df: DataFrame,
+    strata_col: str,
+    target_weights: dict[str, float],
+    max_rate: float = 1.0,
+) -> DataFrame:
+    """Per-stratum sampling rates that hit a TARGET MIXTURE with maximum
+    data usage — the domain-reweighting step of a pretraining pipeline
+    ("make the mix 70% web, 20% code, 10% books").
+
+    With per-stratum counts c_s and target weights w_s, the largest
+    achievable mixture-preserving sample keeps λ·w_s rows of stratum s
+    where λ = min_s(c_s / w_s) — the scarcest stratum is used in full
+    (rate 1) and abundant strata are downsampled to match. Returns the
+    tiny relation (stratum, n_rows, rate).
+
+    Strata absent from ``target_weights`` get no row (rate 0 — they are
+    not part of the mix); target strata absent from the DATA are
+    ignored when sizing λ (the mixture is achieved over the strata that
+    exist). One aggregation job over the corpus; everything downstream
+    joins this ≤|strata|-row result as a broadcast.
+    """
+    if not target_weights:
+        raise ValueError("target_weights is empty")
+    pairs: list[Column] = []
+    for s, w in target_weights.items():
+        if w <= 0:
+            raise ValueError(f"weight for {s!r} must be > 0")
+        pairs.append(F.lit(str(s)))
+        pairs.append(F.lit(float(w)))
+    w_col = F.element_at(
+        F.create_map(*pairs), F.col(strata_col).cast("string")
+    )
+    counts = (
+        df.select(F.col(strata_col).alias("stratum"), w_col.alias("__w"))
+        .filter(F.col("__w").isNotNull())
+        .groupBy("stratum", "__w")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    lam = counts.agg(
+        F.min(F.col("n_rows") / F.col("__w")).alias("__lam")
+    )
+    return counts.crossJoin(F.broadcast(lam)).select(
+        "stratum",
+        "n_rows",
+        F.least(
+            F.col("__lam") * F.col("__w") / F.col("n_rows"),
+            F.lit(float(max_rate)),
+        ).alias("rate"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    target_weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministically sample ``df`` down to the target stratum
+    mixture (see :func:`mixture_rates`): each row draws its stable
+    hash-uniform and survives iff u < rate(stratum). Rows whose stratum
+    is outside the target mix are dropped. The rates relation is tiny
+    and broadcast, so the operator adds ZERO shuffles beyond the one
+    counting aggregate — the filter itself is embarrassingly parallel
+    and reproducible under repartitioning, retries, and streaming
+    arrival."""
+    rates = F.broadcast(mixture_rates(df, strata_col, target_weights))
+    return (
+        df.join(
+            rates,
+            df[strata_col].cast("string") == rates["stratum"],
+        )
+        .filter(hash_uniform(df[id_col], seed) < F.col("rate"))
+        .drop("stratum", "n_rows", "rate")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

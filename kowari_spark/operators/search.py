@@ -1,0 +1,176 @@
+"""BM25 full-text keyword search over a document corpus.
+
+Beyond-reference surface (task north star: query capabilities a corpus
+engine needs): rank documents for a keyword query with Okapi BM25
+(Robertson & Walker 1994) — the classic inverted-index scoring function
+— expressed as pure DataFrame aggregation so Catalyst keeps the whole
+plan in codegen.
+
+Spark-first shape (the "inverted index on demand" plan):
+
+1. the exploded token stream is filtered to the QUERY TERMS before any
+   aggregation — the filter sits directly on the generator output, so
+   at 100 TB only rows for matching terms survive the scan stage;
+2. term frequencies aggregate per (doc, term) with map-side partial
+   counts; document frequencies reduce from that relation (≤ |query|
+   rows) and come back via a broadcast join;
+3. corpus statistics (N, avg document length) are one scalar aggregate
+   broadcast into the scoring expression;
+4. the final per-document score sums each term's contribution in FIXED
+   query-term order via one conditional aggregate per term — float
+   addition is not associative, so a bare SUM over an unordered group
+   would be nondeterministic across partitionings and engines; the
+   pivoted form makes the fold order part of the plan;
+5. top-k resolves as orderBy(score desc, id).limit(k) —
+   TakeOrderedAndProject, no global sort.
+
+The per-term idf is rounded before use so the score is reproducible
+across engines (ln() may differ in the last ulp between libm
+implementations); the whole operator then has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kowari_spark.functions.text import token_count, tokens
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``k`` documents for ``query`` under BM25.
+
+    Returns (id_col, bm25, n_terms) — score rounded to ``round_to``
+    decimals, ``n_terms`` = how many distinct query terms the document
+    contains. Ties break on ascending id, so results are total-ordered.
+
+    score(D, Q) = Σ_t idf(t) · tf(t,D)·(k1+1) /
+                  (tf(t,D) + k1·(1 − b + b·|D|/avgdl))
+    with idf(t) = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5)), idf rounded
+    to 9 decimals (cross-engine ln() parity).
+    """
+    qterms = sorted({t for t in query.split(" ") if t})
+    if not qterms:
+        raise ValueError("query has no terms")
+
+    matches = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
+    ).filter(F.col("__t").isin(qterms))
+    tf = matches.groupBy(id_col, "__t").agg(F.count("*").alias("__tf"))
+    dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
+
+    stats = docs.agg(
+        F.count("*").alias("__n"),
+        (
+            F.sum(token_count(F.col(text_col))).cast("double") / F.count("*")
+        ).alias("__avgdl"),
+    )
+    dl = docs.select(F.col(id_col), token_count(F.col(text_col)).alias("__dl"))
+
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+        ),
+        9,
+    )
+    contrib = idf * (
+        F.col("__tf")
+        * (k1 + 1.0)
+        / (
+            F.col("__tf")
+            + F.lit(k1)
+            * (1.0 - b + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "__t")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, "__t", contrib.alias("__c"))
+    )
+    # one conditional aggregate per query term = deterministic fold order
+    per_term = scored.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("__t") == t, F.col("__c"))).alias(f"__c{i}")
+            for i, t in enumerate(qterms)
+        ]
+    )
+    score = F.lit(0.0)
+    for i in range(len(qterms)):
+        score = score + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+    n_terms = sum(
+        F.when(F.col(f"__c{i}").isNotNull(), 1).otherwise(0)
+        for i in range(len(qterms))
+    )
+    return (
+        per_term.select(
+            id_col,
+            (F.round(score, round_to) + F.lit(0.0)).alias("bm25"),
+            n_terms.cast("int").alias("n_terms"),
+        )
+        .orderBy(F.desc("bm25"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def bm25_oracle_sql(
+    query: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> str:
+    """The exact DuckDB replay of :func:`bm25_search` (same fixed-order
+    term fold, same rounded idf)."""
+    qterms = sorted({t for t in query.split(" ") if t})
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in qterms)
+    contribs = " + ".join(f"COALESCE(c{i}, 0.0)" for i in range(len(qterms)))
+    nterms = " + ".join(
+        f"CASE WHEN c{i} IS NOT NULL THEN 1 ELSE 0 END"
+        for i in range(len(qterms))
+    )
+    cases = ",\n         ".join(
+        "SUM(CASE WHEN t = '{}' THEN c END) AS c{}".format(t.replace("'", "''"), i)
+        for i, t in enumerate(qterms)
+    )
+    return f"""
+WITH tok AS (SELECT {id_col} AS id, unnest(string_split({text_col}, ' ')) AS t
+             FROM {table}),
+tf AS (SELECT id, t, COUNT(*) AS tf FROM tok
+       WHERE t IN ({in_list}) GROUP BY 1, 2),
+dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n,
+                 CAST(SUM(len(string_split({text_col}, ' '))) AS DOUBLE)
+                   / COUNT(*) AS avgdl
+          FROM {table}),
+dl AS (SELECT {id_col} AS id,
+              len(string_split({text_col}, ' ')) AS dl FROM {table}),
+contrib AS (
+  SELECT tf.id, tf.t,
+         ROUND(LN(1.0 + (n - df + 0.5) / (df + 0.5)), 9)
+           * (tf.tf * ({k1} + 1.0)
+              / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.dl / avgdl))) AS c
+  FROM tf JOIN dfreq USING (t) JOIN dl USING (id) CROSS JOIN stats),
+per AS (SELECT id,
+         {cases}
+        FROM contrib GROUP BY id)
+SELECT id AS {id_col},
+       ROUND({contribs}, {round_to}) + 0.0 AS bm25,
+       CAST({nterms} AS INT) AS n_terms
+FROM per
+ORDER BY bm25 DESC, {id_col}
+LIMIT {k}
+"""

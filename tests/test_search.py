@@ -1,0 +1,74 @@
+"""BM25 keyword search (operators/search.py)."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kowari_spark.operators.search import bm25_oracle_sql, bm25_search
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "spark shuffle join join join"),  # tf(join)=3, short doc
+        (1, "spark join"),
+        (2, "broadcast hash aggregate scan"),
+        (3, "join hash join probe build side hash table partition"),
+        (4, "filter pushdown projection pruning nothing matches here at all"),
+        (5, "spark spark spark spark spark spark spark spark spark spark"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_hand_computed(corpus):
+    """Pin one score against a by-hand BM25 computation."""
+    out = {r["doc_id"]: r for r in bm25_search(corpus, "join", k=10).collect()}
+    # df(join)=3, N=6, avgdl = (5+2+4+9+9+10)/6
+    idf = round(math.log(1 + (6 - 3 + 0.5) / (3 + 0.5)), 9)
+    avgdl = 39 / 6
+    def s(tf, dl):
+        return round(idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+    assert out[0]["bm25"] == s(3, 5)
+    assert out[1]["bm25"] == s(1, 2)
+    assert out[3]["bm25"] == s(2, 9)
+    assert 4 not in out and 5 not in out  # no query term -> no row
+    # tf=3 in a short doc must outrank tf=1
+    assert out[0]["bm25"] > out[1]["bm25"] > 0
+
+
+def test_multi_term_and_ordering(corpus):
+    res = bm25_search(corpus, "join hash spark", k=3).collect()
+    assert len(res) == 3
+    scores = [r["bm25"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+    # doc 3 matches join(x2) + hash(x3): most matched terms
+    assert res[0]["doc_id"] == 3 and res[0]["n_terms"] == 2
+
+
+def test_matches_duckdb_oracle(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = "vector hash join batch"
+    got = bm25_search(docs, q, k=10).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    exp = con.execute(bm25_oracle_sql(q, k=10)).df()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["bm25"].tolist() == exp["bm25"].tolist()
+    assert got["n_terms"].tolist() == exp["n_terms"].tolist()
+
+
+def test_topk_is_take_ordered(corpus):
+    plan = (
+        bm25_search(corpus, "join hash", k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_empty_query_rejected(corpus):
+    with pytest.raises(ValueError):
+        bm25_search(corpus, "   ")
