@@ -633,26 +633,28 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_ivf_knn() -> str:
-    """Independent SQL re-derivation of the full IVF pipeline:
-    deterministic farthest-first seeding (seed 0 = smallest md5(id#s);
-    seed i+1 = argmax of min squared distance to seeds 0..i, ties ->
-    lowest id — unrolled as a select/min-update CTE chain), ``max_iter``
-    unrolled Lloyd iterations (assignment = sequential-fold squared L2
-    argmin, update = per-dim mean ROUNDed to the 1e-6 grid, empty cells
-    keep their centroid), probe = n_probe nearest final centroids, then
-    exact cosine rank within probed cells. Bit-parity holds because both
-    engines do the same IEEE ops in the same order: seeds are exact data
-    vectors, min/least are order-independent, and Lloyd means land on
-    the same decimal grid."""
+def _ivf_dist_sql(a: str, b: str) -> str:
+    d = f"list_transform(list_zip({a}, {b}), x -> x[1] - x[2])"
+    return f"list_dot_product({d}, {d})"
+
+
+def _ivf_fit_sql_ctes() -> list[str]:
+    """Shared SQL re-derivation of the IVF fit at ``_IVF_PARAMS`` on
+    the embeddings table: deterministic farthest-first seeding (seed 0
+    = smallest md5(id#s); seed i+1 = argmax of min squared distance to
+    seeds 0..i, ties -> lowest id — unrolled as a select/min-update CTE
+    chain), ``max_iter`` unrolled Lloyd iterations (assignment =
+    sequential-fold squared L2 argmin, update = per-dim mean ROUNDed to
+    the 1e-6 grid, empty cells keep their centroid). Bit-parity holds
+    because both engines do the same IEEE ops in the same order: seeds
+    are exact data vectors, min/least are order-independent, and Lloyd
+    means land on the same decimal grid. The chain ends with ``fa``
+    (vec_id, e, cid) — the final cell assignment — consumed by both
+    the ivf_knn probe replay and the semantic-dedup replay."""
     n_lists = _IVF_PARAMS["n_lists"]
-    n_probe = _IVF_PARAMS["n_probe"]
     seed = _IVF_PARAMS["seed"]
     rc = _IVF_PARAMS["round_centroids"]
-
-    def dist(a: str, b: str) -> str:
-        d = f"list_transform(list_zip({a}, {b}), x -> x[1] - x[2])"
-        return f"list_dot_product({d}, {d})"
+    dist = _ivf_dist_sql
 
     smp = _IVF_PARAMS["seed_sample"]
     ctes = [
@@ -706,13 +708,24 @@ def _oracle_ivf_knn() -> str:
             f"FROM c{i} c LEFT JOIN n{i} n USING (cid))"
         )
     fin = f"c{_IVF_PARAMS['max_iter']}"
-    cos = _cos_sql("a.e", "p.qe")
     ctes.append(f"""fa AS (
   SELECT vec_id, e, cid FROM (
     SELECT v.vec_id, v.e, c.cid,
            row_number() OVER (PARTITION BY v.vec_id
                               ORDER BY {dist('v.e', 'c.vec')}, c.cid) AS rn
     FROM v CROSS JOIN {fin} c) WHERE rn = 1)""")
+    return ctes
+
+
+def _oracle_ivf_knn() -> str:
+    """SQL replay of the IVF probe: the shared fit chain
+    (:func:`_ivf_fit_sql_ctes`), probe = n_probe nearest final
+    centroids, then exact cosine rank within probed cells."""
+    n_probe = _IVF_PARAMS["n_probe"]
+    fin = f"c{_IVF_PARAMS['max_iter']}"
+    dist = _ivf_dist_sql
+    cos = _cos_sql("a.e", "p.qe")
+    ctes = _ivf_fit_sql_ctes()
     ctes.append(f"""p AS (
   SELECT query_id, qe, cid FROM (
     SELECT q.vec_id AS query_id, q.e AS qe, c.cid,
@@ -731,6 +744,53 @@ def _oracle_ivf_knn() -> str:
     return (
         "WITH\n" + ",\n".join(ctes)
         + "\nSELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 10"
+    )
+
+
+def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.semantic_dedup): embedding-space
+    dedup — k-means-cluster the corpus (the SAME prebuilt IVF layout
+    the ivf_knn row probes), compare cosines only within a cluster,
+    connect near-dups (cos >= 0.3 on the 1e-6 grid), keep the min-id
+    representative per component. The quadratic step is confined to
+    single cells (the SemDeDup idea itself); the oracle replays fit +
+    in-cell pairs + recursive-CTE reachability end-to-end."""
+    from kowari_spark.operators.dedup import semantic_dedup
+
+    ivf, lists = _ivf_index(spark, sf_dir)
+    return semantic_dedup(
+        lists, threshold=0.3, id_col="vec_id", ivf=ivf
+    ).orderBy("vec_id")
+
+
+def _oracle_embedding_semantic_dedup() -> str:
+    ctes = _ivf_fit_sql_ctes()
+    ctes.append(
+        "nrm AS (SELECT vec_id, e, cid, sqrt(list_dot_product(e, e)) AS nn FROM fa)"
+    )
+    ctes.append("""prs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM nrm a JOIN nrm b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE ROUND(CASE WHEN a.nn = 0 OR b.nn = 0 THEN 0.0
+              ELSE list_dot_product(a.e, b.e) / (a.nn * b.nn) END, 6) + 0.0
+        >= 0.3)""")
+    ctes.append("""edges AS (
+  SELECT id_a AS s, id_b AS d FROM prs
+  UNION ALL SELECT id_b, id_a FROM prs)""")
+    ctes.append("""reach AS (
+  SELECT s AS id, s AS label FROM edges
+  UNION
+  SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.id)""")
+    ctes.append(
+        "lab AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id)"
+    )
+    return (
+        "WITH RECURSIVE\n" + ",\n".join(ctes) + """
+SELECT f.vec_id, CAST(f.cid AS INT) AS list_id,
+       COALESCE(l.cluster_id, f.vec_id) AS rep_id,
+       COALESCE(l.cluster_id, f.vec_id) = f.vec_id AS is_kept
+FROM fa f LEFT JOIN lab l ON l.id = f.vec_id
+ORDER BY f.vec_id"""
     )
 
 
@@ -1516,6 +1576,32 @@ FROM c
 """
 
 
+def q_doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (operators/quality.top_ngrams): the 20 most
+    frequent word bigrams with occurrence + document counts — the
+    boilerplate-discovery view. One explode, per-(gram, doc) partial
+    reduce before the wide shuffle, TakeOrderedAndProject top-k; ties
+    break on the gram string so the result is total-ordered."""
+    from kowari_spark.operators.quality import top_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=2, k=20)
+
+
+_ORACLE_DOC_TOP_BIGRAMS = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM tk WHERE len(t) >= 2),
+pd AS (SELECT gram, doc_id, COUNT(*) AS c FROM g GROUP BY 1, 2)
+SELECT gram, CAST(SUM(c) AS BIGINT) AS occurrences,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pd GROUP BY 1
+ORDER BY occurrences DESC, gram
+LIMIT 20
+"""
+
+
 _MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "es": 0.15, "fr": 0.15}
 
 
@@ -2159,11 +2245,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontam": q_doc_decontam,
         "doc_bm25_top10": q_doc_bm25_top10,
         "doc_mixture_sample": q_doc_mixture_sample,
+        "doc_top_bigrams": q_doc_top_bigrams,
         "doc_repetition": q_doc_repetition,
         "doc_pii_scrub": q_doc_pii_scrub,
         "events_retention": q_events_retention,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "embedding_semantic_dedup": q_embedding_semantic_dedup,
         "media_pipeline": q_media_pipeline,
         "similarity_join": q_similarity_join,
         "filtered_knn": q_filtered_knn,
@@ -2218,11 +2306,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontam": _oracle_doc_decontam(),
         "doc_bm25_top10": _oracle_doc_bm25_top10(),
         "doc_mixture_sample": _oracle_doc_mixture_sample(),
+        "doc_top_bigrams": _ORACLE_DOC_TOP_BIGRAMS,
         "doc_repetition": _oracle_doc_repetition(),
         "doc_pii_scrub": _oracle_doc_pii_scrub(),
         "events_retention": _ORACLE_EVENTS_RETENTION,
         "embedding_near_dups": _ORACLE_EMBEDDING_NEAR_DUPS,
         "embedding_near_dups_lsh": _oracle_embedding_near_dups_lsh(),
+        "embedding_semantic_dedup": _oracle_embedding_semantic_dedup(),
         "media_pipeline": _ORACLE_MEDIA_PIPELINE,
         "similarity_join": _oracle_similarity_join(),
         "filtered_knn": _oracle_filtered_knn(),

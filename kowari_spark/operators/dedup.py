@@ -771,3 +771,172 @@ def winnow_pairs(
         .agg(F.count("*").cast("long").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+# -- semantic dedup (SemDeDup) ----------------------------------------------
+
+def _semantic_pairs_gemm(
+    normed: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    round_to: int | None,
+) -> DataFrame:
+    """Cell-local GEMM pair scorer: each cluster's pairwise cosine
+    matrix is ONE numpy V·Vᵀ inside ``applyInPandas`` — the expression
+    engine's per-pair interpreted fold is the bottleneck at scale (the
+    same Python/JVM boundary the LSH GEMM hasher and HNSW GEMM refine
+    sit behind). Results are IDENTICAL to the expression engine: the
+    GEMM only SELECTS candidates (with a margin wider than its ~d·eps
+    float error), every candidate is then re-scored with the exact
+    sequential (x·y) fold and decimal HALF_UP rounding the expression
+    plan computes, so the emitted (id_a, id_b, cos) set matches
+    bit-for-bit (parity-tested). Only the skinny surviving pairs ever
+    leave the worker."""
+    import numpy as np
+    import pandas as pd
+
+    from kowari_spark.numerics import round_half_up
+
+    id_type = normed.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos double"
+    # a rounded cos >= t implies the raw cos >= t - 0.5*10^-round_to;
+    # widen by 1e-9 (>> the GEMM's accumulated float error at any sane
+    # dimension) so no expression-engine pair can escape selection
+    margin = (0.5 * 10.0 ** (-round_to) if round_to is not None else 0.0) + 1e-9
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf[vec_col].to_list()).astype(np.float64)
+        nn = pdf["__n"].to_numpy(dtype=np.float64)
+        denom = np.outer(nn, nn)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C = np.where(denom == 0.0, 0.0, (V @ V.T) / denom)
+        ia, ib = np.triu_indices(len(ids), 1)
+        sel = C[ia, ib] >= threshold - margin
+        ia, ib = ia[sel], ib[sel]
+        out_a, out_b, out_c = [], [], []
+        for i, j in zip(ia, ib):
+            # exact rescore: the same sequential fold the expression
+            # engine runs, so the value (and the threshold decision)
+            # is bit-identical
+            acc = 0.0
+            for x, y in zip(V[i], V[j]):
+                acc += x * y
+            c = 0.0 if nn[i] == 0.0 or nn[j] == 0.0 else acc / (nn[i] * nn[j])
+            if round_to is not None:
+                c = round_half_up(c, round_to) + 0.0
+            if c >= threshold:
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+                out_c.append(c)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos": out_c})
+
+    return normed.groupBy("list_id").applyInPandas(score, out_schema)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    ivf=None,
+    round_to: int | None = 6,
+    max_iter_cc: int = 20,
+    scorer: str = "expr",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    semantic deduplication — cluster the corpus with k-means, compare
+    pairs only WITHIN a cluster, connect near-duplicates, keep one
+    representative per component.
+
+    Returns one row per input: (id_col, list_id, rep_id, is_kept) —
+    ``rep_id`` is the min-id member of the row's near-dup component
+    (itself when un-duplicated), ``is_kept`` the survivor flag, so both
+    the keep-filter and the dup-audit read off the same output.
+
+    Spark shape and why it scales: the quadratic step is confined to
+    single clusters — the self-join keys on ``list_id``, so each cell's
+    pair generation is cluster-local work after ONE hash shuffle, never
+    an all-pairs cross join (that confinement is the SemDeDup algorithm
+    itself; size ``n_lists`` so cells fit a task, growing it with the
+    corpus). The k-means fit is the deterministic seeded IVF quantizer
+    (one seeding collect, Lloyd updates shuffling n_lists*d partial
+    sums); vector norms are computed once per row before the join; the
+    assigned+normed relation is lazily checkpointed so the self-join
+    doesn't recompute assignment per side; components use the adaptive
+    CC operator (label propagation with star-contraction fall-through).
+
+    A fitted ``ivf`` (operators/ivf.IVF) can be passed to reuse an
+    existing quantizer; otherwise one is fitted with ``n_lists`` cells,
+    centroids on the 1e-6 decimal grid (cross-engine parity), sampled
+    seeding. Cosines are rounded to ``round_to`` before the threshold
+    compare so the keep/drop decision is engine-portable.
+
+    ``scorer="expr"`` (default) scores pairs with the pure-expression
+    plan (exact SQL oracle); ``scorer="gemm"`` computes each cell's
+    pair matrix as one numpy GEMM in ``applyInPandas`` with an exact
+    sequential-fold rescore of candidates — bit-identical pairs
+    (parity-tested), and the scale path once cells hold thousands of
+    vectors (the interpreted per-pair fold dominates the expr plan).
+    """
+    from kowari_spark.functions.vector import magnitude
+    from kowari_spark.operators.ivf import IVF
+
+    if "list_id" in df.columns:
+        # a prebuilt IVF layout (ivf.load) arrives pre-assigned — reuse
+        # its cells instead of re-running the quantizer expression
+        assigned = df.select(id_col, vec_col, "list_id")
+    else:
+        if ivf is None:
+            ivf = IVF(n_lists=n_lists, round_centroids=6)
+        if ivf.centroids is None:
+            ivf.fit(df, id_col=id_col, vec_col=vec_col)
+        assigned = ivf.with_lists(df.select(id_col, vec_col), vec_col)
+    normed = assigned.select(
+        F.col(id_col),
+        "list_id",
+        F.col(vec_col),
+        magnitude(F.col(vec_col)).alias("__n"),
+    ).localCheckpoint(eager=False)
+
+    if scorer == "gemm":
+        pairs = _semantic_pairs_gemm(
+            normed, float(threshold), id_col, vec_col, round_to
+        )
+    elif scorer == "expr":
+        a = normed.select(
+            "list_id", F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"), F.col("__n").alias("na"),
+        )
+        b = normed.select(
+            "list_id", F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"), F.col("__n").alias("nb"),
+        )
+        cos = _pair_cosine()
+        if round_to is not None:
+            cos = F.round(cos, round_to) + F.lit(0.0)
+        pairs = (
+            a.join(b, "list_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cos.alias("cos"))
+            .filter(F.col("cos") >= F.lit(float(threshold)))
+        )
+    else:
+        raise ValueError(f"scorer must be expr|gemm, got {scorer!r}")
+
+    cc = dedup_clusters(pairs, max_iter_cc)
+    return (
+        normed.select(id_col, "list_id")
+        .join(cc.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            "list_id",
+            F.coalesce("cluster_id", F.col(id_col)).alias("rep_id"),
+            (F.coalesce("cluster_id", F.col(id_col)) == F.col(id_col)).alias(
+                "is_kept"
+            ),
+        )
+    )

@@ -40,6 +40,40 @@ def word_ngrams(text, n: int) -> Column:
     )
 
 
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level heavy hitters: the ``k`` most frequent word
+    ``n``-grams with their occurrence and document counts — the
+    boilerplate-discovery / contamination-triage view of a corpus
+    ("which exact phrases dominate my crawl?").
+
+    Shape: one explode, one ``groupBy(gram)`` whose shuffle carries
+    partial (count, distinct-doc) aggregates — the distinct-doc side
+    pre-reduces per (gram, doc) first so the wide shuffle carries one
+    row per (gram, doc), not per occurrence — then
+    orderBy(...).limit(k) = TakeOrderedAndProject, never a global sort.
+    Ties break on the gram string, so the result is total-ordered."""
+    occ = df.select(
+        F.col(id_col).alias("__d"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    per_doc = occ.groupBy("gram", "__d").agg(F.count("*").alias("__c"))
+    return (
+        per_doc.groupBy("gram")
+        .agg(
+            F.sum("__c").alias("occurrences"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy(F.desc("occurrences"), F.col("gram"))
+        .limit(k)
+    )
+
+
 def _repetition_arrow(
     df: DataFrame, text_col: str, id_col: str, top_n: int, dup_n: int
 ) -> DataFrame:

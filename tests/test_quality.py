@@ -89,3 +89,31 @@ def test_arrow_engine_plan_is_shuffle_free(spark, docs):
 def test_engine_validation(docs):
     with pytest.raises(ValueError, match="engine"):
         repetition_stats(docs, engine="gemm")
+
+
+# -- corpus heavy hitters ----------------------------------------------------
+
+def test_top_ngrams_counts_and_order(spark):
+    from kowari_spark.operators.quality import top_ngrams
+
+    rows = [
+        (0, "a b a b a b"),   # "a b" x3, "b a" x2
+        (1, "a b c"),         # "a b", "b c"
+        (2, "x"),             # too short: no bigram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = top_ngrams(df, n=2, k=10).collect()
+    assert [r["gram"] for r in out[:2]] == ["a b", "b a"]
+    top = out[0]
+    assert top["occurrences"] == 4 and top["n_docs"] == 2
+    # ties (occurrences=1) break on the gram string
+    one = [r["gram"] for r in out if r["occurrences"] == 1]
+    assert one == sorted(one)
+
+
+def test_top_ngrams_is_take_ordered(spark):
+    from kowari_spark.operators.quality import top_ngrams
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = top_ngrams(df, 2, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

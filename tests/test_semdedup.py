@@ -1,0 +1,110 @@
+"""SemDeDup semantic dedup (operators/dedup.semantic_dedup)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kowari_spark.operators.dedup import semantic_dedup
+from kowari_spark.operators.ivf import IVF
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    # two tight direction-clusters plus one loner
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),
+        (2, [0.998, 0.02, 0.0]),
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 0.999, 0.01]),
+        (20, [0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_clusters_keep_min_id_representative(clustered):
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            clustered, threshold=0.99, n_lists=2, ivf=IVF(n_lists=2, round_centroids=6)
+        ).collect()
+    }
+    assert len(out) == 6
+    # 0,1,2 collapse to rep 0; 10,11 to rep 10; 20 survives alone
+    assert out[0]["rep_id"] == 0 and out[0]["is_kept"]
+    assert out[1]["rep_id"] == 0 and not out[1]["is_kept"]
+    assert out[2]["rep_id"] == 0 and not out[2]["is_kept"]
+    assert out[10]["rep_id"] == 10 and out[10]["is_kept"]
+    assert out[11]["rep_id"] == 10 and not out[11]["is_kept"]
+    assert out[20]["rep_id"] == 20 and out[20]["is_kept"]
+
+
+def test_kept_set_equals_distinct_reps(clustered):
+    out = semantic_dedup(
+        clustered, threshold=0.99, ivf=IVF(n_lists=2, round_centroids=6)
+    )
+    kept = sorted(r["vec_id"] for r in out.filter("is_kept").collect())
+    reps = sorted(r["rep_id"] for r in out.select("rep_id").distinct().collect())
+    assert kept == reps
+
+
+def test_preassigned_layout_skips_quantizer(clustered):
+    """A df that already carries list_id (a loaded IVF layout) is used
+    as-is — no ivf needed, no fit jobs."""
+    pre = clustered.withColumn(
+        "list_id", (F.col("vec_id") >= 10).cast("int")
+    )
+    out = {
+        r["vec_id"]: r["rep_id"]
+        for r in semantic_dedup(pre, threshold=0.99).collect()
+    }
+    assert out[1] == 0 and out[11] == 10 and out[20] == 20
+
+
+def test_pair_join_is_cluster_local(clustered):
+    pre = clustered.withColumn("list_id", (F.col("vec_id") >= 10).cast("int"))
+    plan = (
+        semantic_dedup(pre, threshold=0.99)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_cell_near_dups_not_connected(spark):
+    """Near-identical vectors split across cells are NOT paired — the
+    documented approximation of cluster-local comparison."""
+    rows = [(0, [1.0, 0.0]), (1, [0.999, 0.001])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pre = df.withColumn("list_id", F.col("vec_id").cast("int"))
+    out = {r["vec_id"]: r for r in semantic_dedup(pre, threshold=0.9).collect()}
+    assert out[0]["is_kept"] and out[1]["is_kept"]
+
+
+def test_gemm_scorer_parity_with_expr(spark, sf_dir):
+    """The GEMM cell scorer must reproduce the expression engine's
+    output bit-for-bit on the real embeddings table (margin-select +
+    exact sequential rescore)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf = IVF(n_lists=8, max_iter=2, seed=42, round_centroids=6)
+    ivf.fit(emb, id_col="vec_id")
+    kw = dict(threshold=0.3, id_col="vec_id", ivf=ivf)
+    a = semantic_dedup(emb, scorer="expr", **kw).toPandas().sort_values("vec_id")
+    b = semantic_dedup(emb, scorer="gemm", **kw).toPandas().sort_values("vec_id")
+    assert a.values.tolist() == b.values.tolist()
+
+
+def test_gemm_scorer_zero_norm_guard(spark):
+    rows = [
+        (0, [0.0, 0.0]), (1, [0.0, 0.0]),  # zero vectors: cos defined 0.0
+        (2, [1.0, 0.0]), (3, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pre = df.withColumn("list_id", F.lit(0))
+    out = {r["vec_id"]: r for r in semantic_dedup(pre, 0.9, scorer="gemm").collect()}
+    # zero-norm pairs score 0.0 (never dup); identical unit vectors pair up
+    assert out[0]["is_kept"] and out[1]["is_kept"]
+    assert out[2]["is_kept"] and out[3]["rep_id"] == 2
+
+
+def test_bad_scorer_rejected(clustered):
+    with pytest.raises(ValueError):
+        semantic_dedup(clustered, 0.5, ivf=IVF(n_lists=2), scorer="nope")
