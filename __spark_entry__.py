@@ -1668,13 +1668,16 @@ def q_doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is the `doc_id % 17 == 0` slice of the corpus itself, so the
     row pins both branches: eval members are fully self-contaminated
     (contam_frac = 1) and the rest exercise the no-match path; docs
-    under 13 tokens take the whole-text fallback gram. Eval gram hashes
-    broadcast; the only shuffle is the per-doc count."""
+    under 13 tokens take the whole-text fallback gram. The contract
+    runs the ARROW engine — the shuffle-free mapInPandas scale path
+    (eval hashes broadcast into the workers, corpus side row-local) —
+    bit-identical to the expression plan whose equivalence is pinned by
+    tests/test_decontam.py::test_arrow_engine_parity."""
     from kowari_spark.operators.decontam import ngram_decontaminate
 
     docs = _t(spark, sf_dir, "documents")
     eval_df = docs.filter(F.col("doc_id") % 17 == 0)
-    return ngram_decontaminate(docs, eval_df, n=13)
+    return ngram_decontaminate(docs, eval_df, n=13, engine="arrow")
 
 
 def _oracle_doc_decontam() -> str:

@@ -42,6 +42,89 @@ def contamination_grams(text, n: int) -> Column:
     return F.when(F.size(grams) > 0, grams).otherwise(F.array(_c(text)))
 
 
+def _eval_gram_hashes(eval_df: DataFrame, eval_text: str, n: int) -> DataFrame:
+    """Distinct portable 64-bit hashes of the eval set's grams."""
+    return (
+        eval_df.select(
+            F.explode(contamination_grams(F.col(eval_text), n)).alias("__g")
+        )
+        .select(base_hash64(F.col("__g")).alias("__h"))
+        .distinct()
+    )
+
+
+def _decontam_arrow(
+    docs: DataFrame,
+    eval_hashes: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+) -> DataFrame:
+    """Arrow-batched engine: the benchmark gram-hash set is tiny by the
+    operator's own premise, so it collects ONCE and broadcasts into the
+    Python workers; each document's gram set, membership counts and
+    fraction are then ROW-LOCAL — the whole corpus side is one
+    ``mapInPandas`` pass with ZERO shuffles and zero joins (the
+    expression engine explodes ~tokens interpreted-lambda gram strings
+    per document and shuffles the per-doc counts). Values are
+    bit-identical to the expression engine: same md5-prefix hash, same
+    whole-text fallback for short docs, integer counts, same IEEE
+    division and decimal HALF_UP rounding (parity-tested)."""
+    import hashlib
+
+    import pandas as pd
+
+    from kowari_spark.numerics import round_half_up
+
+    hashes = frozenset(r["__h"] for r in eval_hashes.collect())
+    bc = docs.sparkSession.sparkContext.broadcast(hashes)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, contam_grams long, total_grams long, "
+        f"contam_frac double, is_contaminated boolean"
+    )
+
+    def h64(s: str) -> int:
+        # base_hash64: first 15 hex chars of md5 as int64
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def score(batches):
+        hs = bc.value
+        for pdf in batches:
+            cg, tg, fr, flag = [], [], [], []
+            for text in pdf[text_col]:
+                if text is None:
+                    # expression semantics: array(NULL) explodes to one
+                    # NULL gram whose NULL hash never matches
+                    c, t = 0, 1
+                else:
+                    toks = text.split(" ")
+                    if len(toks) >= n:
+                        grams = {
+                            " ".join(toks[i : i + n])
+                            for i in range(len(toks) - n + 1)
+                        }
+                    else:
+                        grams = {text}
+                    t = len(grams)
+                    c = sum(1 for g in grams if h64(g) in hs)
+                cg.append(c)
+                tg.append(t)
+                fr.append(round_half_up(c / t, 6) + 0.0 if t else 0.0)
+                flag.append(c > 0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "contam_grams": cg,
+                    "total_grams": tg,
+                    "contam_frac": fr,
+                    "is_contaminated": flag,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(score, schema)
+
+
 def ngram_decontaminate(
     docs: DataFrame,
     eval_df: DataFrame,
@@ -50,6 +133,7 @@ def ngram_decontaminate(
     eval_text_col: str | None = None,
     n: int = 13,
     broadcast_eval: bool = True,
+    engine: str = "expr",
 ) -> DataFrame:
     """Flag corpus documents that share any word ``n``-gram with the
     evaluation set.
@@ -66,15 +150,20 @@ def ngram_decontaminate(
     hashes — correct whenever the benchmark set is small relative to
     the corpus, which is the decontamination regime; pass ``False`` to
     let the planner shuffle both sides for a genuinely huge eval set.
+
+    ``engine="expr"`` (default) is the pure-expression plan with the
+    exact SQL oracle; ``engine="arrow"`` computes identical values
+    shuffle-free in ``mapInPandas`` (see :func:`_decontam_arrow`) —
+    the gram construction through interpreted ``transform`` lambdas
+    dominates the expression plan at scale, the same boundary the
+    repetition filters' Arrow engine sits behind.
     """
     eval_text = eval_text_col or text_col
-    eval_grams = (
-        eval_df.select(
-            F.explode(contamination_grams(F.col(eval_text), n)).alias("__g")
-        )
-        .select(base_hash64(F.col("__g")).alias("__h"))
-        .distinct()
-    )
+    eval_grams = _eval_gram_hashes(eval_df, eval_text, n)
+    if engine == "arrow":
+        return _decontam_arrow(docs, eval_grams, text_col, id_col, n)
+    if engine != "expr":
+        raise ValueError(f"engine must be expr|arrow, got {engine!r}")
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
 

@@ -816,22 +816,28 @@ def _semantic_pairs_gemm(
         ia, ib = np.triu_indices(len(ids), 1)
         sel = C[ia, ib] >= threshold - margin
         ia, ib = ia[sel], ib[sel]
-        out_a, out_b, out_c = [], [], []
-        for i, j in zip(ia, ib):
-            # exact rescore: the same sequential fold the expression
-            # engine runs, so the value (and the threshold decision)
-            # is bit-identical
-            acc = 0.0
-            for x, y in zip(V[i], V[j]):
-                acc += x * y
-            c = 0.0 if nn[i] == 0.0 or nn[j] == 0.0 else acc / (nn[i] * nn[j])
-            if round_to is not None:
-                c = round_half_up(c, round_to) + 0.0
-            if c >= threshold:
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-                out_c.append(c)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos": out_c})
+        if len(ia) == 0:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0],
+                                 "cos": np.zeros(0)})
+        # exact rescore of the candidates: accumulate dimension-by-
+        # dimension (one vectorized elementwise op per dim), which is
+        # the SAME sequential left fold the expression engine runs —
+        # each candidate's value is bit-identical to aggregate(zip_with)
+        acc = np.zeros(len(ia), dtype=np.float64)
+        for d in range(V.shape[1]):
+            acc += V[ia, d] * V[ib, d]
+        dsel = nn[ia] * nn[ib]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where((nn[ia] == 0.0) | (nn[ib] == 0.0), 0.0, acc / dsel)
+        if round_to is not None:
+            cos = np.fromiter(
+                (round_half_up(float(c), round_to) + 0.0 for c in cos),
+                dtype=np.float64, count=len(cos),
+            )
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos": cos[keep]}
+        )
 
     return normed.groupBy("list_id").applyInPandas(score, out_schema)
 

@@ -102,3 +102,35 @@ ORDER BY doc_id
         .toPandas()
     )
     assert got.astype("int64").values.tolist() == expected.astype("int64").values.tolist()
+
+
+def test_arrow_engine_parity(spark, corpus, eval_set, sf_dir):
+    """engine='arrow' must reproduce the expression engine bit-for-bit
+    — handcrafted corpus AND the real documents table."""
+    a = ngram_decontaminate(corpus, eval_set, n=13).toPandas().sort_values("doc_id")
+    b = (
+        ngram_decontaminate(corpus, eval_set, n=13, engine="arrow")
+        .toPandas().sort_values("doc_id")
+    )
+    assert a.values.tolist() == b.values.tolist()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    a = ngram_decontaminate(docs, ev, n=13).toPandas().sort_values("doc_id")
+    b = (
+        ngram_decontaminate(docs, ev, n=13, engine="arrow")
+        .toPandas().sort_values("doc_id")
+    )
+    assert a.values.tolist() == b.values.tolist()
+
+
+def test_arrow_engine_is_shuffle_free(corpus, eval_set):
+    plan = (
+        ngram_decontaminate(corpus, eval_set, n=13, engine="arrow")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_bad_engine_rejected(corpus, eval_set):
+    with pytest.raises(ValueError):
+        ngram_decontaminate(corpus, eval_set, engine="nope")

@@ -286,6 +286,69 @@ def _run_suite(
             s, r = timed(lambda: rep("arrow"))
             rec("doc_repetition_arrow", s, r)
 
+    if want("doc_decontam") or want("doc_decontam_arrow"):
+        # eval/benchmark sets do NOT grow with the corpus: fixed
+        # 500-doc eval slice at every multiplier, so this measures the
+        # corpus-side gram scaling (expr: explode + broadcast semi;
+        # arrow: shuffle-free row-local counting, parity-tested)
+        from kowari_spark.operators.decontam import ngram_decontaminate
+
+        eval_df = docs.filter(F.col("doc_id") < 500)
+
+        def dec(engine):
+            return int(ngram_decontaminate(
+                docs, eval_df, n=13, engine=engine
+            ).agg(F.count("*").alias("n"), F.sum("contam_grams"),
+                  F.sum("total_grams")).collect()[0]["n"])
+
+        if want("doc_decontam"):
+            s, r = timed(lambda: dec("expr"))
+            rec("doc_decontam", s, r)
+        if want("doc_decontam_arrow"):
+            s, r = timed(lambda: dec("arrow"))
+            rec("doc_decontam_arrow", s, r)
+
+    if want("doc_bm25"):
+        from kowari_spark.operators.search import bm25_search
+
+        s, r = timed(lambda: len(bm25_search(
+            docs, "vector hash join batch", k=10).collect()))
+        rec("doc_bm25", s, r)
+
+    if want("doc_top_bigrams"):
+        from kowari_spark.operators.quality import top_ngrams
+
+        s, r = timed(lambda: len(top_ngrams(docs, n=2, k=20).collect()))
+        rec("doc_top_bigrams", s, r)
+
+    if want("doc_mixture_sample"):
+        from kowari_spark.operators.sampling import mixture_sample
+
+        s, r = timed(lambda: mixture_sample(
+            docs, "lang", {"en": 0.5, "de": 0.2, "es": 0.15, "fr": 0.15},
+            seed=7,
+        ).count())
+        rec("doc_mixture_sample", s, r)
+
+    if want("semantic_dedup"):
+        # SemDeDup at scale: cells must stay task-sized, so n_lists
+        # grows with the corpus (sqrt growth like the partitions);
+        # GEMM cell scorer; round_to=None skips the per-pair decimal
+        # rounding only the SQL oracle needs. NOTE the derived
+        # embeddings are M jittered copies of each original, so dup
+        # FAMILIES grow with M (pair count is family-quadratic) — a
+        # real corpus has small families; treat this line as a
+        # worst-case, not linear-growth evidence.
+        from kowari_spark.operators.dedup import semantic_dedup
+
+        nl = max(16, int(16 * (mult ** 0.5)))
+        sivf = IVF(n_lists=nl, n_probe=1, max_iter=2, seed=42)
+        s, r = timed(lambda: semantic_dedup(
+            emb, threshold=0.5, id_col="vec_id", ivf=sivf,
+            scorer="gemm", round_to=None,
+        ).filter("NOT is_kept").count())
+        rec("semantic_dedup", s, r)
+
     if want("doc_minhash_pairs") or want("doc_dup_clusters"):
         pairs = minhash_dedup_pairs(docs, threshold=0.5)
         if want("doc_minhash_pairs"):
