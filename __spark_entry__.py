@@ -1339,6 +1339,44 @@ SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id ORDER BY id
 """
 
 
+def q_doc_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION applied (operators/dedup.
+    dedup_keep_representatives): the surviving corpus after dropping
+    every minhash-near-dup cluster member except its min-id
+    representative — what a pipeline actually writes out. Composition
+    of oracle-verified pieces: banded minhash pairs -> adaptive CC ->
+    left-anti join of the losers."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
+    return (
+        D.dedup_keep_representatives(docs, pairs)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_doc_dedup_keep() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT s AS id, s AS label FROM edges
+  UNION
+  SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.id
+),
+lab AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+LEFT JOIN lab l ON l.id = d.doc_id
+WHERE l.id IS NULL OR l.cluster_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_doc_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full text->vector->search pipeline: feature-hashed document
     embeddings (functions/text.hashed_embedding, model-free) ranked by
@@ -2237,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_dedup_keep": q_doc_dedup_keep,
         "doc_text_knn": q_doc_text_knn,
         "doc_simhash_near": q_doc_simhash_near,
         "doc_winnow_pairs": q_doc_winnow_pairs,
@@ -2298,6 +2337,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_exact_dedup": _ORACLE_DOC_EXACT_DEDUP,
         "doc_minhash_pairs": _oracle_doc_minhash_pairs(),
         "doc_dup_clusters": _oracle_doc_dup_clusters(),
+        "doc_dedup_keep": _oracle_doc_dedup_keep(),
         "doc_text_knn": _oracle_doc_text_knn(),
         "doc_simhash_near": _oracle_doc_simhash_near(),
         "doc_winnow_pairs": _oracle_doc_winnow_pairs(),

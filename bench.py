@@ -214,6 +214,26 @@ def quality_gates(spark, sf_dir) -> dict:
     out["recall_hnsw_at_10"] = round(
         mean_metric(recall_at_k(exact, hres, 10, id_col="vec_id"), "recall"), 4
     )
+    # SemDeDup pair recall: cluster-local comparison misses cross-cell
+    # pairs by design — publish the measured fraction of exact all-pairs
+    # near-dups (cos >= 0.3) recovered within cells, next to the cell
+    # count that bought the quadratic confinement
+    from kowari_spark.operators.dedup import embedding_near_dups, semantic_dedup
+
+    sivf = IVF(n_lists=16, n_probe=1, max_iter=3, seed=42, round_centroids=6)
+    sd = semantic_dedup(base, threshold=0.3, id_col="vec_id", ivf=sivf)
+    # recovered pairs: (loser, rep) edges transitively imply membership;
+    # count exact pairs whose two ends landed in the same component
+    comp = sd.select(F.col("vec_id").alias("id"), F.col("rep_id"))
+    ex_pairs = embedding_near_dups(base, threshold=0.3, id_col="vec_id", round_to=6)
+    la = comp.withColumnRenamed("id", "id_a").withColumnRenamed("rep_id", "ra")
+    lb = comp.withColumnRenamed("id", "id_b").withColumnRenamed("rep_id", "rb")
+    joined = ex_pairs.join(la, "id_a").join(lb, "id_b")
+    n_pairs = joined.count()
+    out["semdedup_pair_recall"] = round(
+        joined.filter(F.col("ra") == F.col("rb")).count() / max(n_pairs, 1), 4
+    )
+    out["semdedup_n_lists"] = 16
     return out
 
 

@@ -41,6 +41,43 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"dedup: {n} docs -> {kept.count()} after near-dup removal "
           f"({pairs.count()} verified pairs)")
 
+    # -- curation: decontaminate, quality-filter, scrub, re-mix, pack ----
+    from kowari_spark.operators.decontam import ngram_decontaminate
+    from kowari_spark.operators.pack import pack_documents
+    from kowari_spark.operators.pii import pii_scrub
+    from kowari_spark.operators.quality import repetition_stats, top_ngrams
+    from kowari_spark.operators.sampling import mixture_sample
+    from kowari_spark.operators.search import bm25_search
+
+    eval_df = docs.filter(F.col("doc_id") % 17 == 0)  # stand-in benchmark
+    clean = (
+        kept.join(
+            ngram_decontaminate(kept, eval_df, n=13, engine="arrow")
+            .filter(~F.col("is_contaminated")).select("doc_id"),
+            "doc_id",
+        )
+        .join(
+            repetition_stats(kept, engine="arrow")
+            .filter(F.col("dup5gram_frac") < 0.3).select("doc_id"),
+            "doc_id",
+        )
+    )
+    clean = pii_scrub(clean).withColumn("text", F.col("scrubbed"))
+    print(f"curation: {kept.count()} -> {clean.count()} after "
+          "decontamination + repetition filter")
+    mixed = mixture_sample(clean, "lang", {"en": 0.6, "de": 0.2, "es": 0.2})
+    print("mixture:", sorted(
+        (r["lang"], r["count"])
+        for r in mixed.groupBy("lang").count().collect()))
+    packed = pack_documents(mixed, budget=512, num_streams=8)
+    print("packing: ", packed.agg(
+        F.max("last_chunk").alias("chunks"),
+        F.sum("n_tokens").alias("tokens")).first())
+    print("top bigrams:", [r["gram"] for r in top_ngrams(mixed, 2, 3).collect()])
+    print("bm25('hash join'):", [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_search(mixed, "hash join", k=3).collect()])
+
     # -- model-free embeddings into the SAME search operators ------------
     embedded = hashed_embeddings(kept, "text", "doc_id", dim=32).cache()
     qvec = [float(x) for x in embedded.first()["embedding"]]

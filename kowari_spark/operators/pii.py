@@ -41,10 +41,12 @@ def pii_scrub(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Scrubbed text + per-kind redaction counts, one row per document:
-    (id, scrubbed, n_url, n_email, n_phone). Counts are taken on the
-    text state each pattern actually sees (post the previous
-    replacements), so ``n_*`` equals the number of placeholders that
-    pattern inserted."""
+    (id, <other input columns>, scrubbed, n_url, n_email, n_phone).
+    Counts are taken on the text state each pattern actually sees (post
+    the previous replacements), so ``n_*`` equals the number of
+    placeholders that pattern inserted. Non-text input columns pass
+    through untouched (still one codegen projection), so the operator
+    slots mid-pipeline without a re-join."""
     cur = F.col(text_col)
     counts = []
     for name, pat, _tok in PII_PATTERNS:
@@ -54,4 +56,7 @@ def pii_scrub(
             .alias(f"n_{name}")
         )
         cur = F.regexp_replace(cur, pat, _tok)
-    return df.select(F.col(id_col), cur.alias("scrubbed"), *counts)
+    passthrough = [c for c in df.columns if c not in (id_col, text_col)]
+    return df.select(
+        F.col(id_col), *passthrough, cur.alias("scrubbed"), *counts
+    )
