@@ -2231,6 +2231,32 @@ FROM embeddings ORDER BY media_id
 """
 
 
+def q_media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-duplicate pairs (operators/multimodal.media_phash +
+    media_near_dups): 40 deterministic KWM images plus exact copies of
+    the first 20 under shifted ids; dHash fingerprints, banded Hamming
+    join (bands > max_hamming => candidate generation is exact by
+    pigeonhole), xor+bit_count verification. Every (i, i+1000) copy
+    pair must surface at hamming 0. Binary decode isn't
+    SQL-expressible, so this row is rows-only checked; the band-join
+    exactness is pinned against brute force in
+    tests/test_media_dedup.py."""
+    from kowari_spark.operators.multimodal import media_near_dups, synth_media
+
+    ids = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 40)
+        .select(F.col("vec_id").alias("media_id"))
+    )
+    media = synth_media(ids, kind="image", width=32, height=24)
+    copies = media.filter(F.col("media_id") < 20).withColumn(
+        "media_id", F.col("media_id") + 1000
+    )
+    return media_near_dups(
+        media.unionByName(copies), max_hamming=0
+    ).orderBy("id_a", "id_b")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2295,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "embedding_semantic_dedup": q_embedding_semantic_dedup,
         "media_pipeline": q_media_pipeline,
+        "media_near_dups": q_media_near_dups,
         "similarity_join": q_similarity_join,
         "filtered_knn": q_filtered_knn,
         "lsh_recall_at_10": q_lsh_recall_at_10,

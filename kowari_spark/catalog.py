@@ -300,6 +300,26 @@ class Collection:
             dim=self.dimension, hasher=hasher,
         )
 
+    def semantic_dedup(
+        self,
+        threshold: float,
+        n_lists: int = 16,
+        ivf=None,
+        round_to: int | None = 6,
+        scorer: str = "expr",
+    ) -> DataFrame:
+        """SemDeDup over the collection (operators/dedup.semantic_dedup):
+        (id, list_id, rep_id, is_kept) — cluster with the IVF quantizer,
+        compare cosines cluster-locally, keep the min-id representative
+        per near-dup component. A fitted ``ivf`` (e.g. the collection's
+        existing search index) reuses its cells."""
+        from kowari_spark.operators.dedup import semantic_dedup
+
+        return semantic_dedup(
+            self.df(), threshold, id_col="id", vec_col="embedding",
+            n_lists=n_lists, ivf=ivf, round_to=round_to, scorer=scorer,
+        )
+
     # -- writes ----------------------------------------------------------
 
     def _validate_dims(self, df: DataFrame) -> None:

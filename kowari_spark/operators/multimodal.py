@@ -317,3 +317,119 @@ def frame_sample(
             yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"), "media": out})
 
     return df.select(id_col, media_col).mapInPandas(sample, MEDIA_SCHEMA)
+
+
+# -- perceptual hashing / media near-dup ------------------------------------
+
+def _dhash_frame(px: np.ndarray, hash_size: int) -> int:
+    """dHash (difference hash) of one luma frame: block-mean the frame
+    to a (hash_size x hash_size+1) grid, set bit (r, c) when
+    grid[r, c] > grid[r, c+1]. Gradient signs survive brightness /
+    contrast shifts and approximate rescaling (block boundaries shift
+    slightly when hash_size+1 doesn't divide the width, so a resized
+    copy lands a few bits away, not bit-identical — which is what the
+    Hamming-ball join is for), the standard cheap near-dup fingerprint
+    for images. Pure deterministic numpy; returns a signed 64-bit int
+    (bit pattern wrapped) so the value lands in a Spark long."""
+    rows = np.array_split(px.astype(np.float64), hash_size, axis=0)
+    grid = np.stack(
+        [
+            np.array([c.mean() for c in np.array_split(r, hash_size + 1, axis=1)])
+            for r in rows
+        ]
+    )
+    bits = grid[:, :-1] > grid[:, 1:]
+    v = 0
+    for i, b in enumerate(bits.flatten()):
+        if b:
+            v |= 1 << i
+    return int(np.uint64(v).astype(np.int64))
+
+
+def media_phash(
+    df: DataFrame, media_col: str = "media", id_col: str = "media_id",
+    codec: str = "kwm", hash_size: int = 8, frame: int = 0,
+) -> DataFrame:
+    """Per-media perceptual fingerprint: (media_id, kind, phash) with
+    ``phash`` the 64-bit dHash of frame ``frame`` (hash_size=8).
+    Arrow-batched decode, no shuffle — one narrow pass."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("kind", StringType()),
+            StructField("phash", LongType()),
+        ]
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, hashes = [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+                kind, _w, _h, n, px = _decode_blob(bytes(blob), codec)
+                f = px[min(frame, n - 1)]
+                ids.append(int(mid))
+                kinds.append(kind)
+                hashes.append(_dhash_frame(f, hash_size))
+            yield pd.DataFrame({"media_id": ids, "kind": kinds, "phash": hashes})
+
+    return df.select(id_col, media_col).mapInPandas(extract, schema)
+
+
+def media_near_dups(
+    df: DataFrame, media_col: str = "media", id_col: str = "media_id",
+    codec: str = "kwm", hash_size: int = 8, max_hamming: int = 6,
+    bands: int = 8,
+) -> DataFrame:
+    """Visual near-duplicate pairs: (id_a, id_b, hamming) where the
+    dHash Hamming distance is <= ``max_hamming``.
+
+    Scale shape — banded LSH on the fingerprint, the same idea as the
+    MinHash band join: the 64-bit hash splits into ``bands`` equal
+    bands and candidate pairs form only inside a matching (band index,
+    band value) bucket; by pigeonhole any pair within Hamming
+    ``bands - 1`` differs in fewer bands than exist, so it MUST agree
+    on at least one band — with the default bands=8 > max_hamming=6
+    the candidate generation is exact (no missed pairs), never an
+    all-pairs join. Verification is a native xor+bit_count filter.
+    The fingerprint pass is lazily checkpointed so the self-join reads
+    it once."""
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} must exceed max_hamming={max_hamming} for "
+            "exact candidate generation (pigeonhole)"
+        )
+    nbits = hash_size * hash_size
+    if nbits % bands:
+        raise ValueError(f"{nbits} hash bits don't split into {bands} bands")
+    w = nbits // bands
+    mask = (1 << w) - 1
+
+    ph = media_phash(df, media_col, id_col, codec, hash_size).localCheckpoint(
+        eager=False
+    )
+    band_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col("phash"), i * w).bitwiseAND(F.lit(mask))
+            for i in range(bands)
+        ]
+    )
+    banded = ph.select(
+        F.col(id_col), F.col("phash"), F.posexplode(band_arr).alias("band", "val")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("phash").alias("ph_a"), "band", "val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("phash").alias("ph_b"), "band", "val"
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

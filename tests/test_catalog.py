@@ -304,3 +304,22 @@ def test_txn_id_makes_append_idempotent(spark, tmp_path):
         )
         c.add_df(batch2, txn_id="ckpt:1")
         assert c.count() == 3, mode
+
+
+def test_collection_semantic_dedup(mgr):
+    """Collection.semantic_dedup: clustered near-identical vectors
+    collapse to the lexicographic-min representative."""
+    from kowari_spark.operators.ivf import IVF
+
+    c = mgr.create_collection("semdup", 4)
+    c.add([1.0, 0.0, 0.0, 0.0], id="a")
+    c.add([1.0, 0.001, 0.0, 0.0], id="b")
+    c.add([0.0, 0.0, 1.0, 0.0], id="far")
+    out = {
+        r["id"]: r
+        for r in c.semantic_dedup(
+            threshold=0.99, ivf=IVF(n_lists=2, round_centroids=6)
+        ).collect()
+    }
+    assert out["a"]["is_kept"] and out["b"]["rep_id"] == "a"
+    assert not out["b"]["is_kept"] and out["far"]["is_kept"]

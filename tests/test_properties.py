@@ -100,3 +100,98 @@ def test_normalize_is_unit_or_zero(spark, batch):
             assert r["nm"] == 0.0
         else:
             assert r["nm"] == pytest.approx(1.0, abs=1e-9)
+
+
+# -- round-6 operator properties ---------------------------------------------
+
+words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+    min_size=1, max_size=20,
+)
+docs_strategy = st.lists(words, min_size=1, max_size=8)
+
+
+@settings(max_examples=5, deadline=None)
+@given(batch=docs_strategy)
+def test_decontam_self_eval_is_total(spark, batch):
+    """Any corpus decontaminated against ITSELF is fully contaminated:
+    every document's grams are in the eval set by construction."""
+    from kowari_spark.operators.decontam import ngram_decontaminate
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(batch)],
+        "doc_id long, text string",
+    )
+    out = ngram_decontaminate(df, df, n=3).collect()
+    assert all(r["is_contaminated"] for r in out)
+    assert all(r["contam_frac"] == 1.0 for r in out)
+
+
+@settings(max_examples=5, deadline=None)
+@given(batch=docs_strategy)
+def test_decontam_engines_agree(spark, batch):
+    from kowari_spark.operators.decontam import ngram_decontaminate
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(batch)],
+        "doc_id long, text string",
+    )
+    ev = df.filter(F.col("doc_id") % 2 == 0)
+    a = sorted(map(tuple, ngram_decontaminate(df, ev, n=3).collect()))
+    b = sorted(map(tuple, ngram_decontaminate(df, ev, n=3, engine="arrow").collect()))
+    assert a == b
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]), st.integers(1, 40),
+        min_size=2, max_size=3,
+    ),
+    weights=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.floats(0.1, 1.0, allow_nan=False),
+        min_size=2, max_size=3,
+    ),
+)
+def test_mixture_rates_laws(spark, counts, weights):
+    """Rates are in (0, 1], the scarcest-demand stratum is used in
+    full, and expected kept counts hit the target ratios."""
+    from kowari_spark.operators.sampling import mixture_rates
+
+    rows, i = [], 0
+    for s, c in counts.items():
+        for _ in range(c):
+            rows.append((i, s))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {r["stratum"]: r for r in mixture_rates(df, "lang", weights).collect()}
+    present = set(counts) & set(weights)
+    assert set(got) == present
+    lam = min(counts[s] / weights[s] for s in present)
+    for s in present:
+        r = got[s]["rate"]
+        assert 0.0 < r <= 1.0
+        # expected kept = lam * w_s (the target mixture share)
+        assert math.isclose(r * counts[s], lam * weights[s], rel_tol=1e-9)
+    assert any(math.isclose(got[s]["rate"], 1.0) for s in present)
+
+
+@settings(max_examples=5, deadline=None)
+@given(batch=docs_strategy)
+def test_bm25_scores_positive_and_ranked(spark, batch):
+    from kowari_spark.operators.search import bm25_search
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(batch)],
+        "doc_id long, text string",
+    )
+    out = bm25_search(df, "alpha beta", k=10).collect()
+    scores = [r["bm25"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # only documents containing a query term appear
+    matching = {
+        i for i, ws in enumerate(batch) if {"alpha", "beta"} & set(ws)
+    }
+    assert {r["doc_id"] for r in out} <= matching
