@@ -1614,6 +1614,38 @@ FROM c
 """
 
 
+def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram surprisal (operators/quality.unigram_surprisal): each
+    document's mean ln-probability under the corpus's own unigram model
+    — the model-free CCNet-style perplexity quality proxy. Per-token
+    log-probs round to 9 decimals (ln() parity) and fold in position
+    order, so the value is engine-exact."""
+    from kowari_spark.operators.quality import unigram_surprisal
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_surprisal(docs)
+
+
+_ORACLE_DOC_SURPRISAL = """
+WITH tok AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tk
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+vocab AS (SELECT tk, COUNT(*) AS c FROM tok GROUP BY 1),
+total AS (SELECT SUM(c) AS tot FROM vocab),
+lp AS (
+  SELECT doc_id, pos, ROUND(LN(CAST(c AS DOUBLE) / tot), 9) AS logp
+  FROM tok JOIN vocab USING (tk) CROSS JOIN total)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(list_reduce(
+               list_concat([0.0], list_transform(
+                 list_sort(list({'p': pos, 'l': logp})), x -> x.l)),
+               (a, b) -> a + b) / COUNT(*), 6) + 0.0 AS mean_logprob
+FROM lp
+GROUP BY doc_id
+"""
+
+
 def q_doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus heavy hitters (operators/quality.top_ngrams): the 20 most
     frequent word bigrams with occurrence + document counts — the
@@ -1641,6 +1673,37 @@ LIMIT 20
 
 
 _MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "es": 0.15, "fr": 0.15}
+
+
+_BM25_BATCH = {"qa": "vector hash join batch", "qb": "filter scan", "qc": "merge sort"}
+
+
+def q_doc_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 (operators/search.bm25_search_batch): three queries
+    share ONE corpus pass — the union of query terms drives one fused
+    matching projection, the (query, term) relation broadcasts, scores
+    fold in sorted term order (bit-identical per query to the single
+    path, parity-tested), window top-10 per query."""
+    from kowari_spark.operators.search import bm25_search_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_search_batch(docs, _BM25_BATCH, k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _oracle_doc_bm25_batch() -> str:
+    from kowari_spark.operators.search import bm25_oracle_sql
+
+    parts = []
+    for qid, q in _BM25_BATCH.items():
+        single = bm25_oracle_sql(q, k=10)
+        parts.append(
+            f"SELECT '{qid}' AS query_id, doc_id, bm25, n_terms,\n"
+            f"       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)"
+            f" AS rank\nFROM ({single})"
+        )
+    return "\nUNION ALL\n".join(parts)
 
 
 def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2312,8 +2375,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_chunks": q_doc_pack_chunks,
         "doc_decontam": q_doc_decontam,
         "doc_bm25_top10": q_doc_bm25_top10,
+        "doc_bm25_batch": q_doc_bm25_batch,
         "doc_mixture_sample": q_doc_mixture_sample,
         "doc_top_bigrams": q_doc_top_bigrams,
+        "doc_surprisal": q_doc_surprisal,
         "doc_repetition": q_doc_repetition,
         "doc_pii_scrub": q_doc_pii_scrub,
         "events_retention": q_events_retention,
@@ -2375,8 +2440,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_pack_chunks": _oracle_doc_pack_chunks(),
         "doc_decontam": _oracle_doc_decontam(),
         "doc_bm25_top10": _oracle_doc_bm25_top10(),
+        "doc_bm25_batch": _oracle_doc_bm25_batch(),
         "doc_mixture_sample": _oracle_doc_mixture_sample(),
         "doc_top_bigrams": _ORACLE_DOC_TOP_BIGRAMS,
+        "doc_surprisal": _ORACLE_DOC_SURPRISAL,
         "doc_repetition": _oracle_doc_repetition(),
         "doc_pii_scrub": _oracle_doc_pii_scrub(),
         "events_retention": _ORACLE_EVENTS_RETENTION,

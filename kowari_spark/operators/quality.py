@@ -203,3 +203,56 @@ def repetition_stats(
             frac(F.col("__dup"), F.col("__tot_d")).alias(f"dup{dup_n}gram_frac"),
         )
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style quality proxy: each document's mean log-probability
+    under the corpus's own unigram model (Wenzek et al. 2020 rank
+    documents by LM perplexity; the unigram model is the model-free
+    version computable exactly in-engine). Gibberish / rare-token noise
+    scores very negative; typical text scores high.
+
+    Returns (id, n_tokens, mean_logprob) with mean_logprob =
+    round(sum_t ln(c_t / total) / n_tokens, 6).
+
+    Spark shape: one explode feeds BOTH the vocabulary count (groupBy
+    token, map-side partials) and the per-document fold; the token⋈vocab
+    join keys both sides on the token so the shuffle is co-partitioned;
+    the corpus total is a one-row broadcast. Per-token log-probs are
+    rounded to 9 decimals before summing (cross-engine ln() parity) and
+    each document folds its tokens IN POSITION ORDER via an
+    array_sort(collect_list(struct(pos, logp))) sequential aggregate —
+    float addition order is part of the plan, so the operator has an
+    exact SQL oracle. Documents whose text is NULL have no tokens and
+    produce no row."""
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(_c(text_col))).alias("__pos", "__t"),
+    )
+    # the corpus total rides the vocab aggregation (sum of counts) —
+    # no third pass over the exploded stream; NOT checkpointed: at
+    # scale re-scanning the pruned text column twice beats
+    # materializing an exploded copy of the corpus
+    vocab = tok.groupBy("__t").agg(F.count("*").alias("__c"))
+    total = vocab.agg(F.sum("__c").alias("__total"))
+    logp = F.round(
+        F.log(F.col("__c").cast("double") / F.col("__total")), 9
+    )
+    joined = (
+        tok.join(vocab, "__t")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, "__pos", logp.alias("__lp"))
+    )
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("__pos"), F.col("__lp")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["__lp"],
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        (F.round(folded / F.count("*"), 6) + F.lit(0.0)).alias("mean_logprob"),
+    )

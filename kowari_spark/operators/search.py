@@ -8,9 +8,12 @@ plan in codegen.
 
 Spark-first shape (the "inverted index on demand" plan):
 
-1. the exploded token stream is filtered to the QUERY TERMS before any
-   aggregation — the filter sits directly on the generator output, so
-   at 100 TB only rows for matching terms survive the scan stage;
+1. ONE projection per document computes its length AND its
+   query-term-filtered token array (native higher-order filter), drops
+   non-matching documents before anything explodes, and carries the
+   length through the tf aggregation — so the corpus text is scanned
+   exactly twice (matching pass + corpus-stats aggregate), there is no
+   per-document length join, and only matching-term rows ever shuffle;
 2. term frequencies aggregate per (doc, term) with map-side partial
    counts; document frequencies reduce from that relation (≤ |query|
    rows) and come back via a broadcast join;
@@ -62,10 +65,22 @@ def bm25_search(
     if not qterms:
         raise ValueError("query has no terms")
 
+    toks = tokens(F.col(text_col))
+    qarr = F.array(*[F.lit(t) for t in qterms])
     matches = docs.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
-    ).filter(F.col("__t").isin(qterms))
-    tf = matches.groupBy(id_col, "__t").agg(F.count("*").alias("__tf"))
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("__dl"),
+        F.filter(toks, lambda t: F.array_contains(qarr, t)).alias("__mt"),
+    ).filter(F.size("__mt") > 0)
+    tf = (
+        matches.select(id_col, "__dl", F.explode("__mt").alias("__t"))
+        .groupBy(id_col, "__dl", "__t")
+        .agg(F.count("*").alias("__tf"))
+        # lazy checkpoint: the skinny tf relation feeds BOTH the df
+        # reduction and the scoring join — materialize it once instead
+        # of re-scanning the corpus text per consumer
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
 
     stats = docs.agg(
@@ -74,7 +89,6 @@ def bm25_search(
             F.sum(token_count(F.col(text_col))).cast("double") / F.count("*")
         ).alias("__avgdl"),
     )
-    dl = docs.select(F.col(id_col), token_count(F.col(text_col)).alias("__dl"))
 
     idf = F.round(
         F.log(
@@ -94,7 +108,6 @@ def bm25_search(
     )
     scored = (
         tf.join(F.broadcast(dfreq), "__t")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .select(id_col, "__t", contrib.alias("__c"))
     )
@@ -174,3 +187,106 @@ FROM per
 ORDER BY bm25 DESC, {id_col}
 LIMIT {k}
 """
+
+
+def bm25_search_batch(
+    docs: DataFrame,
+    queries: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``k`` per query for a BATCH of keyword queries — one pass
+    over the corpus for any number of queries.
+
+    ``queries`` maps query id -> query string. Returns
+    (query_id, id_col, bm25, n_terms, rank), rank 1..k per query,
+    ties on ascending document id.
+
+    Plan: the union of all query terms drives ONE matching projection
+    (same fused shape as :func:`bm25_search`); the tiny
+    (query_id, term) relation joins in as a broadcast; per-(query, doc)
+    scores fold term contributions IN SORTED TERM ORDER via an
+    array_sort(collect_list(struct(term, contrib))) sequential
+    aggregate — the same order the single-query path uses, and adding
+    an absent term contributes exactly +0.0 there, so each query's
+    scores are bit-identical to ``bm25_search`` run alone
+    (parity-tested). Top-k per query is one window."""
+    from pyspark.sql.window import Window
+
+    if not queries:
+        raise ValueError("queries is empty")
+    per_q = {
+        qid: sorted({t for t in q.split(" ") if t}) for qid, q in queries.items()
+    }
+    if any(not ts for ts in per_q.values()):
+        raise ValueError("a query has no terms")
+    all_terms = sorted({t for ts in per_q.values() for t in ts})
+
+    toks = tokens(F.col(text_col))
+    qarr = F.array(*[F.lit(t) for t in all_terms])
+    matches = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("__dl"),
+        F.filter(toks, lambda t: F.array_contains(qarr, t)).alias("__mt"),
+    ).filter(F.size("__mt") > 0)
+    tf = (
+        matches.select(id_col, "__dl", F.explode("__mt").alias("__t"))
+        .groupBy(id_col, "__dl", "__t")
+        .agg(F.count("*").alias("__tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
+    stats = docs.agg(
+        F.count("*").alias("__n"),
+        (
+            F.sum(token_count(F.col(text_col))).cast("double") / F.count("*")
+        ).alias("__avgdl"),
+    )
+    spark = docs.sparkSession
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in per_q.items() for t in ts],
+        "query_id string, __t string",
+    )
+
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+        ),
+        9,
+    )
+    contrib = idf * (
+        F.col("__tf")
+        * (k1 + 1.0)
+        / (
+            F.col("__tf")
+            + F.lit(k1)
+            * (1.0 - b + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "__t")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qt), "__t")
+        .select("query_id", id_col, "__t", contrib.alias("__c"))
+    )
+    # sorted-term sequential fold == the single-query fixed-order fold
+    # (absent terms add exactly +0.0 there)
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("__t"), F.col("__c")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["__c"],
+    )
+    per = scored.groupBy("query_id", id_col).agg(
+        (F.round(folded, round_to) + F.lit(0.0)).alias("bm25"),
+        F.count("*").cast("int").alias("n_terms"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.col(id_col))
+    return (
+        per.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

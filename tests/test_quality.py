@@ -117,3 +117,26 @@ def test_top_ngrams_is_take_ordered(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     plan = top_ngrams(df, 2, 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_unigram_surprisal_ranks_gibberish_below_typical(spark):
+    from kowari_spark.operators.quality import unigram_surprisal
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the mat"),
+        (2, "zq xv jk wp qq zz"),  # every token unique to this doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+    assert out[0]["n_tokens"] == 6
+    # docs built from common tokens score strictly higher than the
+    # all-rare-token doc
+    assert out[0]["mean_logprob"] > out[2]["mean_logprob"]
+    assert out[1]["mean_logprob"] > out[2]["mean_logprob"]
+    # identical token multiset -> identical score
+    df2 = spark.createDataFrame(
+        [(0, "mat the on sat cat the")] + rows[1:], "doc_id long, text string"
+    )
+    out2 = {r["doc_id"]: r for r in unigram_surprisal(df2).collect()}
+    assert out2[0]["mean_logprob"] == out[0]["mean_logprob"]

@@ -72,3 +72,41 @@ def test_topk_is_take_ordered(corpus):
 def test_empty_query_rejected(corpus):
     with pytest.raises(ValueError):
         bm25_search(corpus, "   ")
+
+
+def test_batch_matches_single_query_bitwise(spark, sf_dir):
+    """bm25_search_batch per query == bm25_search run alone (the sorted
+    -term fold interleaves +0.0 exactly where the single path coalesces
+    absent terms)."""
+    from kowari_spark.operators.search import bm25_search_batch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qs = {"a": "vector hash join batch", "b": "filter scan", "c": "merge"}
+    batch = bm25_search_batch(docs, qs, k=10).collect()
+    for qid, q in qs.items():
+        single = bm25_search(docs, q, k=10).collect()
+        got = sorted(
+            ((r["doc_id"], r["bm25"], r["n_terms"]) for r in batch if r["query_id"] == qid),
+        )
+        want = sorted((r["doc_id"], r["bm25"], r["n_terms"]) for r in single)
+        assert got == want, qid
+
+
+def test_batch_rank_is_dense_per_query(corpus):
+    from kowari_spark.operators.search import bm25_search_batch
+
+    out = bm25_search_batch(corpus, {"q1": "join", "q2": "spark"}, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_batch_empty_rejected(corpus):
+    from kowari_spark.operators.search import bm25_search_batch
+
+    with pytest.raises(ValueError):
+        bm25_search_batch(corpus, {})
+    with pytest.raises(ValueError):
+        bm25_search_batch(corpus, {"a": "  "})
