@@ -1614,6 +1614,116 @@ FROM c
 """
 
 
+_SPAN_L = 5
+
+
+def _span_dup_sql() -> str:
+    """Shared CTE chain: (doc_id, pos) of every non-corpus-first
+    duplicated {L}-gram occurrence (0-based), replaying
+    operators/spans._dup_gram_positions."""
+    L = _SPAN_L
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(L))
+    h = _SQL_HASH64.format(s="gm")
+    return f"""
+tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+gp AS (
+  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, {gram} AS gm
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {L - 2})) AS i
+        FROM tk WHERE len(t) >= {L})),
+rk AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY {h} ORDER BY doc_id, pos) AS r
+  FROM gp),
+dup AS (SELECT doc_id, pos FROM rk WHERE r > 1)"""
+
+
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, detection side (operators/spans.
+    duplicate_spans — Lee et al. 2022 span dedup without the suffix
+    array): maximal duplicated token spans per document, where a span
+    is any non-corpus-first run of >= 5 tokens appearing elsewhere.
+    One shuffle keyed on the gram hash (global first-occurrence rank),
+    one keyed on the doc id (gaps-and-islands merge)."""
+    from kowari_spark.operators.spans import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, min_len=_SPAN_L).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+def _oracle_doc_dup_spans() -> str:
+    L = _SPAN_L
+    return f"""
+WITH {_span_dup_sql()},
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS nw
+  FROM (
+    SELECT doc_id, pos,
+           MAX(pos + {L - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM dup)),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM isl)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {L - 1} AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {L - 1} - MIN(pos) + 1 AS BIGINT) AS span_tokens
+FROM grp
+GROUP BY doc_id, g
+ORDER BY doc_id, span_start
+"""
+
+
+def q_doc_despan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup APPLIED (operators/spans.
+    remove_duplicate_spans): every document rebuilt without its
+    non-first duplicated >= 5-token spans (corpus-first occurrence
+    survives). The row hashes the rebuilt text (md5) plus token
+    counts, so any divergence in span detection, merge, or rebuild
+    order breaks the compare."""
+    from kowari_spark.operators.spans import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, min_len=_SPAN_L).select(
+        "doc_id", F.md5("clean_text").alias("clean_fp"),
+        "n_tokens", "removed_tokens",
+    ).orderBy("doc_id")
+
+
+def _oracle_doc_despan() -> str:
+    L = _SPAN_L
+    return f"""
+WITH {_span_dup_sql()},
+rm AS (
+  SELECT DISTINCT doc_id, pos + off AS tp
+  FROM dup, (SELECT unnest(range(0, {L})) AS off)),
+tok AS (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS tp, unnest(t) AS tk
+  FROM tk),
+kept AS (
+  SELECT tok.doc_id, tok.tp, tok.tk
+  FROM tok LEFT JOIN rm ON tok.doc_id = rm.doc_id AND tok.tp = rm.tp
+  WHERE rm.doc_id IS NULL),
+reb AS (
+  SELECT doc_id, string_agg(tk, ' ' ORDER BY tp) AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       md5(COALESCE(clean_text, '')) AS clean_fp,
+       COALESCE(n_tokens, 0) AS n_tokens,
+       CAST(len(string_split(d.text, ' ')) - COALESCE(n_tokens, 0) AS BIGINT)
+         AS removed_tokens
+FROM documents d
+LEFT JOIN reb ON reb.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def q_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram surprisal (operators/quality.unigram_surprisal): each
     document's mean ln-probability under the corpus's own unigram model
@@ -2379,6 +2489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_sample": q_doc_mixture_sample,
         "doc_top_bigrams": q_doc_top_bigrams,
         "doc_surprisal": q_doc_surprisal,
+        "doc_dup_spans": q_doc_dup_spans,
+        "doc_despan": q_doc_despan,
         "doc_repetition": q_doc_repetition,
         "doc_pii_scrub": q_doc_pii_scrub,
         "events_retention": q_events_retention,
@@ -2444,6 +2556,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_mixture_sample": _oracle_doc_mixture_sample(),
         "doc_top_bigrams": _ORACLE_DOC_TOP_BIGRAMS,
         "doc_surprisal": _ORACLE_DOC_SURPRISAL,
+        "doc_dup_spans": _oracle_doc_dup_spans(),
+        "doc_despan": _oracle_doc_despan(),
         "doc_repetition": _oracle_doc_repetition(),
         "doc_pii_scrub": _oracle_doc_pii_scrub(),
         "events_retention": _ORACLE_EVENTS_RETENTION,

@@ -349,6 +349,27 @@ def _run_suite(
         ).filter("NOT is_kept").count())
         rec("semantic_dedup", s, r)
 
+    if want("doc_despan"):
+        # exact-substring span removal: the wide shuffle is the global
+        # first-occurrence rank keyed on the gram hash
+        from kowari_spark.operators.spans import remove_duplicate_spans
+
+        s, r = timed(lambda: int(remove_duplicate_spans(
+            docs, min_len=5
+        ).agg(F.count("*").alias("n"), F.sum("removed_tokens"),
+              F.sum("n_tokens")).collect()[0]["n"]))
+        rec("doc_despan", s, r)
+
+    if want("doc_surprisal"):
+        # unigram-model quality proxy: the wide shuffles are the vocab
+        # count and the token⋈vocab join (both keyed on the token)
+        from kowari_spark.operators.quality import unigram_surprisal
+
+        s, r = timed(lambda: int(unigram_surprisal(docs).agg(
+            F.count("*").alias("n"), F.sum("mean_logprob"),
+            F.sum("n_tokens")).collect()[0]["n"]))
+        rec("doc_surprisal", s, r)
+
     if want("doc_minhash_pairs") or want("doc_dup_clusters"):
         pairs = minhash_dedup_pairs(docs, threshold=0.5)
         if want("doc_minhash_pairs"):
