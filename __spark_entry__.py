@@ -1685,11 +1685,13 @@ def q_doc_despan(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-first duplicated >= 5-token spans (corpus-first occurrence
     survives). The row hashes the rebuilt text (md5) plus token
     counts, so any divergence in span detection, merge, or rebuild
-    order breaks the compare."""
+    order breaks the compare. Runs the ARROW gram hasher — the scale
+    path (identical md5-prefix hashes; expr parity pinned by
+    tests/test_spans.py::test_arrow_gram_engine_parity)."""
     from kowari_spark.operators.spans import remove_duplicate_spans
 
     docs = _t(spark, sf_dir, "documents")
-    return remove_duplicate_spans(docs, min_len=_SPAN_L).select(
+    return remove_duplicate_spans(docs, min_len=_SPAN_L, engine="arrow").select(
         "doc_id", F.md5("clean_text").alias("clean_fp"),
         "n_tokens", "removed_tokens",
     ).orderBy("doc_id")

@@ -39,15 +39,56 @@ from kowari_spark.functions.text import base_hash64, tokens
 from kowari_spark.operators.quality import word_ngrams
 
 
-def _dup_gram_positions(
+def _gram_hashes_arrow(
     df: DataFrame, min_len: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Arrow engine for the gram-hash pass: each document's
+    (pos, md5-prefix hash) rows are generated inside ``mapInPandas`` —
+    the expression engine builds every gram string through interpreted
+    ``transform`` lambdas (the measured floor of the whole operator,
+    same boundary as the repetition/decontam Arrow engines). Hash
+    values are IDENTICAL (same md5-prefix int64 over the same gram
+    strings), so everything downstream of the gram-hash shuffle is
+    unchanged (parity-tested)."""
+    import hashlib
+
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, __pos int, __h long"
+
+    def gen(batches):
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = ("" if text is None else text).split(" ")
+                for p in range(len(toks) - min_len + 1):
+                    g = " ".join(toks[p : p + min_len])
+                    ids.append(did)
+                    poss.append(p)
+                    hs.append(int(hashlib.md5(g.encode()).hexdigest()[:15], 16))
+            yield pd.DataFrame({id_col: ids, "__pos": poss, "__h": hs})
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def _dup_gram_positions(
+    df: DataFrame, min_len: int, text_col: str, id_col: str,
+    engine: str = "expr",
 ) -> DataFrame:
     """(id, pos) of every min_len-gram occurrence that is NOT the
     corpus-first occurrence of its gram (0-based token position)."""
-    grams = df.select(
-        F.col(id_col),
-        F.posexplode(word_ngrams(F.col(text_col), min_len)).alias("__pos", "__g"),
-    ).select(id_col, "__pos", base_hash64(F.col("__g")).alias("__h"))
+    if engine == "arrow":
+        grams = _gram_hashes_arrow(df, min_len, text_col, id_col)
+    elif engine == "expr":
+        grams = df.select(
+            F.col(id_col),
+            F.posexplode(word_ngrams(F.col(text_col), min_len)).alias(
+                "__pos", "__g"
+            ),
+        ).select(id_col, "__pos", base_hash64(F.col("__g")).alias("__h"))
+    else:
+        raise ValueError(f"engine must be expr|arrow, got {engine!r}")
     w = Window.partitionBy("__h").orderBy(F.col(id_col), F.col("__pos"))
     return (
         grams.withColumn("__rk", F.row_number().over(w))
@@ -61,13 +102,14 @@ def duplicate_spans(
     min_len: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    engine: str = "expr",
 ) -> DataFrame:
     """Maximal duplicated spans per document: (id, span_start,
     span_end, span_tokens), token positions 0-based inclusive. A span
     covers every token of a non-first duplicated ``min_len``-gram run;
     overlapping/adjacent gram spans merge into one maximal span.
     Documents with no duplicated span produce no row."""
-    dup = _dup_gram_positions(df, min_len, text_col, id_col)
+    dup = _dup_gram_positions(df, min_len, text_col, id_col, engine)
     w = (
         Window.partitionBy(id_col)
         .orderBy("__pos")
@@ -111,6 +153,7 @@ def remove_duplicate_spans(
     min_len: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    engine: str = "expr",
 ) -> DataFrame:
     """Lee et al. span removal applied: every document rebuilt without
     the tokens of its non-first duplicated spans (the corpus-first
@@ -125,7 +168,7 @@ def remove_duplicate_spans(
     the doc id; the rebuild is then a ROW-LOCAL native
     filter-by-index over the token array — no position-ordered
     re-aggregation of the corpus."""
-    dup = _dup_gram_positions(df, min_len, text_col, id_col)
+    dup = _dup_gram_positions(df, min_len, text_col, id_col, engine)
     rm_per_doc = (
         dup.select(
             F.col(id_col),

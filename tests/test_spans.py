@@ -69,3 +69,23 @@ def test_whole_doc_removed_yields_empty_text(spark):
     assert out[0]["n_tokens"] == 4
     assert out[1]["clean_text"] == "" and out[1]["n_tokens"] == 0
     assert out[1]["removed_tokens"] == 4
+
+
+def test_arrow_gram_engine_parity(spark, corpus, sf_dir):
+    """engine='arrow' emits identical gram hashes, so spans and
+    rebuilt text match the expression engine exactly — handcrafted
+    corpus AND the real documents table."""
+    for df, L in ((corpus, 4), (spark.read.parquet(f"{sf_dir}/documents.parquet"), 5)):
+        a = duplicate_spans(df, min_len=L).toPandas().sort_values(
+            ["doc_id", "span_start"]).reset_index(drop=True)
+        b = duplicate_spans(df, min_len=L, engine="arrow").toPandas().sort_values(
+            ["doc_id", "span_start"]).reset_index(drop=True)
+        assert a.values.tolist() == b.values.tolist()
+        ra = remove_duplicate_spans(df, min_len=L).toPandas().sort_values("doc_id")
+        rb = remove_duplicate_spans(df, min_len=L, engine="arrow").toPandas().sort_values("doc_id")
+        assert ra.values.tolist() == rb.values.tolist()
+
+
+def test_bad_engine_rejected(corpus):
+    with pytest.raises(ValueError):
+        duplicate_spans(corpus, engine="nope")

@@ -349,16 +349,24 @@ def _run_suite(
         ).filter("NOT is_kept").count())
         rec("semantic_dedup", s, r)
 
-    if want("doc_despan"):
+    if want("doc_despan") or want("doc_despan_arrow"):
         # exact-substring span removal: the wide shuffle is the global
-        # first-occurrence rank keyed on the gram hash
+        # first-occurrence rank keyed on the gram hash; the arrow gram
+        # hasher replaces the interpreted gram lambdas (parity-tested)
         from kowari_spark.operators.spans import remove_duplicate_spans
 
-        s, r = timed(lambda: int(remove_duplicate_spans(
-            docs, min_len=5
-        ).agg(F.count("*").alias("n"), F.sum("removed_tokens"),
-              F.sum("n_tokens")).collect()[0]["n"]))
-        rec("doc_despan", s, r)
+        def despan(engine):
+            return int(remove_duplicate_spans(
+                docs, min_len=5, engine=engine
+            ).agg(F.count("*").alias("n"), F.sum("removed_tokens"),
+                  F.sum("n_tokens")).collect()[0]["n"])
+
+        if want("doc_despan"):
+            s, r = timed(lambda: despan("expr"))
+            rec("doc_despan", s, r)
+        if want("doc_despan_arrow"):
+            s, r = timed(lambda: despan("arrow"))
+            rec("doc_despan_arrow", s, r)
 
     if want("doc_surprisal"):
         # unigram-model quality proxy: the wide shuffles are the vocab
