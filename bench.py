@@ -229,9 +229,15 @@ def quality_gates(spark, sf_dir) -> dict:
     la = comp.withColumnRenamed("id", "id_a").withColumnRenamed("rep_id", "ra")
     lb = comp.withColumnRenamed("id", "id_b").withColumnRenamed("rep_id", "rb")
     joined = ex_pairs.join(la, "id_a").join(lb, "id_b")
-    n_pairs = joined.count()
+    # ONE pass over the quadratic exact-pairs join: count + same-component
+    # tally together (a separate filtered count would run the O(n^2)
+    # cosine join twice)
+    agg = joined.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), 1).otherwise(0)).alias("same"),
+    ).first()
     out["semdedup_pair_recall"] = round(
-        joined.filter(F.col("ra") == F.col("rb")).count() / max(n_pairs, 1), 4
+        (agg["same"] or 0) / max(agg["n"], 1), 4
     )
     out["semdedup_n_lists"] = 16
     return out

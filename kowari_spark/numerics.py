@@ -14,3 +14,13 @@ def round_half_up(x: float, digits: int) -> float:
     return float(
         Decimal(x).quantize(Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP)
     )
+
+
+def py_hash64(s: str) -> int:
+    """Python mirror of ``functions.text.base_hash64`` (first 15 hex
+    chars of md5 as int64) — the ONE place the portable hash contract
+    exists Python-side, so Arrow engines can't drift from the SQL/
+    expression implementations."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)

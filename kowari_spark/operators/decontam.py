@@ -70,11 +70,9 @@ def _decontam_arrow(
     bit-identical to the expression engine: same md5-prefix hash, same
     whole-text fallback for short docs, integer counts, same IEEE
     division and decimal HALF_UP rounding (parity-tested)."""
-    import hashlib
-
     import pandas as pd
 
-    from kowari_spark.numerics import round_half_up
+    from kowari_spark.numerics import py_hash64, round_half_up
 
     hashes = frozenset(r["__h"] for r in eval_hashes.collect())
     bc = docs.sparkSession.sparkContext.broadcast(hashes)
@@ -83,10 +81,6 @@ def _decontam_arrow(
         f"{id_col} {id_type}, contam_grams long, total_grams long, "
         f"contam_frac double, is_contaminated boolean"
     )
-
-    def h64(s: str) -> int:
-        # base_hash64: first 15 hex chars of md5 as int64
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
     def score(batches):
         hs = bc.value
@@ -107,7 +101,7 @@ def _decontam_arrow(
                     else:
                         grams = {text}
                     t = len(grams)
-                    c = sum(1 for g in grams if h64(g) in hs)
+                    c = sum(1 for g in grams if py_hash64(g) in hs)
                 cg.append(c)
                 tg.append(t)
                 fr.append(round_half_up(c / t, 6) + 0.0 if t else 0.0)

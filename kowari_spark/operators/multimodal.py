@@ -350,27 +350,30 @@ def media_phash(
     df: DataFrame, media_col: str = "media", id_col: str = "media_id",
     codec: str = "kwm", hash_size: int = 8, frame: int = 0,
 ) -> DataFrame:
-    """Per-media perceptual fingerprint: (media_id, kind, phash) with
+    """Per-media perceptual fingerprint: (id_col, kind, phash) with
     ``phash`` the 64-bit dHash of frame ``frame`` (hash_size=8).
-    Arrow-batched decode, no shuffle — one narrow pass."""
-    schema = StructType(
-        [
-            StructField("media_id", LongType()),
-            StructField("kind", StringType()),
-            StructField("phash", LongType()),
-        ]
-    )
+    Arrow-batched decode, no shuffle — one narrow pass. ``hash_size``
+    is capped at 8: the fingerprint lives in one Spark long
+    (hash_size² bits) so the Hamming join stays a native xor."""
+    if hash_size * hash_size > 64:
+        raise ValueError(
+            f"hash_size={hash_size} needs {hash_size * hash_size} bits; "
+            "the 64-bit long fingerprint caps hash_size at 8"
+        )
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, kind string, phash long"
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, kinds, hashes = [], [], []
-            for mid, blob in zip(pdf[id_col], pdf[media_col]):
+            kinds, hashes = [], []
+            for blob in pdf[media_col]:
                 kind, _w, _h, n, px = _decode_blob(bytes(blob), codec)
                 f = px[min(frame, n - 1)]
-                ids.append(int(mid))
                 kinds.append(kind)
                 hashes.append(_dhash_frame(f, hash_size))
-            yield pd.DataFrame({"media_id": ids, "kind": kinds, "phash": hashes})
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "kind": kinds, "phash": hashes}
+            )
 
     return df.select(id_col, media_col).mapInPandas(extract, schema)
 

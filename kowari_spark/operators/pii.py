@@ -56,7 +56,12 @@ def pii_scrub(
             .alias(f"n_{name}")
         )
         cur = F.regexp_replace(cur, pat, _tok)
-    passthrough = [c for c in df.columns if c not in (id_col, text_col)]
+    # exclude our own output names: re-scrubbing a frame that already
+    # carries scrubbed/n_* must replace them, not emit duplicate columns
+    out_names = {"scrubbed", "n_url", "n_email", "n_phone"}
+    passthrough = [
+        c for c in df.columns if c not in (id_col, text_col) and c not in out_names
+    ]
     return df.select(
         F.col(id_col), *passthrough, cur.alias("scrubbed"), *counts
     )

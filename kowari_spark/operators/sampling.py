@@ -143,14 +143,21 @@ def mixture_sample(
     counting aggregate — the filter itself is embarrassingly parallel
     and reproducible under repartitioning, retries, and streaming
     arrival."""
-    rates = F.broadcast(mixture_rates(df, strata_col, target_weights))
+    # __-prefixed internals: a caller column named "rate"/"stratum"/
+    # "n_rows" must survive the join untouched
+    rates = F.broadcast(
+        mixture_rates(df, strata_col, target_weights).select(
+            F.col("stratum").alias("__stratum"),
+            F.col("rate").alias("__rate"),
+        )
+    )
     return (
         df.join(
             rates,
-            df[strata_col].cast("string") == rates["stratum"],
+            df[strata_col].cast("string") == rates["__stratum"],
         )
-        .filter(hash_uniform(df[id_col], seed) < F.col("rate"))
-        .drop("stratum", "n_rows", "rate")
+        .filter(hash_uniform(df[id_col], seed) < F.col("__rate"))
+        .drop("__stratum", "__rate")
     )
 
 

@@ -40,6 +40,56 @@ from pyspark.sql import functions as F
 from kowari_spark.functions.text import token_count, tokens
 
 
+def _bm25_core(docs, qterms, text_col, id_col, k1, b):
+    """Shared single/batch plan core: the fused matching projection
+    (doc length + query-term-filtered token array in ONE pass, drop
+    non-matching docs before exploding), the lazily-checkpointed tf
+    relation, document frequencies, corpus stats, and the per-term
+    contribution expression. The single and batch paths differ ONLY in
+    how contributions fold per document, so their documented bit-parity
+    cannot drift."""
+    toks = tokens(F.col(text_col))
+    qarr = F.array(*[F.lit(t) for t in qterms])
+    matches = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("__dl"),
+        F.filter(toks, lambda t: F.array_contains(qarr, t)).alias("__mt"),
+    ).filter(F.size("__mt") > 0)
+    tf = (
+        matches.select(id_col, "__dl", F.explode("__mt").alias("__t"))
+        .groupBy(id_col, "__dl", "__t")
+        .agg(F.count("*").alias("__tf"))
+        # lazy checkpoint: the skinny tf relation feeds BOTH the df
+        # reduction and the scoring join — materialize it once instead
+        # of re-scanning the corpus text per consumer
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
+    stats = docs.agg(
+        F.count("*").alias("__n"),
+        (
+            F.sum(token_count(F.col(text_col))).cast("double") / F.count("*")
+        ).alias("__avgdl"),
+    )
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+        ),
+        9,
+    )
+    contrib = idf * (
+        F.col("__tf")
+        * (k1 + 1.0)
+        / (
+            F.col("__tf")
+            + F.lit(k1)
+            * (1.0 - b + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+        )
+    )
+    return tf, dfreq, stats, contrib
+
+
 def bm25_search(
     docs: DataFrame,
     query: str,
@@ -65,47 +115,7 @@ def bm25_search(
     if not qterms:
         raise ValueError("query has no terms")
 
-    toks = tokens(F.col(text_col))
-    qarr = F.array(*[F.lit(t) for t in qterms])
-    matches = docs.select(
-        F.col(id_col),
-        token_count(F.col(text_col)).alias("__dl"),
-        F.filter(toks, lambda t: F.array_contains(qarr, t)).alias("__mt"),
-    ).filter(F.size("__mt") > 0)
-    tf = (
-        matches.select(id_col, "__dl", F.explode("__mt").alias("__t"))
-        .groupBy(id_col, "__dl", "__t")
-        .agg(F.count("*").alias("__tf"))
-        # lazy checkpoint: the skinny tf relation feeds BOTH the df
-        # reduction and the scoring join — materialize it once instead
-        # of re-scanning the corpus text per consumer
-        .localCheckpoint(eager=False)
-    )
-    dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
-
-    stats = docs.agg(
-        F.count("*").alias("__n"),
-        (
-            F.sum(token_count(F.col(text_col))).cast("double") / F.count("*")
-        ).alias("__avgdl"),
-    )
-
-    idf = F.round(
-        F.log(
-            F.lit(1.0)
-            + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
-        ),
-        9,
-    )
-    contrib = idf * (
-        F.col("__tf")
-        * (k1 + 1.0)
-        / (
-            F.col("__tf")
-            + F.lit(k1)
-            * (1.0 - b + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
-        )
-    )
+    tf, dfreq, stats, contrib = _bm25_core(docs, qterms, text_col, id_col, k1, b)
     scored = (
         tf.join(F.broadcast(dfreq), "__t")
         .crossJoin(F.broadcast(stats))
@@ -226,47 +236,12 @@ def bm25_search_batch(
         raise ValueError("a query has no terms")
     all_terms = sorted({t for ts in per_q.values() for t in ts})
 
-    toks = tokens(F.col(text_col))
-    qarr = F.array(*[F.lit(t) for t in all_terms])
-    matches = docs.select(
-        F.col(id_col),
-        token_count(F.col(text_col)).alias("__dl"),
-        F.filter(toks, lambda t: F.array_contains(qarr, t)).alias("__mt"),
-    ).filter(F.size("__mt") > 0)
-    tf = (
-        matches.select(id_col, "__dl", F.explode("__mt").alias("__t"))
-        .groupBy(id_col, "__dl", "__t")
-        .agg(F.count("*").alias("__tf"))
-        .localCheckpoint(eager=False)
+    tf, dfreq, stats, contrib = _bm25_core(
+        docs, all_terms, text_col, id_col, k1, b
     )
-    dfreq = tf.groupBy("__t").agg(F.count("*").alias("__df"))
-    stats = docs.agg(
-        F.count("*").alias("__n"),
-        (
-            F.sum(token_count(F.col(text_col))).cast("double") / F.count("*")
-        ).alias("__avgdl"),
-    )
-    spark = docs.sparkSession
-    qt = spark.createDataFrame(
+    qt = docs.sparkSession.createDataFrame(
         [(qid, t) for qid, ts in per_q.items() for t in ts],
         "query_id string, __t string",
-    )
-
-    idf = F.round(
-        F.log(
-            F.lit(1.0)
-            + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
-        ),
-        9,
-    )
-    contrib = idf * (
-        F.col("__tf")
-        * (k1 + 1.0)
-        / (
-            F.col("__tf")
-            + F.lit(k1)
-            * (1.0 - b + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
-        )
     )
     scored = (
         tf.join(F.broadcast(dfreq), "__t")

@@ -50,9 +50,9 @@ def _gram_hashes_arrow(
     values are IDENTICAL (same md5-prefix int64 over the same gram
     strings), so everything downstream of the gram-hash shuffle is
     unchanged (parity-tested)."""
-    import hashlib
-
     import pandas as pd
+
+    from kowari_spark.numerics import py_hash64
 
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, __pos int, __h long"
@@ -66,7 +66,7 @@ def _gram_hashes_arrow(
                     g = " ".join(toks[p : p + min_len])
                     ids.append(did)
                     poss.append(p)
-                    hs.append(int(hashlib.md5(g.encode()).hexdigest()[:15], 16))
+                    hs.append(py_hash64(g))
             yield pd.DataFrame({id_col: ids, "__pos": poss, "__h": hs})
 
     return df.select(id_col, text_col).mapInPandas(gen, schema)

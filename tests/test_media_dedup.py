@@ -83,3 +83,24 @@ def test_bad_band_config_rejected(dup_media):
         media_near_dups(dup_media, max_hamming=8, bands=8)
     with pytest.raises(ValueError):
         media_near_dups(dup_media, bands=7)
+
+
+def test_phash_honors_custom_and_string_id_col(spark):
+    base = spark.createDataFrame([(i,) for i in range(4)], "media_id long")
+    media = synth_media(base, kind="image", width=16, height=12)
+    renamed = media.withColumn("img_id", F.concat(F.lit("m"), F.col("media_id"))).drop("media_id")
+    ph = media_phash(renamed, id_col="img_id").collect()
+    assert {r["img_id"] for r in ph} == {"m0", "m1", "m2", "m3"}
+    pairs = media_near_dups(
+        renamed.unionByName(
+            renamed.withColumn("img_id", F.concat(F.col("img_id"), F.lit("x")))
+        ),
+        id_col="img_id", max_hamming=0,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert {(f"m{i}", f"m{i}x") for i in range(4)} <= got
+
+
+def test_phash_rejects_oversized_hash(dup_media):
+    with pytest.raises(ValueError):
+        media_phash(dup_media, hash_size=16)
