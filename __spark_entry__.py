@@ -747,6 +747,203 @@ def _oracle_ivf_knn() -> str:
     )
 
 
+# seed_sample=512: like IVF, the per-subspace Gonzalez traversals run
+# driver-side over the md5-top-512 rows (ONE collect seeds all m
+# subspaces). m=4/k_sub=8 keeps the unrolled per-subspace SQL replay
+# tractable while still exercising the full PQ pipeline: 4 independent
+# codebooks, 2 Lloyd rounds each, encode, ADC lookup scoring.
+_PQ_PARAMS = dict(m=4, k_sub=8, max_iter=2, seed=42,
+                  round_centroids=6, seed_sample=512)
+_PQ_DIM = 64  # the embeddings table's vector dimension
+
+
+def _pq_index(spark: SparkSession, sf_dir: str):
+    """Offline-build / online-probe split for PQ: fit + ``build()`` the
+    compressed (id, codes) layout ONCE per (source file, params) into a
+    scratch dir, then every query ``load()``s it and probes WITHOUT
+    touching the raw vectors — the 100 TB shape this index exists for
+    (codes are ~32x smaller than the vectors they stand in for)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kowari_spark.operators.pq import PQ
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "na"
+    key = f"{src}:{stamp}:{sorted(_PQ_PARAMS.items())}:pq-maxmin-v1"
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kowari_pq_{tag}")
+    pq = PQ(**_PQ_PARAMS)
+    if not os.path.exists(os.path.join(path, "_pq_meta.json")):
+        base = _t(spark, sf_dir, "embeddings")
+        pq.fit(base, id_col="vec_id", dim=_PQ_DIM)
+        pq.build(base, path, id_col="vec_id")
+    codes = pq.load(spark, path)
+    return pq, codes
+
+
+def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py, Jegou et al. 2011):
+    per-subspace maxmin-seeded k-means codebooks (centroids on the 1e-6
+    grid each Lloyd round), offline-built compressed (id, codes) layout,
+    asymmetric-distance probe — each row scored by m table lookups into
+    the per-query distance table, summed in fixed subspace order. The
+    WHOLE pipeline (seeding, Lloyd, encode argmin, ADC fold) is
+    deterministic IEEE arithmetic on grid-rounded codebooks, so the
+    oracle re-derives it independently in SQL (per-subspace unrolled
+    seeding + k-means + encode + ADC CTEs) and any regression in fit,
+    encode or probe breaks the hash."""
+    pq, codes = _pq_index(spark, sf_dir)
+    queries = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq.query_batch(codes, queries, 10, id_col="vec_id", round_to=6)
+    return out.select(
+        "query_id", "vec_id", "distance",
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+def _pq_fit_sql_ctes() -> list[str]:
+    """Shared SQL re-derivation of the PQ fit at ``_PQ_PARAMS`` on the
+    embeddings table: ONE md5-ordered seeding sample feeds all ``m``
+    per-subspace Gonzalez traversals (seed 0 = md5-smallest row's
+    slice; seed i+1 = argmax of min squared distance, ties -> lowest
+    id), then ``max_iter`` unrolled Lloyd rounds PER SUBSPACE
+    (assignment = sequential-fold squared-L2 argmin over the sliced
+    vectors, update = per-dim mean ROUNDed to the grid, empty cells
+    keep their centroid). Bit-parity holds for the same reasons as the
+    IVF replay (seeds are exact data slices, min/LEAST are
+    order-independent, means land on the same decimal grid). The chain
+    ends with per-subspace ``fa{j}`` (vec_id, cid) final assignments
+    and ``fc{j}`` final codebooks."""
+    m = _PQ_PARAMS["m"]
+    k = _PQ_PARAMS["k_sub"]
+    seed = _PQ_PARAMS["seed"]
+    rc = _PQ_PARAMS["round_centroids"]
+    smp = _PQ_PARAMS["seed_sample"]
+    it = _PQ_PARAMS["max_iter"]
+    ds = _PQ_DIM // m
+    dist = _ivf_dist_sql
+
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"""vs AS MATERIALIZED (
+  SELECT vec_id, e FROM v
+  ORDER BY md5(CAST(vec_id AS VARCHAR) || '#{seed}') LIMIT {smp})""",
+    ]
+    for j in range(m):
+        lo, hi = j * ds + 1, (j + 1) * ds
+        # sampled + full-table slices for subspace j (DuckDB list
+        # slicing is 1-based inclusive)
+        ctes.append(
+            f"v{j} AS MATERIALIZED (SELECT vec_id, e[{lo}:{hi}] AS e FROM vs)"
+        )
+        ctes.append(
+            f"w{j} AS MATERIALIZED (SELECT vec_id, e[{lo}:{hi}] AS e FROM v)"
+        )
+        ctes.append(
+            f"""s{j}_0 AS MATERIALIZED (
+  SELECT e AS vec FROM v{j}
+  ORDER BY md5(CAST(vec_id AS VARCHAR) || '#{seed}') LIMIT 1)"""
+        )
+        ctes.append(
+            f"m{j}_0 AS MATERIALIZED (SELECT p.vec_id, p.e, "
+            f"{dist('p.e', 's.vec')} AS md FROM v{j} p, s{j}_0 s)"
+        )
+        for i in range(1, k):
+            ctes.append(
+                f"s{j}_{i} AS MATERIALIZED (SELECT e AS vec FROM m{j}_{i - 1} "
+                f"ORDER BY md DESC, vec_id ASC LIMIT 1)"
+            )
+            if i < k - 1:
+                ctes.append(
+                    f"m{j}_{i} AS MATERIALIZED (SELECT p.vec_id, p.e, "
+                    f"LEAST(p.md, {dist('p.e', f's{j}_{i}.vec')}) AS md "
+                    f"FROM m{j}_{i - 1} p, s{j}_{i})"
+                )
+        ctes.append(
+            f"c{j}_0 AS ("
+            + " UNION ALL ".join(
+                f"SELECT {i} AS cid, vec FROM s{j}_{i}" for i in range(k)
+            )
+            + ")"
+        )
+        for t in range(it):
+            ctes.append(f"""a{j}_{t} AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT p.vec_id, p.e, c.cid,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {dist('p.e', 'c.vec')}, c.cid) AS rn
+    FROM w{j} p CROSS JOIN c{j}_{t} c) WHERE rn = 1)""")
+            ctes.append(f"""g{j}_{t} AS (
+  SELECT cid, dim, ROUND(SUM(val) / COUNT(*), {rc}) AS mval FROM (
+    SELECT cid, generate_subscripts(e, 1) AS dim, unnest(e) AS val
+    FROM a{j}_{t})
+  GROUP BY cid, dim)""")
+            ctes.append(
+                f"n{j}_{t} AS (SELECT cid, list(mval ORDER BY dim) AS vec "
+                f"FROM g{j}_{t} GROUP BY cid)"
+            )
+            ctes.append(
+                f"c{j}_{t + 1} AS (SELECT c.cid, coalesce(n.vec, c.vec) AS vec "
+                f"FROM c{j}_{t} c LEFT JOIN n{j}_{t} n USING (cid))"
+            )
+        ctes.append(f"fc{j} AS (SELECT cid, vec FROM c{j}_{it})")
+        ctes.append(f"""fa{j} AS (
+  SELECT vec_id, cid FROM (
+    SELECT p.vec_id, c.cid,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {dist('p.e', 'c.vec')}, c.cid) AS rn
+    FROM w{j} p CROSS JOIN fc{j} c) WHERE rn = 1)""")
+    return ctes
+
+
+def _oracle_pq_knn() -> str:
+    """SQL replay of the PQ probe: the fit chain
+    (:func:`_pq_fit_sql_ctes`), then ADC — each (query, vector) pair's
+    distance is the sum over subspaces of the squared L2 between the
+    query's slice and the vector's ASSIGNED centroid, added in fixed
+    j = 0..m-1 order (the Spark plan folds the lookups in the same
+    order), rounded to 6."""
+    m = _PQ_PARAMS["m"]
+    ds = _PQ_DIM // m
+    dist = _ivf_dist_sql
+    ctes = _pq_fit_sql_ctes()
+    ctes.append(
+        "q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 4)"
+    )
+    terms = " + ".join(
+        dist(f"q.e[{j * ds + 1}:{(j + 1) * ds}]", f"c{j}.vec")
+        for j in range(m)
+    )
+    joins = ["FROM q CROSS JOIN fa0 a0 JOIN fc0 c0 ON c0.cid = a0.cid"]
+    for j in range(1, m):
+        joins.append(
+            f"JOIN fa{j} a{j} ON a{j}.vec_id = a0.vec_id "
+            f"JOIN fc{j} c{j} ON c{j}.cid = a{j}.cid"
+        )
+    ctes.append(
+        "scored AS (\n  SELECT q.query_id, a0.vec_id, "
+        f"ROUND({terms}, 6) + 0.0 AS distance\n  "
+        + "\n  ".join(joins) + ")"
+    )
+    ctes.append("""ranked AS (
+  SELECT query_id, vec_id, distance,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY distance ASC, vec_id ASC) AS rank
+  FROM scored)""")
+    return (
+        "WITH\n" + ",\n".join(ctes)
+        + "\nSELECT query_id, vec_id, distance, rank FROM ranked WHERE rank <= 10"
+    )
+
+
 def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/dedup.semantic_dedup): embedding-space
     dedup — k-means-cluster the corpus (the SAME prebuilt IVF layout
@@ -2508,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_knn": q_hnsw_knn,
         "cp_knn_top10": q_cp_knn_top10,
         "ivf_knn": q_ivf_knn,
+        "pq_knn": q_pq_knn,
         "events_props_stats": q_events_props_stats,
         "events_kmv_users": q_events_kmv_users,
         "revenue_rollup": q_revenue_rollup,
@@ -2581,4 +2779,5 @@ def oracle_sql() -> dict[str, str]:
         "hnsw_knn": _oracle_hnsw_knn(),
         "cp_knn_top10": _oracle_cp_knn_top10(),
         "ivf_knn": _oracle_ivf_knn(),
+        "pq_knn": _oracle_pq_knn(),
     }

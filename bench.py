@@ -39,6 +39,7 @@ def bench_queries(spark, sf_dir, scratch):
     out["ivf_build_16"] = lambda: entrymod._ivf_index(spark, sf_dir)
     out["lsh_index_build"] = lambda: entrymod._lsh_index(spark, sf_dir)
     out["hnsw_build"] = lambda: entrymod._hnsw_index(spark, sf_dir)
+    out["pq_build"] = lambda: entrymod._pq_index(spark, sf_dir)
     for name, fn in entrymod.queries().items():
         out[name] = (lambda f=fn: f(spark, sf_dir).toPandas())
 
@@ -214,6 +215,31 @@ def quality_gates(spark, sf_dir) -> dict:
     out["recall_hnsw_at_10"] = round(
         mean_metric(recall_at_k(exact, hres, 10, id_col="vec_id"), "recall"), 4
     )
+    # PQ (fifth index family): the compressed-scan ADC ranking measured
+    # against the metric it approximates (euclidean), next to the
+    # serving path's shortlist+exact-rerank recall vs the cosine exact
+    # baseline (PQIndex). Raw ADC on these near-random vectors
+    # quantizes coarsely — reported honestly, the rerank line is the
+    # number the serving shape delivers
+    from kowari_spark.operators.ann import PQIndex
+    from kowari_spark.operators.pq import PQ
+
+    pq = PQ(m=8, k_sub=16, max_iter=3, seed=42).fit(base, id_col="vec_id", dim=64)
+    pcodes = pq.with_codes(base).select("vec_id", "codes").persist()
+    exact_l2 = knn_batch(base, queries, 10, metric="euclidean",
+                         id_col="vec_id", round_to=6)
+    adc = pq.query_batch(pcodes, queries, 10, id_col="vec_id", round_to=6)
+    out["recall_pq_adc_at_10"] = round(
+        mean_metric(recall_at_k(exact_l2, adc, 10, id_col="vec_id"), "recall"), 4
+    )
+    prr = PQIndex(pq, rerank=8).search(
+        base, queries, 10, metric="cosine", built=pcodes,
+        id_col="vec_id", round_to=6,
+    )
+    out["recall_pq_rerank8_at_10"] = round(
+        mean_metric(recall_at_k(exact, prr, 10, id_col="vec_id"), "recall"), 4
+    )
+    pcodes.unpersist()
     # SemDeDup pair recall: cluster-local comparison misses cross-cell
     # pairs by design — publish the measured fraction of exact all-pairs
     # near-dups (cos >= 0.3) recovered within cells, next to the cell
@@ -254,7 +280,7 @@ def _clear_index_caches() -> None:
     if os.environ.get("KOWARI_BENCH_WARM", "").strip() in ("1", "true"):
         return
     tmp = tempfile.gettempdir()
-    for kind in ("lsh", "ivf", "hnsw"):
+    for kind in ("lsh", "ivf", "hnsw", "pq"):
         for path in glob.glob(os.path.join(tmp, f"kowari_{kind}_*")):
             shutil.rmtree(path, ignore_errors=True)
 

@@ -247,7 +247,8 @@ class Collection:
         ids silently drop, matching query.rs:18-24).
 
         ``index``: an ``operators.ann.AnnIndex`` strategy (SignLSHIndex
-        / CrossPolytopeIndex / IVFIndex / HNSWIndex). When given, the
+        / CrossPolytopeIndex / IVFIndex / HNSWIndex / PQIndex). When
+        given, the
         hit list comes from the unified candidates -> exact-rescore ->
         fallback contract instead of the exact scan — the Spark shape
         of the reference's pluggable Index trait (src/index.rs:8-12)."""

@@ -262,6 +262,43 @@ class IVFIndex(AnnIndex):
         )
 
 
+class PQIndex(AnnIndex):
+    """Product quantizer behind the contract (operators/pq.py).
+    ``candidates`` takes each query's ADC top-(rerank*k) over the
+    compressed codes relation — the classic PQ serving shape (Jegou et
+    al. 2011: ADC shortlist, exact re-rank) — and the shared search
+    re-scores the shortlist exactly under the caller's metric. The
+    shortlist scan never touches raw vectors; only the rerank*k
+    surviving ids join back to the vector table. ADC is squared-L2 on
+    the codes; for cosine-family re-scores the shortlist is
+    metric-mismatched the same way IVF's L2 probe selection is
+    (documented there) — ``rerank`` widens the shortlist to absorb it."""
+
+    name = "pq"
+
+    def __init__(self, pq, rerank: int = 8):
+        self.pq = pq
+        self.rerank = rerank
+
+    def build_df(self, base, id_col="id", vec_col="embedding",
+                 metric="cosine"):
+        # codebooks are L2-Voronoi per subspace regardless of the
+        # re-score metric (operators/pq.py module docstring)
+        if self.pq.codebooks is None:
+            self.pq.fit(base, id_col=id_col, vec_col=vec_col)
+        return self.pq.with_codes(base, vec_col).select(id_col, "codes")
+
+    def candidates(self, built, base, queries, k, id_col="id",
+                   vec_col="embedding", query_id_col="query_id",
+                   query_vec_col="embedding", metric="cosine"):
+        shortlist = self.pq.query_batch(
+            built, queries, max(k * self.rerank, k), id_col=id_col,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        )
+        # rank is unique per (query, id) — already deduplicated
+        return shortlist.select("query_id", id_col)
+
+
 class HNSWIndex(AnnIndex):
     """HNSW graph behind the contract (operators/hnsw.py). The
     candidate set is the beam-search visited set (ef wide), which the

@@ -1,4 +1,4 @@
-"""Unified ANN index-strategy contract (operators/ann.py): all four
+"""Unified ANN index-strategy contract (operators/ann.py): all five
 strategies drive through the same build_df -> candidates -> shared
 search path — the Spark shape of the reference's Index trait
 (src/index.rs:8-12) — and Collection.search(index=...) dispatches."""
@@ -10,6 +10,7 @@ from kowari_spark.operators.ann import (
     CrossPolytopeIndex,
     HNSWIndex,
     IVFIndex,
+    PQIndex,
     SignLSHIndex,
 )
 from kowari_spark.operators.cplsh import CrossPolytopeLSH
@@ -17,6 +18,7 @@ from kowari_spark.operators.eval import mean_metric, recall_at_k
 from kowari_spark.operators.hnsw import HNSW
 from kowari_spark.operators.ivf import IVF
 from kowari_spark.operators.lsh import SignLSH
+from kowari_spark.operators.pq import PQ
 from kowari_spark.operators.topk import knn_batch
 
 
@@ -44,6 +46,7 @@ def _strategies():
         ),
         IVFIndex(IVF(n_lists=8, n_probe=3, max_iter=2, seed=42)),
         HNSWIndex(HNSW(m=8, ef=32, seed=42)),
+        PQIndex(PQ(m=8, k_sub=16, max_iter=2, seed=42), rerank=8),
     ]
 
 
