@@ -1588,7 +1588,7 @@ def q_doc_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_doc_text_knn() -> str:
+def _oracle_doc_text_knn(k: int = 10) -> str:
     h = _SQL_HASH64.format(s="t")
     counts = (
         f"list_transform(range(0, 32), "
@@ -1611,7 +1611,7 @@ q AS (SELECT v FROM n WHERE doc_id = 0)
 SELECT e.doc_id AS doc_id, ROUND({cos}, 6) + 0.0 AS score
 FROM n e CROSS JOIN q
 ORDER BY score DESC, doc_id ASC
-LIMIT 10
+LIMIT {k}
 """
 
 
@@ -2069,6 +2069,71 @@ def _oracle_doc_bm25_top10() -> str:
     from kowari_spark.operators.search import bm25_oracle_sql
 
     return bm25_oracle_sql(_BM25_QUERY, k=10)
+
+
+def q_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search via reciprocal-rank fusion (operators/search.
+    rrf_fuse, Cormack et al. 2009): the BM25 top-20 for the contract
+    keyword query fuses with the hashed-embedding cosine top-20 around
+    doc 0 — score(d) = Σ 1/(60 + rank_i(d)), a doc missing from a list
+    contributes exactly 0.0 from it. Rank derivation (row_number over
+    score DESC, id ASC on each top-k list), the per-list conditional
+    aggregate, and the fixed list-order fold are all replayed by the
+    oracle, which nests the ALREADY-PROVEN bm25 and text-knn replays as
+    subqueries at depth 20."""
+    from kowari_spark.operators.search import bm25_search, rrf_fuse
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    kw = bm25_search(docs, _BM25_QUERY, k=20)
+    embedded = T.hashed_embeddings(docs, "text", "doc_id", 32)
+    qrow = embedded.filter(F.col("doc_id") == 0).first()
+    vec = knn(
+        embedded, [float(x) for x in qrow["embedding"]], 20,
+        metric="cosine", id_col="doc_id", round_to=6,
+    )
+    fused = rrf_fuse([(kw, "bm25"), (vec, "score")], id_col="doc_id", k0=60)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .orderBy("rank")
+    )
+
+
+def _oracle_doc_hybrid_rrf() -> str:
+    from kowari_spark.operators.search import bm25_oracle_sql
+
+    kw_sql = bm25_oracle_sql(_BM25_QUERY, k=20)
+    vec_sql = _oracle_doc_text_knn(k=20)
+    return f"""
+WITH kw AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+  FROM ({kw_sql})
+),
+vec AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM ({vec_sql})
+),
+ids AS (SELECT doc_id FROM kw UNION SELECT doc_id FROM vec),
+fused AS (
+  SELECT i.doc_id,
+         ROUND(coalesce(1.0 / (60.0 + kw.r), 0.0)
+               + coalesce(1.0 / (60.0 + vec.r), 0.0), 9) + 0.0 AS rrf_score,
+         (CASE WHEN kw.r IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN vec.r IS NOT NULL THEN 1 ELSE 0 END) AS n_lists
+  FROM ids i
+  LEFT JOIN kw ON kw.doc_id = i.doc_id
+  LEFT JOIN vec ON vec.doc_id = i.doc_id
+)
+SELECT doc_id, rrf_score, n_lists,
+       row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+FROM fused
+ORDER BY rank
+LIMIT 10
+"""
 
 
 def q_doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2685,6 +2750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontam": q_doc_decontam,
         "doc_bm25_top10": q_doc_bm25_top10,
         "doc_bm25_batch": q_doc_bm25_batch,
+        "doc_hybrid_rrf": q_doc_hybrid_rrf,
         "doc_mixture_sample": q_doc_mixture_sample,
         "doc_top_bigrams": q_doc_top_bigrams,
         "doc_surprisal": q_doc_surprisal,
@@ -2753,6 +2819,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontam": _oracle_doc_decontam(),
         "doc_bm25_top10": _oracle_doc_bm25_top10(),
         "doc_bm25_batch": _oracle_doc_bm25_batch(),
+        "doc_hybrid_rrf": _oracle_doc_hybrid_rrf(),
         "doc_mixture_sample": _oracle_doc_mixture_sample(),
         "doc_top_bigrams": _ORACLE_DOC_TOP_BIGRAMS,
         "doc_surprisal": _ORACLE_DOC_SURPRISAL,

@@ -265,3 +265,83 @@ def bm25_search_batch(
         per.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def rrf_fuse(
+    rankings,
+    id_col: str = "doc_id",
+    k0: int = 60,
+    weights=None,
+    round_to: int = 9,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of any
+    number of top-k rankings: score(d) = Σ_i w_i / (k0 + rank_i(d)) —
+    the standard hybrid-search combiner (BM25 list + vector list), rank-
+    based so the lists' incomparable score scales never need calibrating.
+
+    ``rankings`` is a sequence of ``(df, score_col)`` pairs; each df is
+    a TOP-K LIST (id_col + its score column, e.g. ``bm25_search(...)``
+    or ``knn(...)`` output). Ranks are derived here as row_number over
+    (score DESC, id ASC) — the same total order every producer in this
+    repo emits — via a global window: fine by construction because RRF
+    consumes top-k lists (k rows each), never whole-corpus relations.
+    A document missing from a list contributes exactly 0.0 from it.
+
+    Scale shape: the fused relation is at most Σ k_i rows. Per-list
+    contributions reduce through ONE groupBy with a conditional
+    aggregate per list and are added in FIXED list order (float
+    addition order is part of the plan, same discipline as the BM25
+    term fold), so the operator keeps an exact SQL oracle.
+
+    Returns (id_col, rrf_score, n_lists) — ``n_lists`` = how many input
+    lists contained the document — ordered by (rrf_score DESC, id ASC).
+    """
+    from pyspark.sql.window import Window
+
+    rankings = list(rankings)
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if weights is None:
+        weights = [1.0] * len(rankings)
+    if len(weights) != len(rankings):
+        raise ValueError(
+            f"{len(weights)} weights for {len(rankings)} rankings"
+        )
+    parts = []
+    for i, (df, score_col) in enumerate(rankings):
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        parts.append(
+            df.select(
+                F.col(id_col),
+                F.lit(i).alias("__src"),
+                (
+                    F.lit(float(weights[i]))
+                    / (F.lit(float(k0)) + F.row_number().over(w).cast("double"))
+                ).alias("__c"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    # one conditional aggregate per list = deterministic fold order
+    agg = u.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("__src") == i, F.col("__c"))).alias(f"__c{i}")
+            for i in range(len(parts))
+        ]
+    )
+    score = F.coalesce(F.col("__c0"), F.lit(0.0))
+    for i in range(1, len(parts)):
+        score = score + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+    n_lists = sum(
+        F.when(F.col(f"__c{i}").isNotNull(), 1).otherwise(0)
+        for i in range(len(parts))
+    )
+    return (
+        agg.select(
+            id_col,
+            (F.round(score, round_to) + F.lit(0.0)).alias("rrf_score"),
+            n_lists.cast("int").alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+    )

@@ -110,3 +110,75 @@ def test_batch_empty_rejected(corpus):
         bm25_search_batch(corpus, {})
     with pytest.raises(ValueError):
         bm25_search_batch(corpus, {"a": "  "})
+
+
+# -- reciprocal-rank fusion ---------------------------------------------------
+
+
+def test_rrf_hand_computed(spark):
+    """Two 3-doc lists, score checked against the formula by hand:
+    doc 10 is rank 1 in both -> 2/(60+1); doc 11 only in list A at
+    rank 2 -> 1/62; doc 12 only in B at rank 2 -> 1/62; doc 13 rank 3
+    in A and B -> 2/63."""
+    from kowari_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 9.0), (11, 8.0), (13, 7.0)], "doc_id long, s double"
+    )
+    b = spark.createDataFrame(
+        [(10, 0.9), (12, 0.8), (13, 0.7)], "doc_id long, s double"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_score"], r["n_lists"])
+        for r in rrf_fuse([(a, "s"), (b, "s")]).collect()
+    }
+    assert got[10] == (pytest.approx(round(2 * (1 / 61.0), 9)), 2)
+    assert got[11] == (pytest.approx(round(1 / 62.0, 9)), 1)
+    assert got[12] == (pytest.approx(round(1 / 62.0, 9)), 1)
+    assert got[13] == (pytest.approx(round(2 * (1 / 63.0), 9)), 2)
+
+
+def test_rrf_rank_ties_break_on_id(spark):
+    """Equal scores within a list rank by ascending id — the same total
+    order every top-k producer in the repo emits."""
+    from kowari_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(5, 1.0), (3, 1.0), (4, 1.0)], "doc_id long, s double"
+    )
+    got = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse([(a, "s")]).collect()}
+    assert got[3] > got[4] > got[5]
+
+
+def test_rrf_weights_and_validation(spark):
+    from kowari_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1.0)], "doc_id long, s double")
+    b = spark.createDataFrame([(1, 1.0)], "doc_id long, s double")
+    got = rrf_fuse([(a, "s"), (b, "s")], weights=[1.0, 3.0]).first()
+    assert got["rrf_score"] == pytest.approx(round(4.0 / 61.0, 9))
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="weights"):
+        rrf_fuse([(a, "s")], weights=[1.0, 2.0])
+
+
+def test_rrf_hybrid_beats_either_list_on_agreement(corpus):
+    """The doc ranked well by BOTH bm25 and a second signal outranks
+    docs that only one list likes — the property hybrid search exists
+    for. List A: bm25 for 'join hash'; list B: favors doc 3 and doc 5."""
+    from kowari_spark.operators.search import bm25_search, rrf_fuse
+
+    kw = bm25_search(corpus, "join hash", k=6)
+    spark = corpus.sparkSession
+    vec = spark.createDataFrame(
+        [(3, 0.99), (5, 0.98), (0, 0.5)], "doc_id long, score double"
+    )
+    fused = rrf_fuse([(kw, "bm25"), (vec, "score")]).collect()
+    order = [r["doc_id"] for r in fused]
+    # doc 3 is bm25's winner AND vec's winner -> fused rank 1
+    assert order[0] == 3
+    # doc 5 never matches the query (bm25 absent) but vec rank 2 keeps
+    # it above bm25-only stragglers with worse ranks in their one list
+    three = {r["doc_id"]: r["n_lists"] for r in fused}
+    assert three[3] == 2 and three[5] == 1
