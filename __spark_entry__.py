@@ -752,8 +752,13 @@ def _oracle_ivf_knn() -> str:
 # subspaces). m=4/k_sub=8 keeps the unrolled per-subspace SQL replay
 # tractable while still exercising the full PQ pipeline: 4 independent
 # codebooks, 2 Lloyd rounds each, encode, ADC lookup scoring.
+# encoder="arrow": the contract row runs the SCALE encode path (numpy
+# inside mapInPandas — the expression engine's m*k_sub interpreted fold
+# lambdas per row are the measured build bottleneck, BASELINE.md) so
+# the oracle validates it; bit-parity with the expr engine is pinned in
+# tests/test_pq.py.
 _PQ_PARAMS = dict(m=4, k_sub=8, max_iter=2, seed=42,
-                  round_centroids=6, seed_sample=512)
+                  round_centroids=6, seed_sample=512, encoder="arrow")
 _PQ_DIM = 64  # the embeddings table's vector dimension
 
 

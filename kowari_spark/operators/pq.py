@@ -65,11 +65,28 @@ class PQ:
 
     def __init__(self, m: int = 4, k_sub: int = 16, max_iter: int = 3,
                  seed: int = 42, round_centroids: int | None = 6,
-                 seed_sample: int | str | None = "auto"):
+                 seed_sample: int | str | None = "auto",
+                 encoder: str = "expr"):
         if m < 1:
             raise ValueError(f"m must be >= 1, got {m}")
         if k_sub < 1:
             raise ValueError(f"k_sub must be >= 1, got {k_sub}")
+        if encoder not in ("expr", "arrow"):
+            raise ValueError(
+                f"encoder must be 'expr' or 'arrow', got {encoder!r}"
+            )
+        # encode-path engine: "expr" = pure-JVM argmin over literal
+        # codebooks (the oracle-parity default); "arrow" = the SAME
+        # arithmetic vectorized in numpy inside mapInPandas — the
+        # m*k_sub interpreted fold lambdas per row are the measured
+        # build bottleneck at scale (x100: 629s -> see BASELINE.md).
+        # Bit-identical by construction: distances accumulate
+        # DIMENSION-BY-DIMENSION (one vectorized elementwise op per
+        # dim — the same sequential left fold the expression engine
+        # runs, the semantic-dedup GEMM-rescore discipline), and
+        # np.argmin ties break on the first (lowest) index exactly like
+        # array_position(array_min). Parity is pinned in tests.
+        self.encoder = encoder
         self.m = m
         self.k_sub = k_sub
         self.max_iter = max_iter
@@ -225,10 +242,14 @@ class PQ:
         self.codebooks = np.asarray(books, dtype=np.float64)
 
         for _ in range(self.max_iter):
-            # one pass: every subspace's code, then (sub, code, local
-            # dim) partial sums — k_sub*d skinny rows total on the wire
-            coded = df.select(
-                self._codes_expr(vec_col).alias("__codes"),
+            # one pass: every subspace's code (through the configured
+            # encoder — the arrow path is the scale shape), then
+            # (sub, code, local dim) partial sums — k_sub*d skinny rows
+            # total on the wire
+            coded = self.with_codes(
+                df.select(vec_col), vec_col, code_col="__codes"
+            ).select(
+                "__codes",
                 F.posexplode(vec_col).alias("dim", "val"),
             ).select(
                 (F.col("dim") / ds).cast("int").alias("sub"),
@@ -268,10 +289,52 @@ class PQ:
 
     # -- encode / build -----------------------------------------------------
 
+    def _codes_arrow(self, df: DataFrame, vec_col: str,
+                     code_col: str) -> DataFrame:
+        """Arrow encode path: all m argmins per row from vectorized
+        numpy inside ONE mapInPandas pass — zero shuffles, bit-identical
+        to the expression engine (dimension-ordered sequential fold,
+        first-index tie-break; see __init__)."""
+        from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+        books = np.ascontiguousarray(self.codebooks)  # (m, k_sub, ds)
+        m, k_sub, ds = books.shape
+        out_schema = StructType(
+            list(df.schema.fields)
+            + [StructField(code_col, ArrayType(IntegerType()))]
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    pdf[code_col] = []
+                    yield pdf
+                    continue
+                V = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                codes = np.empty((len(pdf), m), dtype=np.int32)
+                for j in range(m):
+                    sub = V[:, j * ds:(j + 1) * ds]
+                    acc = np.zeros((len(pdf), k_sub))
+                    for dd in range(ds):
+                        diff = sub[:, dd:dd + 1] - books[j][:, dd][None, :]
+                        acc += diff * diff
+                    codes[:, j] = np.argmin(acc, axis=1)
+                pdf = pdf.copy()
+                pdf[code_col] = [list(map(int, row)) for row in codes]
+                yield pdf
+
+        return df.mapInPandas(gen, out_schema)
+
     def with_codes(self, df: DataFrame, vec_col: str = "embedding",
-                   code_col: str = "codes") -> DataFrame:
+                   code_col: str = "codes",
+                   engine: str | None = None) -> DataFrame:
         if self.codebooks is None:
             raise ValueError("fit() or load() first")
+        engine = self.encoder if engine is None else engine
+        if engine == "arrow":
+            return self._codes_arrow(df, vec_col, code_col)
         return df.withColumn(code_col, self._codes_expr(vec_col))
 
     def build(self, df: DataFrame, path: str, id_col: str = "id",

@@ -220,3 +220,52 @@ def test_fit_replay_in_duckdb(base):
         base, id_col="vec_id", dim=64
     )
     assert np.array_equal(np.asarray(seeds), fitted0.codebooks[0])
+
+
+def test_arrow_encoder_parity_on_real_table(base, fitted):
+    """engine='arrow' must produce byte-identical codes to the
+    expression engine on the real embeddings table — the contract that
+    lets the scale path share the SQL oracle."""
+    expr = {
+        r["vec_id"]: list(r["codes"])
+        for r in fitted.with_codes(base).select("vec_id", "codes").collect()
+    }
+    arrow = {
+        r["vec_id"]: list(r["codes"])
+        for r in fitted.with_codes(base, engine="arrow")
+        .select("vec_id", "codes").collect()
+    }
+    assert arrow == expr
+
+
+def test_arrow_encoder_tie_breaks_lowest_code(spark):
+    """A vector exactly equidistant from two centroids must take the
+    LOWER code in both engines (array_position(array_min) finds the
+    first match; np.argmin returns the first occurrence)."""
+    pq = PQ(m=1, k_sub=2, max_iter=0)
+    pq.dim = 2
+    pq.codebooks = np.array([[[0.0, 0.0], [2.0, 0.0]]])
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    for eng in ("expr", "arrow"):
+        assert list(pq.with_codes(df, engine=eng).first()["codes"]) == [0]
+
+
+def test_arrow_encoder_is_shuffle_free(base, fitted):
+    plan = fitted.with_codes(base, engine="arrow")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_fit_codebooks_agree_across_encoders(base):
+    a = PQ(m=4, k_sub=8, max_iter=2, seed=42).fit(base, id_col="vec_id", dim=64)
+    b = PQ(m=4, k_sub=8, max_iter=2, seed=42, encoder="arrow").fit(
+        base, id_col="vec_id", dim=64
+    )
+    assert np.array_equal(a.codebooks, b.codebooks)
+
+
+def test_encoder_typo_rejected():
+    with pytest.raises(ValueError, match="encoder"):
+        PQ(encoder="gemm")

@@ -211,23 +211,36 @@ def _run_suite(
                 probes=4).count())
             rec("cp_knn_prebuilt", s, r)
 
-    if want("pq_build") or want("pq_knn_prebuilt"):
+    if want("pq_build") or want("pq_build_arrow") or want("pq_knn_prebuilt"):
         # PQ's 100 TB shape: fit + encode into the compressed (id,
         # codes) layout once offline, then the ADC probe scans codes
-        # only — never the raw vectors
+        # only — never the raw vectors. pq_build = expression encoder
+        # (the oracle-parity default, m*k_sub interpreted folds/row);
+        # pq_build_arrow = the bit-identical numpy encode path
         from kowari_spark.operators.pq import PQ
 
-        pqi = PQ(m=8, k_sub=16, max_iter=2, seed=42)
         playout = os.path.join(SCALE_DIR, f"x{mult}", "pq_layout")
-        s, _ = timed(lambda: (
-            pqi.fit(emb, id_col="vec_id", dim=64),
-            pqi.build(emb, playout, id_col="vec_id"),
-        ) and 0)
         if want("pq_build"):
+            pqe = PQ(m=8, k_sub=16, max_iter=2, seed=42)
+            s, _ = timed(lambda: (
+                pqe.fit(emb, id_col="vec_id", dim=64),
+                pqe.build(emb, playout, id_col="vec_id"),
+            ) and 0)
             rec("pq_build", s, 0)
+        if want("pq_build_arrow") or (
+            want("pq_knn_prebuilt") and not want("pq_build")
+        ):
+            pqi = PQ(m=8, k_sub=16, max_iter=2, seed=42, encoder="arrow")
+            s, _ = timed(lambda: (
+                pqi.fit(emb, id_col="vec_id", dim=64),
+                pqi.build(emb, playout, id_col="vec_id"),
+            ) and 0)
+            if want("pq_build_arrow"):
+                rec("pq_build_arrow", s, 0)
         if want("pq_knn_prebuilt"):
-            pcodes = pqi.load(spark, playout)
-            s, r = timed(lambda: pqi.query_batch(
+            pqp = PQ()
+            pcodes = pqp.load(spark, playout)
+            s, r = timed(lambda: pqp.query_batch(
                 pcodes, queries, 10, id_col="vec_id", round_to=6).count())
             rec("pq_knn_prebuilt", s, r)
 
