@@ -89,33 +89,19 @@ class IVF:
 
     # -- fit ---------------------------------------------------------------
 
+    # shared with PQ (operators/quantizer.py) so the fold/literal
+    # arithmetic both SQL oracles replay lives exactly once
     @staticmethod
     def _cents_lit(cents) -> "F.Column":
-        """Literal array<array<double>> of centroids, parsed from ONE
-        SQL string (a nested F.lit costs one Py4J round-trip per
-        element — ~0.7 s per call at 16x64). The D suffix keeps every
-        element an exact DOUBLE literal (repr() is the shortest
-        round-trip decimal)."""
-        return F.expr(
-            "array(" + ",".join(
-                "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
-                for c in cents
-            ) + ")"
-        )
+        from kowari_spark.operators.quantizer import cents_lit
+
+        return cents_lit(cents)
 
     @staticmethod
     def _d2_fold(vec_col: str, c) -> "F.Column":
-        """Squared L2 as the identical per-element (x-y)² sequential
-        fold both engines run — the parity contract of the whole fit."""
-        return F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                c,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        from kowari_spark.operators.quantizer import d2_fold
+
+        return d2_fold(F.col(vec_col), c)
 
     def _assign_expr(self, vec_col: str):
         """list_id = argmin_i ||v - c_i||² as a native expression over a
@@ -217,23 +203,9 @@ class IVF:
                 f"need >= {self.n_lists} vectors to fit {self.n_lists} lists"
             )
         pts = [(r[id_col], [float(x) for x in r[vec_col]]) for r in rows]
+        from kowari_spark.operators.quantizer import gonzalez_maxmin
 
-        def d2(a: list, b: list) -> float:
-            acc = 0.0
-            for x, y in zip(a, b):
-                acc += (x - y) * (x - y)
-            return acc
-
-        seeds = [pts[0][1]]
-        mind = {rid: d2(v, seeds[0]) for rid, v in pts}
-        for _ in range(self.n_lists - 1):
-            best_id, best_vec = min(pts, key=lambda p: (-mind[p[0]], p[0]))
-            seeds.append(best_vec)
-            for rid, v in pts:
-                dd = d2(v, best_vec)
-                if dd < mind[rid]:
-                    mind[rid] = dd
-        return np.asarray(seeds, dtype=np.float64)
+        return np.asarray(gonzalez_maxmin(pts, self.n_lists), dtype=np.float64)
 
     def _fit(self, df: DataFrame, id_col: str, vec_col: str) -> "IVF":
         # cardinality validation happens inside the seeding paths (from

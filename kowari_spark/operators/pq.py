@@ -113,29 +113,20 @@ class PQ:
             raise ValueError("fit() or load() first")
         return self.dim // self.m
 
+    # the literal/fold/seeding arithmetic is SHARED with IVF via
+    # operators/quantizer.py — both SQL oracles replay it CTE-for-CTE,
+    # so it must live exactly once
     @staticmethod
     def _cents_lit(cents) -> "F.Column":
-        """Literal array<array<double>> parsed from ONE SQL string (same
-        Py4J-round-trip avoidance as ivf.IVF._cents_lit)."""
-        return F.expr(
-            "array(" + ",".join(
-                "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
-                for c in cents
-            ) + ")"
-        )
+        from kowari_spark.operators.quantizer import cents_lit
+
+        return cents_lit(cents)
 
     @staticmethod
     def _d2_fold(sub: "F.Column", c) -> "F.Column":
-        """Squared L2 as the identical per-element (x-y)^2 sequential
-        fold both engines run — the parity contract of the fit."""
-        return F.aggregate(
-            F.zip_with(
-                sub, c,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        from kowari_spark.operators.quantizer import d2_fold
+
+        return d2_fold(sub, c)
 
     def _sub_slice(self, vec_col, j: int) -> "F.Column":
         """Subvector j: elements [j*ds, (j+1)*ds) — F.slice is 1-based."""
@@ -207,27 +198,12 @@ class PQ:
 
     def _gonzalez(self, pts) -> list[list[float]]:
         """Farthest-first traversal over (id, subvector) points — the
-        same maxmin loop as ivf.IVF._seed_farthest_first_sampled, so the
-        SQL replay is identical CTE-for-CTE: seed 0 is the md5-smallest
-        row (pts arrive md5-ordered), seed i+1 maximizes the min squared
-        distance to the chosen set, ties -> lowest id."""
+        SAME shared maxmin loop IVF's sampled seeding runs
+        (operators/quantizer.gonzalez_maxmin), so the SQL replay is
+        identical CTE-for-CTE."""
+        from kowari_spark.operators.quantizer import gonzalez_maxmin
 
-        def d2(a: list, b: list) -> float:
-            acc = 0.0
-            for x, y in zip(a, b):
-                acc += (x - y) * (x - y)
-            return acc
-
-        seeds = [pts[0][1]]
-        mind = {rid: d2(v, seeds[0]) for rid, v in pts}
-        for _ in range(self.k_sub - 1):
-            best_id, best_vec = min(pts, key=lambda p: (-mind[p[0]], p[0]))
-            seeds.append(best_vec)
-            for rid, v in pts:
-                dd = d2(v, best_vec)
-                if dd < mind[rid]:
-                    mind[rid] = dd
-        return seeds
+        return gonzalez_maxmin(pts, self.k_sub)
 
     def _fit(self, df: DataFrame, id_col: str, vec_col: str) -> "PQ":
         rows = self._seed_rows(df, id_col, vec_col)
@@ -304,25 +280,60 @@ class PQ:
             + [StructField(code_col, ArrayType(IntegerType()))]
         )
 
+        dim = m * ds
+
+        def encode_block(V: np.ndarray) -> np.ndarray:
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                sub = V[:, j * ds:(j + 1) * ds]
+                acc = np.zeros((len(V), k_sub))
+                for dd in range(ds):
+                    diff = sub[:, dd:dd + 1] - books[j][:, dd][None, :]
+                    acc += diff * diff
+                # all-NaN rows (a NaN anywhere in the subvector poisons
+                # every centroid distance) take index 0 — the same code
+                # the expression engine's array_position(array_min)
+                # resolves to, verified in tests
+                codes[:, j] = np.argmin(acc, axis=1)
+            return codes
+
         def gen(batches):
             for pdf in batches:
                 if not len(pdf):
                     pdf[code_col] = []
                     yield pdf
                     continue
-                V = np.asarray(
-                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-                )
-                codes = np.empty((len(pdf), m), dtype=np.int32)
-                for j in range(m):
-                    sub = V[:, j * ds:(j + 1) * ds]
-                    acc = np.zeros((len(pdf), k_sub))
-                    for dd in range(ds):
-                        diff = sub[:, dd:dd + 1] - books[j][:, dd][None, :]
-                        acc += diff * diff
-                    codes[:, j] = np.argmin(acc, axis=1)
+                vals = list(pdf[vec_col])
+                # fast path: every row is a full-length vector (the
+                # normal corpus) — one vectorized block
+                if all(v is not None and len(v) >= dim for v in vals):
+                    V = np.asarray(
+                        [np.asarray(v[:dim], dtype=np.float64) for v in vals]
+                    )
+                    out = [list(map(int, row)) for row in encode_block(V)]
+                else:
+                    # degraded rows mirror the expression engine: a null
+                    # vector -> all-null codes; a short vector encodes
+                    # only the subspaces its length fully covers (the
+                    # zip_with null-padding semantics, pinned in tests)
+                    out = []
+                    for v in vals:
+                        if v is None:
+                            out.append([None] * m)
+                            continue
+                        arr = np.asarray(v, dtype=np.float64)
+                        padded = (
+                            arr[:dim] if len(arr) >= dim
+                            else np.concatenate([arr, np.zeros(dim - len(arr))])
+                        )
+                        block = encode_block(padded[np.newaxis, :])
+                        out.append([
+                            int(block[0, j]) if (j + 1) * ds <= len(arr)
+                            else None
+                            for j in range(m)
+                        ])
                 pdf = pdf.copy()
-                pdf[code_col] = [list(map(int, row)) for row in codes]
+                pdf[code_col] = out
                 yield pdf
 
         return df.mapInPandas(gen, out_schema)
@@ -353,6 +364,11 @@ class PQ:
             "max_iter": self.max_iter,
             "seed": self.seed,
             "round_centroids": self.round_centroids,
+            # full fit/encode provenance: codes are bit-identical across
+            # encoders (tested), but the sidecar must say how the layout
+            # was produced so load() restores an equivalent instance
+            "seed_sample": self.seed_sample,
+            "encoder": self.encoder,
             "dim": self.dim,
             "codebooks": [
                 [[float(x) for x in c] for c in book] for book in self.codebooks
@@ -384,6 +400,8 @@ class PQ:
             self.max_iter = meta["max_iter"]
             self.seed = meta["seed"]
             self.round_centroids = meta["round_centroids"]
+            self.seed_sample = meta.get("seed_sample", self.seed_sample)
+            self.encoder = meta.get("encoder", self.encoder)
             self.dim = meta["dim"]
             self.codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
         return spark.read.parquet(path)

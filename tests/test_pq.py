@@ -269,3 +269,52 @@ def test_fit_codebooks_agree_across_encoders(base):
 def test_encoder_typo_rejected():
     with pytest.raises(ValueError, match="encoder"):
         PQ(encoder="gemm")
+
+
+def test_arrow_encoder_degraded_rows_match_expr(spark):
+    """Null / short / NaN embeddings must take the SAME codes through
+    both engines: null vector -> all-null codes, a short vector encodes
+    only the subspaces its length fully covers (the expression engine's
+    zip_with null-padding semantics), and a NaN-poisoned subspace
+    resolves to code 0 in both (all distances NaN -> first index)."""
+    pq = PQ(m=2, k_sub=2, max_iter=0)
+    pq.dim = 4
+    pq.codebooks = np.array(
+        [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 1.0]]]
+    )
+    df = spark.createDataFrame(
+        [
+            (0, [0.1, 0.1, 0.9, 0.9]),
+            (1, None),
+            (2, [0.1, 0.1]),
+            (3, [0.1, 0.1, 0.9]),
+            (4, [float("nan"), 0.1, 0.9, 0.9]),
+            (5, [0.9, 0.9, 0.1, 0.1, 7.0]),  # overlong: extra ignored
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    expr = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq.with_codes(df, engine="expr").collect()
+    }
+    arrow = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq.with_codes(df, engine="arrow").collect()
+    }
+    assert arrow == expr
+    assert expr[1] == [None, None]
+    assert expr[2] == [0, None]
+    assert expr[3] == [0, None]
+    assert expr[4][0] == 0  # NaN subspace -> first code in BOTH engines
+    assert expr[5] == [1, 0]
+
+
+def test_layout_sidecar_records_encoder_provenance(base, tmp_path, spark):
+    pq = PQ(m=4, k_sub=8, max_iter=1, seed=42, encoder="arrow",
+            seed_sample=512).fit(base, id_col="vec_id", dim=64)
+    path = str(tmp_path / "pq_prov")
+    pq.build(base, path, id_col="vec_id")
+    fresh = PQ()
+    fresh.load(spark, path)
+    assert fresh.encoder == "arrow"
+    assert fresh.seed_sample == 512

@@ -227,9 +227,12 @@ def _run_suite(
                 pqe.build(emb, playout, id_col="vec_id"),
             ) and 0)
             rec("pq_build", s, 0)
+        have_layout = os.path.exists(os.path.join(playout, "_pq_meta.json"))
         if want("pq_build_arrow") or (
-            want("pq_knn_prebuilt") and not want("pq_build")
+            want("pq_knn_prebuilt") and not want("pq_build") and not have_layout
         ):
+            # a probe-only run reuses an existing layout instead of
+            # paying an untimed refit+re-encode per invocation
             pqi = PQ(m=8, k_sub=16, max_iter=2, seed=42, encoder="arrow")
             s, _ = timed(lambda: (
                 pqi.fit(emb, id_col="vec_id", dim=64),
