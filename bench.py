@@ -202,7 +202,7 @@ def quality_gates(spark, sf_dir) -> dict:
     )
     lists16.unpersist()
     lists.unpersist()
-    # HNSW full-table graph (auto scorer = GEMM at this n), so all four
+    # HNSW full-table graph (auto scorer = GEMM at this n), so all
     # index families publish recall next to their cost lines
     from kowari_spark.operators.hnsw import HNSW
 

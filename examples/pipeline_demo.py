@@ -84,6 +84,25 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("text knn:", [(r["doc_id"], r["score"])
                         for r in knn(embedded, qvec, 3, id_col="doc_id", round_to=4).collect()])
 
+    # -- serving: hybrid retrieval + compressed-index probe --------------
+    # keyword list + vector list fuse by reciprocal rank (RRF); a PQ
+    # layout probes the same corpus through 8-byte codes instead of the
+    # raw vectors (the 100 TB serving shapes, end to end)
+    from kowari_spark.operators.pq import PQ
+    from kowari_spark.operators.search import rrf_fuse
+
+    kw_list = bm25_search(mixed, "hash join", k=10)
+    vec_list = knn(embedded, qvec, 10, id_col="doc_id", round_to=6)
+    fused = rrf_fuse([(kw_list, "bm25"), (vec_list, "score")], id_col="doc_id")
+    print("hybrid rrf:", [(r["doc_id"], r["rrf_score"], r["n_lists"])
+                          for r in fused.limit(3).collect()])
+    pq = PQ(m=4, k_sub=8, max_iter=2, encoder="arrow").fit(
+        embedded, id_col="doc_id", dim=32)
+    codes = pq.with_codes(embedded).select("doc_id", "codes")
+    print("pq adc knn:", [(r["doc_id"], r["distance"])
+                          for r in pq.query(codes, qvec, 3, id_col="doc_id",
+                                            round_to=4).collect()])
+
     # -- multimodal plumbing (deterministic KWM codec) -------------------
     media = synth_media(docs.select(F.col("doc_id").alias("media_id")).limit(20),
                         kind="video", width=16, height=12, n_frames=4)
