@@ -364,6 +364,56 @@ LIMIT 10
 """
 
 
+def q_filtered_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN through the unified index contract (reference F8
+    composed with Q4 — local_storage_demo.rs:115-130 metadata filtering
+    over Q4 bucket probing): ``AnnIndex.search(where=...)`` applies the
+    predicate BEFORE starvation accounting — the bucket probe's
+    candidate pairs are filtered, and a query whose filtered candidates
+    shrink below k brute-forces the FILTERED corpus, so semantics match
+    the exact filtered scan (post-filtering top-k hits would silently
+    return fewer rows and lose recall). Probes the same prebuilt
+    bucket-partitioned layout as lsh_knn_top10."""
+    from kowari_spark.operators.ann import SignLSHIndex
+
+    base = _t(spark, sf_dir, "embeddings")
+    layout = _lsh_index(spark, sf_dir)
+    qdf = base.filter(F.col("vec_id") == 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SignLSHIndex(_LSH).search(
+        base, qdf, 10, metric="cosine", built=layout, id_col="vec_id",
+        round_to=6, where=(F.col("label") == 3),
+    )
+    return out.select("vec_id", "score").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+
+
+def _oracle_filtered_lsh_knn() -> str:
+    """Replay of the filtered contract search: candidates = (bucket
+    match AND predicate); pool = those when >= k, else the whole
+    FILTERED table (the starvation fallback honors the filter)."""
+    cos = _cos_sql("p.emb", "q.qe")
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 5),
+b AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+      FROM embeddings),
+qb AS (SELECT {_bucket_sql('qe')} AS bucket FROM q),
+cand AS (SELECT b.* FROM b JOIN qb ON b.bucket = qb.bucket WHERE b.label = 3),
+pool AS (
+  SELECT * FROM cand WHERE (SELECT count(*) FROM cand) >= 10
+  UNION ALL
+  SELECT * FROM b WHERE b.label = 3 AND (SELECT count(*) FROM cand) < 10
+)
+SELECT p.vec_id AS vec_id, ROUND({cos}, 6) + 0.0 AS score
+FROM pool p CROSS JOIN q
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 def q_lsh_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-quality metric G3 (utils.rs:64-79): per-query recall@10 of
     the LSH bucket-probe path vs exact brute force, for 8 query vectors."""
@@ -935,6 +985,107 @@ def _oracle_pq_knn() -> str:
         )
     ctes.append(
         "scored AS (\n  SELECT q.query_id, a0.vec_id, "
+        f"ROUND({terms}, 6) + 0.0 AS distance\n  "
+        + "\n  ".join(joins) + ")"
+    )
+    ctes.append("""ranked AS (
+  SELECT query_id, vec_id, distance,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY distance ASC, vec_id ASC) AS rank
+  FROM scored)""")
+    return (
+        "WITH\n" + ",\n".join(ctes)
+        + "\nSELECT query_id, vec_id, distance, rank FROM ranked WHERE rank <= 10"
+    )
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str):
+    """Offline-build / online-probe split for the composed IVF×PQ index
+    (operators/ivfpq.py): reuse the SAME fitted quantizers the ivf_knn
+    and pq_knn rows probe (both cached), compose their layout ONCE per
+    (source file, params) — (id, codes) partitionBy(list_id) — then
+    every query ``load()``s it and probes partition-pruned compressed
+    codes: cell pruning x 32x compression, the two reduction factors
+    the 100 TB serving shape multiplies."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kowari_spark.operators.ivfpq import IVFPQ
+
+    ivf, _ = _ivf_index(spark, sf_dir)
+    pq, _ = _pq_index(spark, sf_dir)
+    comp = IVFPQ(ivf, pq)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "na"
+    key = (
+        f"{src}:{stamp}:{sorted(_IVF_PARAMS.items())}"
+        f":{sorted(_PQ_PARAMS.items())}:ivfpq-v1"
+    )
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kowari_ivfpq_{tag}")
+    if not os.path.exists(os.path.join(path, "_ivfpq_meta.json")):
+        comp.build(_t(spark, sf_dir, "embeddings"), path, id_col="vec_id")
+    coded = comp.load(spark, path)
+    return comp, coded
+
+
+def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ composed probe (operators/ivfpq.py — Jegou et al. 2011
+    §V, the standard serving structure): prune to n_probe IVF cells,
+    ADC-score ONLY those cells' compressed codes (m table lookups per
+    row, fixed-order fold), rank per query. Zero new arithmetic — the
+    oracle replays BOTH existing fit chains (IVF seeding+Lloyd, PQ
+    per-subspace seeding+Lloyd+encode) and composes them, so any drift
+    in either fit, the cell assignment, the probe choice or the ADC
+    fold breaks the hash."""
+    comp, coded = _ivfpq_index(spark, sf_dir)
+    queries = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = comp.query_batch(coded, queries, 10, id_col="vec_id", round_to=6)
+    return out.select(
+        "query_id", "vec_id", "distance",
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+def _oracle_ivfpq_knn() -> str:
+    """SQL replay of the composed probe: BOTH fit chains (they share
+    identical ``v``/``vs`` heads — same seed and sample — so the PQ
+    chain drops its duplicates), probe = n_probe nearest final IVF
+    centroids per query, scored set = vectors whose IVF cell is probed
+    BY THAT QUERY, distance = the PQ ADC sum over assigned-centroid
+    squared L2s in fixed subspace order."""
+    n_probe = _IVF_PARAMS["n_probe"]
+    fin = f"c{_IVF_PARAMS['max_iter']}"
+    m = _PQ_PARAMS["m"]
+    ds = _PQ_DIM // m
+    dist = _ivf_dist_sql
+    ctes = _ivf_fit_sql_ctes() + _pq_fit_sql_ctes()[2:]
+    ctes.append(f"""pr AS (
+  SELECT query_id, qe, cid FROM (
+    SELECT q.vec_id AS query_id, q.e AS qe, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist('q.e', 'c.vec')}, c.cid) AS rn
+    FROM (SELECT * FROM v WHERE vec_id < 4) q CROSS JOIN {fin} c)
+  WHERE rn <= {n_probe})""")
+    terms = " + ".join(
+        dist(f"pr.qe[{j * ds + 1}:{(j + 1) * ds}]", f"pc{j}.vec")
+        for j in range(m)
+    )
+    joins = ["FROM pr JOIN fa av ON av.cid = pr.cid"]
+    for j in range(m):
+        joins.append(
+            f"JOIN fa{j} a{j} ON a{j}.vec_id = av.vec_id "
+            f"JOIN fc{j} pc{j} ON pc{j}.cid = a{j}.cid"
+        )
+    ctes.append(
+        "scored AS (\n  SELECT pr.query_id, av.vec_id, "
         f"ROUND({terms}, 6) + 0.0 AS distance\n  "
         + "\n  ".join(joins) + ")"
     )
@@ -2719,7 +2870,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ROTATION POLICY: the driver validates only the FIRST 50 entries
+    # per round (dict order = check order), so rows are ordered by
+    # driver-validation age — never/least-recently driver-validated
+    # first, most-recently-validated last. Round 7 front block: the 14
+    # rows past round 6's window (pq_knn has never seen the driver)
+    # plus this round's new rows; the 49 rows the driver greened in
+    # round 6 follow in their old order, so the ~17 that now fall past
+    # the window are exactly the freshest-validated ones. Rotate again
+    # each round.
     return {
+        # -- round-7 front block: new rows first, then rows past round
+        # 6's 50-row driver window
+        "ivfpq_knn": q_ivfpq_knn,
+        "filtered_lsh_knn": q_filtered_lsh_knn,
+        "pq_knn": q_pq_knn,
+        "filtered_knn": q_filtered_knn,
+        "lsh_recall_at_10": q_lsh_recall_at_10,
+        "lsh_precision_at_10": q_lsh_precision_at_10,
+        "hnsw_knn": q_hnsw_knn,
+        "cp_knn_top10": q_cp_knn_top10,
+        "ivf_knn": q_ivf_knn,
+        "events_props_stats": q_events_props_stats,
+        "events_kmv_users": q_events_kmv_users,
+        "revenue_rollup": q_revenue_rollup,
+        "orders_cube": q_orders_cube,
+        "nation_set_ops": q_nation_set_ops,
+        "customer_strings": q_customer_strings,
+        "orders_by_month": q_orders_by_month,
+        # -- round-6-validated rows, original order (tail falls out of
+        # the 50-row window this round; they were all driver-green r6)
         "knn_cosine_top10": q_knn_cosine_top10,
         "knn_euclidean_top10": q_knn_euclidean_top10,
         "knn_batch_top5": q_knn_batch_top5,
@@ -2770,20 +2950,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pipeline": q_media_pipeline,
         "media_near_dups": q_media_near_dups,
         "similarity_join": q_similarity_join,
-        "filtered_knn": q_filtered_knn,
-        "lsh_recall_at_10": q_lsh_recall_at_10,
-        "lsh_precision_at_10": q_lsh_precision_at_10,
-        "hnsw_knn": q_hnsw_knn,
-        "cp_knn_top10": q_cp_knn_top10,
-        "ivf_knn": q_ivf_knn,
-        "pq_knn": q_pq_knn,
-        "events_props_stats": q_events_props_stats,
-        "events_kmv_users": q_events_kmv_users,
-        "revenue_rollup": q_revenue_rollup,
-        "orders_cube": q_orders_cube,
-        "nation_set_ops": q_nation_set_ops,
-        "customer_strings": q_customer_strings,
-        "orders_by_month": q_orders_by_month,
     }
 
 
@@ -2852,4 +3018,6 @@ def oracle_sql() -> dict[str, str]:
         "cp_knn_top10": _oracle_cp_knn_top10(),
         "ivf_knn": _oracle_ivf_knn(),
         "pq_knn": _oracle_pq_knn(),
+        "ivfpq_knn": _oracle_ivfpq_knn(),
+        "filtered_lsh_knn": _oracle_filtered_lsh_knn(),
     }

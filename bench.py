@@ -305,23 +305,37 @@ def main() -> None:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "quality": quality,
-                "conf": {
-                    "bloom_filter": spark.conf.get(
-                        "spark.sql.optimizer.runtime.bloomFilter.enabled"
-                    )
-                },
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "suite_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "quality": quality,
+        "sf": sf,
+    }
+    # The driver records only the LAST 2000 chars of stdout and parses
+    # the JSON line out of that window (BENCH_r06 overflowed it:
+    # parsed=null, 17 lines lost). Keep the full-precision payload in a
+    # file beside the repo, and shrink the stdout line until it fits:
+    # compact separators -> 2-decimal timings -> drop the quality block
+    # (it lives in the file either way).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_full.json"), "w"
+        ) as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:
+        payload["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:
+        payload["quality"] = "see bench_full.json"
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

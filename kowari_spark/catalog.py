@@ -240,7 +240,7 @@ class Collection:
 
     def search_with_scores(
         self, query, k: int, metric: str = "cosine",
-        round_to: int | None = None, index=None,
+        round_to: int | None = None, index=None, where=None,
     ):
         """Q8 search_with_scores: top-k records with scores. The index
         hit list resolves back to full records by inner join (missing
@@ -251,32 +251,44 @@ class Collection:
         given, the
         hit list comes from the unified candidates -> exact-rescore ->
         fallback contract instead of the exact scan — the Spark shape
-        of the reference's pluggable Index trait (src/index.rs:8-12)."""
+        of the reference's pluggable Index trait (src/index.rs:8-12).
+
+        ``where`` (Column or SQL string over the collection's columns)
+        is a metadata PRE-filter (reference F8 composed with Q4,
+        local_storage_demo.rs:115-130): with an index it flows into
+        ``AnnIndex.search(where=...)`` — filtered-before-starvation
+        semantics — and on the exact path it simply prunes the scan."""
         from kowari_spark.operators import knn, resolve
 
+        if where is not None and index is None:
+            pred = F.expr(where) if isinstance(where, str) else where
+            src = self.df().filter(pred)
+        else:
+            src = self.df()
         if index is not None:
             qdf = self.spark.createDataFrame(
                 [("__q0", [float(x) for x in query])],
                 "query_id string, embedding array<double>",
             )
             hits = index.search(
-                self.df(), qdf, k, metric=metric, round_to=round_to
+                src, qdf, k, metric=metric, round_to=round_to, where=where
             ).drop("query_id", "rank")
         else:
             hits = knn(
-                self.df(), [float(x) for x in query], k, metric=metric,
+                src, [float(x) for x in query], k, metric=metric,
                 round_to=round_to,
             )
         return resolve(hits, self.df()).orderBy(
             F.desc("score"), F.asc("id")
         )
 
-    def search(self, query, k: int, metric: str = "cosine", index=None):
+    def search(self, query, k: int, metric: str = "cosine", index=None,
+               where=None):
         """Q7/Q9 search (by raw vector): top-k full records, no score
-        column. ``index`` dispatches to an ANN strategy (see
-        ``search_with_scores``)."""
+        column. ``index`` dispatches to an ANN strategy; ``where``
+        pre-filters (see ``search_with_scores``)."""
         return self.search_with_scores(
-            query, k, metric=metric, index=index
+            query, k, metric=metric, index=index, where=where
         ).drop("score")
 
     def near_dups(

@@ -7,7 +7,7 @@ def __getattr__(name):
     # lazy re-exports of the ANN strategy contract (avoids importing
     # numpy/pandas-backed modules for callers that only need topk)
     if name in ("AnnIndex", "SignLSHIndex", "CrossPolytopeIndex",
-                "IVFIndex", "HNSWIndex"):
+                "IVFIndex", "HNSWIndex", "PQIndex", "IVFPQIndex"):
         from kowari_spark.operators import ann
 
         return getattr(ann, name)

@@ -85,12 +85,26 @@ class AnnIndex(abc.ABC):
         query_id_col: str = "query_id",
         query_vec_col: str = "embedding",
         round_to: int | None = None,
+        where=None,
     ) -> DataFrame:
         """Shared candidate -> exact-rescore -> top-k -> fallback drive.
 
         Returns (query_id, <id_col>, score, rank) like every
         ``query_batch``. ``built`` defaults to ``build_df(base)`` — pass
         a loaded offline layout to keep the probe partition-pruned.
+
+        ``where`` (Column or SQL string) is a metadata PRE-filter over
+        ``base`` (reference F8 composed with Q4 — filtered vector
+        search, local_storage_demo.rs:115-130): candidate pairs are
+        filtered BEFORE starvation accounting, so a query whose
+        filtered candidate set shrinks below k falls back to brute
+        force over the FILTERED base — identical semantics to running
+        exact filtered knn, which post-filtering the top-k hits would
+        NOT give (it silently returns < k rows and loses recall). The
+        index probe itself stays unfiltered (the layout was built on
+        the full corpus); the filter lands on the skinny candidate
+        relation and on the fallback/rescore scans, where Catalyst
+        pushes it into the base read.
 
         The brute-force fallback for starved queries (< k candidates —
         reference src/index.rs:158-173 semantics) is built
@@ -102,6 +116,14 @@ class AnnIndex(abc.ABC):
         the base scan runs."""
         if built is None:
             built = self.build_df(base, id_col, vec_col, metric)
+        # candidate generation always sees the UNFILTERED base (HNSW
+        # navigates base vectors; a filtered graph walk would change
+        # the visited set) — the predicate lands after, on the skinny
+        # candidate pairs and the fallback/rescore scans
+        fbase = base
+        if where is not None:
+            pred = F.expr(where) if isinstance(where, str) else where
+            fbase = base.filter(pred)
         q = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).alias("__qvec"),
@@ -114,11 +136,21 @@ class AnnIndex(abc.ABC):
             built, base, queries, k, id_col, vec_col, query_id_col,
             query_vec_col, metric,
         )
+        if where is not None:
+            # pre-filter the skinny candidate relation so the >= k
+            # starvation check below counts only rows the caller can
+            # actually receive; the fallback and rescore relations below
+            # are built from the filtered base, so a starved query brute-
+            # forces the FILTERED corpus (exact-filtered-knn semantics)
+            cand = (
+                cand.join(fbase.select(id_col), id_col)
+                .select("query_id", id_col)
+            )
         sizes = cand.groupBy("query_id").agg(F.count("*").alias("__n"))
         ok_ids = sizes.filter(F.col("__n") >= k).select("query_id")
         starved = q.join(F.broadcast(ok_ids), "query_id", "left_anti")
 
-        vecs = base.select(id_col, vec_col)
+        vecs = fbase.select(id_col, vec_col)
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
         scored = (
             cand.join(F.broadcast(ok_ids), "query_id")
@@ -292,6 +324,42 @@ class PQIndex(AnnIndex):
                    vec_col="embedding", query_id_col="query_id",
                    query_vec_col="embedding", metric="cosine"):
         shortlist = self.pq.query_batch(
+            built, queries, max(k * self.rerank, k), id_col=id_col,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+        )
+        # rank is unique per (query, id) — already deduplicated
+        return shortlist.select("query_id", id_col)
+
+
+class IVFPQIndex(AnnIndex):
+    """IVF×PQ composed index behind the contract (operators/ivfpq.py):
+    ``candidates`` takes each query's pruned-ADC top-(rerank*k) — cell
+    pruning from IVF, compressed ADC scoring from PQ — and the shared
+    search re-scores the shortlist exactly under the caller's metric,
+    with starvation fallback and ``where=`` filtering inherited. The
+    shortlist scan reads only the probed cells' code partitions. Like
+    flat PQIndex, the ADC shortlist is squared-L2; ``rerank`` widens it
+    to absorb metric mismatch for cosine-family re-scores."""
+
+    name = "ivfpq"
+
+    def __init__(self, ivfpq, rerank: int = 8):
+        self.ivfpq = ivfpq
+        self.rerank = rerank
+
+    def build_df(self, base, id_col="id", vec_col="embedding",
+                 metric="cosine"):
+        # cells and codebooks are L2-Voronoi regardless of the re-score
+        # metric (ivf.py / pq.py module docstrings)
+        self.ivfpq.fit(base, id_col=id_col, vec_col=vec_col)
+        return self.ivfpq.with_cells_codes(base, vec_col).select(
+            id_col, "list_id", "codes"
+        )
+
+    def candidates(self, built, base, queries, k, id_col="id",
+                   vec_col="embedding", query_id_col="query_id",
+                   query_vec_col="embedding", metric="cosine"):
+        shortlist = self.ivfpq.query_batch(
             built, queries, max(k * self.rerank, k), id_col=id_col,
             query_id_col=query_id_col, query_vec_col=query_vec_col,
         )

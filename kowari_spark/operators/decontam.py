@@ -127,7 +127,7 @@ def ngram_decontaminate(
     eval_text_col: str | None = None,
     n: int = 13,
     broadcast_eval: bool = True,
-    engine: str = "expr",
+    engine: str = "auto",
 ) -> DataFrame:
     """Flag corpus documents that share any word ``n``-gram with the
     evaluation set.
@@ -145,19 +145,21 @@ def ngram_decontaminate(
     the corpus, which is the decontamination regime; pass ``False`` to
     let the planner shuffle both sides for a genuinely huge eval set.
 
-    ``engine="expr"`` (default) is the pure-expression plan with the
+    ``engine="expr"`` is the pure-expression plan with the
     exact SQL oracle; ``engine="arrow"`` computes identical values
     shuffle-free in ``mapInPandas`` (see :func:`_decontam_arrow`) —
     the gram construction through interpreted ``transform`` lambdas
     dominates the expression plan at scale, the same boundary the
-    repetition filters' Arrow engine sits behind.
+    repetition filters' Arrow engine sits behind. Default ``"auto"``
+    sizes the choice on the corpus (bit-identical engines, so pure
+    performance — see :mod:`kowari_spark.engines`).
     """
     eval_text = eval_text_col or text_col
     eval_grams = _eval_gram_hashes(eval_df, eval_text, n)
-    if engine == "arrow":
+    from kowari_spark.engines import resolve_engine
+
+    if resolve_engine(engine, docs) == "arrow":
         return _decontam_arrow(docs, eval_grams, text_col, id_col, n)
-    if engine != "expr":
-        raise ValueError(f"engine must be expr|arrow, got {engine!r}")
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
 

@@ -330,7 +330,18 @@ def _dhash_frame(px: np.ndarray, hash_size: int) -> int:
     copy lands a few bits away, not bit-identical — which is what the
     Hamming-ball join is for), the standard cheap near-dup fingerprint
     for images. Pure deterministic numpy; returns a signed 64-bit int
-    (bit pattern wrapped) so the value lands in a Spark long."""
+    (bit pattern wrapped) so the value lands in a Spark long.
+
+    Frames smaller than the hash grid are rejected: np.array_split
+    would emit empty chunks whose mean() is NaN, silently degrading the
+    fingerprint to all-zero bits (every near-dup join would then match
+    every sub-grid frame to every other)."""
+    if px.shape[0] < hash_size or px.shape[1] < hash_size + 1:
+        raise ValueError(
+            f"frame {px.shape[0]}x{px.shape[1]} is smaller than the "
+            f"dHash grid ({hash_size}x{hash_size + 1}); media_phash "
+            f"needs frames at least hash_size tall and hash_size+1 wide"
+        )
     rows = np.array_split(px.astype(np.float64), hash_size, axis=0)
     grid = np.stack(
         [

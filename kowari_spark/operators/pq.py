@@ -66,16 +66,19 @@ class PQ:
     def __init__(self, m: int = 4, k_sub: int = 16, max_iter: int = 3,
                  seed: int = 42, round_centroids: int | None = 6,
                  seed_sample: int | str | None = "auto",
-                 encoder: str = "expr"):
+                 encoder: str = "auto"):
         if m < 1:
             raise ValueError(f"m must be >= 1, got {m}")
         if k_sub < 1:
             raise ValueError(f"k_sub must be >= 1, got {k_sub}")
-        if encoder not in ("expr", "arrow"):
+        if encoder not in ("auto", "expr", "arrow"):
             raise ValueError(
-                f"encoder must be 'expr' or 'arrow', got {encoder!r}"
+                f"encoder must be 'auto', 'expr' or 'arrow', got {encoder!r}"
             )
-        # encode-path engine: "expr" = pure-JVM argmin over literal
+        # encode-path engine ("auto" default sizes the choice per call —
+        # engines.resolve_engine, the HNSW scorer="auto" precedent; the
+        # 629s-vs-3.7s x100 gap in BASELINE.md is what an unaware caller
+        # of the expr default used to eat): "expr" = pure-JVM argmin over literal
         # codebooks (the oracle-parity default); "arrow" = the SAME
         # arithmetic vectorized in numpy inside mapInPandas — the
         # m*k_sub interpreted fold lambdas per row are the measured
@@ -166,9 +169,23 @@ class PQ:
                 f"dim={dim} is not divisible by m={self.m} subspaces"
             )
         self.dim = dim
-        vecs = df.select(id_col, vec_col).persist()
+        # degraded rows (null / shorter than dim) can't be fully encoded
+        # (encode yields null codes by design) and would crash the Lloyd
+        # reduce on the null code index — they carry no fittable signal,
+        # so fit on the fully-covered rows only. Overlong vectors keep
+        # encode's ignore-the-tail semantics.
+        vecs = (
+            df.select(id_col, vec_col)
+            .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) >= dim))
+            .persist()
+        )
         try:
-            return self._fit(vecs, id_col, vec_col)
+            # resolve encoder="auto" ONCE for the whole fit (the count
+            # also materializes the persist before the first Lloyd pass)
+            from kowari_spark.engines import resolve_engine
+
+            engine = resolve_engine(self.encoder, n=vecs.count())
+            return self._fit(vecs, id_col, vec_col, engine)
         finally:
             vecs.unpersist()
 
@@ -205,7 +222,8 @@ class PQ:
 
         return gonzalez_maxmin(pts, self.k_sub)
 
-    def _fit(self, df: DataFrame, id_col: str, vec_col: str) -> "PQ":
+    def _fit(self, df: DataFrame, id_col: str, vec_col: str,
+             engine: str = "expr") -> "PQ":
         rows = self._seed_rows(df, id_col, vec_col)
         ds = self._ds
         books = []
@@ -223,7 +241,7 @@ class PQ:
             # (sub, code, local dim) partial sums — k_sub*d skinny rows
             # total on the wire
             coded = self.with_codes(
-                df.select(vec_col), vec_col, code_col="__codes"
+                df.select(vec_col), vec_col, code_col="__codes", engine=engine
             ).select(
                 "__codes",
                 F.posexplode(vec_col).alias("dim", "val"),
@@ -343,7 +361,9 @@ class PQ:
                    engine: str | None = None) -> DataFrame:
         if self.codebooks is None:
             raise ValueError("fit() or load() first")
-        engine = self.encoder if engine is None else engine
+        from kowari_spark.engines import resolve_engine
+
+        engine = resolve_engine(self.encoder if engine is None else engine, df)
         if engine == "arrow":
             return self._codes_arrow(df, vec_col, code_col)
         return df.withColumn(code_col, self._codes_expr(vec_col))
@@ -383,27 +403,36 @@ class PQ:
     def load(self, spark: SparkSession, path: str) -> DataFrame:
         """Open a built codes layout; restores the codebooks from the
         sidecar and REFUSES a layout written by a different fit/encode
-        algorithm version (mismatched codes silently lose recall)."""
+        algorithm version (mismatched codes silently lose recall) — or
+        one with no sidecar at all: PQ codes are meaningless without the
+        exact codebooks that produced them, so a bare parquet dir is a
+        provenance failure, not a loadable layout (CP-LSH precedent:
+        `_cplsh_meta.json` rejection)."""
         from kowari_spark.fsutil import exists, read_bytes
 
         meta_path = f"{path}/{_META_NAME}"
-        if exists(spark, meta_path):
-            meta = json.loads(read_bytes(spark, meta_path).decode())
-            ver = meta.get("version")
-            if ver != _ALGO_VERSION:
-                raise ValueError(
-                    f"PQ layout at {path} was built by {ver!r}; this "
-                    f"code probes {_ALGO_VERSION!r} — rebuild the layout"
-                )
-            self.m = meta["m"]
-            self.k_sub = meta["k_sub"]
-            self.max_iter = meta["max_iter"]
-            self.seed = meta["seed"]
-            self.round_centroids = meta["round_centroids"]
-            self.seed_sample = meta.get("seed_sample", self.seed_sample)
-            self.encoder = meta.get("encoder", self.encoder)
-            self.dim = meta["dim"]
-            self.codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
+        if not exists(spark, meta_path):
+            raise ValueError(
+                f"no {_META_NAME} sidecar at {path}: not a PQ codes "
+                "layout built by PQ.build() — codes are unusable "
+                "without their codebooks; rebuild the layout"
+            )
+        meta = json.loads(read_bytes(spark, meta_path).decode())
+        ver = meta.get("version")
+        if ver != _ALGO_VERSION:
+            raise ValueError(
+                f"PQ layout at {path} was built by {ver!r}; this "
+                f"code probes {_ALGO_VERSION!r} — rebuild the layout"
+            )
+        self.m = meta["m"]
+        self.k_sub = meta["k_sub"]
+        self.max_iter = meta["max_iter"]
+        self.seed = meta["seed"]
+        self.round_centroids = meta["round_centroids"]
+        self.seed_sample = meta.get("seed_sample", self.seed_sample)
+        self.encoder = meta.get("encoder", self.encoder)
+        self.dim = meta["dim"]
+        self.codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
         return spark.read.parquet(path)
 
     # -- query (ADC) --------------------------------------------------------

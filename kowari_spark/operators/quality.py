@@ -134,7 +134,7 @@ def repetition_stats(
     id_col: str = "doc_id",
     top_n: int = 2,
     dup_n: int = 5,
-    engine: str = "expr",
+    engine: str = "auto",
 ) -> DataFrame:
     """Per-document repetition fractions:
 
@@ -150,18 +150,20 @@ def repetition_stats(
     one row per input document. Fractions are rounded to 6 decimals
     (+0.0 normalizes negative zero) for cross-engine comparison.
 
-    ``engine="expr"`` (default) is the pure-expression plan with the
+    ``engine="expr"`` is the pure-expression plan with the
     exact SQL oracle; ``engine="arrow"`` computes identical values
     shuffle-free inside ``mapInPandas`` — gram construction through
     interpreted ``transform`` lambdas dominates the expression plan at
     scale (see ``_repetition_arrow``), the same boundary the LSH GEMM
-    hasher sits behind."""
+    hasher sits behind. Default ``"auto"`` sizes the choice (arrow
+    at/above ``engines.AUTO_ARROW_MIN_ROWS`` — the engines are
+    bit-identical, parity-tested, so this is pure performance)."""
     if not 0 < top_n < dup_n:
         raise ValueError(f"need 0 < top_n < dup_n, got {top_n}, {dup_n}")
-    if engine == "arrow":
+    from kowari_spark.engines import resolve_engine
+
+    if resolve_engine(engine, df) == "arrow":
         return _repetition_arrow(df, text_col, id_col, top_n, dup_n)
-    if engine != "expr":
-        raise ValueError(f"engine must be expr|arrow, got {engine!r}")
 
     def per_doc(n: int, aggs):
         counts = (

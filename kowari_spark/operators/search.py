@@ -239,10 +239,13 @@ def bm25_search_batch(
     tf, dfreq, stats, contrib = _bm25_core(
         docs, all_terms, text_col, id_col, k1, b
     )
+    # preserve the caller's query-id type (PQ.query_batch convention):
+    # let Spark infer it from the dict keys instead of hardcoding string
+    # (int keys used to die inside createDataFrame with an opaque type
+    # error); the term column stays explicitly string.
     qt = docs.sparkSession.createDataFrame(
-        [(qid, t) for qid, ts in per_q.items() for t in ts],
-        "query_id string, __t string",
-    )
+        [{"query_id": qid, "__t": t} for qid, ts in per_q.items() for t in ts],
+    ).select("query_id", F.col("__t").cast("string").alias("__t"))
     scored = (
         tf.join(F.broadcast(dfreq), "__t")
         .crossJoin(F.broadcast(stats))
@@ -273,6 +276,7 @@ def rrf_fuse(
     k0: int = 60,
     weights=None,
     round_to: int = 9,
+    max_list_len: int | None = 10000,
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of any
     number of top-k rankings: score(d) = Σ_i w_i / (k0 + rank_i(d)) —
@@ -285,7 +289,14 @@ def rrf_fuse(
     (score DESC, id ASC) — the same total order every producer in this
     repo emits — via a global window: fine by construction because RRF
     consumes top-k lists (k rows each), never whole-corpus relations.
-    A document missing from a list contributes exactly 0.0 from it.
+    That precondition is ENFORCED, not assumed: any input list longer
+    than ``max_list_len`` rows fails the job with a clear error (an
+    in-plan assertion on the derived rank — zero extra jobs on the
+    happy path) instead of silently planning a corpus-sized
+    single-partition sort. Raise ``max_list_len`` (or pass ``None``
+    to disable) for genuinely long lists — after pre-clamping them
+    with ``.limit()``. A document missing from a list contributes
+    exactly 0.0 from it.
 
     Scale shape: the fused relation is at most Σ k_i rows. Per-list
     contributions reduce through ONE groupBy with a conditional
@@ -310,14 +321,23 @@ def rrf_fuse(
     parts = []
     for i, (df, score_col) in enumerate(rankings):
         w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        rk = F.row_number().over(w).cast("double")
+        contrib = F.lit(float(weights[i])) / (F.lit(float(k0)) + rk)
+        if max_list_len is not None:
+            contrib = F.when(
+                rk > float(max_list_len),
+                F.raise_error(F.lit(
+                    f"rrf_fuse: input list {i} exceeds max_list_len="
+                    f"{max_list_len} rows — rrf_fuse consumes TOP-K "
+                    "lists, not corpus relations; pre-clamp the list "
+                    "with .limit() or raise/disable max_list_len"
+                )),
+            ).otherwise(contrib)
         parts.append(
             df.select(
                 F.col(id_col),
                 F.lit(i).alias("__src"),
-                (
-                    F.lit(float(weights[i]))
-                    / (F.lit(float(k0)) + F.row_number().over(w).cast("double"))
-                ).alias("__c"),
+                contrib.alias("__c"),
             )
         )
     u = parts[0]

@@ -77,7 +77,15 @@ def _dup_gram_positions(
     engine: str = "expr",
 ) -> DataFrame:
     """(id, pos) of every min_len-gram occurrence that is NOT the
-    corpus-first occurrence of its gram (0-based token position)."""
+    corpus-first occurrence of its gram (0-based token position).
+
+    ``engine="auto"`` (the public functions' default) sizes the choice
+    on the corpus — the arrow gram hasher is bit-identical to the
+    expression path (parity-tested) and 3.1x faster at x100, so this
+    is pure performance (see :mod:`kowari_spark.engines`)."""
+    from kowari_spark.engines import resolve_engine
+
+    engine = resolve_engine(engine, df)
     if engine == "arrow":
         grams = _gram_hashes_arrow(df, min_len, text_col, id_col)
     elif engine == "expr":
@@ -102,7 +110,7 @@ def duplicate_spans(
     min_len: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
-    engine: str = "expr",
+    engine: str = "auto",
 ) -> DataFrame:
     """Maximal duplicated spans per document: (id, span_start,
     span_end, span_tokens), token positions 0-based inclusive. A span
@@ -153,7 +161,7 @@ def remove_duplicate_spans(
     min_len: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
-    engine: str = "expr",
+    engine: str = "auto",
 ) -> DataFrame:
     """Lee et al. span removal applied: every document rebuilt without
     the tokens of its non-first duplicated spans (the corpus-first

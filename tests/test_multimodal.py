@@ -101,3 +101,19 @@ def test_arrow_batch_shape_respected(spark):
         assert media_features(media).count() == 25
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_dhash_rejects_subgrid_frames():
+    """A frame smaller than the dHash grid would block-mean over empty
+    chunks (NaN -> silent all-zero fingerprint); it must raise."""
+    import numpy as np
+    import pytest
+
+    from kowari_spark.operators.multimodal import _dhash_frame
+
+    with pytest.raises(ValueError, match="dHash grid"):
+        _dhash_frame(np.zeros((4, 16)), 8)
+    with pytest.raises(ValueError, match="dHash grid"):
+        _dhash_frame(np.zeros((16, 8)), 8)
+    # boundary: exactly grid-sized frames are fine
+    assert isinstance(_dhash_frame(np.zeros((8, 9)), 8), int)

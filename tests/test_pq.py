@@ -318,3 +318,31 @@ def test_layout_sidecar_records_encoder_provenance(base, tmp_path, spark):
     fresh.load(spark, path)
     assert fresh.encoder == "arrow"
     assert fresh.seed_sample == 512
+
+
+def test_fit_ignores_degraded_rows(spark):
+    """Null / short vectors can't be encoded (null codes by design) —
+    fit must skip them instead of crashing the Lloyd reduce, and the
+    result equals fitting on the clean subset alone."""
+    import numpy as np
+
+    clean = [(i, [float((i * 7 + j * 3) % 13) for j in range(8)])
+             for i in range(40)]
+    degraded = [(100, None), (101, [1.0, 2.0, 3.0])]
+    full = spark.createDataFrame(
+        clean + degraded, "id long, embedding array<double>"
+    )
+    sub = spark.createDataFrame(clean, "id long, embedding array<double>")
+    a = PQ(m=2, k_sub=4, max_iter=2, seed=42).fit(full, id_col="id", dim=8)
+    b = PQ(m=2, k_sub=4, max_iter=2, seed=42).fit(sub, id_col="id", dim=8)
+    assert np.array_equal(a.codebooks, b.codebooks)
+
+
+def test_load_refuses_bare_parquet(spark, tmp_path):
+    """A parquet dir without the _pq_meta.json sidecar is a provenance
+    failure (codes are unusable without their exact codebooks), not a
+    loadable layout."""
+    path = str(tmp_path / "bare_pq")
+    spark.range(3).write.parquet(path)
+    with pytest.raises(ValueError, match="sidecar"):
+        PQ().load(spark, path)

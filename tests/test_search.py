@@ -182,3 +182,36 @@ def test_rrf_hybrid_beats_either_list_on_agreement(corpus):
     # it above bm25-only stragglers with worse ranks in their one list
     three = {r["doc_id"]: r["n_lists"] for r in fused}
     assert three[3] == 2 and three[5] == 1
+
+
+def test_rrf_guard_rejects_overlong_list(spark):
+    """rrf_fuse enforces its top-k-lists precondition: a list longer
+    than max_list_len fails the job with a clear error instead of
+    silently planning a corpus-sized single-partition sort."""
+    from kowari_spark.operators.search import rrf_fuse
+
+    big = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("double").alias("s")
+    )
+    with pytest.raises(Exception, match="max_list_len"):
+        rrf_fuse([(big, "s")], max_list_len=10).collect()
+    # raising the cap (or disabling it) admits the same list
+    assert rrf_fuse([(big, "s")], max_list_len=50).count() == 50
+    assert rrf_fuse([(big, "s")], max_list_len=None).count() == 50
+
+
+def test_bm25_batch_preserves_int_query_ids(corpus):
+    """Non-string query ids flow through (PQ.query_batch convention):
+    int keys come back as a long query_id column, scores identical to
+    the same queries under string ids."""
+    from kowari_spark.operators.search import bm25_search_batch
+
+    out = bm25_search_batch(corpus, {1: "join spark", 2: "hash"}, k=3)
+    assert dict(out.dtypes)["query_id"] == "bigint"
+    a = sorted((r["query_id"], r["doc_id"], r["bm25"]) for r in out.collect())
+    out_s = bm25_search_batch(
+        corpus, {"1": "join spark", "2": "hash"}, k=3
+    )
+    b = sorted((int(r["query_id"]), r["doc_id"], r["bm25"])
+               for r in out_s.collect())
+    assert a == b
