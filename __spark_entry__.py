@@ -2850,6 +2850,90 @@ def q_media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_media_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end visual dedup keep-list (multimodal.media_dedup_keep):
+    the media_near_dups corpus (40 KWM images + 20 shifted-id exact
+    copies) → banded-Hamming pairs at max_hamming=1 (bands=8 > 1 ⇒
+    candidate generation exact by pigeonhole) → connected components →
+    min-id representative. The additive KWM pixel pattern makes many
+    distinct keys collide to equal-or-1-bit fingerprints, so the
+    component structure is nontrivial (3 clusters, sizes 36/23/1).
+    Output: (media_id, rep_id, is_kept) for ALL 60 inputs. Decode isn't
+    SQL-expressible; the oracle pins the deterministic dHash values as
+    VALUES fixtures (the media_pipeline precedent) and replays the
+    ENTIRE relational part — unsigned band split, banded self-join,
+    xor/bit_count verification, recursive-CTE reachability, min-label
+    representative — independently in SQL."""
+    from kowari_spark.operators.multimodal import media_dedup_keep, synth_media
+
+    ids = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 40)
+        .select(F.col("vec_id").alias("media_id"))
+    )
+    media = synth_media(ids, kind="image", width=32, height=24)
+    copies = media.filter(F.col("media_id") < 20).withColumn(
+        "media_id", F.col("media_id") + 1000
+    )
+    return media_dedup_keep(
+        media.unionByName(copies), max_hamming=1
+    ).orderBy("media_id")
+
+
+def _oracle_media_dedup_keep() -> str:
+    """The dHash fingerprints of the 60 deterministic KWM blobs are
+    computed HERE (same pure-numpy dHash over the same pixel formula —
+    the decode boundary the rows-only media_near_dups row already
+    carries) and pinned as literal fixtures; everything downstream is
+    an independent SQL replay of the banded near-dup + keep-list
+    relational pipeline."""
+    import numpy as np
+
+    from kowari_spark.operators.multimodal import _dhash_frame
+
+    def phash(key: int, width: int = 32, height: int = 24) -> int:
+        y = np.arange(height, dtype=np.int64)[:, None]
+        x = np.arange(width, dtype=np.int64)[None, :]
+        return _dhash_frame((y * 7 + x * 13 + key) % 256, 8)
+
+    ids = list(range(40)) + [i + 1000 for i in range(20)]
+    vals = ",".join(
+        f"({i}, {phash(i if i < 1000 else i - 1000)})" for i in ids
+    )
+    allids = ",".join(f"({i})" for i in ids)
+    band_rows = ",".join(f"({b}, {256 ** b}::HUGEINT)" for b in range(8))
+    return f"""
+WITH RECURSIVE
+ph(media_id, phash) AS (VALUES {vals}),
+allids(media_id) AS (VALUES {allids}),
+uph AS (SELECT media_id, phash,
+               CAST(phash AS HUGEINT)
+               + CASE WHEN phash < 0
+                      THEN 18446744073709551616::HUGEINT
+                      ELSE 0::HUGEINT END AS u
+        FROM ph),
+bands(band, dv) AS (VALUES {band_rows}),
+banded AS (SELECT media_id, phash, band, (u // dv) % 256 AS val
+           FROM uph CROSS JOIN bands),
+cand AS (SELECT DISTINCT a.media_id AS id_a, a.phash AS pa,
+                b.media_id AS id_b, b.phash AS pb
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.val = b.val AND a.media_id < b.media_id),
+prs AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(pa, pb)) <= 1),
+edges AS (SELECT id_a AS s, id_b AS d FROM prs
+          UNION ALL SELECT id_b, id_a FROM prs),
+reach AS (SELECT s AS id, s AS label FROM edges
+          UNION
+          SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.id),
+lab AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+SELECT CAST(a.media_id AS BIGINT) AS media_id,
+       CAST(COALESCE(l.cluster_id, a.media_id) AS BIGINT) AS rep_id,
+       COALESCE(l.cluster_id, a.media_id) = a.media_id AS is_kept
+FROM allids a LEFT JOIN lab l ON l.id = a.media_id
+ORDER BY media_id
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2884,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 6's 50-row driver window
         "ivfpq_knn": q_ivfpq_knn,
         "filtered_lsh_knn": q_filtered_lsh_knn,
+        "media_dedup_keep": q_media_dedup_keep,
         "pq_knn": q_pq_knn,
         "filtered_knn": q_filtered_knn,
         "lsh_recall_at_10": q_lsh_recall_at_10,
@@ -3020,4 +3105,5 @@ def oracle_sql() -> dict[str, str]:
         "pq_knn": _oracle_pq_knn(),
         "ivfpq_knn": _oracle_ivfpq_knn(),
         "filtered_lsh_knn": _oracle_filtered_lsh_knn(),
+        "media_dedup_keep": _oracle_media_dedup_keep(),
     }

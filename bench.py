@@ -40,6 +40,9 @@ def bench_queries(spark, sf_dir, scratch):
     out["lsh_index_build"] = lambda: entrymod._lsh_index(spark, sf_dir)
     out["hnsw_build"] = lambda: entrymod._hnsw_index(spark, sf_dir)
     out["pq_build"] = lambda: entrymod._pq_index(spark, sf_dir)
+    # composed IVF×PQ layout (cells + codes, partitionBy(list_id));
+    # runs after its two parents so this line times the composition
+    out["ivfpq_build"] = lambda: entrymod._ivfpq_index(spark, sf_dir)
     for name, fn in entrymod.queries().items():
         out[name] = (lambda f=fn: f(spark, sf_dir).toPandas())
 
@@ -266,6 +269,83 @@ def quality_gates(spark, sf_dir) -> dict:
         (agg["same"] or 0) / max(agg["n"], 1), 4
     )
     out["semdedup_n_lists"] = 16
+    out.update(_clustered_quality(spark))
+    return out
+
+
+def _clustered_quality(spark) -> dict:
+    """PQ / SemDeDup quality on a CLUSTERED fixture — the number the
+    near-random testdata can't show. The corpus embeddings are ~uniform
+    on the sphere (BASELINE.md's honesty caveat: pq_adc 0.26, semdedup
+    pair recall 0.21 are floor values for that geometry); real corpora
+    are clustered, and the jittered-family scale runs argued recall
+    rises sharply there. This measures it instead of arguing: a seeded
+    mixture of 20 tight gaussians around unit-norm centers (sigma=0.05,
+    within-cluster cosine ~0.99) — deterministic, self-contained,
+    regenerated per run."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kowari_spark.operators.ann import PQIndex
+    from kowari_spark.operators.dedup import embedding_near_dups, semantic_dedup
+    from kowari_spark.operators.eval import mean_metric, recall_at_k
+    from kowari_spark.operators.ivf import IVF
+    from kowari_spark.operators.pq import PQ
+
+    rng = np.random.default_rng(42)
+    k_clusters, per, dim = 20, 50, 64
+    centers = rng.standard_normal((k_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.repeat(centers, per, axis=0) + 0.05 * rng.standard_normal(
+        (k_clusters * per, dim)
+    )
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    queries = base.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = {}
+
+    exact = knn_batch(base, queries, 10, metric="cosine",
+                      id_col="vec_id", round_to=6)
+    exact_l2 = knn_batch(base, queries, 10, metric="euclidean",
+                         id_col="vec_id", round_to=6)
+    pq = PQ(m=8, k_sub=16, max_iter=3, seed=42).fit(
+        base, id_col="vec_id", dim=dim
+    )
+    pcodes = pq.with_codes(base).select("vec_id", "codes").persist()
+    adc = pq.query_batch(pcodes, queries, 10, id_col="vec_id", round_to=6)
+    out["recall_pq_adc_clustered_at_10"] = round(
+        mean_metric(recall_at_k(exact_l2, adc, 10, id_col="vec_id"), "recall"), 4
+    )
+    prr = PQIndex(pq, rerank=8).search(
+        base, queries, 10, metric="cosine", built=pcodes,
+        id_col="vec_id", round_to=6,
+    )
+    out["recall_pq_rerank8_clustered_at_10"] = round(
+        mean_metric(recall_at_k(exact, prr, 10, id_col="vec_id"), "recall"), 4
+    )
+    pcodes.unpersist()
+
+    # SemDeDup pair recall at a threshold that selects same-cluster
+    # pairs (within-cluster cos ~0.99, cross-cluster ~center overlap)
+    sivf = IVF(n_lists=16, n_probe=1, max_iter=3, seed=42, round_centroids=6)
+    sd = semantic_dedup(base, threshold=0.9, id_col="vec_id", ivf=sivf)
+    comp = sd.select(F.col("vec_id").alias("id"), F.col("rep_id"))
+    ex_pairs = embedding_near_dups(base, threshold=0.9, id_col="vec_id",
+                                   round_to=6)
+    la = comp.withColumnRenamed("id", "id_a").withColumnRenamed("rep_id", "ra")
+    lb = comp.withColumnRenamed("id", "id_b").withColumnRenamed("rep_id", "rb")
+    agg = ex_pairs.join(la, "id_a").join(lb, "id_b").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), 1).otherwise(0)).alias("same"),
+    ).first()
+    out["semdedup_pair_recall_clustered"] = round(
+        (agg["same"] or 0) / max(agg["n"], 1), 4
+    )
+    base.unpersist()
     return out
 
 
@@ -280,7 +360,7 @@ def _clear_index_caches() -> None:
     if os.environ.get("KOWARI_BENCH_WARM", "").strip() in ("1", "true"):
         return
     tmp = tempfile.gettempdir()
-    for kind in ("lsh", "ivf", "hnsw", "pq"):
+    for kind in ("lsh", "ivf", "hnsw", "pq", "ivfpq"):
         for path in glob.glob(os.path.join(tmp, f"kowari_{kind}_*")):
             shutil.rmtree(path, ignore_errors=True)
 

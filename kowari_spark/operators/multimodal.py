@@ -447,3 +447,42 @@ def media_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def media_dedup_keep(
+    df: DataFrame, media_col: str = "media", id_col: str = "media_id",
+    codec: str = "kwm", hash_size: int = 8, max_hamming: int = 6,
+    bands: int = 8, max_iter: int = 20,
+) -> DataFrame:
+    """End-to-end visual dedup keep-list — the media counterpart of the
+    document pipeline's ``doc_dedup_keep`` shape: dHash fingerprints →
+    banded-Hamming near-dup pairs (:func:`media_near_dups`, exact by
+    pigeonhole when ``bands > max_hamming``) → connected components
+    (operators/dedup.dedup_clusters — near-dup isn't transitive, dedup
+    treats it so) → min-id representative per component.
+
+    Returns one row per input media: (id_col, rep_id, is_kept) — the
+    ``semantic_dedup`` output convention. Media in no near-dup pair are
+    their own representative and survive.
+
+    Scale shape: everything after the Arrow-batched decode is the
+    banded join + the adaptive CC of the document path — no all-pairs
+    comparison, no new shuffle shapes."""
+    from kowari_spark.operators.dedup import dedup_clusters
+
+    pairs = media_near_dups(
+        df, media_col, id_col, codec, hash_size, max_hamming, bands
+    )
+    clusters = dedup_clusters(pairs, max_iter=max_iter).withColumnRenamed(
+        "id", id_col
+    )
+    rep = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    return (
+        df.select(id_col)
+        .join(clusters, id_col, "left")
+        .select(
+            id_col,
+            rep.alias("rep_id"),
+            (rep == F.col(id_col)).alias("is_kept"),
+        )
+    )

@@ -319,3 +319,101 @@ def _compact_locked(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         delete(spark, staging)
     return [f"{prefix}{v}" for v in safe]
+
+
+def stream_into_quantized_layout(
+    stream_df: DataFrame,
+    index,
+    path: str,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    trigger_available_now: bool = True,
+    compaction_wait_secs: float = 60.0,
+):
+    """Incremental maintenance for IVF / PQ / IVF×PQ layouts (the
+    round-6 gap: LSH layouts streamed, quantized layouts were
+    rebuild-only): each micro-batch is encoded with the FROZEN —
+    already fitted or loaded — quantizer and appended into the existing
+    ``build()`` layout. Encoding is deterministic given the quantizer,
+    so a streamed layout is row-identical to batch-building the union
+    with the same quantizer (tested), and probes against it are
+    identical.
+
+    The quantizer is deliberately NOT refit per batch: cells/codebooks
+    freeze at build time and go stale as the corpus distribution drifts
+    — the standard serving trade-off. Refitting would also strand every
+    previously-written code/cell (the sidecar provenance gate exists
+    exactly to stop probes over mixed-generation layouts). Schedule a
+    full ``build()`` rebuild when drift matters; until then new vectors
+    are findable immediately in the cells/codes the frozen quantizer
+    assigns them.
+
+    ``index`` is an ``IVF`` (appends its full-row + list_id partitions),
+    a ``PQ`` (appends compressed (id, codes) rows), or an ``IVFPQ``
+    (appends (id, list_id, codes) partitions). Encoding runs INSIDE the
+    sink on each micro-batch (a batch frame), so the PQ "auto" encoder
+    sizing — a count job — stays legal and per-batch right-sized.
+    Idempotence markers and the cooperative compaction lock follow
+    ``stream_into_lsh_layout``; the sidecar written by ``build()`` is
+    never touched."""
+    import hashlib
+
+    from kowari_spark import fsutil
+    from kowari_spark.operators.ivf import IVF
+    from kowari_spark.operators.ivfpq import IVFPQ
+    from kowari_spark.operators.pq import PQ
+
+    if isinstance(index, IVFPQ):
+        if index.ivf.centroids is None or index.pq.codebooks is None:
+            raise ValueError(
+                "fit() or load() the IVFPQ before streaming into its layout"
+            )
+        def encode(df):
+            return index.with_cells_codes(df, vec_col).select(
+                id_col, "list_id", "codes"
+            )
+        parts = ["list_id"]
+    elif isinstance(index, IVF):
+        if index.centroids is None:
+            raise ValueError(
+                "fit() or load() the IVF before streaming into its layout"
+            )
+        def encode(df):
+            return index.with_lists(df, vec_col)
+        parts = ["list_id"]
+    elif isinstance(index, PQ):
+        if index.codebooks is None:
+            raise ValueError(
+                "fit() or load() the PQ before streaming into its layout"
+            )
+        def encode(df):
+            return index.with_codes(df, vec_col).select(id_col, "codes")
+        parts = None
+    else:
+        raise TypeError(
+            f"index must be IVF, PQ or IVFPQ, got {type(index).__name__}"
+        )
+
+    ck_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = f"{path}/_batches/{ck_tag}-{batch_id}"
+        if fsutil.exists(spark, marker):
+            return
+        _wait_not_compacting(spark, path, compaction_wait_secs)
+        if not batch_df.isEmpty():
+            writer = encode(batch_df).write.mode("append")
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.parquet(path)
+        fsutil.create_marker(spark, marker)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=trigger_available_now)
+        .start()
+    )

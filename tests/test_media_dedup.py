@@ -104,3 +104,34 @@ def test_phash_honors_custom_and_string_id_col(spark):
 def test_phash_rejects_oversized_hash(dup_media):
     with pytest.raises(ValueError):
         media_phash(dup_media, hash_size=16)
+
+
+def test_media_dedup_keep_matches_union_find(spark, dup_media):
+    """media_dedup_keep == union-find over the brute-force pair set:
+    one row per input, rep = min reachable id, is_kept iff own rep."""
+    from kowari_spark.operators.multimodal import media_dedup_keep
+
+    out = {r["media_id"]: (r["rep_id"], r["is_kept"])
+           for r in media_dedup_keep(dup_media, max_hamming=1).collect()}
+    ph = {r["media_id"]: r["phash"] for r in media_phash(dup_media).collect()}
+    ids = sorted(ph)
+    assert sorted(out) == ids  # one row per input
+    parent = {i: i for i in ids}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for a in ids:
+        for b in ids:
+            if a < b and bin((ph[a] ^ ph[b]) & (2**64 - 1)).count("1") <= 1:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    for i in ids:
+        rep = find(i)
+        assert out[i] == (rep, rep == i), i
+    # the fixture's exact copies are clustered -> some losers exist
+    assert any(not kept for _, kept in out.values())

@@ -443,3 +443,91 @@ def test_compaction_lock_blocks_and_releases(spark, embeddings, tmp_path):
     rewritten = compact_bucketed_layout(spark, out, max_files=4)
     assert rewritten
     assert not fsutil.exists(spark, marker)
+
+
+def test_stream_into_quantized_layouts(spark, embeddings, tmp_path):
+    """Incremental IVF/PQ/IVFPQ maintenance: build() on part A with a
+    frozen quantizer, stream part B into the layout — the result is
+    row-identical to batch-building A∪B with the SAME quantizer, and
+    probes are identical. (Quantizers frozen by design: staleness is a
+    rebuild concern, not an append concern.)"""
+    from kowari_spark.operators.ivf import IVF
+    from kowari_spark.operators.ivfpq import IVFPQ
+    from kowari_spark.operators.pq import PQ
+    from kowari_spark.streaming.ingest import stream_into_quantized_layout
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).limit(200).cache()
+    part_a = vecs.filter(F.col("id") % 2 == 0).cache()
+    part_b = vecs.filter(F.col("id") % 2 == 1).cache()
+    src = str(tmp_path / "qsrc")
+    part_b.repartition(3).write.mode("overwrite").parquet(src)
+
+    ivf = IVF(n_lists=4, n_probe=2, max_iter=2, seed=42,
+              round_centroids=6).fit(part_a, id_col="id")
+    pq = PQ(m=4, k_sub=4, max_iter=1, seed=42).fit(part_a, id_col="id", dim=64)
+    comp = IVFPQ(ivf, pq)
+
+    def drain(index, out, ck):
+        q = stream_into_quantized_layout(
+            spark.readStream.schema(part_b.schema).parquet(src),
+            index, out, ck, id_col="id",
+        )
+        q.awaitTermination(120)
+
+    # IVF
+    out = str(tmp_path / "ivf_layout")
+    ivf.build(part_a, out)
+    drain(ivf, out, str(tmp_path / "ck_ivf"))
+    got = {(r["id"], r["list_id"]) for r in
+           spark.read.parquet(out).select("id", "list_id").collect()}
+    want = {(r["id"], r["list_id"]) for r in
+            ivf.with_lists(vecs).select("id", "list_id").collect()}
+    assert got == want
+
+    # PQ
+    out = str(tmp_path / "pq_layout")
+    pq.build(part_a, out, id_col="id")
+    drain(pq, out, str(tmp_path / "ck_pq"))
+    got = {(r["id"], tuple(r["codes"])) for r in
+           spark.read.parquet(out).collect()}
+    want = {(r["id"], tuple(r["codes"])) for r in
+            pq.with_codes(vecs).select("id", "codes").collect()}
+    assert got == want
+
+    # IVFPQ — streamed layout probes identically to the batch layout
+    out = str(tmp_path / "ivfpq_layout")
+    batch_out = str(tmp_path / "ivfpq_batch")
+    comp.build(part_a, out, id_col="id")
+    drain(comp, out, str(tmp_path / "ck_ivfpq"))
+    comp.build(vecs, batch_out, id_col="id")
+    queries = vecs.filter(F.col("id") < 3).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, comp.query_batch(
+        comp.load(spark, out), queries, 5, id_col="id", round_to=6
+    ).collect()))
+    b = sorted(map(tuple, comp.query_batch(
+        comp.load(spark, batch_out), queries, 5, id_col="id", round_to=6
+    ).collect()))
+    assert a == b and len(a) > 0
+
+    # a replayed drain (same checkpoint, same source) is a no-op
+    n_before = spark.read.parquet(out).count()
+    drain(comp, out, str(tmp_path / "ck_ivfpq"))
+    assert spark.read.parquet(out).count() == n_before
+
+
+def test_stream_into_quantized_layout_requires_fit(spark, embeddings, tmp_path):
+    from kowari_spark.operators.ivf import IVF
+    from kowari_spark.streaming.ingest import stream_into_quantized_layout
+
+    vecs = embeddings.select(F.col("vec_id").alias("id"), "embedding").limit(5)
+    src = str(tmp_path / "rsrc")
+    vecs.write.parquet(src)
+    with pytest.raises(ValueError, match="fit"):
+        stream_into_quantized_layout(
+            spark.readStream.schema(vecs.schema).parquet(src),
+            IVF(), str(tmp_path / "o"), str(tmp_path / "c"),
+        )

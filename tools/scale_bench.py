@@ -247,6 +247,39 @@ def _run_suite(
                 pcodes, queries, 10, id_col="vec_id", round_to=6).count())
             rec("pq_knn_prebuilt", s, r)
 
+    if want("ivfpq_build") or want("ivfpq_knn_prebuilt"):
+        # composed serving structure: n_probe cell pruning over the
+        # compressed codes — the probe should beat BOTH parents (flat-PQ
+        # scans every code row; IVF re-reads full vectors in its cells)
+        import math as _math
+
+        from kowari_spark.operators.ivf import IVF as _IVF
+        from kowari_spark.operators.ivfpq import IVFPQ
+        from kowari_spark.operators.pq import PQ as _PQ
+
+        nl = max(16, int(_math.sqrt(n)))
+        clayout = os.path.join(SCALE_DIR, f"x{mult}", "ivfpq_layout")
+        have = os.path.exists(os.path.join(clayout, "_ivfpq_meta.json"))
+        if want("ivfpq_build") or not have:
+            comp = IVFPQ(
+                _IVF(n_lists=nl, n_probe=max(2, nl // 16), max_iter=2,
+                     seed=42, round_centroids=6,
+                     seed_sample=max(512, 8 * nl)),
+                _PQ(m=8, k_sub=16, max_iter=2, seed=42),
+            )
+            s, _ = timed(lambda: (
+                comp.fit(emb, id_col="vec_id", dim=64),
+                comp.build(emb, clayout, id_col="vec_id"),
+            ) and 0)
+            if want("ivfpq_build"):
+                rec("ivfpq_build", s, 0)
+        if want("ivfpq_knn_prebuilt"):
+            cp2 = IVFPQ(_IVF(), _PQ())
+            ccodes = cp2.load(spark, clayout)
+            s, r = timed(lambda: cp2.query_batch(
+                ccodes, queries, 10, id_col="vec_id", round_to=6).count())
+            rec("ivfpq_knn_prebuilt", s, r)
+
     # bucket width sized to the corpus: ~2^p buckets of ~100 vectors
     import math
 
