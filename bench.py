@@ -269,6 +269,29 @@ def quality_gates(spark, sf_dir) -> dict:
         (agg["same"] or 0) / max(agg["n"], 1), 4
     )
     out["semdedup_n_lists"] = 16
+    # IVF×PQ recall curve vs flat PQ at equal rerank: the composed
+    # probe reads ~n_probe/n_lists of the codes; flat PQ reads 100%.
+    # Recall at each candidate fraction shows what the pruning costs
+    # (flat PQIndex rerank=8 = the 16/16 end of the same curve).
+    from kowari_spark.operators.ann import IVFPQIndex
+    from kowari_spark.operators.ivfpq import IVFPQ
+
+    cpq = PQ(m=8, k_sub=16, max_iter=3, seed=42).fit(
+        base, id_col="vec_id", dim=64
+    )
+    curve = {}
+    for np_ in (1, 2, 4):
+        civf = IVF(n_lists=16, n_probe=np_, max_iter=3, seed=42,
+                   round_centroids=6)
+        civf.fit(base, id_col="vec_id")
+        comp = IVFPQIndex(IVFPQ(civf, cpq), rerank=8)
+        res = comp.search(base, queries, 10, metric="cosine",
+                          id_col="vec_id", round_to=6)
+        curve[f"{np_}/16"] = round(
+            mean_metric(recall_at_k(exact, res, 10, id_col="vec_id"),
+                        "recall"), 4
+        )
+    out["ivfpq_recall_curve_rerank8"] = curve
     out.update(_clustered_quality(spark))
     return out
 

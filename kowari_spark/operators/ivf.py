@@ -56,7 +56,20 @@ class IVF:
 
     def __init__(self, n_lists: int = 16, n_probe: int = 2, max_iter: int = 5,
                  seed: int = 42, round_centroids: int | None = None,
-                 seed_sample: int | str | None = "auto"):
+                 seed_sample: int | str | None = "auto",
+                 assign_engine: str = "auto"):
+        # cell-assignment engine: "expr" = the native transform/fold
+        # argmin (the oracle-parity shape; n_lists interpreted fold
+        # lambdas PER ROW — the measured scale killer at large n_lists,
+        # same boundary the PQ arrow encoder closed); "arrow" = the
+        # SHARED quantizer argmin encoder (m=1) — bit-identical by the
+        # same dimension-ordered-fold + first-index-tie argument, parity
+        # pinned in tests. "auto" sizes the choice (engines.resolve_engine).
+        if assign_engine not in ("auto", "expr", "arrow"):
+            raise ValueError(
+                f"assign_engine must be auto|expr|arrow, got {assign_engine!r}"
+            )
+        self.assign_engine = assign_engine
         self.n_lists = n_lists
         self.n_probe = n_probe
         self.max_iter = max_iter
@@ -203,6 +216,9 @@ class IVF:
                 f"need >= {self.n_lists} vectors to fit {self.n_lists} lists"
             )
         pts = [(r[id_col], [float(x) for x in r[vec_col]]) for r in rows]
+        # free lower bound on |df| (no extra scan): resolves the
+        # assign_engine="auto" choice for the Lloyd passes below
+        self._seen_rows = len(rows)
         from kowari_spark.operators.quantizer import gonzalez_maxmin
 
         return np.asarray(gonzalez_maxmin(pts, self.n_lists), dtype=np.float64)
@@ -214,11 +230,33 @@ class IVF:
         # the 100 TB design point (ADVICE r5)
         self.centroids = self._seed_farthest_first(df, id_col, vec_col)
 
+        # resolve assign_engine="auto" ONCE for the whole fit: the seed
+        # collect's row count is a free |df| lower bound — a full sample
+        # (>= threshold rows seen) proves the table is big enough for
+        # the arrow path; the exact-traversal path (seed_sample=None)
+        # already scanned the table k times, so one count is noise there
+        engine = self.assign_engine
+        if engine == "auto":
+            from kowari_spark.engines import AUTO_ARROW_MIN_ROWS
+
+            seen = getattr(self, "_seen_rows", None)
+            if seen is not None:
+                engine = "arrow" if seen >= AUTO_ARROW_MIN_ROWS else "expr"
+            else:
+                from kowari_spark.engines import resolve_engine
+
+                engine = resolve_engine("auto", df)
+
         for _ in range(self.max_iter):
-            assigned = df.select(
-                self._assign_expr(vec_col).alias("list_id"),
-                F.col(vec_col),
-            )
+            if engine == "arrow":
+                assigned = self._with_lists_arrow(
+                    df.select(vec_col), vec_col
+                ).select("list_id", vec_col)
+            else:
+                assigned = df.select(
+                    self._assign_expr(vec_col).alias("list_id"),
+                    F.col(vec_col),
+                )
             # element-wise mean per cell: explode (cell, dim, value) and
             # reduce — map-side partial aggregation keeps the shuffle at
             # n_lists*d rows
@@ -249,9 +287,37 @@ class IVF:
 
     # -- build (offline layout) -------------------------------------------
 
-    def with_lists(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    def _with_lists_arrow(self, df: DataFrame, vec_col: str) -> DataFrame:
+        """Arrow assignment: the shared quantizer argmin encoder with a
+        single subspace (= the centroid matrix). Degraded rows mirror
+        the expression engine: null/short/overlong vectors assign a
+        null list_id (zip_with null-padding poisons every expr distance
+        for those shapes), NaN-poisoned full-length vectors resolve to
+        cell 0 in both engines — parity pinned in tests."""
+        from kowari_spark.operators.quantizer import argmin_codes_arrow
+
+        dim = int(self.centroids.shape[1])
+        coded = argmin_codes_arrow(
+            df, self.centroids[None, :, :], vec_col, "__cells"
+        )
+        return coded.withColumn(
+            "list_id",
+            F.when(
+                F.size(vec_col) == dim, F.element_at("__cells", 1)
+            ).otherwise(F.lit(None).cast("int")),
+        ).drop("__cells")
+
+    def with_lists(self, df: DataFrame, vec_col: str = "embedding",
+                   engine: str | None = None) -> DataFrame:
         if self.centroids is None:
             raise ValueError("fit() first")
+        from kowari_spark.engines import resolve_engine
+
+        engine = resolve_engine(
+            self.assign_engine if engine is None else engine, df
+        )
+        if engine == "arrow":
+            return self._with_lists_arrow(df, vec_col)
         return df.withColumn("list_id", self._assign_expr(vec_col))
 
     def build(self, df: DataFrame, path: str, vec_col: str = "embedding") -> None:

@@ -285,76 +285,14 @@ class PQ:
 
     def _codes_arrow(self, df: DataFrame, vec_col: str,
                      code_col: str) -> DataFrame:
-        """Arrow encode path: all m argmins per row from vectorized
-        numpy inside ONE mapInPandas pass — zero shuffles, bit-identical
-        to the expression engine (dimension-ordered sequential fold,
-        first-index tie-break; see __init__)."""
-        from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+        """Arrow encode path — the shared quantizer argmin encoder
+        (operators/quantizer.argmin_codes_arrow, also the IVF arrow
+        cell assignment): all m argmins per row from vectorized numpy
+        inside ONE mapInPandas pass, zero shuffles, bit-identical to
+        the expression engine (see __init__)."""
+        from kowari_spark.operators.quantizer import argmin_codes_arrow
 
-        books = np.ascontiguousarray(self.codebooks)  # (m, k_sub, ds)
-        m, k_sub, ds = books.shape
-        out_schema = StructType(
-            list(df.schema.fields)
-            + [StructField(code_col, ArrayType(IntegerType()))]
-        )
-
-        dim = m * ds
-
-        def encode_block(V: np.ndarray) -> np.ndarray:
-            codes = np.empty((len(V), m), dtype=np.int32)
-            for j in range(m):
-                sub = V[:, j * ds:(j + 1) * ds]
-                acc = np.zeros((len(V), k_sub))
-                for dd in range(ds):
-                    diff = sub[:, dd:dd + 1] - books[j][:, dd][None, :]
-                    acc += diff * diff
-                # all-NaN rows (a NaN anywhere in the subvector poisons
-                # every centroid distance) take index 0 — the same code
-                # the expression engine's array_position(array_min)
-                # resolves to, verified in tests
-                codes[:, j] = np.argmin(acc, axis=1)
-            return codes
-
-        def gen(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    pdf[code_col] = []
-                    yield pdf
-                    continue
-                vals = list(pdf[vec_col])
-                # fast path: every row is a full-length vector (the
-                # normal corpus) — one vectorized block
-                if all(v is not None and len(v) >= dim for v in vals):
-                    V = np.asarray(
-                        [np.asarray(v[:dim], dtype=np.float64) for v in vals]
-                    )
-                    out = [list(map(int, row)) for row in encode_block(V)]
-                else:
-                    # degraded rows mirror the expression engine: a null
-                    # vector -> all-null codes; a short vector encodes
-                    # only the subspaces its length fully covers (the
-                    # zip_with null-padding semantics, pinned in tests)
-                    out = []
-                    for v in vals:
-                        if v is None:
-                            out.append([None] * m)
-                            continue
-                        arr = np.asarray(v, dtype=np.float64)
-                        padded = (
-                            arr[:dim] if len(arr) >= dim
-                            else np.concatenate([arr, np.zeros(dim - len(arr))])
-                        )
-                        block = encode_block(padded[np.newaxis, :])
-                        out.append([
-                            int(block[0, j]) if (j + 1) * ds <= len(arr)
-                            else None
-                            for j in range(m)
-                        ])
-                pdf = pdf.copy()
-                pdf[code_col] = out
-                yield pdf
-
-        return df.mapInPandas(gen, out_schema)
+        return argmin_codes_arrow(df, self.codebooks, vec_col, code_col)
 
     def with_codes(self, df: DataFrame, vec_col: str = "embedding",
                    code_col: str = "codes",

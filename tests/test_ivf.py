@@ -153,3 +153,102 @@ def test_seed_sample_string_typos_rejected_at_construction():
     with pytest.raises(ValueError, match="auto"):
         IVF(seed_sample="Auto")
     assert IVF(seed_sample="auto").seed_sample == "auto"
+
+
+def test_with_lists_arrow_parity_and_auto_dispatch(spark, embeddings):
+    """The arrow cell assignment (shared quantizer argmin encoder, m=1)
+    is bit-identical to the expression engine — real table plus
+    handcrafted degraded rows (null/short/overlong vectors assign null
+    list_id in BOTH engines; NaN resolves identically)."""
+    base = embeddings.select(F.col("vec_id").alias("id"), "embedding").limit(300)
+    ivf = IVF(n_lists=8, n_probe=2, max_iter=2, seed=42,
+              round_centroids=6).fit(base, id_col="id")
+    a = sorted((r["id"], r["list_id"]) for r in
+               ivf.with_lists(base, engine="expr").select("id", "list_id").collect())
+    b = sorted((r["id"], r["list_id"]) for r in
+               ivf.with_lists(base, engine="arrow").select("id", "list_id").collect())
+    assert a == b
+
+    dim = 64
+    degraded = spark.createDataFrame(
+        [
+            (0, None),
+            (1, [1.0] * (dim - 3)),            # short
+            (2, [0.5] * (dim + 5)),            # overlong
+            (3, [float("nan")] + [0.0] * (dim - 1)),
+            (4, [0.25] * dim),                  # clean control
+        ],
+        "id long, embedding array<double>",
+    )
+    da = sorted((r["id"], r["list_id"]) for r in
+                ivf.with_lists(degraded, engine="expr").select("id", "list_id").collect())
+    db = sorted((r["id"], r["list_id"]) for r in
+                ivf.with_lists(degraded, engine="arrow").select("id", "list_id").collect())
+    assert da == db
+    got = dict(da)
+    assert got[0] is None and got[1] is None and got[2] is None
+    assert got[3] is not None and got[4] is not None
+
+    # auto: arrow at/above threshold, expr below
+    big = spark.range(1200).select(
+        F.col("id"),
+        F.array(*[((F.col("id") * (i + 3)) % 17).cast("double")
+                  for i in range(dim)]).alias("embedding"),
+    )
+    plan_big = ivf.with_lists(big)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan_big
+    plan_small = ivf.with_lists(base)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan_small
+
+
+def test_fit_engines_agree_and_auto_fit_uses_arrow(spark):
+    """Fitting with assign_engine='expr' and 'arrow' produces IDENTICAL
+    centroids (the Lloyd assignment is the only engine-dependent step,
+    and it is bit-identical); the default 'auto' on a big frame runs
+    the arrow Lloyd passes without any extra count scan."""
+    import numpy as np
+
+    big = spark.range(1500).select(
+        F.col("id"),
+        F.array(*[((F.col("id") * (i + 3)) % 29).cast("double")
+                  for i in range(16)]).alias("embedding"),
+    ).cache()
+    a = IVF(n_lists=8, n_probe=2, max_iter=3, seed=42, round_centroids=6,
+            assign_engine="expr").fit(big, id_col="id")
+    b = IVF(n_lists=8, n_probe=2, max_iter=3, seed=42, round_centroids=6,
+            assign_engine="arrow").fit(big, id_col="id")
+    # auto resolves from the seed-collect size (a free |df| lower
+    # bound): n_lists=16 -> sample 1024 >= threshold -> arrow Lloyd
+    # passes; n_lists=8's 512-row sample under-bounds n and safely
+    # resolves to expr (8 folds/row is cheap anyway)
+    c = IVF(n_lists=16, n_probe=2, max_iter=3, seed=42, round_centroids=6).fit(
+        big, id_col="id"
+    )
+    d = IVF(n_lists=16, n_probe=2, max_iter=3, seed=42, round_centroids=6,
+            assign_engine="expr").fit(big, id_col="id")
+    assert np.array_equal(a.centroids, b.centroids)
+    assert np.array_equal(c.centroids, d.centroids)
+    assert c.assign_engine == "auto" and c._seen_rows >= 1000
+
+
+def test_gonzalez_vectorized_matches_scalar():
+    """The vectorized maxmin traversal (dimension-ordered accumulation)
+    is byte-for-byte the scalar loop — the SQL fit replays depend on
+    it."""
+    import random
+
+    from kowari_spark.operators.quantizer import (
+        _gonzalez_scalar,
+        gonzalez_maxmin,
+    )
+
+    rnd = random.Random(7)
+    pts = [(i, [rnd.uniform(-1, 1) for _ in range(24)]) for i in range(300)]
+    rnd.shuffle(pts)
+    assert gonzalez_maxmin(pts, 16) == _gonzalez_scalar(pts, 16)
+    # exact-duplicate points force ties -> lowest id must win in both
+    dup = pts + [(10_000 + i, v) for i, (_, v) in enumerate(pts[:40])]
+    assert gonzalez_maxmin(dup, 12) == _gonzalez_scalar(dup, 12)
+    # ragged inputs fall back to the scalar loop
+    ragged = [(0, [1.0, 2.0]), (1, [3.0]), (2, [0.5, 0.25])]
+    assert gonzalez_maxmin(ragged, 2) == _gonzalez_scalar(ragged, 2)

@@ -257,7 +257,11 @@ def _run_suite(
         from kowari_spark.operators.ivfpq import IVFPQ
         from kowari_spark.operators.pq import PQ as _PQ
 
-        nl = max(16, int(_math.sqrt(n)))
+        # cells sized to ~4000 rows: pruning wins only when a probed
+        # cell is a meaningful fraction of the data AND the per-cell
+        # partition listing stays cheap; n_probe/n_lists ~6% candidate
+        # fraction holds constant across decades
+        nl = max(16, n // 4000)
         clayout = os.path.join(SCALE_DIR, f"x{mult}", "ivfpq_layout")
         have = os.path.exists(os.path.join(clayout, "_ivfpq_meta.json"))
         if want("ivfpq_build") or not have:
