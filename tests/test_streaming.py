@@ -531,3 +531,59 @@ def test_stream_into_quantized_layout_requires_fit(spark, embeddings, tmp_path):
             spark.readStream.schema(vecs.schema).parquet(src),
             IVF(), str(tmp_path / "o"), str(tmp_path / "c"),
         )
+
+
+def test_compact_streamed_ivfpq_layout(spark, embeddings, tmp_path):
+    """compact_bucketed_layout generalizes to quantized layouts: after
+    several streamed micro-batches into an IVF×PQ layout, compaction on
+    partition_col='list_id' bounds per-cell file counts and changes no
+    data (probes identical before/after)."""
+    from kowari_spark.fsutil import count_data_files, list_dirs
+    from kowari_spark.operators.ivf import IVF
+    from kowari_spark.operators.ivfpq import IVFPQ
+    from kowari_spark.operators.pq import PQ
+    from kowari_spark.streaming.ingest import (
+        compact_bucketed_layout,
+        stream_into_quantized_layout,
+    )
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).limit(180).cache()
+    part_a = vecs.filter(F.col("id") % 7 == 0)
+    comp = IVFPQ(
+        IVF(n_lists=4, n_probe=4, max_iter=1, seed=42, round_centroids=6),
+        PQ(m=4, k_sub=4, max_iter=1, seed=42),
+    ).fit(part_a, id_col="id", dim=64)
+    out = str(tmp_path / "layout")
+    comp.build(part_a, out, id_col="id")
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    for i in range(1, 7):
+        batch = vecs.filter(F.col("id") % 7 == i)
+        batch.coalesce(1).write.mode("append").parquet(src)
+        q = stream_into_quantized_layout(
+            spark.readStream.schema(batch.schema).parquet(src),
+            comp, out, ck, id_col="id",
+        )
+        q.awaitTermination(120)
+
+    cells = [d for d in list_dirs(spark, out) if d.startswith("list_id=")]
+    assert any(count_data_files(spark, f"{out}/{d}") > 4 for d in cells)
+    queries = vecs.filter(F.col("id") < 3).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    before = sorted(map(tuple, comp.query_batch(
+        comp.load(spark, out), queries, 5, id_col="id", round_to=6
+    ).collect()))
+
+    rewritten = compact_bucketed_layout(
+        spark, out, partition_col="list_id", max_files=4, target_files=1
+    )
+    assert rewritten
+    assert all(count_data_files(spark, f"{out}/{d}") <= 4 for d in cells)
+    after = sorted(map(tuple, comp.query_batch(
+        comp.load(spark, out), queries, 5, id_col="id", round_to=6
+    ).collect()))
+    assert before == after
