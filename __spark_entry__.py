@@ -1150,7 +1150,8 @@ ORDER BY f.vec_id"""
 def q_events_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic KMV distinct-count sketch (operators/sketch.py):
     approx distinct users per event_type, bit-reproducible in DuckDB —
-    unlike HLL, the estimate depends only on the data."""
+    unlike Spark's built-in HLL++, the estimate depends only on the
+    data."""
     from kowari_spark.operators.sketch import kmv_distinct
 
     ev = _events(spark, sf_dir)
@@ -1183,6 +1184,71 @@ SELECT event_type,
        ROUND(CASE WHEN MAX(rn) < 64 THEN CAST(MAX(rn) AS DOUBLE)
                   ELSE 63.0 / MAX(u) END, 6) + 0.0 AS distinct_est
 FROM kept GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic portable HyperLogLog (operators/sketch.py
+    hll_distinct): approx distinct users per event_type with CONSTANT
+    per-group state (m=64 max-rank registers — the shuffle carries at
+    most 64 rows per group regardless of input size, vs KMV's one row
+    per distinct value). Registers, scaled-integer 2^-M sum, and
+    driver-computed linear-counting literals are all exactly
+    reproducible in DuckDB."""
+    from kowari_spark.operators.sketch import hll_distinct
+
+    ev = _events(spark, sf_dir)
+    return (
+        hll_distinct(ev, ["event_type"], "user_id", p=6)
+        .select(
+            "event_type",
+            (F.round(F.col("distinct_est"), 6) + F.lit(0.0)).alias("distinct_est"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _oracle_events_hll_users() -> str:
+    # Replays hll_distinct exactly: low-p-bit register, rank via
+    # length(bin(w)) (integer — no float log2), per-register MAX, exact
+    # HUGEINT sum of 2^(61-M) (order-independent, no float-fold pinning
+    # needed), and the same driver-computed alpha / m*ln(m/V) literals
+    # the Spark side embeds (no cross-engine libm drift).
+    from kowari_spark.operators.sketch import (
+        hll_alpha,
+        hll_linear_count_literals,
+    )
+
+    p, m, wbits = 6, 64, 54
+    num = repr(hll_alpha(m) * m * m * 2.0**61)
+    lc_case = (
+        "CASE v "
+        + " ".join(
+            f"WHEN {v} THEN {val!r}"
+            for v, val in hll_linear_count_literals(m).items()
+        )
+        + " END"
+    )
+    h = _SQL_HASH64.format(s="CAST(user_id AS VARCHAR)")
+    est = f"{num} / ((s + v::HUGEINT * (1::BIGINT << 61))::DOUBLE)"
+    return f"""
+WITH h AS (
+  SELECT event_type, ({h} & {m - 1}) AS reg, ({h} >> {p}) AS w
+  FROM events
+), r AS (
+  SELECT event_type, reg,
+         MAX(CASE WHEN w > 0 THEN {wbits + 1} - length(bin(w))
+                  ELSE {wbits + 1} END) AS M
+  FROM h GROUP BY event_type, reg
+), g AS (
+  SELECT event_type, COUNT(*) AS n, SUM((1::BIGINT << (61 - M))) AS s,
+         {m} - COUNT(*) AS v
+  FROM r GROUP BY event_type
+)
+SELECT event_type,
+       ROUND(CASE WHEN {est} <= {2.5 * m!r} AND v > 0 THEN {lc_case}
+                  ELSE {est} END, 6) + 0.0 AS distinct_est
+FROM g ORDER BY event_type
 """
 
 

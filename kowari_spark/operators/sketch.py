@@ -1,23 +1,31 @@
-"""Deterministic cardinality sketch: KMV (k-minimum-values).
+"""Deterministic cardinality sketches: KMV (k-minimum-values) and a
+portable HyperLogLog.
 
 Spark's built-in approx_count_distinct is HyperLogLog++ — fine at scale
 but its estimates can't be reproduced by another engine, so it can't be
-oracle-checked. KMV over the engine's portable md5 hash is fully
-deterministic: the estimate depends only on the DATA, not on RNG or
-sketch-library internals, so DuckDB computes the identical number.
+oracle-checked. Both sketches here are built over the engine's portable
+md5 hash and are fully deterministic: the estimate depends only on the
+DATA, not on RNG or sketch-library internals, so DuckDB computes the
+identical number. KMV keeps the k smallest hashes per group (shuffle
+carries distinct values); hll_distinct keeps m = 2^p max-rank registers
+per group (constant state, classic partial-aggregable HLL — Flajolet
+et al. 2007).
 
-Estimator (Bar-Yossef et al.): hash every distinct value to u in (0,1);
-if fewer than k distinct hashes exist the count is exact; otherwise
-estimate = (k-1) / u_(k), the k-th smallest hash. Error ~ 1/sqrt(k).
+KMV estimator (Bar-Yossef et al.): hash every distinct value to u in
+(0,1); if fewer than k distinct hashes exist the count is exact;
+otherwise estimate = (k-1) / u_(k), the k-th smallest hash. Error
+~ 1/sqrt(k).
 
-Shape: distinct (group, hash) -> per-group k smallest via window -> one
-row per group. The shuffle carries one row per distinct value (not per
-input row — distinct is map-side partial), and the sketch state per
+KMV shape: distinct (group, hash) -> per-group k smallest via window ->
+one row per group. The shuffle carries one row per distinct value (not
+per input row — distinct is map-side partial), and the sketch state per
 group is k scalars, the same property that makes KMV mergeable across
 partitions.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -52,3 +60,89 @@ def kmv_distinct(
         F.max("__rn") < k, F.max("__rn").cast("double")
     ).otherwise(F.lit(float(k - 1)) / F.max("__u"))
     return kept.groupBy(*group_cols).agg(est.alias(est_col))
+
+
+# Bias-correction constants from Flajolet et al. 2007 §4 (public).
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hll_alpha(m: int) -> float:
+    return _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_linear_count_literals(m: int) -> dict[int, float]:
+    """m * ln(m/V) for every possible empty-register count V, computed
+    ONCE driver-side so both Spark and a SQL oracle consume the same
+    bit-identical double literals (no cross-engine libm ln() drift)."""
+    return {v: m * math.log(m / v) for v in range(1, m + 1)}
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 6,
+    est_col: str = "distinct_est",
+) -> DataFrame:
+    """Per-group HyperLogLog distinct count of ``value_col``, fully
+    deterministic (portable md5 hash, driver-computed correction
+    literals) so another engine reproduces the estimate bit-for-bit.
+
+    Register assignment over the 60-bit hash h: register = low p bits,
+    rank rho = leading-zero count of the remaining 60-p bits + 1
+    (computed exactly via length(bin(w)) — integer, no float log).
+    Estimate = alpha_m * m^2 / sum_j 2^(-M_j), with the standard
+    small-range linear-counting correction m*ln(m/V) when the raw
+    estimate <= 2.5m and V registers are empty.
+
+    Scale shape (the reason HLL exists next to KMV):
+    - the (group, register) max-aggregation is a classic partial agg —
+      the shuffle carries at most m = 2^p rows per group regardless of
+      input size, vs KMV's one row per DISTINCT value;
+    - the 2^(-M) sum is computed exactly in scaled integer arithmetic
+      (decimal sum of 2^(61-M)), so the result is independent of
+      aggregation order — no float-fold pinning needed;
+    - relative error ~ 1.04/sqrt(m).
+
+    ``p`` must be in [4, 8]: below 4 the alpha constants don't apply,
+    above 8 the driver-side correction CASE (2^p literals) stops being
+    reasonable — at p=8 the error is already ~6.5%.
+    """
+    if not 4 <= p <= 8:
+        raise ValueError(f"p must be in [4, 8], got {p}")
+    m = 1 << p
+    wbits = 60 - p
+    h = base_hash64(F.col(value_col).cast("string"))
+    w = F.shiftright(h, p)
+    rho = F.when(w > 0, F.lit(wbits + 1) - F.length(F.bin(w))).otherwise(
+        wbits + 1
+    )
+    regs = (
+        df.select(
+            *group_cols,
+            h.bitwiseAND(F.lit(m - 1)).alias("__reg"),
+            rho.alias("__rho"),
+        )
+        .groupBy(*group_cols, "__reg")
+        .agg(F.max("__rho").alias("__M"))
+    )
+    # Exact scaled-integer register sum: 2^(-M) * 2^61 is an int64 for
+    # every legal M (1..61); decimal(38,0) holds the per-group total.
+    term = F.expr("shiftleft(CAST(1 AS BIGINT), 61 - __M)").cast(
+        "decimal(38,0)"
+    )
+    g = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("__n"), F.sum(term).alias("__s")
+    )
+    two61 = F.lit(1 << 61).cast("decimal(38,0)")
+    v = F.lit(m) - F.col("__n")  # empty registers (never-hit => M=0 => 2^0)
+    total = (F.col("__s") + v.cast("decimal(38,0)") * two61).cast("double")
+    e_raw = F.lit(hll_alpha(m) * m * m * 2.0**61) / total
+    lc = hll_linear_count_literals(m)
+    lc_map = F.create_map(
+        *[F.lit(x) for kv in lc.items() for x in (kv[0], kv[1])]
+    )
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0), F.element_at(lc_map, v.cast("int"))
+    ).otherwise(e_raw)
+    return g.select(*group_cols, est.alias(est_col))
