@@ -12,10 +12,14 @@ hnsw.py): arrow at/above a small corpus-size threshold, expr below it
 (skips the session's first-Python-worker spinup; measured equal at
 tiny n).
 
-``resolve_engine`` sizes the choice with ONE zero-column count — on
-parquet that scan reads no data pages, and every caller runs a full
-pass over the same frame right after, so the probe is noise at any
-scale. Callers that already know n pass it directly.
+``resolve_engine`` sizes the choice with ONE BOUNDED probe —
+``df.limit(threshold).count()`` — so the sizing decision never scans
+more than ``auto_min_rows`` rows regardless of plan shape. (A bare
+``count()`` is only free on a raw parquet scan; on a derived frame —
+filters, joins, synthetic input — it executes the whole upstream plan
+one extra time, a full extra pass at the 100 TB design point. The
+limit stops the scan after the first task produces ``threshold`` rows;
+ADVICE r7.) Callers that already know n pass it directly.
 """
 
 from __future__ import annotations
@@ -36,8 +40,10 @@ def resolve_engine(
 ) -> str:
     """Resolve ``engine`` ("auto" | "expr" | "arrow") to a concrete
     engine. "auto" = "arrow" when the frame has >= ``auto_min_rows``
-    rows (pass ``n`` to skip the count job), else "expr". Explicit
-    engines pass through unchanged (the audit opt-out)."""
+    rows (pass ``n`` to skip the probe job), else "expr". The probe is
+    ``df.limit(auto_min_rows).count()`` — bounded by the threshold, so
+    it never runs the upstream plan to completion on a derived frame.
+    Explicit engines pass through unchanged (the audit opt-out)."""
     if engine in ("expr", "arrow"):
         return engine
     if engine != "auto":
@@ -45,5 +51,5 @@ def resolve_engine(
     if n is None:
         if df is None:
             raise ValueError("engine='auto' needs df or n to size the choice")
-        n = df.count()
+        n = df.limit(auto_min_rows).count()
     return "arrow" if n >= auto_min_rows else "expr"

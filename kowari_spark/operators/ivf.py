@@ -46,6 +46,10 @@ from kowari_spark.numerics import round_half_up as _round_half_up
 from kowari_spark.operators.topk import knn, knn_batch
 
 _META_NAME = "_ivf_meta.json"
+#: bump when fit/assignment/probe arithmetic changes — rides the IVF×PQ
+#: composed sidecar (ivfpq.py) so a stale composed layout is refused on
+#: load rather than silently probed with diverged semantics
+_ALGO_VERSION = "ivf-maxmin-v1"
 
 
 class IVF:
@@ -133,8 +137,25 @@ class IVF:
 
         The (id, vector) projection is persisted for the duration of the
         fit — every iteration re-scans it, and at 100 TB re-reading the
-        source per iteration would dominate the build."""
-        vecs = df.select(id_col, vec_col).persist()
+        source per iteration would dominate the build.
+
+        Degraded rows (null / wrong-length vectors) carry no fittable
+        signal — they assign a null list_id in both engines by design —
+        and are filtered before seeding AND the Lloyd reduce, mirroring
+        PQ.fit's degraded-row rule: a short vector reaching the seed
+        sample would yield a ragged centroid matrix, and a null list_id
+        reaching the driver accumulation would broadcast over the whole
+        centroid array (ADVICE r7). The expected dimension is taken
+        from the first non-null row, exactly like PQ's dim inference."""
+        first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        if first is None:
+            raise ValueError("cannot fit an IVF on an empty DataFrame")
+        dim = len(first[0])
+        vecs = (
+            df.select(id_col, vec_col)
+            .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+            .persist()
+        )
         try:
             return self._fit(vecs, id_col, vec_col)
         finally:
@@ -257,6 +278,14 @@ class IVF:
                     self._assign_expr(vec_col).alias("list_id"),
                     F.col(vec_col),
                 )
+            # degraded rows (null/short/overlong vectors) carry a null
+            # list_id in BOTH engines by design — drop them before the
+            # reduce, mirroring PQ.fit: an unfiltered null key would
+            # reach the driver accumulation as acc[None], and numpy
+            # treats None as np.newaxis — new_c[None] = ... broadcasts
+            # the assignment over the ENTIRE centroid array (silent
+            # total corruption; ADVICE r7)
+            assigned = assigned.filter(F.col("list_id").isNotNull())
             # element-wise mean per cell: explode (cell, dim, value) and
             # reduce — map-side partial aggregation keeps the shuffle at
             # n_lists*d rows
@@ -270,6 +299,8 @@ class IVF:
             acc: dict[int, np.ndarray] = {}
             cnt: dict[int, int] = {}
             for r in sums:
+                if r["list_id"] is None:  # belt over the filter above
+                    continue
                 acc.setdefault(r["list_id"], np.zeros(self.centroids.shape[1]))[r["dim"]] = r["s"]
                 cnt[r["list_id"]] = r["n"]
             for lid, vec in acc.items():

@@ -45,8 +45,18 @@ from pyspark.sql import functions as F
 
 _META_NAME = "_ivfpq_meta.json"
 #: bump when the composed layout semantics change; the component
-#: algo-versions ride in the sidecar too and are checked on load
+#: algo-versions (ivf.py/pq.py _ALGO_VERSION) are written into the
+#: sidecar by build() and verified by load() — a PQ or IVF version bump
+#: therefore refuses stale composed layouts without a composed-version
+#: bump (ADVICE r7: previously only the composed string was checked)
 _ALGO_VERSION = "ivfpq-v1"
+
+
+def _component_versions() -> dict:
+    from kowari_spark.operators.ivf import _ALGO_VERSION as _IVF_V
+    from kowari_spark.operators.pq import _ALGO_VERSION as _PQ_V
+
+    return {"ivf_version": _IVF_V, "pq_version": _PQ_V}
 
 
 class IVFPQ:
@@ -92,6 +102,7 @@ class IVFPQ:
         )
         meta = {
             "version": _ALGO_VERSION,
+            **_component_versions(),
             "ivf": {
                 "n_lists": self.ivf.n_lists,
                 "n_probe": self.ivf.n_probe,
@@ -142,6 +153,14 @@ class IVFPQ:
             raise ValueError(
                 f"IVFPQ layout at {path} was built by {ver!r}; this code "
                 f"probes {_ALGO_VERSION!r} — rebuild the layout"
+            )
+        want = _component_versions()
+        got = {k: meta.get(k) for k in want}
+        if got != want:
+            raise ValueError(
+                f"IVFPQ layout at {path} was built with component "
+                f"versions {got}; this code probes {want} — a quantizer "
+                "algo-version changed, rebuild the layout"
             )
         iv, pv = meta["ivf"], meta["pq"]
         self.ivf.n_lists = iv["n_lists"]

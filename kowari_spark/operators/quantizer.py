@@ -69,6 +69,18 @@ def gonzalez_maxmin(pts, k: int) -> list[list[float]]:
     except ValueError:
         return _gonzalez_scalar(pts, k)
 
+    # a NaN anywhere poisons mind.max() -> NaN, NaN == NaN is False, so
+    # cand goes empty and min() raises an opaque 'empty sequence'; the
+    # traversal has no meaningful answer on NaN input either way, so
+    # fail intelligibly up front (ADVICE r7)
+    if np.isnan(V).any():
+        bad = [ids[i] for i in np.flatnonzero(np.isnan(V).any(axis=1))[:5]]
+        raise ValueError(
+            f"NaN in seed sample (first poisoned ids: {bad}): quantizer "
+            "fits need finite vectors — filter or repair the corpus "
+            "before fit()"
+        )
+
     def dists_to(c: np.ndarray) -> np.ndarray:
         acc = np.zeros(len(V))
         for dd in range(V.shape[1]):

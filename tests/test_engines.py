@@ -91,3 +91,15 @@ def test_spans_auto_dispatch(big_docs, small_docs):
 
     assert "MapInPandas" in _plan(duplicate_spans(big_docs, min_len=3))
     assert "MapInPandas" not in _plan(duplicate_spans(small_docs, min_len=3))
+
+
+def test_resolve_engine_bounded_probe_on_derived_frames(spark):
+    """'auto' sizes with limit(threshold).count() — a bounded probe
+    that is still correct on both sides of the threshold for DERIVED
+    frames (where a bare count() would re-execute the whole upstream
+    plan; ADVICE r7)."""
+    big = spark.range(3000).filter(F.col("id") % 2 == 0).select(
+        F.col("id"))  # 1500 rows through a non-scan plan
+    small = spark.range(3000).filter(F.col("id") < 10).select(F.col("id"))
+    assert resolve_engine("auto", big) == "arrow"
+    assert resolve_engine("auto", small) == "expr"

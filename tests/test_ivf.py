@@ -252,3 +252,48 @@ def test_gonzalez_vectorized_matches_scalar():
     # ragged inputs fall back to the scalar loop
     ragged = [(0, [1.0, 2.0]), (1, [3.0]), (2, [0.5, 0.25])]
     assert gonzalez_maxmin(ragged, 2) == _gonzalez_scalar(ragged, 2)
+
+
+def test_fit_ignores_degraded_rows(spark):
+    """Null / short / overlong vectors assign a null list_id by design
+    and carry no fittable signal — fit must produce the SAME centroids
+    as fitting the clean subset alone. Previously a null list_id
+    reaching the driver accumulation hit numpy's None-is-np.newaxis
+    semantics: new_c[None] = vec/cnt[None] silently broadcast over the
+    ENTIRE centroid matrix (ADVICE r7)."""
+    import numpy as np
+
+    clean = [(i, [float((i * 7 + j * 3) % 13) for j in range(8)])
+             for i in range(40)]
+    degraded = [(100, None), (101, [1.0, 2.0, 3.0]), (102, [0.0] * 9)]
+    full = spark.createDataFrame(
+        clean + degraded, "id long, embedding array<double>"
+    )
+    sub = spark.createDataFrame(clean, "id long, embedding array<double>")
+    a = IVF(n_lists=4, max_iter=2, seed=42).fit(full, id_col="id")
+    b = IVF(n_lists=4, max_iter=2, seed=42).fit(sub, id_col="id")
+    assert np.array_equal(a.centroids, b.centroids)
+    # and with decimal-grid rounding the degraded path must not crash
+    # (the broadcast bug surfaced there as an opaque TypeError)
+    c = IVF(n_lists=4, max_iter=2, seed=42, round_centroids=6).fit(
+        full, id_col="id"
+    )
+    d = IVF(n_lists=4, max_iter=2, seed=42, round_centroids=6).fit(
+        sub, id_col="id"
+    )
+    assert np.array_equal(c.centroids, d.centroids)
+
+
+def test_gonzalez_nan_fails_intelligibly():
+    """A NaN-poisoned seed sample has no meaningful maxmin answer —
+    the traversal must raise a clear error naming the poisoned ids,
+    not the vectorized path's former opaque 'min() arg is an empty
+    sequence' (ADVICE r7)."""
+    import pytest as _pytest
+
+    from kowari_spark.operators.quantizer import gonzalez_maxmin
+
+    pts = [(i, [float(i), 0.0]) for i in range(10)]
+    pts[3] = (3, [float("nan"), 0.0])
+    with _pytest.raises(ValueError, match="NaN in seed sample.*3"):
+        gonzalez_maxmin(pts, 3)

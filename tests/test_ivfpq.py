@@ -110,3 +110,25 @@ def test_probe_plan_stays_jvm_side(fitted, base, queries):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_load_refuses_component_version_mismatch(fitted, base, spark,
+                                                 tmp_path):
+    """The sidecar carries the ivf.py/pq.py _ALGO_VERSION strings and
+    load() verifies them — a future quantizer version bump refuses
+    stale composed layouts instead of silently probing them (ADVICE
+    r7: previously only the composed 'ivfpq-v1' string was checked)."""
+    import json
+
+    from kowari_spark.fsutil import read_bytes, write_bytes
+    from kowari_spark.operators.ivfpq import _META_NAME
+
+    path = str(tmp_path / "stale")
+    fitted.build(base, path, id_col="id")
+    meta = json.loads(read_bytes(spark, f"{path}/{_META_NAME}").decode())
+    assert meta["ivf_version"] == "ivf-maxmin-v1"
+    assert meta["pq_version"] == "pq-maxmin-v1"
+    meta["pq_version"] = "pq-maxmin-v0"
+    write_bytes(spark, f"{path}/{_META_NAME}", json.dumps(meta).encode())
+    with pytest.raises(ValueError, match="component.*version"):
+        IVFPQ(IVF(), PQ()).load(spark, path)

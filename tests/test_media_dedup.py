@@ -135,3 +135,24 @@ def test_media_dedup_keep_matches_union_find(spark, dup_media):
         assert out[i] == (rep, rep == i), i
     # the fixture's exact copies are clustered -> some losers exist
     assert any(not kept for _, kept in out.values())
+
+
+def test_media_star_edges_same_components(spark, dup_media):
+    """media star edges give identical media_dedup_keep output as
+    all-pairs (CC needs connectivity), every star edge satisfies the
+    Hamming bound, and the star set is a subset of the verified
+    all-pairs set."""
+    from kowari_spark.operators.multimodal import media_dedup_keep
+
+    allp = {(r["id_a"], r["id_b"]): r["hamming"]
+            for r in media_near_dups(dup_media).collect()}
+    star = media_near_dups(dup_media, edges="star").collect()
+    assert len(star) > 0
+    for r in star:
+        assert r["hamming"] <= 6
+        assert allp[(r["id_a"], r["id_b"])] == r["hamming"]
+
+    keep_p = {tuple(r) for r in media_dedup_keep(dup_media).collect()}
+    keep_s = {tuple(r)
+              for r in media_dedup_keep(dup_media, edges="star").collect()}
+    assert keep_p == keep_s

@@ -44,7 +44,9 @@ def value_hash(pdf: pd.DataFrame) -> str:
     return hashlib.sha256(payload).hexdigest()[:16]
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None) -> int:
+    """``only`` = comma-separated queries() row names to check (skips the
+    entry() smoke) — targeted re-verification after touching one operator."""
     spark = get_session(app="contract_check")
     con = duckdb.connect()
     for t in TABLES:
@@ -56,12 +58,20 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     oracles = entrymod.oracle_sql()
     failures = 0
 
-    print("== entry() smoke ==")
-    t0 = time.perf_counter()
-    res = entrymod.entry(spark)
-    n = res.count()
-    print(f"entry: {n} rows in {time.perf_counter()-t0:.1f}s schema={[f.name for f in res.schema]}")
-    assert n >= 0
+    if only is not None:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            print(f"unknown queries() rows: {unknown}")
+            return 1
+        qs = {n: qs[n] for n in names}
+    else:
+        print("== entry() smoke ==")
+        t0 = time.perf_counter()
+        res = entrymod.entry(spark)
+        n = res.count()
+        print(f"entry: {n} rows in {time.perf_counter()-t0:.1f}s schema={[f.name for f in res.schema]}")
+        assert n >= 0
 
     for name, fn in qs.items():
         t0 = time.perf_counter()

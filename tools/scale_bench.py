@@ -460,6 +460,33 @@ def _run_suite(
             s, r = timed(lambda: dedup_clusters(pairs).count())
             rec("doc_dup_clusters", s, r)
 
+    if want("planted_family"):
+        # VERDICT r8 #1 evidence: ONE planted duplicate family of F
+        # members lands in ONE (band, band_key) bucket per band — the
+        # all-pairs self-join materializes bands·F(F-1)/2 candidate
+        # rows on single join keys (quadratic, skewed), star edges emit
+        # F-1 (linear). pairs is only attempted at the small family
+        # sizes; at 50k it would emit 5·10⁹ rows from four keys.
+        from kowari_spark.operators.dedup import minhash_band_pairs
+
+        fam_text = (
+            "planted boilerplate family document sharing one long run "
+            "of identical tokens across every member of the family"
+        )
+        base_docs = docs.select("doc_id", "text")
+        for fs in (1_000, 5_000, 50_000):
+            fam = spark.range(fs).select(
+                (F.col("id") + 10_000_000).alias("doc_id"),
+                F.lit(fam_text).alias("text"),
+            )
+            corpus = base_docs.unionByName(fam)
+            s, r = timed(
+                lambda: minhash_band_pairs(corpus, edges="star").count())
+            rec(f"family{fs}_star", s, r)
+            if fs <= 5_000:
+                s, r = timed(lambda: minhash_band_pairs(corpus).count())
+                rec(f"family{fs}_pairs", s, r)
+
     emb.unpersist()
     return out
 
