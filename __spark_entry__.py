@@ -1688,18 +1688,35 @@ def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _minhash_ctes() -> str:
+def _minhash_ctes(num_hashes: int = 16, bands: int = 4,
+                  edges: str = "pairs") -> str:
     """Shared CTE block computing verified minhash near-dup pairs
-    (reused by the pairs oracle and the clustering oracle)."""
-    a, b = T.minhash_params(16, 42)
+    (reused by the pairs, clustering, keep-list, star and tuned-banding
+    oracles). ``edges="star"`` replays operators/dedup.py's
+    bucket_star_edges: candidates are (bucket-min, member) per
+    (band, band_key) bucket instead of all within-bucket pairs."""
+    a, b = T.minhash_params(num_hashes, 42)
+    r = num_hashes // bands
     sig_exprs = ", ".join(
         f"list_min(list_transform(hm, m -> ({ai} * m + {bi}) % 2147483647))"
         for ai, bi in zip(a, b)
     )
     band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {j} AS band, md5(array_to_string(sig[{j*4+1}:{j*4+4}], ',')) AS bk FROM sig"
-        for j in range(4)
+        f"SELECT doc_id, {j} AS band, md5(array_to_string(sig[{j*r+1}:{j*r+r}], ',')) AS bk FROM sig"
+        for j in range(bands)
     )
+    if edges == "star":
+        cand = """cand AS (
+  SELECT DISTINCT m.bmin AS id_a, b.doc_id AS id_b
+  FROM bands b
+  JOIN (SELECT band, bk, MIN(doc_id) AS bmin FROM bands GROUP BY band, bk) m
+    ON b.band = m.band AND b.bk = m.bk AND b.doc_id != m.bmin
+)"""
+    else:
+        cand = """cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+)"""
     sh = _SQL_SHINGLES3.format(t="t")
     h = _SQL_HASH64.format(s="x")
     return f"""sh AS (
@@ -1709,10 +1726,7 @@ def _minhash_ctes() -> str:
 hm AS (SELECT doc_id, list_transform(s, x -> {h} % 2147483647) AS hm FROM sh),
 sig AS (SELECT doc_id, [{sig_exprs}] AS sig FROM hm),
 bands AS ({band_selects}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
-),
+{cand},
 j AS (
   SELECT id_a, id_b,
          (len(list_intersect(sa.s, sb.s)) * 1.0)
@@ -1793,6 +1807,72 @@ FROM documents d
 LEFT JOIN lab l ON l.id = d.doc_id
 WHERE l.id IS NULL OR l.cluster_id = d.doc_id
 ORDER BY d.doc_id
+"""
+
+
+def q_doc_dedup_keep_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-list pipeline on STAR candidate edges (operators/dedup.
+    bucket_star_edges — round-8 #1: per-bucket member↔min edges, O(B)
+    instead of the all-pairs join's O(B²) per bucket, identical
+    connected components for unverified candidates). This row pins the
+    VERIFIED composition end-to-end: star candidates -> exact Jaccard
+    >= 0.5 -> adaptive CC -> min-id representatives; the oracle replays
+    the star candidate generation (GROUP BY bucket MIN + join-back)
+    CTE-for-CTE, so any drift in the star semantics fails the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5, edges="star")
+    return (
+        D.dedup_keep_representatives(docs, pairs)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_doc_dedup_keep_star() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes(edges="star")},
+pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT s AS id, s AS label FROM edges
+  UNION
+  SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.id
+),
+lab AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+LEFT JOIN lab l ON l.id = d.doc_id
+WHERE l.id IS NULL OR l.cluster_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_doc_minhash_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs under AUTO-TUNED banding: (num_hashes,
+    bands) derived from the target Jaccard threshold by
+    operators/dedup.minhash_banding (the 1-(1-s^r)^b S-curve midpoint)
+    instead of the hand-tuned 16/4 default. The oracle replays the SAME
+    derived banding (both sides call the tuner), so the tuner's output
+    is itself pinned by the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    nh, b = D.minhash_banding(0.5)
+    pairs = D.minhash_dedup_pairs(
+        docs, threshold=0.5, num_hashes=nh, bands=b
+    )
+    return pairs.select(
+        "id_a", "id_b", (F.round(F.col("jaccard"), 6) + F.lit(0.0)).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def _oracle_doc_minhash_tuned() -> str:
+    nh, b = D.minhash_banding(0.5)
+    return f"""
+WITH {_minhash_ctes(num_hashes=nh, bands=b)}
+SELECT id_a, id_b, ROUND(jac, 6) + 0.0 AS jaccard
+FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b
 """
 
 
@@ -3023,34 +3103,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY: the driver validates only the FIRST 50 entries
     # per round (dict order = check order), so rows are ordered by
     # driver-validation age — never/least-recently driver-validated
-    # first, most-recently-validated last. Round 7 front block: the 14
-    # rows past round 6's window (pq_knn has never seen the driver)
-    # plus this round's new rows; the 49 rows the driver greened in
-    # round 6 follow in their old order, so the ~17 that now fall past
-    # the window are exactly the freshest-validated ones. Rotate again
-    # each round.
+    # first, most-recently-validated last; every row gets a driver row
+    # at least every two rounds. Round 8 front block: this round's new
+    # rows (doc_dedup_keep_star, doc_minhash_tuned), then the 17 rows
+    # past round 7's window (doc_bm25_top10 … similarity_join, last
+    # driver-green r6). The 33 mid-window r7 rows follow; round 7's
+    # front block (freshest-validated) closes the dict and falls past
+    # the window this round.
     return {
-        # -- round-7 front block: new rows first, then rows past round
-        # 6's 50-row driver window
-        "ivfpq_knn": q_ivfpq_knn,
-        "filtered_lsh_knn": q_filtered_lsh_knn,
-        "media_dedup_keep": q_media_dedup_keep,
-        "pq_knn": q_pq_knn,
-        "filtered_knn": q_filtered_knn,
-        "lsh_recall_at_10": q_lsh_recall_at_10,
-        "lsh_precision_at_10": q_lsh_precision_at_10,
-        "hnsw_knn": q_hnsw_knn,
-        "cp_knn_top10": q_cp_knn_top10,
-        "ivf_knn": q_ivf_knn,
-        "events_props_stats": q_events_props_stats,
-        "events_kmv_users": q_events_kmv_users,
-        "revenue_rollup": q_revenue_rollup,
-        "orders_cube": q_orders_cube,
-        "nation_set_ops": q_nation_set_ops,
-        "customer_strings": q_customer_strings,
-        "orders_by_month": q_orders_by_month,
-        # -- round-6-validated rows, original order (tail falls out of
-        # the 50-row window this round; they were all driver-green r6)
+        # -- new this round
+        "doc_dedup_keep_star": q_doc_dedup_keep_star,
+        "doc_minhash_tuned": q_doc_minhash_tuned,
+        # -- past round 7's 50-row window (last driver-green r6)
+        "doc_bm25_top10": q_doc_bm25_top10,
+        "doc_bm25_batch": q_doc_bm25_batch,
+        "doc_hybrid_rrf": q_doc_hybrid_rrf,
+        "doc_mixture_sample": q_doc_mixture_sample,
+        "doc_top_bigrams": q_doc_top_bigrams,
+        "doc_surprisal": q_doc_surprisal,
+        "doc_dup_spans": q_doc_dup_spans,
+        "doc_despan": q_doc_despan,
+        "doc_repetition": q_doc_repetition,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        "events_retention": q_events_retention,
+        "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "embedding_semantic_dedup": q_embedding_semantic_dedup,
+        "media_pipeline": q_media_pipeline,
+        "media_near_dups": q_media_near_dups,
+        "similarity_join": q_similarity_join,
+        # -- mid-window round-7-validated rows, original order
         "knn_cosine_top10": q_knn_cosine_top10,
         "knn_euclidean_top10": q_knn_euclidean_top10,
         "knn_batch_top5": q_knn_batch_top5,
@@ -3084,23 +3166,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_sample": q_doc_split_sample,
         "doc_pack_chunks": q_doc_pack_chunks,
         "doc_decontam": q_doc_decontam,
-        "doc_bm25_top10": q_doc_bm25_top10,
-        "doc_bm25_batch": q_doc_bm25_batch,
-        "doc_hybrid_rrf": q_doc_hybrid_rrf,
-        "doc_mixture_sample": q_doc_mixture_sample,
-        "doc_top_bigrams": q_doc_top_bigrams,
-        "doc_surprisal": q_doc_surprisal,
-        "doc_dup_spans": q_doc_dup_spans,
-        "doc_despan": q_doc_despan,
-        "doc_repetition": q_doc_repetition,
-        "doc_pii_scrub": q_doc_pii_scrub,
-        "events_retention": q_events_retention,
-        "embedding_near_dups": q_embedding_near_dups,
-        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
-        "embedding_semantic_dedup": q_embedding_semantic_dedup,
-        "media_pipeline": q_media_pipeline,
-        "media_near_dups": q_media_near_dups,
-        "similarity_join": q_similarity_join,
+        # -- round-7 front block (freshest driver validation; falls
+        # past the window this round)
+        "ivfpq_knn": q_ivfpq_knn,
+        "filtered_lsh_knn": q_filtered_lsh_knn,
+        "media_dedup_keep": q_media_dedup_keep,
+        "pq_knn": q_pq_knn,
+        "filtered_knn": q_filtered_knn,
+        "lsh_recall_at_10": q_lsh_recall_at_10,
+        "lsh_precision_at_10": q_lsh_precision_at_10,
+        "hnsw_knn": q_hnsw_knn,
+        "cp_knn_top10": q_cp_knn_top10,
+        "ivf_knn": q_ivf_knn,
+        "events_props_stats": q_events_props_stats,
+        "events_kmv_users": q_events_kmv_users,
+        "revenue_rollup": q_revenue_rollup,
+        "orders_cube": q_orders_cube,
+        "nation_set_ops": q_nation_set_ops,
+        "customer_strings": q_customer_strings,
+        "orders_by_month": q_orders_by_month,
     }
 
 
@@ -3130,6 +3214,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_pairs": _oracle_doc_minhash_pairs(),
         "doc_dup_clusters": _oracle_doc_dup_clusters(),
         "doc_dedup_keep": _oracle_doc_dedup_keep(),
+        "doc_dedup_keep_star": _oracle_doc_dedup_keep_star(),
+        "doc_minhash_tuned": _oracle_doc_minhash_tuned(),
         "doc_text_knn": _oracle_doc_text_knn(),
         "doc_simhash_near": _oracle_doc_simhash_near(),
         "doc_winnow_pairs": _oracle_doc_winnow_pairs(),

@@ -58,10 +58,30 @@ class IVF:
     #: that one driver collect stays trivial (64*n_lists rows)
     AUTO_SEED_PER_LIST = 64
 
-    def __init__(self, n_lists: int = 16, n_probe: int = 2, max_iter: int = 5,
+    def __init__(self, n_lists: int | str = 16, n_probe: int | str = 2,
+                 max_iter: int = 5,
                  seed: int = 42, round_centroids: int | None = None,
                  seed_sample: int | str | None = "auto",
                  assign_engine: str = "auto"):
+        # n_lists="auto" resolves to round(sqrt(n)) at fit time — the
+        # sizing that balances build vs probe: assignment cost per
+        # Lloyd pass is O(n·n_lists·d) and probe cost is
+        # O(n_probe·n/n_lists·d), so sqrt(n) keeps the BUILD at
+        # O(n^1.5·d) while a fixed-cell-size rule (n_lists = n/c) makes
+        # it O(n²·d/c) — the super-linear growth BASELINE.md's round-7
+        # addendum measured. Crossover intuition: fixed-cell wins probe
+        # latency once n is large enough that sqrt(n) cells are bigger
+        # than the target cell size (n > c²; c=4000 → n > 16M), but you
+        # pay the quadratic build to get there — pass an explicit
+        # n_lists when you want that trade. n is the persist-warming
+        # count of the fit projection (the PQ.fit pattern — the fit
+        # persists and re-scans the projection every Lloyd pass anyway,
+        # so materializing it once adds no extra pass; explicit int
+        # n_lists keeps the count-free fit path).
+        if isinstance(n_lists, str) and n_lists != "auto":
+            raise ValueError(f"n_lists must be an int or 'auto', got {n_lists!r}")
+        if isinstance(n_probe, str) and n_probe != "auto":
+            raise ValueError(f"n_probe must be an int or 'auto', got {n_probe!r}")
         # cell-assignment engine: "expr" = the native transform/fold
         # argmin (the oracle-parity shape; n_lists interpreted fold
         # lambdas PER ROW — the measured scale killer at large n_lists,
@@ -157,6 +177,20 @@ class IVF:
             .persist()
         )
         try:
+            if self.n_lists == "auto":
+                import math
+
+                # persist-warming count (the PQ.fit pattern): every
+                # Lloyd pass re-scans the persisted projection, so
+                # materializing it here adds no extra pass over the
+                # data — and it gives the exact n the sqrt sizing needs
+                n = vecs.count()
+                self.n_lists = max(1, min(n, int(round(math.sqrt(n)))))
+                self._seen_rows = n  # free |df| bound for engine "auto"
+            if self.n_probe == "auto":
+                # ~1/16 of the cells per probe (the measured ~6%-of-
+                # corpus operating point from BASELINE's x1000 table)
+                self.n_probe = max(1, int(self.n_lists) // 16)
             return self._fit(vecs, id_col, vec_col)
         finally:
             vecs.unpersist()

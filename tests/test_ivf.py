@@ -297,3 +297,28 @@ def test_gonzalez_nan_fails_intelligibly():
     pts[3] = (3, [float("nan"), 0.0])
     with _pytest.raises(ValueError, match="NaN in seed sample.*3"):
         gonzalez_maxmin(pts, 3)
+
+
+def test_auto_sizing_resolves_sqrt_n(base, spark):
+    """n_lists='auto' -> round(sqrt(n)) via the persist-warming count
+    (the PQ.fit pattern); n_probe='auto' -> n_lists // 16 floored at 1.
+    The resolved fit is bit-identical to an explicit fit with the same
+    numbers (auto-sizing changes no arithmetic)."""
+    import math
+
+    import numpy as np
+
+    n = base.count()
+    auto = IVF(n_lists="auto", n_probe="auto", max_iter=2, seed=42).fit(
+        base, id_col="vec_id"
+    )
+    want_lists = max(1, min(n, int(round(math.sqrt(n)))))
+    assert auto.n_lists == want_lists
+    assert auto.n_probe == max(1, want_lists // 16)
+    explicit = IVF(n_lists=want_lists, n_probe=auto.n_probe, max_iter=2,
+                   seed=42).fit(base, id_col="vec_id")
+    assert np.array_equal(auto.centroids, explicit.centroids)
+    with pytest.raises(ValueError, match="n_lists"):
+        IVF(n_lists="mystery")
+    with pytest.raises(ValueError, match="n_probe"):
+        IVF(n_probe="mystery")

@@ -284,6 +284,34 @@ def _run_suite(
                 ccodes, queries, 10, id_col="vec_id", round_to=6).count())
             rec("ivfpq_knn_prebuilt", s, r)
 
+    if want("ivfpq_build_auto") or want("ivfpq_knn_auto"):
+        # the DEFAULT sizing path (round-8 ask #3): n_lists="auto"
+        # resolves to sqrt(n) from the persist-warming count, bounding
+        # the per-pass assignment at O(n^1.5·d) — the decade table under
+        # this default must grow SUB-quadratically, unlike the
+        # fixed-cell-size rule (n/4000) whose assignment is ~n²/4000
+        from kowari_spark.operators.ivf import IVF as _IVF
+        from kowari_spark.operators.ivfpq import IVFPQ
+        from kowari_spark.operators.pq import PQ as _PQ
+
+        alayout = os.path.join(SCALE_DIR, f"x{mult}", "ivfpq_auto_layout")
+        compa = IVFPQ(
+            _IVF(n_lists="auto", n_probe="auto", max_iter=2, seed=42,
+                 round_centroids=6),
+            _PQ(m=8, k_sub=16, max_iter=2, seed=42),
+        )
+        s, _ = timed(lambda: (
+            compa.fit(emb, id_col="vec_id", dim=64),
+            compa.build(emb, alayout, id_col="vec_id"),
+        ) and 0)
+        if want("ivfpq_build_auto"):
+            rec("ivfpq_build_auto", s, compa.ivf.n_lists)
+        if want("ivfpq_knn_auto"):
+            s, r = timed(lambda: compa.query_batch(
+                compa.load(spark, alayout), queries, 10, id_col="vec_id",
+                round_to=6).count())
+            rec("ivfpq_knn_auto", s, r)
+
     # bucket width sized to the corpus: ~2^p buckets of ~100 vectors
     import math
 
