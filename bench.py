@@ -279,12 +279,13 @@ def quality_gates(spark, sf_dir) -> dict:
     cpq = PQ(m=8, k_sub=16, max_iter=3, seed=42).fit(
         base, id_col="vec_id", dim=64
     )
+    civf = IVF(n_lists=16, n_probe=1, max_iter=3, seed=42,
+               round_centroids=6)
+    civf.fit(base, id_col="vec_id")
+    comp = IVFPQIndex(IVFPQ(civf, cpq), rerank=8)
     curve = {}
-    for np_ in (1, 2, 4):
-        civf = IVF(n_lists=16, n_probe=np_, max_iter=3, seed=42,
-                   round_centroids=6)
-        civf.fit(base, id_col="vec_id")
-        comp = IVFPQIndex(IVFPQ(civf, cpq), rerank=8)
+    for np_ in (1, 2, 4, 16):
+        civf.n_probe = np_  # probe width only; centroids unchanged
         res = comp.search(base, queries, 10, metric="cosine",
                           id_col="vec_id", round_to=6)
         curve[f"{np_}/16"] = round(
@@ -292,6 +293,56 @@ def quality_gates(spark, sf_dir) -> dict:
                         "recall"), 4
         )
     out["ivfpq_recall_curve_rerank8"] = curve
+    # convergence pin (VERDICT r7): probing ALL cells reads every code
+    # row, so the pruned ADC must land exactly on flat-PQ rerank recall
+    # — same codes, same rerank; divergence means the pruned ADC drifted
+    if curve["16/16"] != out["recall_pq_rerank8_at_10"]:
+        raise RuntimeError(
+            f"ivfpq full-probe recall {curve['16/16']} != flat-PQ rerank "
+            f"{out['recall_pq_rerank8_at_10']} — pruned ADC diverged"
+        )
+    # Filtered-ANN selectivity curve (round-7 ask #5): where= search vs
+    # EXACT filtered knn at ~50/10/1% predicate selectivity. recall is
+    # 1.0 whenever a query starves into the filtered brute force (the
+    # fallback construction); the interesting numbers are the starved
+    # fraction (how often the index shortlist ran dry post-filter —
+    # each starved query costs O(n_filtered), the degenerate-to-scan
+    # regime users should see coming) and the wall cost next to it.
+    from kowari_spark.operators.ann import SignLSHIndex
+
+    fidx = SignLSHIndex(entrymod._LSH)
+    fbuilt = fidx.build_df(base, id_col="vec_id")
+    n_q = queries.count()
+    fsel = {}
+    for tag, mod in (("50pct", 2), ("10pct", 10), ("1pct", 100)):
+        pred = F.col("vec_id") % mod == 0
+        sub = base.filter(pred)
+        t0 = time.perf_counter()
+        fres = fidx.search(
+            base, queries, 10, metric="cosine", built=fbuilt,
+            id_col="vec_id", round_to=6, where=pred,
+        ).persist()
+        fres.count()
+        wall = time.perf_counter() - t0
+        fexact = knn_batch(sub, queries, 10, id_col="vec_id", round_to=6)
+        rec = mean_metric(
+            recall_at_k(fexact, fres, 10, id_col="vec_id"), "recall"
+        )
+        # starved fraction from the PUBLIC candidates() relation — the
+        # same post-filter >= k accounting search() applies internally
+        csz = (
+            fidx.candidates(fbuilt, base, queries, 10, id_col="vec_id")
+            .join(sub.select("vec_id"), "vec_id")
+            .groupBy("query_id").count()
+        )
+        n_ok = csz.filter(F.col("count") >= 10).count()
+        fsel[tag] = {
+            "recall_vs_exact_filtered": round(rec, 4),
+            "starved_frac": round(1.0 - n_ok / n_q, 4),
+            "sec": round(wall, 2),
+        }
+        fres.unpersist()
+    out["filtered_ann_selectivity"] = fsel
     out.update(_clustered_quality(spark))
     return out
 

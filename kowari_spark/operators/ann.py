@@ -106,6 +106,18 @@ class AnnIndex(abc.ABC):
         relation and on the fallback/rescore scans, where Catalyst
         pushes it into the base read.
 
+        Selectivity guidance: as the predicate gets more selective the
+        index shortlist runs dry post-filter more often, and every
+        starved query pays an exact scan of the FILTERED corpus —
+        correct by construction (recall 1.0 vs exact filtered knn for
+        starved queries) but O(n_filtered) per query. At ~1%
+        selectivity most queries live in that regime (see
+        ``filtered_ann_selectivity`` in bench_full.json: recall and
+        starved fraction per selectivity decade); when the predicate is
+        BOTH highly selective and known ahead of time, a per-partition
+        layout on that column (or a dedicated index over the filtered
+        subset) beats filtering a full-corpus index.
+
         The brute-force fallback for starved queries (< k candidates —
         reference src/index.rs:158-173 semantics) is built
         UNCONDITIONALLY from the left-anti lineage and unioned in: no

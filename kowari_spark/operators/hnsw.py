@@ -780,3 +780,189 @@ class HNSW:
         vecs.unpersist()
         lvl0.unpersist()
         return out
+
+    # -- incremental maintenance -------------------------------------------
+
+    def insert_edges(
+        self,
+        base: DataFrame,
+        edges: DataFrame,
+        new_df: DataFrame,
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        metric: str = "cosine",
+        hops: int = 4,
+        entry_budget: int = 2048,
+    ) -> DataFrame:
+        """Edge DELTA for inserting ``new_df`` into a FROZEN graph —
+        the batched analog of the reference's sequential insert
+        (src/index.rs:227-259: search the existing graph for each new
+        node's M nearest, then link both directions).
+
+        Per new node: the frozen graph answers a beam search for its
+        nearest EXISTING neighbors (the same ``query_batch`` queries
+        run — max(ef, 2·M) wide so upper layers still find M peers
+        after level filtering); the node's level is the same
+        deterministic (id, seed) geometric draw the batch build uses;
+        at every level ``l`` both endpoints occupy, the top-M surviving
+        neighbors link new↔neighbor BOTH ways. Returns ONLY the new
+        (level, src, dst) rows — append them to the stored edge
+        relation (the streaming sink does; a batch caller unions).
+
+        Deliberate trade-offs vs a rebuild, documented not hidden:
+        - the batch is inserted CONCURRENTLY against the frozen graph —
+          new nodes do not link to each other until the next rebuild
+          (the reference's loop sees earlier inserts; a batch of
+          mutually-near novel vectors stays mutually unlinked, though
+          each remains reachable through its existing-corpus links);
+        - existing nodes' adjacency grows without the M-prune a real
+          insert applies, so probe fan-out degrades gradually as the
+          inserted fraction grows — like the quantized sink's frozen
+          codebooks, schedule a full ``build()`` when drift matters
+          (recall-equivalence at ~50% inserted is pinned in tests).
+        Queries over ``edges ∪ delta`` need no code change."""
+        new_named = new_df.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__nvec")
+        )
+        nn = self.query_batch(
+            base, edges,
+            new_named.select("query_id", F.col("__nvec").alias(vec_col)),
+            max(self.ef, 2 * self.m), metric=metric, id_col=id_col,
+            vec_col=vec_col, query_vec_col=vec_col, hops=hops,
+            entry_budget=entry_budget,
+        )
+        new_lvl = assign_levels(
+            new_named.select("query_id"), "query_id", self.seed,
+            self.max_level
+        ).select("query_id", F.col("node_level").alias("__new_lvl"))
+        nbr_lvl = assign_levels(
+            base.select(id_col), id_col, self.seed, self.max_level
+        ).select(id_col, F.col("node_level").alias("__nbr_lvl"))
+        leveled = (
+            nn.join(F.broadcast(new_lvl), "query_id")
+            .join(nbr_lvl, id_col)
+            .select(
+                "query_id", id_col, "rank",
+                F.explode(
+                    F.sequence(F.lit(0), F.col("__new_lvl"))
+                ).alias("level"),
+                F.col("__nbr_lvl"),
+            )
+            .filter(F.col("__nbr_lvl") >= F.col("level"))
+        )
+        w = Window.partitionBy("query_id", "level").orderBy(F.asc("rank"))
+        topm = (
+            leveled.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= self.m)
+            .select("level", "query_id", F.col(id_col))
+        )
+        fwd = topm.select(
+            "level", F.col("query_id").alias("src"), F.col(id_col).alias("dst")
+        )
+        rev = topm.select(
+            "level", F.col(id_col).alias("src"), F.col("query_id").alias("dst")
+        )
+        return fwd.unionByName(rev)
+
+    def insert(
+        self,
+        base: DataFrame,
+        edges: DataFrame,
+        new_df: DataFrame,
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        metric: str = "cosine",
+        hops: int = 4,
+        entry_budget: int = 2048,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Convenience batch form: returns the updated ``(base, edges)``
+        pair — base grows the new (id, vector) rows, edges grow the
+        :meth:`insert_edges` delta. See that method for the documented
+        frozen-graph trade-offs."""
+        delta = self.insert_edges(
+            base, edges, new_df, id_col, vec_col, metric, hops,
+            entry_budget,
+        )
+        new_base = base.select(id_col, vec_col).unionByName(
+            new_df.select(id_col, vec_col)
+        )
+        return new_base, edges.select("level", "src", "dst").unionByName(delta)
+
+    # -- offline layout ----------------------------------------------------
+
+    _META_NAME = "_hnsw_meta.json"
+    _LAYOUT_VERSION = "hnsw-layout-v1"
+
+    def build_layout(
+        self,
+        df: DataFrame,
+        path: str,
+        id_col: str = "id",
+        vec_col: str = "embedding",
+        metric: str = "cosine",
+        dim: int | None = None,
+    ) -> None:
+        """Materialize the servable graph: ``{path}/edges`` partitioned
+        by level (the pruned-probe layout :meth:`build` documents),
+        ``{path}/base`` holding (id, vector), and a sidecar with the
+        build params — the offline-build/online-probe split the other
+        index families already have, and the anchor the streaming sink
+        (streaming/ingest.stream_into_hnsw_graph) appends into."""
+        import json as _json
+
+        from kowari_spark.fsutil import write_bytes
+
+        edges = self.build(df, id_col=id_col, vec_col=vec_col,
+                           metric=metric, dim=dim)
+        edges.write.mode("overwrite").partitionBy("level").parquet(
+            f"{path}/edges"
+        )
+        df.select(id_col, vec_col).write.mode("overwrite").parquet(
+            f"{path}/base"
+        )
+        meta = {
+            "version": self._LAYOUT_VERSION,
+            "m": self.m, "ef": self.ef, "seed": self.seed,
+            "max_level": self.max_level,
+            "num_planes": self.num_planes, "num_tables": self.num_tables,
+            "metric": metric, "id_col": id_col, "vec_col": vec_col,
+        }
+        write_bytes(
+            df.sparkSession, f"{path}/{self._META_NAME}",
+            _json.dumps(meta).encode(),
+        )
+
+    def load_layout(
+        self, spark, path: str
+    ) -> tuple[DataFrame, DataFrame, dict]:
+        """Open a built graph layout: returns (base, edges, meta) and
+        restores the build params into this instance. Refuses
+        sidecar-less or version-mismatched dirs (the PQ.load provenance
+        rule — a graph probed with different params/metric than it was
+        built under silently loses recall)."""
+        import json as _json
+
+        from kowari_spark.fsutil import exists, read_bytes
+
+        meta_path = f"{path}/{self._META_NAME}"
+        if not exists(spark, meta_path):
+            raise ValueError(
+                f"no {self._META_NAME} sidecar at {path}: not an HNSW "
+                "layout built by build_layout() — rebuild the layout"
+            )
+        meta = _json.loads(read_bytes(spark, meta_path).decode())
+        ver = meta.get("version")
+        if ver != self._LAYOUT_VERSION:
+            raise ValueError(
+                f"HNSW layout at {path} was built by {ver!r}; this code "
+                f"probes {self._LAYOUT_VERSION!r} — rebuild the layout"
+            )
+        self.m, self.ef, self.seed = meta["m"], meta["ef"], meta["seed"]
+        self.max_level = meta["max_level"]
+        self.num_planes = meta["num_planes"]
+        self.num_tables = meta["num_tables"]
+        return (
+            spark.read.parquet(f"{path}/base"),
+            spark.read.parquet(f"{path}/edges"),
+            meta,
+        )

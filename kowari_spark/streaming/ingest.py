@@ -417,3 +417,83 @@ def stream_into_quantized_layout(
         .trigger(availableNow=trigger_available_now)
         .start()
     )
+
+
+def stream_into_hnsw_graph(
+    stream_df: DataFrame,
+    hnsw,
+    path: str,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    trigger_available_now: bool = True,
+):
+    """Incremental HNSW maintenance (the last rebuild-only index
+    family): each micro-batch is inserted into the FROZEN graph layout
+    written by ``HNSW.build_layout`` — the batch's nodes search the
+    existing graph for their M nearest (``HNSW.insert_edges``, the
+    batched analog of the reference's sequential insert loop,
+    src/index.rs:227-259), the bidirectional edge delta appends into
+    ``{path}/edges`` (level-partitioned) and the vectors into
+    ``{path}/base``. New vectors are findable as soon as their batch
+    commits; queries over the loaded layout need no code change.
+
+    Frozen-graph trade-offs (documented in :meth:`HNSW.insert_edges`):
+    batch members do not link to EACH OTHER, and existing adjacency
+    grows un-pruned — recall stays rebuild-equivalent at moderate
+    inserted fractions (pinned ~50% in tests) and degrades gradually
+    past that; schedule a full ``build_layout()`` rebuild when the
+    inserted fraction grows large, exactly like the quantized sink's
+    frozen-codebook staleness guidance.
+
+    At-least-once note: a crash between the edge append and the marker
+    replays the batch — duplicate edge/vector rows are TOLERATED by the
+    search (frontier dedup + max-score groupBy), and the next rebuild
+    clears them; markers make the common path exactly-once."""
+    import hashlib
+
+    from kowari_spark import fsutil
+    from kowari_spark.operators.hnsw import HNSW
+
+    if not isinstance(hnsw, HNSW):
+        raise TypeError(f"hnsw must be an HNSW, got {type(hnsw).__name__}")
+
+    ck_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = f"{path}/_batches/{ck_tag}-{batch_id}"
+        if fsutil.exists(spark, marker):
+            return
+        if not batch_df.isEmpty():
+            meta_path = f"{path}/{HNSW._META_NAME}"
+            if not fsutil.exists(spark, meta_path):
+                raise ValueError(
+                    f"no HNSW layout at {path}: build_layout() first — "
+                    "the sink inserts into a frozen graph, it does not "
+                    "bootstrap one"
+                )
+            import json as _json
+
+            meta = _json.loads(fsutil.read_bytes(spark, meta_path).decode())
+            base = spark.read.parquet(f"{path}/base")
+            edges = spark.read.parquet(f"{path}/edges")
+            delta = hnsw.insert_edges(
+                base, edges, batch_df, id_col=id_col, vec_col=vec_col,
+                metric=meta.get("metric", "cosine"),
+            )
+            delta.write.mode("append").partitionBy("level").parquet(
+                f"{path}/edges"
+            )
+            batch_df.select(id_col, vec_col).write.mode("append").parquet(
+                f"{path}/base"
+            )
+        fsutil.create_marker(spark, marker)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=trigger_available_now)
+        .start()
+    )

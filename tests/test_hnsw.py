@@ -262,3 +262,86 @@ def test_gemm_refine_build_matches_expr_build(base):
     # determinism of the gemm refine
     eg2 = set(map(tuple, gemm.build(base).collect()))
     assert eg == eg2
+
+
+# -- incremental maintenance (round-8 ask #6) --------------------------------
+
+def test_insert_recall_matches_rebuild(spark, embeddings):
+    """Online insert at a 50% inserted fraction: recall@10 over the
+    incrementally-grown graph stays within 0.1 of a full rebuild's
+    (recall-equivalence acceptance, not graph isomorphism), and every
+    inserted node is findable as its own top-1."""
+    full = embeddings.withColumnRenamed("vec_id", "id").limit(200).cache()
+    old = full.filter(F.col("id") % 2 == 0).cache()
+    new = full.filter(F.col("id") % 2 == 1).cache()
+    h = HNSW(m=8, ef=32, seed=42)
+    base2, edges2 = h.insert(old, h.build(old), new)
+    edges2 = edges2.cache()
+
+    queries = full.select(F.col("id").alias("query_id"), "embedding").limit(15)
+    exact = knn_batch(full, queries, 10, round_to=6)
+    grown = hnsw_recall = mean_metric(recall_at_k(
+        exact, h.query_batch(base2, edges2, queries, 10, round_to=6), 10
+    ), "recall")
+    rebuilt = mean_metric(recall_at_k(
+        exact, h.query_batch(full, h.build(full), queries, 10, round_to=6),
+        10
+    ), "recall")
+    assert grown >= rebuilt - 0.1, (grown, rebuilt)
+
+    # inserted nodes are immediately findable (reachable via the
+    # reverse edges the insert added)
+    newq = new.select(F.col("id").alias("query_id"), "embedding").limit(8)
+    for r in h.query_batch(base2, edges2, newq, 1, round_to=6).collect():
+        assert r["query_id"] == r["id"]
+
+
+def test_insert_edges_shape_and_levels(spark, embeddings):
+    """The delta is bidirectional, respects the M bound per (new node,
+    level), and only links levels both endpoints occupy (the same
+    deterministic level draw the batch build uses)."""
+    full = embeddings.withColumnRenamed("vec_id", "id").limit(120).cache()
+    old = full.filter(F.col("id") < 100)
+    new = full.filter(F.col("id") >= 100)
+    h = HNSW(m=4, ef=16, seed=42)
+    delta = h.insert_edges(old, h.build(old), new).cache()
+    assert delta.count() > 0
+    # bidirectional: every fwd edge has its reverse
+    fwd = delta.filter(F.col("src") >= 100)
+    rev = delta.filter(F.col("dst") >= 100)
+    a = {(r["level"], r["src"], r["dst"]) for r in fwd.collect()}
+    b = {(r["level"], r["dst"], r["src"]) for r in rev.collect()}
+    assert a == b
+    # M bound per (new node, level)
+    worst = fwd.groupBy("src", "level").count().agg(F.max("count")).first()[0]
+    assert worst <= 4
+    # level constraint: an edge at level l needs BOTH endpoints there
+    lv = {r["id"]: r["node_level"]
+          for r in assign_levels(full, seed=42).collect()}
+    for lvl, s, d in a:
+        assert lv[s] >= lvl and lv[d] >= lvl
+
+
+def test_layout_roundtrip_and_sidecar(spark, embeddings, tmp_path):
+    """build_layout/load_layout: a FRESH instance restores params from
+    the sidecar and probes identically; bare dirs are refused."""
+    full = embeddings.withColumnRenamed("vec_id", "id").limit(150).cache()
+    path = str(tmp_path / "hnsw_layout")
+    h = HNSW(m=8, ef=32, seed=42)
+    h.build_layout(full, path)
+
+    fresh = HNSW(m=1, ef=1, seed=0)
+    base, edges, meta = fresh.load_layout(spark, path)
+    assert (fresh.m, fresh.ef, fresh.seed) == (8, 32, 42)
+    assert meta["metric"] == "cosine"
+    q = full.select(F.col("id").alias("query_id"), "embedding").limit(5)
+    a = sorted(map(tuple, fresh.query_batch(base, edges, q, 5,
+                                            round_to=6).collect()))
+    b = sorted(map(tuple, h.query_batch(
+        full, h.build(full), q, 5, round_to=6).collect()))
+    assert a == b
+
+    bare = str(tmp_path / "bare")
+    full.limit(3).write.parquet(f"{bare}/edges")
+    with pytest.raises(ValueError, match="sidecar"):
+        HNSW().load_layout(spark, bare)

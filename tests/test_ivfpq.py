@@ -132,3 +132,26 @@ def test_load_refuses_component_version_mismatch(fitted, base, spark,
     write_bytes(spark, f"{path}/{_META_NAME}", json.dumps(meta).encode())
     with pytest.raises(ValueError, match="component.*version"):
         IVFPQ(IVF(), PQ()).load(spark, path)
+
+
+def test_full_probe_equals_flat_pq_rerank(fitted, base, queries):
+    """Probing ALL cells (n_probe = n_lists) must reproduce flat-PQ
+    results EXACTLY through the shared index contract — same codes,
+    same ADC arithmetic, same rerank; any divergence means the pruned
+    ADC drifted from flat ADC (the round-8 convergence pin)."""
+    from kowari_spark.operators.ann import IVFPQIndex, PQIndex
+
+    old_probe = fitted.ivf.n_probe
+    try:
+        fitted.ivf.n_probe = fitted.ivf.n_lists
+        a = IVFPQIndex(fitted, rerank=4).search(
+            base, queries, 5, metric="cosine", id_col="id", round_to=6
+        )
+        b = PQIndex(fitted.pq, rerank=4).search(
+            base, queries, 5, metric="cosine", id_col="id", round_to=6
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+    finally:
+        fitted.ivf.n_probe = old_probe
