@@ -489,6 +489,22 @@ def main() -> None:
     if len(line) > 1900:
         payload["quality"] = "see bench_full.json"
         line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:
+        # 1-decimal timings: keeps EVERY per-query line visible to the
+        # driver's shared-line comparison (0.1 s granularity is inside
+        # the documented ±10-50% environment noise; full precision is
+        # in bench_full.json)
+        payload["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:
+        # final stage: fold the fastest sub-second lines into one
+        # aggregate key, keeping every line >= 1s individually visible
+        # (the full per-query detail is in bench_full.json regardless)
+        big = {k: round(v, 2) for k, v in timings.items() if v >= 1.0}
+        small = round(sum(v for v in timings.values() if v < 1.0), 2)
+        big["__small_queries_total"] = small
+        payload["queries"] = big
+        line = json.dumps(payload, separators=(",", ":"))
     print(line)
 
 

@@ -35,11 +35,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     )
     print("language distribution:", profiled.groupBy("lang").count().collect())
 
-    # -- near-dedup: pairs -> clusters -> survivors ----------------------
-    pairs = minhash_dedup_pairs(docs, threshold=0.5)
+    # -- near-dedup: candidates -> verify -> clusters -> survivors -------
+    # num_hashes="auto" derives the banding from the threshold
+    # (minhash_banding S-curve); edges="star" emits per-bucket
+    # member<->min edges — same connected components as the all-pairs
+    # bucket join at O(B) instead of O(B^2) rows per duplicate family,
+    # the shape to feed a keep-list on boilerplate-heavy corpora
+    pairs = minhash_dedup_pairs(
+        docs, threshold=0.5, num_hashes="auto", edges="star"
+    )
     kept = dedup_keep_representatives(docs, pairs)
     print(f"dedup: {n} docs -> {kept.count()} after near-dup removal "
-          f"({pairs.count()} verified pairs)")
+          f"({pairs.count()} verified star edges)")
 
     # -- curation: decontaminate, quality-filter, scrub, re-mix, pack ----
     from kowari_spark.operators.decontam import ngram_decontaminate

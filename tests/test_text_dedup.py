@@ -546,3 +546,37 @@ def test_lsh_curve_and_banding_tuner():
     assert r_hi >= r_lo
     with pytest.raises(ValueError, match="threshold"):
         minhash_banding(1.5)
+
+
+def test_embedding_lsh_star_edges_verified_subset(spark, embeddings):
+    """Embedding-LSH star candidates: every surviving edge passes the
+    exact cosine threshold and appears in the all-pairs verified set
+    (star only thins within-bucket coverage)."""
+    base = embeddings.limit(300).cache()
+    allp = {(r["id_a"], r["id_b"]): r["cos"]
+            for r in embedding_near_dups_lsh(
+                base, threshold=0.2, id_col="vec_id", round_to=6,
+                dim=64).collect()}
+    star = embedding_near_dups_lsh(
+        base, threshold=0.2, id_col="vec_id", round_to=6, dim=64,
+        edges="star").collect()
+    assert len(star) > 0
+    for r in star:
+        assert r["cos"] >= 0.2
+        assert allp[(r["id_a"], r["id_b"])] == r["cos"]
+
+
+def test_minhash_dedup_pairs_auto_banding(docs):
+    """num_hashes='auto' derives the banding from the threshold via
+    minhash_banding — identical output to passing the derived values
+    explicitly."""
+    from kowari_spark.operators.dedup import minhash_banding
+
+    nh, b = minhash_banding(0.5)
+    auto = minhash_dedup_pairs(docs, threshold=0.5, num_hashes="auto")
+    explicit = minhash_dedup_pairs(
+        docs, threshold=0.5, num_hashes=nh, bands=b
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )

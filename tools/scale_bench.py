@@ -514,6 +514,21 @@ def _run_suite(
             if fs <= 5_000:
                 s, r = timed(lambda: minhash_band_pairs(corpus).count())
                 rec(f"family{fs}_pairs", s, r)
+        # end-to-end keep-list through the 50k family on star edges:
+        # candidates -> Jaccard verify -> adaptive CC -> representatives
+        corpus = base_docs.unionByName(
+            spark.range(50_000).select(
+                (F.col("id") + 10_000_000).alias("doc_id"),
+                F.lit(fam_text).alias("text"),
+            )
+        )
+        from kowari_spark.operators.dedup import dedup_keep_representatives
+
+        s, r = timed(lambda: dedup_keep_representatives(
+            corpus,
+            minhash_dedup_pairs(corpus, threshold=0.5, edges="star"),
+        ).count())
+        rec("family50000_star_keep", s, r)
 
     emb.unpersist()
     return out
