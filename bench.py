@@ -342,6 +342,21 @@ def quality_gates(spark, sf_dir) -> dict:
             "sec": round(wall, 2),
         }
         fres.unpersist()
+    # wider probe at 50% selectivity: multi-probing widens the
+    # candidate set, so fewer queries starve into the filtered
+    # brute force — the knob the guidance note points at
+    fidx4 = SignLSHIndex(entrymod._LSH, probes=4)
+    pred = F.col("vec_id") % 2 == 0
+    sub = base.filter(pred)
+    csz4 = (
+        fidx4.candidates(fbuilt, base, queries, 10, id_col="vec_id")
+        .join(sub.select("vec_id"), "vec_id")
+        .groupBy("query_id").count()
+    )
+    n_ok4 = csz4.filter(F.col("count") >= 10).count()
+    fsel["50pct_probes4"] = {
+        "starved_frac": round(1.0 - n_ok4 / n_q, 4),
+    }
     out["filtered_ann_selectivity"] = fsel
     out.update(_clustered_quality(spark))
     return out

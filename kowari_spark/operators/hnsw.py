@@ -830,7 +830,9 @@ class HNSW:
             max(self.ef, 2 * self.m), metric=metric, id_col=id_col,
             vec_col=vec_col, query_vec_col=vec_col, hops=hops,
             entry_budget=entry_budget,
-        )
+            # an id colliding with an existing node would otherwise
+            # retrieve itself and emit degenerate self-edges
+        ).filter(F.col(id_col) != F.col("query_id"))
         new_lvl = assign_levels(
             new_named.select("query_id"), "query_id", self.seed,
             self.max_level

@@ -20,6 +20,7 @@ that codegens into the scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from kowari_spark.catalog import Collection
 from kowari_spark.operators.lsh import SignLSH
@@ -497,3 +498,182 @@ def stream_into_hnsw_graph(
         .trigger(availableNow=trigger_available_now)
         .start()
     )
+
+
+def delete_from_layout(
+    spark,
+    path: str,
+    ids_df: DataFrame,
+    id_col: str = "id",
+    partition_cols=("bucket",),
+    max_pruned_partitions: int = 512,
+) -> list[str]:
+    """Delete rows by id from a built index layout IN PLACE — the
+    maintenance gap between collection deletes (transactional, via the
+    manifest log) and index layouts (append-only until now: a vector
+    deleted from its collection kept surfacing from every built
+    LSH/IVF/IVF×PQ layout until a full rebuild).
+
+    Scale shape:
+    - **locate**: one column-pruned scan of (id, partition cols)
+      semi-joined to the (broadcast) delete set finds the partitions
+      that actually hold doomed rows — the rewrite below is pruned to
+      those, so delete cost tracks |ids| × partitions-per-id, never the
+      table;
+    - **rewrite**: hit partitions are staged (anti-joined against the
+      ids) then swapped via dynamic partition overwrite, the
+      compaction machinery's pattern; partitions EMPTIED by the delete
+      don't appear in the staged data (dynamic overwrite would skip
+      them) and are removed directly;
+    - **concurrency**: holds the layout's ``_compacting`` marker for
+      the whole operation (cooperative sinks wait on it before
+      appending; a concurrent compaction no-ops), and aborts — raising,
+      never silently skipping a delete — if a hit partition's file set
+      changes between staging and swap. Same residual in-flight-writer
+      window as compaction, same documented answer: the manifest-backed
+      Collection path when transactional swap is required.
+
+    ``partition_cols=None`` (e.g. the PQ codes relation, which is
+    unpartitioned) rewrites the whole layout through staging —
+    documented O(layout). When the ids spread across more than
+    ``max_pruned_partitions`` partitions the pruned plan's literal
+    filter stops paying for itself and the full rewrite path is taken
+    too. Layout sidecars (``_*_meta.json``) are never touched — codes/
+    cells/buckets of surviving rows are still valid under the frozen
+    quantizer. HNSW graphs are out of scope (an edge references TWO
+    ids; use rebuild or tombstone at query time). Returns the rewritten
+    (or removed) partition names, or ``["*"]`` for a full rewrite."""
+    from kowari_spark.fsutil import create_marker, delete, exists
+
+    ids = ids_df.select(F.col(id_col)).distinct()
+    lock = f"{path}/{COMPACTING_MARKER}"
+    if not create_marker(spark, lock):
+        raise RuntimeError(
+            f"layout at {path} is being compacted (or another delete is "
+            "running) — retry after the _compacting marker clears"
+        )
+    # staging lives BESIDE the layout, not inside it: the full-rewrite
+    # path overwrites ``path`` wholesale while lazily reading the
+    # staged copy, and mode("overwrite") clears underscore dirs too
+    staging = f"{path.rstrip('/')}__delete_staging"
+    try:
+        layout = spark.read.parquet(path)
+        pcols = list(partition_cols) if partition_cols else []
+        if pcols:
+            hits = (
+                layout.select(*pcols, id_col)
+                .join(F.broadcast(ids), id_col, "left_semi")
+                .select(*pcols)
+                .distinct()
+                .collect()
+            )
+            if not hits:
+                return []
+        if not pcols or len(hits) > max_pruned_partitions:
+            # full rewrite through staging (read-then-overwrite on the
+            # same path races the lazy scan against the commit deletes).
+            # The wholesale overwrite clears EVERYTHING under path —
+            # including the quantizer sidecar and streaming batch
+            # markers — so underscore-prefixed layout metadata is moved
+            # aside first and restored after (Hadoop FS rename, same
+            # filesystem, O(entries) not O(bytes)).
+            from kowari_spark.fsutil import _fs_path
+
+            survivors = layout.join(F.broadcast(ids), id_col, "left_anti")
+            writer = survivors.write.mode("overwrite")
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+            writer.parquet(staging)
+
+            jvm = spark.sparkContext._jvm
+            fs, root = _fs_path(spark, path)
+            stash = jvm.org.apache.hadoop.fs.Path(f"{staging}_meta")
+            fs.mkdirs(stash)
+            stashed = []
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if (name.startswith("_")
+                        and name not in ("_SUCCESS", COMPACTING_MARKER)):
+                    fs.rename(
+                        st.getPath(),
+                        jvm.org.apache.hadoop.fs.Path(f"{staging}_meta/{name}"),
+                    )
+                    stashed.append(name)
+            staged = spark.read.schema(layout.schema).parquet(staging)
+            writer = staged.write.mode("overwrite")
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+            writer.parquet(path)
+            # the overwrite also removed the lock marker — restore it so
+            # the finally's delete stays balanced and no writer slips in
+            # while the metadata moves back
+            create_marker(spark, lock)
+            for name in stashed:
+                fs.rename(
+                    jvm.org.apache.hadoop.fs.Path(f"{staging}_meta/{name}"),
+                    jvm.org.apache.hadoop.fs.Path(f"{path}/{name}"),
+                )
+            delete(spark, f"{staging}_meta")
+            return ["*"]
+
+        def _part_dir(row) -> str:
+            return "/".join(f"{c}={row[c]}" for c in pcols)
+
+        def _files_of(d: str) -> frozenset:
+            from kowari_spark.fsutil import _fs_path
+
+            fs, jpath = _fs_path(spark, f"{path}/{d}")
+            if not fs.exists(jpath):
+                return frozenset()
+            return frozenset(
+                st.getPath().getName()
+                for st in fs.listStatus(jpath)
+                if st.isFile()
+                and not st.getPath().getName().startswith(("_", "."))
+            )
+
+        snapshot = {_part_dir(r): _files_of(_part_dir(r)) for r in hits}
+        # exact hit-partition predicate (static pruning at the scan)
+        pred = None
+        for r in hits:
+            term = None
+            for c in pcols:
+                t = F.col(c) == F.lit(r[c])
+                term = t if term is None else (term & t)
+            pred = term if pred is None else (pred | term)
+        survivors = layout.filter(pred).join(
+            F.broadcast(ids), id_col, "left_anti"
+        )
+        survivors.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
+        changed = [d for d, snap in snapshot.items() if _files_of(d) != snap]
+        if changed:
+            raise RuntimeError(
+                f"concurrent writer touched partitions {changed} during "
+                "the delete's staging pass — aborted with no changes; "
+                "retry"
+            )
+        # explicit schema: a delete that empties every hit partition
+        # leaves staging with no files to infer from
+        staged = spark.read.schema(layout.schema).parquet(staging)
+        staged_parts = {
+            "/".join(f"{c}={r[c]}" for c in pcols)
+            for r in staged.select(*pcols).distinct().collect()
+        }
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            staged.write.mode("overwrite").partitionBy(*pcols).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # partitions the delete EMPTIED have no staged rows — dynamic
+        # overwrite never visited them, so drop their dirs directly
+        emptied = [d for d in snapshot if d not in staged_parts]
+        for d in emptied:
+            delete(spark, f"{path}/{d}")
+        return sorted(snapshot)
+    finally:
+        if exists(spark, staging):
+            delete(spark, staging)
+        delete(spark, lock)

@@ -345,3 +345,12 @@ def test_layout_roundtrip_and_sidecar(spark, embeddings, tmp_path):
     full.limit(3).write.parquet(f"{bare}/edges")
     with pytest.raises(ValueError, match="sidecar"):
         HNSW().load_layout(spark, bare)
+
+
+def test_insert_id_collision_yields_no_self_edges(spark, embeddings):
+    """A batch reusing existing ids retrieves itself from the frozen
+    graph — the insert must not emit degenerate self-edges."""
+    full = embeddings.withColumnRenamed("vec_id", "id").limit(100).cache()
+    h = HNSW(m=4, ef=16, seed=42)
+    delta = h.insert_edges(full, h.build(full), full.limit(5))
+    assert delta.filter(F.col("src") == F.col("dst")).count() == 0

@@ -646,3 +646,99 @@ def test_stream_into_hnsw_graph(spark, embeddings, tmp_path):
     n_edges = edges.count()
     drain(str(tmp_path / "ck_h1"))
     assert spark.read.parquet(f"{path}/edges").count() == n_edges
+
+
+def test_delete_from_layout_partition_pruned(spark, embeddings, tmp_path):
+    """delete_from_layout on an IVF layout: doomed ids vanish, survivors
+    (incl. probe results) are unchanged, and partitions holding no
+    doomed rows keep their exact files — the rewrite was pruned."""
+    import os as _os
+
+    from kowari_spark.operators.ivf import IVF
+    from kowari_spark.streaming.ingest import delete_from_layout
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).limit(200).cache()
+    ivf = IVF(n_lists=8, n_probe=8, max_iter=2, seed=42).fit(vecs, id_col="id")
+    path = str(tmp_path / "ivf_del")
+    ivf.build(vecs, path, vec_col="embedding")
+
+    before = spark.read.parquet(path)
+    doomed_rows = before.select("id", "list_id").limit(20).collect()
+    doomed = {r["id"] for r in doomed_rows}
+    hit_parts = {f"list_id={r['list_id']}" for r in doomed_rows}
+    all_parts = {d for d in _os.listdir(path) if d.startswith("list_id=")}
+    untouched = all_parts - hit_parts
+    files_before = {
+        d: sorted(_os.listdir(f"{path}/{d}")) for d in untouched
+    }
+
+    ids_df = spark.createDataFrame([(i,) for i in doomed], "id long")
+    rewritten = delete_from_layout(
+        spark, path, ids_df, id_col="id", partition_cols=("list_id",)
+    )
+    assert set(rewritten) == hit_parts
+
+    after = spark.read.parquet(path)
+    got = {r["id"] for r in after.select("id").collect()}
+    assert got == {r["id"] for r in vecs.collect()} - doomed
+    # untouched partitions: byte-identical file sets (pruned rewrite)
+    for d, files in files_before.items():
+        assert sorted(_os.listdir(f"{path}/{d}")) == files
+    # probes against the layout no longer surface deleted ids
+    q = [float(x) for x in vecs.limit(1).collect()[0]["embedding"]]
+    res = ivf.query(after, q, 50, id_col="id", round_to=6).collect()
+    assert not ({r["id"] for r in res} & doomed)
+    # deleting ids that don't exist is a no-op
+    ghost = spark.createDataFrame([(10_000_000,)], "id long")
+    assert delete_from_layout(
+        spark, path, ghost, id_col="id", partition_cols=("list_id",)
+    ) == []
+
+
+def test_delete_from_layout_unpartitioned_and_emptied(spark, embeddings,
+                                                      tmp_path):
+    """The PQ codes relation (unpartitioned) takes the full-rewrite
+    path; emptying a whole partition of a partitioned layout removes
+    its directory outright."""
+    import os as _os
+
+    from kowari_spark.operators.pq import PQ
+    from kowari_spark.streaming.ingest import delete_from_layout
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).limit(120).cache()
+    pq = PQ(m=4, k_sub=4, max_iter=1, seed=42).fit(vecs, id_col="id", dim=64)
+    ppath = str(tmp_path / "pq_del")
+    pq.build(vecs, ppath, id_col="id")
+    ids_df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    assert delete_from_layout(
+        spark, ppath, ids_df, id_col="id", partition_cols=None
+    ) == ["*"]
+    left = {r["id"] for r in spark.read.parquet(ppath).select("id").collect()}
+    assert left == {r["id"] for r in vecs.collect()} - set(range(10))
+    # sidecar untouched -> a fresh PQ still loads and probes
+    fresh = PQ()
+    coded = fresh.load(spark, ppath)
+    assert fresh.codebooks is not None and coded.count() == len(left)
+
+    # emptied-partition case: delete EVERY id of one IVF cell
+    from kowari_spark.operators.ivf import IVF
+
+    ivf = IVF(n_lists=4, n_probe=4, max_iter=2, seed=42).fit(vecs, id_col="id")
+    ipath = str(tmp_path / "ivf_del2")
+    ivf.build(vecs, ipath, vec_col="embedding")
+    lists = spark.read.parquet(ipath)
+    cell = lists.groupBy("list_id").count().orderBy("count").first()["list_id"]
+    cell_ids = [r["id"] for r in
+                lists.filter(F.col("list_id") == cell).select("id").collect()]
+    delete_from_layout(
+        spark, ipath,
+        spark.createDataFrame([(i,) for i in cell_ids], "id long"),
+        id_col="id", partition_cols=("list_id",),
+    )
+    assert not _os.path.exists(f"{ipath}/list_id={cell}")
+    assert spark.read.parquet(ipath).filter(
+        F.col("list_id") == cell).count() == 0

@@ -355,6 +355,38 @@ def _run_suite(
                 emb, edges, queries, 10, id_col="vec_id", round_to=6).count())
             rec("hnsw_knn", s, r)
 
+    if want("hnsw_insert_10pct"):
+        # incremental-maintenance economics: build on 90% of the corpus,
+        # insert the last 10% through the frozen graph (insert_edges) —
+        # the wall to compare against hnsw_build's full rebuild, plus
+        # the recall the grown graph delivers vs exact
+        from kowari_spark.operators.eval import mean_metric, recall_at_k
+
+        hi = HNSW(m=8, ef=32, seed=42, num_planes=p, num_tables=4)
+        old = emb.filter(F.col("vec_id") % 10 != 0).persist()
+        new = emb.filter(F.col("vec_id") % 10 == 0).persist()
+        base_edges = hi.build(old, id_col="vec_id").localCheckpoint()
+        s, r = timed(lambda: hi.insert_edges(
+            old, base_edges, new, id_col="vec_id").count())
+        rec("hnsw_insert_10pct", s, r)
+        nb, ne = hi.insert(old, base_edges, new, id_col="vec_id")
+        exact = knn_batch(emb, queries, 10, id_col="vec_id", round_to=6)
+        grown = hi.query_batch(nb, ne, queries, 10, id_col="vec_id",
+                               round_to=6)
+        rec_at = mean_metric(
+            recall_at_k(exact, grown, 10, id_col="vec_id"), "recall")
+        line = f"         hnsw_insert_10pct recall@10 = {rec_at:.4f}"
+        if want("hnsw_build") or want("hnsw_knn"):
+            # same-config full rebuild as the honest comparison point
+            rb = mean_metric(recall_at_k(
+                exact,
+                h.query_batch(emb, edges, queries, 10, id_col="vec_id",
+                              round_to=6),
+                10, id_col="vec_id"), "recall")
+            line += f" (full rebuild = {rb:.4f})"
+        print(line)
+        old.unpersist(); new.unpersist()
+
     if want("doc_pack_chunks"):
         # sequence packing: one window cumsum per hash-assigned stream;
         # num_streams sized ~sqrt growth like the shuffle partitions so
