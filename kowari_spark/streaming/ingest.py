@@ -467,6 +467,10 @@ def stream_into_hnsw_graph(
         if fsutil.exists(spark, marker):
             return
         if not batch_df.isEmpty():
+            # cooperative maintenance lock: never START an insert while
+            # a delete/compaction is rewriting the layout (the batch
+            # replays after the lock clears — no files landed yet)
+            _wait_not_compacting(spark, path, 60.0)
             meta_path = f"{path}/{HNSW._META_NAME}"
             if not fsutil.exists(spark, meta_path):
                 raise ValueError(
@@ -673,6 +677,73 @@ def delete_from_layout(
         for d in emptied:
             delete(spark, f"{path}/{d}")
         return sorted(snapshot)
+    finally:
+        if exists(spark, staging):
+            delete(spark, staging)
+        delete(spark, lock)
+
+
+def hnsw_delete(
+    spark,
+    path: str,
+    ids_df: DataFrame,
+    id_col: str = "id",
+    prune_edges: bool = True,
+) -> int:
+    """Delete vectors from an HNSW graph layout (``HNSW.build_layout``)
+    — tombstone semantics: the base relation loses the rows, after
+    which queries can neither RETURN a deleted id (candidate scoring
+    joins back to base vectors; no vector, no score) nor traverse
+    THROUGH it (frontier expansion scores each hop against base, so
+    expansion dies at a vectorless node). ``prune_edges`` additionally
+    rewrites the edge relation without the deleted endpoints — smaller
+    probes, same results; pass False to defer that cost to the next
+    rebuild.
+
+    Connectivity note, documented not hidden: like every tombstoned
+    HNSW, paths that ran through deleted hubs are gone — recall
+    degrades gradually with the deleted fraction; schedule a full
+    ``build_layout()`` rebuild when it grows large (the same staleness
+    guidance as the insert sink and the quantized layouts). Holds the
+    layout's ``_compacting`` marker; the streaming insert sink waits on
+    it. Returns the number of rows removed from base."""
+    from kowari_spark.fsutil import create_marker, delete, exists
+
+    ids = ids_df.select(F.col(id_col)).distinct()
+    lock = f"{path}/{COMPACTING_MARKER}"
+    if not create_marker(spark, lock):
+        raise RuntimeError(
+            f"layout at {path} is under maintenance — retry after the "
+            "_compacting marker clears"
+        )
+    staging = f"{path.rstrip('/')}__delete_staging"
+    try:
+        base = spark.read.parquet(f"{path}/base")
+        survivors = base.join(F.broadcast(ids), id_col, "left_anti")
+        survivors.write.mode("overwrite").parquet(f"{staging}/base")
+        staged = spark.read.schema(base.schema).parquet(f"{staging}/base")
+        n_before = base.count()
+        staged.write.mode("overwrite").parquet(f"{path}/base")
+        n_after = spark.read.parquet(f"{path}/base").count()
+        if prune_edges:
+            edges = spark.read.parquet(f"{path}/edges")
+            kept = (
+                edges.join(
+                    F.broadcast(ids.select(F.col(id_col).alias("src"))),
+                    "src", "left_anti")
+                .join(
+                    F.broadcast(ids.select(F.col(id_col).alias("dst"))),
+                    "dst", "left_anti")
+            )
+            kept.write.mode("overwrite").partitionBy("level").parquet(
+                f"{staging}/edges"
+            )
+            spark.read.schema(edges.schema).parquet(
+                f"{staging}/edges"
+            ).write.mode("overwrite").partitionBy("level").parquet(
+                f"{path}/edges"
+            )
+        return n_before - n_after
     finally:
         if exists(spark, staging):
             delete(spark, staging)

@@ -742,3 +742,80 @@ def test_delete_from_layout_unpartitioned_and_emptied(spark, embeddings,
     assert not _os.path.exists(f"{ipath}/list_id={cell}")
     assert spark.read.parquet(ipath).filter(
         F.col("list_id") == cell).count() == 0
+
+
+def test_delete_from_layout_multicol_partitions(spark, embeddings, tmp_path):
+    """Multi-column partitioned layout (CP-LSH: __tbl, bucket): the
+    delete prunes on exact (table, bucket) tuples, removes the doomed
+    id from EVERY table's partition, and the sidecar-gated load still
+    probes."""
+    from kowari_spark.operators.cplsh import CrossPolytopeLSH
+    from kowari_spark.streaming.ingest import delete_from_layout
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).limit(120).cache()
+    cp = CrossPolytopeLSH(dim=64, num_tables=3, seed=100)
+    path = str(tmp_path / "cp_del")
+    cp.build(vecs, path, vec_col="embedding")
+
+    doomed = [r["id"] for r in vecs.limit(4).collect()]
+    rewritten = delete_from_layout(
+        spark, path,
+        spark.createDataFrame([(i,) for i in doomed], "id long"),
+        id_col="id", partition_cols=("__tbl", "bucket"),
+    )
+    # each doomed id appears once per table -> at least num_tables dirs
+    assert len(rewritten) >= 3
+    assert all("/" in d and d.startswith("__tbl=") for d in rewritten)
+    layout = cp.load(spark, path)
+    left = {r["id"] for r in layout.select("id").collect()}
+    assert not (left & set(doomed))
+    # every survivor still present in every table
+    per_tbl = layout.groupBy("__tbl").agg(
+        F.countDistinct("id").alias("n")).collect()
+    assert all(r["n"] == 120 - 4 for r in per_tbl)
+
+
+def test_hnsw_delete_tombstone_semantics(spark, embeddings, tmp_path):
+    """hnsw_delete: deleted ids never surface again (tombstone via the
+    base join), survivors keep ranking, edges lose the deleted
+    endpoints, the sidecar survives, and recall on the pruned graph
+    stays near the original."""
+    from kowari_spark.operators.eval import mean_metric, recall_at_k
+    from kowari_spark.operators.hnsw import HNSW
+    from kowari_spark.operators.topk import knn_batch
+    from kowari_spark.streaming.ingest import hnsw_delete
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).limit(200).cache()
+    h = HNSW(m=8, ef=32, seed=42)
+    path = str(tmp_path / "hnsw_del")
+    h.build_layout(vecs, path)
+
+    doomed = [r["id"] for r in vecs.limit(10).collect()]
+    removed = hnsw_delete(
+        spark, path,
+        spark.createDataFrame([(i,) for i in doomed], "id long"),
+        id_col="id",
+    )
+    assert removed == 10
+
+    fresh = HNSW()
+    base, edges, _ = fresh.load_layout(spark, path)  # sidecar survived
+    assert base.count() == 190
+    assert edges.filter(
+        F.col("src").isin(doomed) | F.col("dst").isin(doomed)
+    ).count() == 0
+
+    survivors = vecs.join(
+        spark.createDataFrame([(i,) for i in doomed], "id long"),
+        "id", "left_anti").cache()
+    queries = survivors.select(
+        F.col("id").alias("query_id"), "embedding").limit(12)
+    res = fresh.query_batch(base, edges, queries, 10, round_to=6).cache()
+    assert not ({r["id"] for r in res.collect()} & set(doomed))
+    exact = knn_batch(survivors, queries, 10, round_to=6)
+    rec = mean_metric(recall_at_k(exact, res, 10), "recall")
+    assert rec >= 0.8, rec
