@@ -1,4 +1,4 @@
-"""ANN index-strategy walkthrough: one call shape for four indexes.
+"""ANN index-strategy walkthrough: one call shape for all six indexes.
 
 The reference hides brute force / LSH / HNSW behind one Index trait
 (src/index.rs:8-12); ``kowari_spark.operators.ann`` is that trait as a
@@ -22,13 +22,17 @@ from kowari_spark.operators.ann import (
     CrossPolytopeIndex,
     HNSWIndex,
     IVFIndex,
+    IVFPQIndex,
+    PQIndex,
     SignLSHIndex,
 )
 from kowari_spark.operators.cplsh import CrossPolytopeLSH
 from kowari_spark.operators.eval import mean_metric, recall_at_k
 from kowari_spark.operators.hnsw import HNSW
 from kowari_spark.operators.ivf import IVF
+from kowari_spark.operators.ivfpq import IVFPQ
 from kowari_spark.operators.lsh import SignLSH
+from kowari_spark.operators.pq import PQ
 from kowari_spark.operators.topk import knn_batch
 
 
@@ -55,6 +59,18 @@ def main() -> None:
         IVFIndex(IVF(n_lists=8, n_probe=3, max_iter=3, seed=42,
                      seed_sample=512)),
         HNSWIndex(HNSW(m=8, ef=32, seed=42)),
+        # compressed families: ADC shortlist + exact re-rank
+        PQIndex(PQ(m=8, k_sub=16, max_iter=2, seed=42), rerank=8),
+        # the composed serving structure — n_lists="auto" sizes cells
+        # at sqrt(n) from the persist-warming count (at this demo's
+        # tiny n that means probing 1 of ~14 cells, so recall is low
+        # by construction; the sizing targets big corpora — see
+        # BASELINE.md's decade table and recall curve)
+        IVFPQIndex(IVFPQ(
+            IVF(n_lists="auto", n_probe="auto", max_iter=2, seed=42,
+                round_centroids=6),
+            PQ(m=8, k_sub=16, max_iter=2, seed=42),
+        ), rerank=8),
     ]
     for s in strategies:
         out = s.search(base, queries, 10, round_to=6).cache()
@@ -64,6 +80,18 @@ def main() -> None:
             for r in out.filter(F.col("rank") == 1).collect()
         }
         print(f"{s.name:>9}: recall@10={rec:.3f}  top1={top1}")
+
+    # every strategy composes with metadata pre-filtering: the
+    # predicate hits candidates BEFORE starvation accounting, so a
+    # starved query brute-forces the FILTERED corpus (exact-filtered
+    # semantics, never silent recall loss)
+    filt = strategies[0].search(
+        base, queries, 5, round_to=6, where=(F.col("id") % 2 == 0)
+    )
+    evens = [r["id"] for r in filt.collect()]
+    assert all(i % 2 == 0 for i in evens)
+    print(f"filtered (id mod 2 == 0) via {strategies[0].name}: "
+          f"{len(evens)} hits, all even")
 
     spark.stop()
 

@@ -150,3 +150,20 @@ def test_hnsw_query_no_python_eval(spark, sf_dir):
     plan = _plan(out)
     for forbidden in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert forbidden not in plan, forbidden
+
+
+def test_star_edges_plan_partial_min_no_cartesian(spark, sf_dir):
+    """The star candidate generator's bucket-min must partially
+    aggregate map-side (the shuffle carries one row per bucket per map
+    partition, not one per member), the join-back must be an equi-join
+    on the bucket key (AQE skew-splittable — the whole point), and no
+    cartesian product may appear anywhere."""
+    from kowari_spark.operators.dedup import minhash_band_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    star = minhash_band_pairs(docs, edges="star")
+    plan = _plan(star)
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the join-back keys on the bucket columns
+    assert "band" in plan and "band_key" in plan
