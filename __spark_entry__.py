@@ -2678,6 +2678,45 @@ ORDER BY id_a, id_b
 """
 
 
+def q_doc_simhash_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs in STAR candidate mode (round-8 #1): only
+    member↔block-min edges are Hamming-verified — O(B) per block
+    instead of the self-join's O(B²). The oracle replays the star
+    generation (GROUP BY block MIN + join-back through the min row's
+    fingerprint) so the verified-variant semantics are hash-pinned."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(
+        docs, max_hamming=6, edges="star"
+    ).orderBy("id_a", "id_b")
+
+
+def _oracle_doc_simhash_star() -> str:
+    h = _SQL_HASH64.format(s="t")
+    fp_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, x -> (x >> {j}) & 1 = 1)) > len(hs) "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    )
+    return f"""
+WITH hs AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), t -> {h}) AS hs
+  FROM documents
+),
+fp AS (SELECT doc_id, ({fp_terms}) AS simhash FROM hs),
+blocked AS (SELECT doc_id, simhash, simhash >> 24 AS block FROM fp),
+mins AS (SELECT block, MIN(doc_id) AS bmin FROM blocked GROUP BY block),
+minfp AS (
+  SELECT m.block, m.bmin, f.simhash AS sh_a
+  FROM mins m JOIN blocked f ON f.doc_id = m.bmin AND f.block = m.block
+)
+SELECT DISTINCT mf.bmin AS id_a, b.doc_id AS id_b,
+       bit_count(xor(mf.sh_a, b.simhash)) AS hamming
+FROM blocked b JOIN minfp mf ON b.block = mf.block AND b.doc_id != mf.bmin
+WHERE bit_count(xor(mf.sh_a, b.simhash)) <= 6
+ORDER BY id_a, id_b
+"""
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine near-dup (oracle baseline; LSH variant is
     the scale path). Bounded to vec_id < 200 so the O(n²) pair count is
@@ -3114,6 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round
         "doc_dedup_keep_star": q_doc_dedup_keep_star,
         "doc_minhash_tuned": q_doc_minhash_tuned,
+        "doc_simhash_star": q_doc_simhash_star,
         # -- past round 7's 50-row window (last driver-green r6)
         "doc_bm25_top10": q_doc_bm25_top10,
         "doc_bm25_batch": q_doc_bm25_batch,
@@ -3216,6 +3256,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_keep": _oracle_doc_dedup_keep(),
         "doc_dedup_keep_star": _oracle_doc_dedup_keep_star(),
         "doc_minhash_tuned": _oracle_doc_minhash_tuned(),
+        "doc_simhash_star": _oracle_doc_simhash_star(),
         "doc_text_knn": _oracle_doc_text_knn(),
         "doc_simhash_near": _oracle_doc_simhash_near(),
         "doc_winnow_pairs": _oracle_doc_winnow_pairs(),

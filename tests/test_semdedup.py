@@ -108,3 +108,18 @@ def test_gemm_scorer_zero_norm_guard(spark):
 def test_bad_scorer_rejected(clustered):
     with pytest.raises(ValueError):
         semantic_dedup(clustered, 0.5, ivf=IVF(n_lists=2), scorer="nope")
+
+
+def test_auto_n_lists_flows_through(spark, embeddings):
+    """semantic_dedup(n_lists='auto') rides IVF's sqrt-n sizing: same
+    output as passing the resolved value explicitly."""
+    import math
+
+    from kowari_spark.operators.dedup import semantic_dedup
+
+    base = embeddings.limit(144).cache()
+    n = base.count()
+    want = max(1, int(round(math.sqrt(n))))
+    a = semantic_dedup(base, threshold=0.3, n_lists="auto")
+    b = semantic_dedup(base, threshold=0.3, n_lists=want)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
