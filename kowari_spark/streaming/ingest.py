@@ -544,9 +544,14 @@ def delete_from_layout(
     filter stops paying for itself and the full rewrite path is taken
     too. Layout sidecars (``_*_meta.json``) are never touched — codes/
     cells/buckets of surviving rows are still valid under the frozen
-    quantizer. HNSW graphs are out of scope (an edge references TWO
-    ids; use rebuild or tombstone at query time). Returns the rewritten
-    (or removed) partition names, or ``["*"]`` for a full rewrite."""
+    quantizer. HNSW graphs have their own helper (``hnsw_delete`` —
+    an edge references TWO ids). Partition VALUES are assumed to print
+    identically to their directory names (true for the integer
+    bucket/list_id/__tbl/level columns every built layout uses; a
+    string partition value needing URL-escaping would break the
+    snapshot/emptied-dir bookkeeping — use ``partition_cols=None``'s
+    full rewrite for such layouts). Returns the rewritten (or removed)
+    partition names, or ``["*"]`` for a full rewrite."""
     from kowari_spark.fsutil import create_marker, delete, exists
 
     ids = ids_df.select(F.col(id_col)).distinct()
