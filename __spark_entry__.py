@@ -1956,6 +1956,48 @@ ORDER BY id_a, id_b
 """
 
 
+def q_doc_winnow_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing candidates in STAR mode (round-8 #1): edges only
+    member↔fingerprint-bucket-min, with ``shared`` counting the
+    buckets where THAT member co-occurs with THAT min — the third
+    verified-variant semantics (a lower bound of the pairwise shared
+    count, so min_shared prunes at least as hard; pinned in tests).
+    The oracle replays the bucket-min generation and the per-edge
+    count."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.winnow_pairs(
+        docs, k=4, window=4, min_shared=2, edges="star"
+    ).orderBy("id_a", "id_b")
+
+
+def _oracle_doc_winnow_star() -> str:
+    h = _SQL_HASH64.format(s="s")
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) - 3 >= 1
+              THEN list_transform(range(1, len(toks) - 3 + 1),
+                                  i -> array_to_string(list_slice(toks, i, i + 3), ' '))
+              ELSE [array_to_string(toks, ' ')] END AS grams
+  FROM t),
+h AS (SELECT doc_id, list_transform(grams, s -> {h}) AS hashes FROM g),
+sel AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           list_transform(range(1, greatest(len(hashes) - 3, 1) + 1),
+                          j -> list_min(list_slice(hashes, j, j + 3))))) AS fps
+  FROM h),
+e AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+m AS (SELECT fp, MIN(doc_id) AS bmin FROM e GROUP BY fp)
+SELECT m.bmin AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+FROM e b JOIN m ON b.fp = m.fp AND b.doc_id != m.bmin
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+ORDER BY id_a, id_b
+"""
+
+
 def q_salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigation primitives under the oracle's microscope
     (operators/skew.py): lineitem joined to supplier through
@@ -3154,6 +3196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_keep_star": q_doc_dedup_keep_star,
         "doc_minhash_tuned": q_doc_minhash_tuned,
         "doc_simhash_star": q_doc_simhash_star,
+        "doc_winnow_star": q_doc_winnow_star,
         # -- past round 7's 50-row window (last driver-green r6)
         "doc_bm25_top10": q_doc_bm25_top10,
         "doc_bm25_batch": q_doc_bm25_batch,
@@ -3257,6 +3300,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_keep_star": _oracle_doc_dedup_keep_star(),
         "doc_minhash_tuned": _oracle_doc_minhash_tuned(),
         "doc_simhash_star": _oracle_doc_simhash_star(),
+        "doc_winnow_star": _oracle_doc_winnow_star(),
         "doc_text_knn": _oracle_doc_text_knn(),
         "doc_simhash_near": _oracle_doc_simhash_near(),
         "doc_winnow_pairs": _oracle_doc_winnow_pairs(),
