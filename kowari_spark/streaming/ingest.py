@@ -569,11 +569,15 @@ def delete_from_layout(
         layout = spark.read.parquet(path)
         pcols = list(partition_cols) if partition_cols else []
         if pcols:
+            # the limit BOUNDS the locate collect: a delete set spread
+            # across the whole table must not ship every partition
+            # tuple to the driver just to learn it should full-rewrite
             hits = (
                 layout.select(*pcols, id_col)
                 .join(F.broadcast(ids), id_col, "left_semi")
                 .select(*pcols)
                 .distinct()
+                .limit(max_pruned_partitions + 1)
                 .collect()
             )
             if not hits:
