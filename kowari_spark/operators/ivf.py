@@ -96,6 +96,13 @@ class IVF:
         self.assign_engine = assign_engine
         self.n_lists = n_lists
         self.n_probe = n_probe
+        # the constructor-time sizing SPEC ("auto" or the explicit int)
+        # survives on the instance so every fit() re-derives the auto
+        # sizing from ITS corpus — without this, refitting one instance
+        # on a 100x bigger DataFrame silently reuses the first fit's
+        # sqrt(n) (ADVICE r8)
+        self._n_lists_spec = n_lists
+        self._n_probe_spec = n_probe
         self.max_iter = max_iter
         self.seed = seed
         # seed_sample: run the farthest-first traversal driver-side over
@@ -167,6 +174,14 @@ class IVF:
         reaching the driver accumulation would broadcast over the whole
         centroid array (ADVICE r7). The expected dimension is taken
         from the first non-null row, exactly like PQ's dim inference."""
+        # per-fit sizing hygiene: restore the constructor spec so an
+        # "auto" instance refit on a different-size corpus re-derives
+        # sqrt(n) / n_lists//16 instead of reusing the stale resolution,
+        # and the |df| bound from a previous fit never leaks into this
+        # one's engine choice (ADVICE r8)
+        self.n_lists = self._n_lists_spec
+        self.n_probe = self._n_probe_spec
+        self._seen_rows = None
         first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
         if first is None:
             raise ValueError("cannot fit an IVF on an empty DataFrame")

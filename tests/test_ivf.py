@@ -322,3 +322,25 @@ def test_auto_sizing_resolves_sqrt_n(base, spark):
         IVF(n_lists="mystery")
     with pytest.raises(ValueError, match="n_probe"):
         IVF(n_probe="mystery")
+
+
+def test_auto_sizing_rederived_per_fit(spark, embeddings):
+    """Refitting one IVF(n_lists='auto') instance on a different-size
+    corpus re-derives sqrt(n) from THAT corpus instead of silently
+    reusing the first fit's resolution (ADVICE r9)."""
+    from kowari_spark.operators.ivf import IVF
+
+    vecs = embeddings.select(F.col("vec_id").alias("id"), "embedding")
+    ivf = IVF(n_lists="auto", n_probe="auto", max_iter=1, seed=42)
+    ivf.fit(vecs.limit(100), id_col="id")
+    assert ivf.n_lists == 10  # round(sqrt(100))
+    first_probe = ivf.n_probe
+    ivf.fit(vecs.limit(400), id_col="id")
+    assert ivf.n_lists == 20  # re-derived, not the stale 10
+    assert ivf.n_probe == max(1, 20 // 16)
+    assert first_probe == 1
+    # explicit ints stay untouched across fits
+    ivf2 = IVF(n_lists=4, n_probe=2, max_iter=1, seed=42)
+    ivf2.fit(vecs.limit(100), id_col="id")
+    ivf2.fit(vecs.limit(400), id_col="id")
+    assert (ivf2.n_lists, ivf2.n_probe) == (4, 2)

@@ -819,3 +819,146 @@ def test_hnsw_delete_tombstone_semantics(spark, embeddings, tmp_path):
     exact = knn_batch(survivors, queries, 10, round_to=6)
     rec = mean_metric(recall_at_k(exact, res, 10), "recall")
     assert rec >= 0.8, rec
+
+
+def test_hnsw_sink_restores_params_and_refuses_foreign_version(
+    spark, embeddings, tmp_path
+):
+    """The HNSW stream sink applies load_layout semantics to the sidecar
+    (ADVICE r9): the build params (m/ef/seed/max_level) are restored
+    into the sink's instance — a mismatched seed would place delta edges
+    at wrong levels with no error — and a foreign layout version is
+    refused outright."""
+    import json as _json
+
+    from kowari_spark.fsutil import read_bytes, write_bytes
+    from kowari_spark.operators.hnsw import HNSW
+    from kowari_spark.streaming.ingest import stream_into_hnsw_graph
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).limit(60).cache()
+    part_a = vecs.filter(F.col("id") % 2 == 0)
+    part_b = vecs.filter(F.col("id") % 2 == 1)
+    src = str(tmp_path / "hsrc")
+    part_b.coalesce(1).write.mode("overwrite").parquet(src)
+
+    built = HNSW(m=8, ef=32, seed=7)
+    path = str(tmp_path / "hnsw_graph")
+    built.build_layout(part_a, path)
+
+    # sink instance constructed with a WRONG seed/m — the sidecar must win
+    sink_h = HNSW(m=4, ef=16, seed=99)
+    q = stream_into_hnsw_graph(
+        spark.readStream.schema(part_b.schema).parquet(src),
+        sink_h, path, str(tmp_path / "ck1"), id_col="id",
+    )
+    q.awaitTermination(120)
+    assert (sink_h.m, sink_h.ef, sink_h.seed) == (8, 32, 7)
+    assert sink_h.max_level == built.max_level
+    assert spark.read.parquet(f"{path}/base").count() == vecs.count()
+
+    # foreign version: tamper the sidecar, a new batch must fail loudly
+    meta_path = f"{path}/{HNSW._META_NAME}"
+    meta = _json.loads(read_bytes(spark, meta_path).decode())
+    meta["version"] = "hnsw-layout-v0"
+    write_bytes(spark, meta_path, _json.dumps(meta).encode())
+    part_b.limit(3).coalesce(1).write.mode("append").parquet(src)
+    q = stream_into_hnsw_graph(
+        spark.readStream.schema(part_b.schema).parquet(src),
+        HNSW(), path, str(tmp_path / "ck2"), id_col="id",
+    )
+    with pytest.raises(Exception, match="hnsw-layout-v0"):
+        q.awaitTermination(120)
+
+
+def test_delete_from_layout_failure_unstrands_sidecars(
+    spark, embeddings, tmp_path, monkeypatch
+):
+    """If the full-rewrite path dies after stashing the layout's
+    sidecars, they are moved back beside the layout instead of being
+    stranded in {staging}_meta (where every subsequent load would fail
+    with no error naming the stash) — ADVICE r9."""
+    import os as _os
+
+    import kowari_spark.fsutil as fsutil
+    from kowari_spark.operators.pq import PQ
+    from kowari_spark.streaming.ingest import delete_from_layout
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).limit(60).cache()
+    pq = PQ(m=4, k_sub=4, max_iter=1, seed=42).fit(vecs, id_col="id", dim=64)
+    path = str(tmp_path / "pq_del_fail")
+    pq.build(vecs, path, id_col="id")
+
+    # the 2nd create_marker call is the post-overwrite lock restore —
+    # failing there leaves the sidecars mid-stash
+    real = fsutil.create_marker
+    calls = {"n": 0}
+
+    def flaky(spark_, p):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("boom after overwrite")
+        return real(spark_, p)
+
+    monkeypatch.setattr(fsutil, "create_marker", flaky)
+    ids_df = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    with pytest.raises(RuntimeError, match="boom"):
+        delete_from_layout(
+            spark, path, ids_df, id_col="id", partition_cols=None
+        )
+    monkeypatch.setattr(fsutil, "create_marker", real)
+
+    # sidecar restored, stash + staging gone, layout still loads
+    from kowari_spark.operators.pq import _META_NAME
+    assert _os.path.exists(f"{path}/{_META_NAME}")
+    assert not _os.path.exists(f"{path}__delete_staging_meta")
+    assert not _os.path.exists(f"{path}__delete_staging")
+    fresh = PQ()
+    coded = fresh.load(spark, path)
+    assert coded.count() == 55  # the data rewrite itself had completed
+
+
+def test_delete_shuffle_path_matches_broadcast(spark, embeddings, tmp_path):
+    """broadcast_max=0 forces the shuffle anti-join path for the delete
+    set (the keep-list-complement regime, VERDICT r8 #3): results are
+    identical to the broadcast path on both layout and HNSW deletes."""
+    from kowari_spark.operators.hnsw import HNSW
+    from kowari_spark.operators.ivf import IVF
+    from kowari_spark.streaming.ingest import delete_from_layout, hnsw_delete
+
+    vecs = embeddings.select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).limit(120).cache()
+    ivf = IVF(n_lists=4, n_probe=4, max_iter=1, seed=42).fit(vecs, id_col="id")
+    path = str(tmp_path / "ivf_shuf")
+    ivf.build(vecs, path, vec_col="embedding")
+    doomed = [r["id"] for r in vecs.limit(15).collect()]
+    ids_df = spark.createDataFrame([(i,) for i in doomed], "id long")
+    rewritten = delete_from_layout(
+        spark, path, ids_df, id_col="id", partition_cols=("list_id",),
+        broadcast_max=0,
+    )
+    assert rewritten
+    left = {r["id"] for r in spark.read.parquet(path).select("id").collect()}
+    assert left == {r["id"] for r in vecs.collect()} - set(doomed)
+
+    h = HNSW(m=8, ef=32, seed=42)
+    hpath = str(tmp_path / "hnsw_shuf")
+    h.build_layout(vecs, hpath)
+    removed = hnsw_delete(spark, hpath, ids_df, id_col="id", broadcast_max=0)
+    assert removed == 15
+    base = spark.read.parquet(f"{hpath}/base")
+    assert not ({r["id"] for r in base.select("id").collect()} & set(doomed))
+
+
+def test_delete_join_hint_probe_is_bounded(spark):
+    """_delete_join_hint: small sets broadcast, big sets don't."""
+    from kowari_spark.streaming.ingest import _delete_join_hint
+
+    small = spark.range(10).withColumnRenamed("id", "id")
+    assert _delete_join_hint(small, 100) is F.broadcast
+    big = spark.range(500)
+    assert _delete_join_hint(big, 100) is not F.broadcast
