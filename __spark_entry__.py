@@ -1682,7 +1682,9 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id
 def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates verified by exact shingle Jaccard."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
+    # the row's contract IS the complete verified pair list - pin
+    # "pairs" (the library default is "auto" since r9)
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5, edges="pairs")
     return pairs.select(
         "id_a", "id_b", (F.round(F.col("jaccard"), 6) + F.lit(0.0)).alias("jaccard")
     ).orderBy("id_a", "id_b")
@@ -1751,7 +1753,10 @@ def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an exact large-star/small-star fall-through, star contraction
     outright on big graphs); oracle = recursive-CTE reachability min."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
+    # pins verified-PAIRS CC semantics (the oracle replays the pairs
+    # CTE chain); the library default is "auto" since r9 and the star
+    # twin (doc_dedup_keep_star) covers that path
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5, edges="pairs")
     return D.dedup_clusters(pairs).orderBy("id")
 
 
@@ -1780,7 +1785,10 @@ def q_doc_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     of oracle-verified pieces: banded minhash pairs -> adaptive CC ->
     left-anti join of the losers."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
+    # pins verified-PAIRS keep semantics (oracle replays the pairs
+    # CTE chain); library default is "auto" since r9 - the star twin
+    # doc_dedup_keep_star drives that path
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5, edges="pairs")
     return (
         D.dedup_keep_representatives(docs, pairs)
         .select("doc_id", "lang", "source")
@@ -1860,7 +1868,7 @@ def q_doc_minhash_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     nh, b = D.minhash_banding(0.5)
     pairs = D.minhash_dedup_pairs(
-        docs, threshold=0.5, num_hashes=nh, bands=b
+        docs, threshold=0.5, num_hashes=nh, bands=b, edges="pairs"
     )
     return pairs.select(
         "id_a", "id_b", (F.round(F.col("jaccard"), 6) + F.lit(0.0)).alias("jaccard")
@@ -1924,9 +1932,9 @@ def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quoted passages) that whole-document minhash dilutes. Exact DuckDB
     oracle reproduces grams, hashes, window minima and the pair join."""
     docs = _t(spark, sf_dir, "documents")
-    return D.winnow_pairs(docs, k=4, window=4, min_shared=2).orderBy(
-        "id_a", "id_b"
-    )
+    return D.winnow_pairs(
+        docs, k=4, window=4, min_shared=2, edges="pairs"
+    ).orderBy("id_a", "id_b")
 
 
 def _oracle_doc_winnow_pairs() -> str:
@@ -2695,7 +2703,9 @@ ORDER BY l_returnflag
 def q_doc_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-pairs: top-byte blocking + exact hamming filter."""
     docs = _t(spark, sf_dir, "documents")
-    return D.simhash_near_pairs(docs, max_hamming=6).orderBy("id_a", "id_b")
+    return D.simhash_near_pairs(
+        docs, max_hamming=6, edges="pairs"
+    ).orderBy("id_a", "id_b")
 
 
 def _oracle_doc_simhash_near() -> str:
@@ -2790,7 +2800,7 @@ def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _t(spark, sf_dir, "embeddings")
     return D.embedding_near_dups_lsh(
         base, threshold=0.3, num_planes=_NDLSH_PLANES, num_tables=_NDLSH_TABLES,
-        seed=7, id_col="vec_id", round_to=6, dim=64,
+        seed=7, id_col="vec_id", round_to=6, dim=64, edges="pairs",
     ).orderBy("id_a", "id_b")
 
 
@@ -3073,7 +3083,7 @@ def q_media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", F.col("media_id") + 1000
     )
     return media_near_dups(
-        media.unionByName(copies), max_hamming=0
+        media.unionByName(copies), max_hamming=0, edges="pairs"
     ).orderBy("id_a", "id_b")
 
 
@@ -3102,8 +3112,10 @@ def q_media_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = media.filter(F.col("media_id") < 20).withColumn(
         "media_id", F.col("media_id") + 1000
     )
+    # pins verified-PAIRS keep semantics (the oracle replays the
+    # banded self-join); library default is "auto" since r9
     return media_dedup_keep(
-        media.unionByName(copies), max_hamming=1
+        media.unionByName(copies), max_hamming=1, edges="pairs"
     ).orderBy("media_id")
 
 

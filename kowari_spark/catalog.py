@@ -299,15 +299,17 @@ class Collection:
         seed: int = 42,
         round_to: int | None = None,
         hasher: str = "expr",
-        edges: str = "pairs",
+        edges: str = "auto",
     ) -> DataFrame:
         """Near-duplicate pairs within the collection (id_a < id_b,
         cosine >= threshold) via the bucketed sign-LSH path
         (operators/dedup.embedding_near_dups_lsh). The collection knows
         its dimension, so no inference job fires (ADVICE r5).
         ``hasher="gemm"`` takes the big-corpus GEMM hash path;
-        ``edges="star"`` the duplicate-heavy-corpus candidate mode
-        (operators/dedup.py module docstring)."""
+        ``edges`` defaults to "auto" — a bounded bucket probe keeps the
+        exact pairwise mode until a duplicate family could make it
+        quadratic, then switches to the star candidate mode
+        (operators/dedup.py module docstring, VERDICT r8 #1)."""
         from kowari_spark.operators.dedup import embedding_near_dups_lsh
 
         return embedding_near_dups_lsh(

@@ -392,7 +392,7 @@ def media_phash(
 def media_near_dups(
     df: DataFrame, media_col: str = "media", id_col: str = "media_id",
     codec: str = "kwm", hash_size: int = 8, max_hamming: int = 6,
-    bands: int = 8, edges: str = "pairs",
+    bands: int = 8, edges: str = "auto",
 ) -> DataFrame:
     """Visual near-duplicate pairs: (id_a, id_b, hamming) where the
     dHash Hamming distance is <= ``max_hamming``.
@@ -415,8 +415,15 @@ def media_near_dups(
     bucket). Every emitted edge still satisfies the exact Hamming
     bound, but a bucket whose min is beyond ``max_hamming`` of some
     members can split components verified all-pairs would join through
-    intermediates (operators/dedup.py module docstring, VERDICT r7)."""
-    from kowari_spark.operators.dedup import _check_edges, bucket_star_edges
+    intermediates (operators/dedup.py module docstring, VERDICT r7).
+    ``"auto"`` (default) probes the bucket sizes and stays on "pairs"
+    until one could go quadratic — pin "pairs" when the complete pair
+    list is the contract."""
+    from kowari_spark.operators.dedup import (
+        _check_edges,
+        bucket_star_edges,
+        resolve_edges,
+    )
 
     _check_edges(edges)
     if bands <= max_hamming:
@@ -442,6 +449,7 @@ def media_near_dups(
     banded = ph.select(
         F.col(id_col), F.col("phash"), F.posexplode(band_arr).alias("band", "val")
     )
+    edges = resolve_edges(edges, banded, ["band", "val"])
     if edges == "star":
         star = bucket_star_edges(
             banded, id_col, ["band", "val"], keep_cols=("phash",)
@@ -476,7 +484,7 @@ def media_near_dups(
 def media_dedup_keep(
     df: DataFrame, media_col: str = "media", id_col: str = "media_id",
     codec: str = "kwm", hash_size: int = 8, max_hamming: int = 6,
-    bands: int = 8, max_iter: int = 20, edges: str = "pairs",
+    bands: int = 8, max_iter: int = 20, edges: str = "auto",
 ) -> DataFrame:
     """End-to-end visual dedup keep-list — the media counterpart of the
     document pipeline's ``doc_dedup_keep`` shape: dHash fingerprints →

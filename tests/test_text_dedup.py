@@ -142,9 +142,10 @@ def test_embedding_near_dups_exact_vs_lsh(spark, embeddings):
 
 
 def test_near_dup_dim_param_skips_inference_job(spark, embeddings):
-    """Passing dim= makes plan construction job-free (the first()
-    fallback costs one Spark job per invocation — ADVICE r5), with
-    identical results either way."""
+    """Passing dim= AND an explicit edges mode makes plan construction
+    job-free (the first() fallback costs one Spark job per invocation —
+    ADVICE r5; the edges="auto" default spends one deliberate bounded
+    probe job — VERDICT r8 #1), with identical results either way."""
     base = embeddings.limit(150).cache()
     base.count()
     sc = spark.sparkContext
@@ -152,7 +153,8 @@ def test_near_dup_dim_param_skips_inference_job(spark, embeddings):
     sc.setJobGroup(group, "plan-time job probe", interruptOnCancel=False)
     try:
         withdim = embedding_near_dups_lsh(
-            base, threshold=0.3, id_col="vec_id", round_to=6, dim=64
+            base, threshold=0.3, id_col="vec_id", round_to=6, dim=64,
+            edges="pairs",
         )
     finally:
         sc.setJobGroup(None, None)
@@ -580,3 +582,51 @@ def test_minhash_dedup_pairs_auto_banding(docs):
     assert sorted(map(tuple, auto.collect())) == sorted(
         map(tuple, explicit.collect())
     )
+
+
+def test_explicit_num_hashes_requires_bands(docs):
+    """bands=None only pairs with num_hashes='auto' — an explicit hash
+    count with no band count raises a clear ValueError instead of an
+    opaque `int % None` TypeError downstream (ADVICE r9)."""
+    with pytest.raises(ValueError, match="bands=None requires"):
+        minhash_dedup_pairs(docs, threshold=0.5, num_hashes=16, bands=None)
+
+
+def test_resolve_edges_bounded_probe(spark):
+    """edges="auto" (the r9 default): a hot bucket flips the candidate
+    mode to star; uniformly small buckets keep exact pairs. Explicit
+    modes pass through without paying the probe."""
+    from kowari_spark.operators.dedup import resolve_edges
+
+    cold = spark.range(100).select(
+        F.col("id"), (F.col("id") % 50).alias("bucket")
+    )
+    assert resolve_edges("auto", cold, ["bucket"], threshold=10) == "pairs"
+    hot = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("bucket")
+    )
+    assert resolve_edges("auto", hot, ["bucket"], threshold=10) == "star"
+    assert resolve_edges("pairs", hot, ["bucket"], threshold=10) == "pairs"
+    assert resolve_edges("star", cold, ["bucket"], threshold=10) == "star"
+    with pytest.raises(ValueError, match="edges must be"):
+        resolve_edges("stars", cold, ["bucket"])
+
+
+def test_auto_edges_default_matches_pairs_on_small_corpus(docs):
+    """On a low-duplication corpus every generator's "auto" default
+    resolves to pairs — outputs identical to the explicit pairs mode
+    (the r8 contract rows pin pairs for exactly this reason)."""
+    from kowari_spark.operators.dedup import (
+        minhash_band_pairs,
+        simhash_near_pairs,
+        winnow_pairs,
+    )
+
+    for fn, kw in (
+        (minhash_band_pairs, {}),
+        (simhash_near_pairs, {"max_hamming": 6}),
+        (winnow_pairs, {"k": 4, "window": 4, "min_shared": 2}),
+    ):
+        auto = sorted(map(tuple, fn(docs, **kw).collect()))
+        pinned = sorted(map(tuple, fn(docs, edges="pairs", **kw).collect()))
+        assert auto == pinned, fn.__name__

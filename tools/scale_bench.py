@@ -512,7 +512,9 @@ def _run_suite(
         rec("doc_surprisal", s, r)
 
     if want("doc_minhash_pairs") or want("doc_dup_clusters"):
-        pairs = minhash_dedup_pairs(docs, threshold=0.5)
+        # pin pairs: this line tracks the r1-comparable pairs-mode cost
+        # (the library default is edges="auto" since r9)
+        pairs = minhash_dedup_pairs(docs, threshold=0.5, edges="pairs")
         if want("doc_minhash_pairs"):
             s, r = timed(lambda: pairs.count())
             rec("doc_minhash_pairs", s, r)
@@ -544,7 +546,8 @@ def _run_suite(
                 lambda: minhash_band_pairs(corpus, edges="star").count())
             rec(f"family{fs}_star", s, r)
             if fs <= 5_000:
-                s, r = timed(lambda: minhash_band_pairs(corpus).count())
+                s, r = timed(lambda: minhash_band_pairs(
+                    corpus, edges="pairs").count())
                 rec(f"family{fs}_pairs", s, r)
         # end-to-end keep-list through the 50k family on star edges:
         # candidates -> Jaccard verify -> adaptive CC -> representatives
