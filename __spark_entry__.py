@@ -1111,8 +1111,10 @@ def q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kowari_spark.operators.dedup import semantic_dedup
 
     ivf, lists = _ivf_index(spark, sf_dir)
+    # pins exact ALL-PAIRS in-cell scoring (the oracle replays the full
+    # pair join); the library default is edges="auto" since r9
     return semantic_dedup(
-        lists, threshold=0.3, id_col="vec_id", ivf=ivf
+        lists, threshold=0.3, id_col="vec_id", ivf=ivf, edges="pairs"
     ).orderBy("vec_id")
 
 
@@ -1744,6 +1746,93 @@ def _oracle_doc_minhash_pairs() -> str:
 WITH {_minhash_ctes()}
 SELECT id_a, id_b, ROUND(jac, 6) + 0.0 AS jaccard
 FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b
+"""
+
+
+def _minhash_sig_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once (per source stamp) persisted signature layout over the
+    'history' half of documents (even doc_ids) — the incremental-dedup
+    rows probe it without ever re-fingerprinting history (the
+    ``_lsh_index`` build/probe caching pattern)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kowari_spark.operators.dedup_index import build_minhash_layout
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "na"
+    tag = hashlib.md5(f"{src}:{stamp}:mh16b4s42".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kowari_mhsig_{tag}")
+    # the sidecar is written LAST by build_minhash_layout — its
+    # presence marks a complete build
+    if not os.path.exists(os.path.join(path, "_minhash_meta.json")):
+        docs = _t(spark, sf_dir, "documents")
+        build_minhash_layout(docs.filter(F.col("doc_id") % 2 == 0), path)
+    return path
+
+
+def q_doc_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-over-history dedup (operators/dedup_index.py,
+    VERDICT r8 missing #1): the even-doc_id half is fingerprinted ONCE
+    into a partitionBy(band) signature layout; the odd-doc_id 'new
+    crawl batch' computes only ITS OWN bands and joins them against the
+    stored relation — history text is never re-shingled. mode="pairs"
+    so the oracle replays the complete (new, hist) collision join; the
+    md5-deterministic signatures make the stored side SQL-expressible."""
+    from kowari_spark.operators.dedup_index import dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    path = _minhash_sig_layout(spark, sf_dir)
+    return dedup_against(spark, path, new, mode="pairs").orderBy(
+        "new_id", "hist_id"
+    )
+
+
+def _oracle_doc_dedup_against() -> str:
+    return f"""
+WITH {_minhash_ctes()}
+SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+FROM bands n JOIN bands h ON n.band = h.band AND n.bk = h.bk
+WHERE n.doc_id % 2 = 1 AND h.doc_id % 2 = 0
+ORDER BY new_id, hist_id
+"""
+
+
+def q_doc_incremental_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-dedup keep filter (dedup_index.filter_new_against):
+    new-crawl docs (odd doc_ids) colliding with NO stored history
+    signature survive into ingestion — the reps-mode probe decides
+    membership from one bucket-min representative per matched bucket,
+    O(batch) output rows against any size history family."""
+    from kowari_spark.operators.dedup_index import filter_new_against
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    path = _minhash_sig_layout(spark, sf_dir)
+    return (
+        filter_new_against(spark, path, new)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_doc_incremental_keep() -> str:
+    return f"""
+WITH {_minhash_ctes()},
+matched AS (
+  SELECT DISTINCT n.doc_id
+  FROM bands n JOIN bands h ON n.band = h.band AND n.bk = h.bk
+  WHERE n.doc_id % 2 = 1 AND h.doc_id % 2 = 0
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM matched)
+ORDER BY doc_id
 """
 
 
@@ -3197,19 +3286,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per round (dict order = check order), so rows are ordered by
     # driver-validation age — never/least-recently driver-validated
     # first, most-recently-validated last; every row gets a driver row
-    # at least every two rounds. Round 8 front block: this round's new
-    # rows (doc_dedup_keep_star, doc_minhash_tuned), then the 17 rows
-    # past round 7's window (doc_bm25_top10 … similarity_join, last
-    # driver-green r6). The 33 mid-window r7 rows follow; round 7's
-    # front block (freshest-validated) closes the dict and falls past
-    # the window this round.
+    # at least every two rounds. Round 9 front block: this round's new
+    # rows (doc_dedup_against, doc_incremental_keep), then the 21 rows
+    # past round 8's window (events_funnel … orders_by_month, last
+    # driver-green r7). The round-8 window rows follow in their r8
+    # order; its tail (validated r8) falls past the window this round
+    # and returns in round 10.
     return {
         # -- new this round
+        "doc_dedup_against": q_doc_dedup_against,
+        "doc_incremental_keep": q_doc_incremental_keep,
+        # -- past round 8's 50-row window (last driver-green r7)
+        "events_funnel": q_events_funnel,
+        "doc_split_sample": q_doc_split_sample,
+        "doc_pack_chunks": q_doc_pack_chunks,
+        "doc_decontam": q_doc_decontam,
+        "ivfpq_knn": q_ivfpq_knn,
+        "filtered_lsh_knn": q_filtered_lsh_knn,
+        "media_dedup_keep": q_media_dedup_keep,
+        "pq_knn": q_pq_knn,
+        "filtered_knn": q_filtered_knn,
+        "lsh_recall_at_10": q_lsh_recall_at_10,
+        "lsh_precision_at_10": q_lsh_precision_at_10,
+        "hnsw_knn": q_hnsw_knn,
+        "cp_knn_top10": q_cp_knn_top10,
+        "ivf_knn": q_ivf_knn,
+        "events_props_stats": q_events_props_stats,
+        "events_kmv_users": q_events_kmv_users,
+        "revenue_rollup": q_revenue_rollup,
+        "orders_cube": q_orders_cube,
+        "nation_set_ops": q_nation_set_ops,
+        "customer_strings": q_customer_strings,
+        "orders_by_month": q_orders_by_month,
+        # -- round-8 window rows (driver-green r8), r8 order; the tail
+        # past position 50 returns in round 10
         "doc_dedup_keep_star": q_doc_dedup_keep_star,
         "doc_minhash_tuned": q_doc_minhash_tuned,
         "doc_simhash_star": q_doc_simhash_star,
         "doc_winnow_star": q_doc_winnow_star,
-        # -- past round 7's 50-row window (last driver-green r6)
         "doc_bm25_top10": q_doc_bm25_top10,
         "doc_bm25_batch": q_doc_bm25_batch,
         "doc_hybrid_rrf": q_doc_hybrid_rrf,
@@ -3227,7 +3341,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_pipeline": q_media_pipeline,
         "media_near_dups": q_media_near_dups,
         "similarity_join": q_similarity_join,
-        # -- mid-window round-7-validated rows, original order
         "knn_cosine_top10": q_knn_cosine_top10,
         "knn_euclidean_top10": q_knn_euclidean_top10,
         "knn_batch_top5": q_knn_batch_top5,
@@ -3257,29 +3370,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "salted_supplier_revenue": q_salted_supplier_revenue,
         "price_quantiles": q_price_quantiles,
-        "events_funnel": q_events_funnel,
-        "doc_split_sample": q_doc_split_sample,
-        "doc_pack_chunks": q_doc_pack_chunks,
-        "doc_decontam": q_doc_decontam,
-        # -- round-7 front block (freshest driver validation; falls
-        # past the window this round)
-        "ivfpq_knn": q_ivfpq_knn,
-        "filtered_lsh_knn": q_filtered_lsh_knn,
-        "media_dedup_keep": q_media_dedup_keep,
-        "pq_knn": q_pq_knn,
-        "filtered_knn": q_filtered_knn,
-        "lsh_recall_at_10": q_lsh_recall_at_10,
-        "lsh_precision_at_10": q_lsh_precision_at_10,
-        "hnsw_knn": q_hnsw_knn,
-        "cp_knn_top10": q_cp_knn_top10,
-        "ivf_knn": q_ivf_knn,
-        "events_props_stats": q_events_props_stats,
-        "events_kmv_users": q_events_kmv_users,
-        "revenue_rollup": q_revenue_rollup,
-        "orders_cube": q_orders_cube,
-        "nation_set_ops": q_nation_set_ops,
-        "customer_strings": q_customer_strings,
-        "orders_by_month": q_orders_by_month,
     }
 
 
@@ -3307,6 +3397,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_quality": _oracle_doc_lang_quality(),
         "doc_exact_dedup": _ORACLE_DOC_EXACT_DEDUP,
         "doc_minhash_pairs": _oracle_doc_minhash_pairs(),
+        "doc_dedup_against": _oracle_doc_dedup_against(),
+        "doc_incremental_keep": _oracle_doc_incremental_keep(),
         "doc_dup_clusters": _oracle_doc_dup_clusters(),
         "doc_dedup_keep": _oracle_doc_dedup_keep(),
         "doc_dedup_keep_star": _oracle_doc_dedup_keep_star(),

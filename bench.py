@@ -358,6 +358,39 @@ def quality_gates(spark, sf_dir) -> dict:
         "starved_frac": round(1.0 - n_ok4 / n_q, 4),
     }
     out["filtered_ann_selectivity"] = fsel
+    # star-verified component-split rate (round-8 ask #8): the
+    # documented verified-star trade, quantified on the real corpus —
+    # the fraction of verified-PAIRS dup components whose members land
+    # in MORE THAN ONE star-mode component, and the extra survivors
+    # those splits leave behind (each split component keeps one more
+    # representative than the pairs pipeline would)
+    from kowari_spark.operators.dedup import dedup_clusters, minhash_dedup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ccp = dedup_clusters(
+        minhash_dedup_pairs(docs, threshold=0.5, edges="pairs")
+    ).withColumnRenamed("cluster_id", "cp")
+    ccs = dedup_clusters(
+        minhash_dedup_pairs(docs, threshold=0.5, edges="star")
+    ).withColumnRenamed("cluster_id", "cs")
+    # a doc verified in pairs mode can be absent from the star edge set
+    # entirely (all its member↔min edges failed verification) — that is
+    # a split too: coalesce to a singleton star component
+    percomp = (
+        ccp.join(ccs, "id", "left")
+        .groupBy("cp")
+        .agg(F.countDistinct(F.coalesce(F.col("cs"), F.col("id"))).alias("ns"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)).alias("split"),
+            F.sum(F.col("ns") - 1).alias("extra"),
+        )
+        .first()
+    )
+    out["star_verified_split_frac"] = round(
+        (percomp["split"] or 0) / max(percomp["n"], 1), 4
+    )
+    out["star_verified_extra_survivors"] = int(percomp["extra"] or 0)
     out.update(_clustered_quality(spark))
     return out
 

@@ -48,6 +48,28 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"dedup: {n} docs -> {kept.count()} after near-dup removal "
           f"({pairs.count()} verified star edges)")
 
+    # -- incremental dedup: batch N+1 against persisted history ---------
+    # fingerprint history ONCE into a partitionBy(band) signature
+    # layout; each new crawl batch computes only ITS OWN bands and
+    # joins against the stored relation — history is never re-shingled
+    # (operators/dedup_index.py; the recurring 100 TB pipeline shape)
+    import tempfile
+
+    from kowari_spark.operators.dedup_index import (
+        append_minhash_layout,
+        build_minhash_layout,
+        filter_new_against,
+    )
+
+    sig_path = tempfile.mkdtemp(prefix="kowari_demo_sig_")
+    history = kept.filter(F.col("doc_id") % 2 == 0)
+    batch = kept.filter(F.col("doc_id") % 2 == 1)
+    build_minhash_layout(history, sig_path)
+    fresh = filter_new_against(spark, sig_path, batch)
+    print(f"incremental dedup: {batch.count()}-doc batch -> "
+          f"{fresh.count()} not already in history")
+    append_minhash_layout(spark, sig_path, fresh)  # batch joins history
+
     # -- curation: decontaminate, quality-filter, scrub, re-mix, pack ----
     from kowari_spark.operators.decontam import ngram_decontaminate
     from kowari_spark.operators.pack import pack_documents

@@ -420,6 +420,59 @@ def stream_into_quantized_layout(
     )
 
 
+def stream_into_minhash_layout(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    compaction_wait_secs: float = 60.0,
+):
+    """Maintain a persisted text-dedup signature layout
+    (operators/dedup_index.py) from a document stream: each micro-batch
+    is fingerprinted under the LAYOUT's stored params (never the
+    caller's — the sidecar is the single source of signature truth) and
+    its bands appended into ``partitionBy(band)`` parquet, so the next
+    ``dedup_against`` probe sees the batch as history the moment it
+    commits. Same idempotence-marker exactly-once pattern and
+    cooperative compaction lock as the LSH layout sink; the layout must
+    already exist (``build_minhash_layout`` bootstraps it — a sink that
+    invents params would break the provenance rule)."""
+    import hashlib
+
+    from kowari_spark import fsutil
+    from kowari_spark.operators.dedup_index import (
+        _new_bands,
+        load_minhash_layout,
+    )
+
+    # validate version + pin params at START, not per batch: a layout
+    # rebuilt mid-stream under different params must not be silently
+    # appended to with stale arithmetic — the marker dir also changes
+    # with the checkpoint, so a restarted stream re-validates here
+    _, meta = load_minhash_layout(stream_df.sparkSession, path)
+    ck_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = f"{path}/_batches/{ck_tag}-{batch_id}"
+        if fsutil.exists(spark, marker):
+            return
+        _wait_not_compacting(spark, path, compaction_wait_secs)
+        if not batch_df.isEmpty():
+            _new_bands(meta, batch_df).write.mode("append").partitionBy(
+                "band"
+            ).parquet(path)
+        fsutil.create_marker(spark, marker)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=trigger_available_now)
+        .start()
+    )
+
+
 def stream_into_hnsw_graph(
     stream_df: DataFrame,
     hnsw,

@@ -1,0 +1,187 @@
+"""Persisted text-dedup signature layouts (operators/dedup_index.py):
+build / load provenance, batch-vs-incremental identity, the keep
+filter, append, and the streaming sink."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kowari_spark.operators.dedup import minhash_band_pairs, minhash_bands
+from kowari_spark.operators.dedup_index import (
+    append_minhash_layout,
+    build_minhash_layout,
+    dedup_against,
+    filter_new_against,
+    load_minhash_layout,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def halves(docs):
+    hist = docs.filter(F.col("doc_id") % 2 == 0).cache()
+    new = docs.filter(F.col("doc_id") % 2 == 1).cache()
+    return hist, new
+
+
+def _cross_pairs(hist, new, pairs_df):
+    """Batch-mode ground truth: minhash_band_pairs over hist ∪ new,
+    restricted to one-hist-one-new pairs, normalized to (new, hist)."""
+    hist_ids = {r["doc_id"] for r in hist.select("doc_id").collect()}
+    out = set()
+    for r in pairs_df.collect():
+        a, b = r["id_a"], r["id_b"]
+        if (a in hist_ids) != (b in hist_ids):
+            out.add((b, a) if a in hist_ids else (a, b))
+    return out
+
+
+def test_incremental_matches_batch_join(spark, halves, tmp_path):
+    """dedup_against(mode="pairs") over the stored layout == the
+    cross-half slice of the full batch band join — fingerprinting
+    history ONCE loses nothing (the md5 determinism argument)."""
+    hist, new = halves
+    path = str(tmp_path / "sig")
+    build_minhash_layout(hist, path)
+
+    inc = {
+        (r["new_id"], r["hist_id"])
+        for r in dedup_against(spark, path, new, mode="pairs").collect()
+    }
+    full = minhash_band_pairs(hist.unionByName(new), edges="pairs")
+    assert inc == _cross_pairs(hist, new, full)
+
+    # reps mode: same matched new ids, one representative per bucket
+    reps = dedup_against(spark, path, new, mode="reps")
+    assert {r["new_id"] for r in reps.collect()} == {a for a, _ in inc}
+    hist_ids = {r["doc_id"] for r in hist.select("doc_id").collect()}
+    assert {r["hist_id"] for r in reps.collect()} <= hist_ids
+
+    with pytest.raises(ValueError, match="mode must be"):
+        dedup_against(spark, path, new, mode="all")
+
+
+def test_filter_new_against_keep_semantics(spark, halves, tmp_path):
+    """filter_new_against drops exactly the colliding new docs and the
+    shuffle fallback (broadcast_keys_max=0) changes nothing."""
+    hist, new = halves
+    path = str(tmp_path / "sig")
+    build_minhash_layout(hist, path)
+    matched = {
+        r["new_id"] for r in dedup_against(spark, path, new).collect()
+    }
+    kept = filter_new_against(spark, path, new)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert kept_ids == new_ids - matched
+    assert kept.columns == new.columns
+    shuffled = filter_new_against(
+        spark, path, new, broadcast_keys_max=0
+    )
+    assert {r["doc_id"] for r in shuffled.select("doc_id").collect()} == kept_ids
+
+
+def test_layout_provenance_and_params(spark, halves, tmp_path):
+    """Sidecar round-trip: load refuses missing/foreign versions; the
+    probe fingerprints the batch under the LAYOUT's params even when
+    they differ from the library defaults."""
+    import json
+
+    from kowari_spark.fsutil import read_bytes, write_bytes
+
+    hist, new = halves
+    path = str(tmp_path / "sig_params")
+    build_minhash_layout(hist, path, num_hashes=32, bands=8, seed=7)
+    bands_df, meta = load_minhash_layout(spark, path)
+    assert (meta["num_hashes"], meta["bands"], meta["seed"]) == (32, 8, 7)
+    # stored rows == a fresh fingerprint pass under the same params
+    expect = minhash_bands(hist, num_hashes=32, bands=8, seed=7)
+    assert sorted(map(tuple, bands_df.select(*expect.columns).collect())) \
+        == sorted(map(tuple, expect.collect()))
+    # the probe must join under (32, 8, seed=7), not the defaults:
+    # candidates computed incrementally == batch join at those params
+    inc = {
+        (r["new_id"], r["hist_id"])
+        for r in dedup_against(spark, path, new, mode="pairs").collect()
+    }
+    full = minhash_band_pairs(
+        hist.unionByName(new), num_hashes=32, bands=8, seed=7,
+        edges="pairs",
+    )
+    assert inc == _cross_pairs(hist, new, full)
+
+    with pytest.raises(ValueError, match="not a minhash signature"):
+        load_minhash_layout(spark, str(tmp_path / "nope"))
+    mp = f"{path}/_minhash_meta.json"
+    meta["version"] = "minhash-bands-v0"
+    write_bytes(spark, mp, json.dumps(meta).encode())
+    with pytest.raises(ValueError, match="minhash-bands-v0"):
+        load_minhash_layout(spark, path)
+    assert read_bytes(spark, mp)  # still present after refusals
+
+
+def test_append_extends_history(spark, halves, tmp_path):
+    """After append_minhash_layout(batch), a later batch dedups against
+    history ∪ batch — the stored relation equals a fresh build over the
+    union (partitioned-append identity)."""
+    hist, new = halves
+    batch1 = new.filter(F.col("doc_id") % 4 == 1).cache()
+    batch2 = new.filter(F.col("doc_id") % 4 == 3).cache()
+    path = str(tmp_path / "sig_grow")
+    build_minhash_layout(hist, path)
+    append_minhash_layout(spark, path, batch1)
+
+    grown, _ = load_minhash_layout(spark, path)
+    rebuilt_path = str(tmp_path / "sig_rebuilt")
+    build_minhash_layout(hist.unionByName(batch1), rebuilt_path)
+    rebuilt, _ = load_minhash_layout(spark, rebuilt_path)
+    cols = ["doc_id", "band", "band_key"]
+    assert sorted(map(tuple, grown.select(*cols).collect())) == sorted(
+        map(tuple, rebuilt.select(*cols).collect())
+    )
+    # batch2 now sees batch1 as history
+    inc = dedup_against(spark, path, batch2, mode="pairs")
+    b1_ids = {r["doc_id"] for r in batch1.select("doc_id").collect()}
+    direct = dedup_against(spark, rebuilt_path, batch2, mode="pairs")
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    del b1_ids
+
+
+def test_streaming_sink_matches_batch_append(spark, halves, tmp_path):
+    """stream_into_minhash_layout: draining a document stream leaves the
+    exact band rows a batch build over history ∪ stream would hold; a
+    second drain of the same checkpoint is a no-op (markers)."""
+    from kowari_spark.streaming.ingest import stream_into_minhash_layout
+
+    hist, new = halves
+    path = str(tmp_path / "sig_stream")
+    build_minhash_layout(hist, path)
+    src = str(tmp_path / "src")
+    new.select("doc_id", "text").repartition(3).write.parquet(src)
+
+    def drain(ck):
+        q = stream_into_minhash_layout(
+            spark.readStream.schema(
+                new.select("doc_id", "text").schema
+            ).parquet(src),
+            path, ck,
+        )
+        q.awaitTermination(120)
+
+    drain(str(tmp_path / "ck1"))
+    grown, _ = load_minhash_layout(spark, path)
+    rebuilt_path = str(tmp_path / "sig_all")
+    build_minhash_layout(hist.unionByName(new), rebuilt_path)
+    rebuilt, _ = load_minhash_layout(spark, rebuilt_path)
+    cols = ["doc_id", "band", "band_key"]
+    assert sorted(map(tuple, grown.select(*cols).collect())) == sorted(
+        map(tuple, rebuilt.select(*cols).collect())
+    )
+    n = grown.count()
+    drain(str(tmp_path / "ck1"))  # replay: markers + offsets gate it
+    assert load_minhash_layout(spark, path)[0].count() == n

@@ -476,11 +476,45 @@ def _run_suite(
 
         nl = max(16, int(16 * (mult ** 0.5)))
         sivf = IVF(n_lists=nl, n_probe=1, max_iter=2, seed=42)
+        # pin pairs: this line tracks the r6-comparable all-pairs cell
+        # cost (the library default is edges="auto" since r9)
         s, r = timed(lambda: semantic_dedup(
             emb, threshold=0.5, id_col="vec_id", ivf=sivf,
-            scorer="gemm", round_to=None,
+            scorer="gemm", round_to=None, edges="pairs",
         ).filter("NOT is_kept").count())
         rec("semantic_dedup", s, r)
+
+    if want("semdedup_hot"):
+        # VERDICT r8 missing #2 evidence: ONE planted dense cluster of
+        # F near-identical embeddings quantizes into ONE cell — the
+        # all-pairs cell step is F²/2 pair entries in a single task
+        # (2.5e9 at 50k, an OOM); star edges score F-1 member↔min
+        # cosines. pairs is only attempted at the small family sizes.
+        from kowari_spark.operators.dedup import semantic_dedup
+
+        base_vecs = emb.select("vec_id", "embedding")
+        for fs in (1_000, 5_000, 50_000):
+            fam = spark.range(fs).select(
+                (F.col("id") + 10_000_000).alias("vec_id"),
+                F.transform(
+                    F.array_repeat(F.lit(1.0), 64),
+                    lambda x, i: x + (
+                        F.xxhash64(F.col("id"), i, F.lit("hotcell"))
+                        % 1000
+                    ).cast("double") / 1.0e6,
+                ).alias("embedding"),
+            )
+            corpus = base_vecs.unionByName(fam).persist()
+            corpus.count()
+            nl = 16
+            for mode in (("star",) if fs > 5_000 else ("star", "pairs")):
+                hivf = IVF(n_lists=nl, n_probe=1, max_iter=2, seed=42)
+                s, r = timed(lambda m=mode: semantic_dedup(
+                    corpus, threshold=0.99, id_col="vec_id", ivf=hivf,
+                    scorer="gemm", round_to=None, edges=m,
+                ).filter("NOT is_kept").count())
+                rec(f"semdedup_hot{fs}_{mode}", s, r)
+            corpus.unpersist()
 
     if want("doc_despan") or want("doc_despan_arrow"):
         # exact-substring span removal: the wide shuffle is the global
@@ -521,6 +555,37 @@ def _run_suite(
         if want("doc_dup_clusters"):
             s, r = timed(lambda: dedup_clusters(pairs).count())
             rec("doc_dup_clusters", s, r)
+
+    if want("sig_build") or want("dedup_against"):
+        # incremental crawl-over-history dedup (dedup_index): build the
+        # persisted signature layout over the FULL M× history once
+        # (sig_build — the cost a recurring pipeline pays only when
+        # history changes algorithm), then probe an x1-sized "new crawl
+        # batch" against it (dedup_against_x1 — the recurring cost).
+        # The point of the table: probe << build at every M, because
+        # the probe fingerprints only the batch and scans (never
+        # shuffles, never re-hashes) the stored band relation.
+        from kowari_spark.operators.dedup_index import (
+            build_minhash_layout,
+            dedup_against,
+        )
+
+        n_doc = docs.count()
+        sig_path = os.path.join(SCALE_DIR, f"x{mult}", "minhash_sig")
+        built = os.path.exists(os.path.join(sig_path, "_minhash_meta.json"))
+        if want("sig_build") or not built:
+            s, r = timed(lambda: (build_minhash_layout(docs, sig_path),
+                                  n_doc)[1])
+            if want("sig_build"):
+                rec("sig_build", s, r)
+        if want("dedup_against"):
+            n_base = max(1, n_doc // mult)
+            batch = docs.filter(F.col("doc_id") < n_base).select(
+                (F.col("doc_id") + F.lit(10**12)).alias("doc_id"), "text"
+            )
+            s, r = timed(lambda: dedup_against(
+                spark, sig_path, batch, mode="reps").count())
+            rec("dedup_against_x1", s, r)
 
     if want("planted_family"):
         # VERDICT r8 #1 evidence: ONE planted duplicate family of F
