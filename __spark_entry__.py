@@ -1804,6 +1804,70 @@ ORDER BY new_id, hist_id
 """
 
 
+def _simhash_sig_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted simhash layout over the history half —
+    unlike minhash, the stored fingerprint IS the verifier, so the
+    incremental probe is fully Hamming-VERIFIED from stored state."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kowari_spark.operators.dedup_index import build_simhash_layout
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "na"
+    tag = hashlib.md5(f"{src}:{stamp}:sh32b8".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kowari_shsig_{tag}")
+    if not os.path.exists(os.path.join(path, "_simhash_meta.json")):
+        docs = _t(spark, sf_dir, "documents")
+        build_simhash_layout(docs.filter(F.col("doc_id") % 2 == 0), path)
+    return path
+
+
+def q_doc_simhash_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERIFIED incremental dedup against stored simhash fingerprints
+    (dedup_index.simhash_dedup_against): the odd-doc_id batch computes
+    its own fingerprints and joins the even-doc_id history layout —
+    Hamming distance verified entirely from the two stored longs, no
+    history text touched; the block-partitioned layout prunes history
+    reads to the batch's own blocks."""
+    from kowari_spark.operators.dedup_index import simhash_dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    path = _simhash_sig_layout(spark, sf_dir)
+    return simhash_dedup_against(spark, path, new, max_hamming=6).orderBy(
+        "new_id", "hist_id"
+    )
+
+
+def _oracle_doc_simhash_against() -> str:
+    h = _SQL_HASH64.format(s="t")
+    fp_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, x -> (x >> {j}) & 1 = 1)) > len(hs) "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    )
+    return f"""
+WITH hs AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), t -> {h}) AS hs
+  FROM documents
+),
+fp AS (SELECT doc_id, ({fp_terms}) AS simhash FROM hs),
+blocked AS (SELECT doc_id, simhash, simhash >> 24 AS block FROM fp)
+SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id,
+       bit_count(xor(n.simhash, h.simhash)) AS hamming
+FROM blocked n JOIN blocked h ON n.block = h.block
+WHERE n.doc_id % 2 = 1 AND h.doc_id % 2 = 0
+  AND bit_count(xor(n.simhash, h.simhash)) <= 6
+ORDER BY new_id, hist_id
+"""
+
+
 def q_doc_incremental_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The incremental-dedup keep filter (dedup_index.filter_new_against):
     new-crawl docs (odd doc_ids) colliding with NO stored history
@@ -3296,6 +3360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round
         "doc_dedup_against": q_doc_dedup_against,
         "doc_incremental_keep": q_doc_incremental_keep,
+        "doc_simhash_against": q_doc_simhash_against,
         # -- past round 8's 50-row window (last driver-green r7)
         "events_funnel": q_events_funnel,
         "doc_split_sample": q_doc_split_sample,
@@ -3399,6 +3464,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_pairs": _oracle_doc_minhash_pairs(),
         "doc_dedup_against": _oracle_doc_dedup_against(),
         "doc_incremental_keep": _oracle_doc_incremental_keep(),
+        "doc_simhash_against": _oracle_doc_simhash_against(),
         "doc_dup_clusters": _oracle_doc_dup_clusters(),
         "doc_dedup_keep": _oracle_doc_dedup_keep(),
         "doc_dedup_keep_star": _oracle_doc_dedup_keep_star(),

@@ -191,7 +191,15 @@ def filter_new_against(
     """The incremental-dedup keep filter: rows of ``new_df`` whose
     document collides with NO stored signature — the batch that should
     proceed into ingestion. One representative per bucket is enough to
-    decide membership, so this rides ``mode="reps"``."""
+    decide membership, so this rides ``mode="reps"``.
+
+    Scope note: this filters the batch AGAINST HISTORY only. Dups
+    WITHIN the batch are the standard single-DataFrame operators' job
+    (``dedup.minhash_dedup_pairs`` → ``dedup_keep_representatives``) —
+    run them first, then the history filter, then append the survivors
+    (the order the pipeline demo shows); appending an internally-dirty
+    batch is still safe (later batches match its signatures) but keeps
+    the batch's own duplicates."""
     _, meta = load_minhash_layout(spark, path)
     id_col = meta["id_col"]
     matched = (
@@ -203,6 +211,162 @@ def filter_new_against(
         .distinct()
     )
     return new_df.join(matched, id_col, "left_anti")
+
+
+# -- simhash variant ----------------------------------------------------
+#
+# SimHash stores MORE than membership keys: the fingerprint itself is
+# the verifier (Hamming distance is computed from two stored longs), so
+# unlike the minhash layout — whose Jaccard verification needs document
+# text the layout doesn't keep — the simhash incremental path is fully
+# VERIFIED from stored state alone. Layout: (id, simhash) partitioned
+# by the top-``block_bits`` block (near fingerprints overwhelmingly
+# share it — the same blocking simhash_near_pairs uses), so a batch
+# probe is PARTITION-PRUNED to its own blocks.
+
+_SIMHASH_META_NAME = "_simhash_meta.json"
+_SIMHASH_LAYOUT_VERSION = "simhash-blocks-v1"
+
+
+def build_simhash_layout(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    block_bits: int = 8,
+) -> None:
+    """Fingerprint ``df`` once and persist (id, simhash) partitioned by
+    the top-``block_bits`` block, with a versioned params sidecar."""
+    from kowari_spark.fsutil import write_bytes
+    from kowari_spark.operators.dedup import simhash_fingerprints
+
+    fp = simhash_fingerprints(df, text_col, id_col, bits).withColumn(
+        "block", F.shiftright(F.col("simhash"), bits - block_bits)
+    )
+    fp.write.mode("overwrite").partitionBy("block").parquet(path)
+    meta = {
+        "version": _SIMHASH_LAYOUT_VERSION,
+        "bits": bits,
+        "block_bits": block_bits,
+        "id_col": id_col,
+        "text_col": text_col,
+    }
+    write_bytes(
+        df.sparkSession, f"{path}/{_SIMHASH_META_NAME}",
+        json.dumps(meta).encode(),
+    )
+
+
+def load_simhash_layout(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, dict]:
+    """Open a built simhash layout: (fingerprints DataFrame, meta);
+    refuses sidecar-less or version-mismatched dirs."""
+    from kowari_spark.fsutil import exists, read_bytes
+
+    meta_path = f"{path}/{_SIMHASH_META_NAME}"
+    if not exists(spark, meta_path):
+        raise ValueError(
+            f"no {_SIMHASH_META_NAME} sidecar at {path}: not a simhash "
+            "layout built by build_simhash_layout()"
+        )
+    meta = json.loads(read_bytes(spark, meta_path).decode())
+    ver = meta.get("version")
+    if ver != _SIMHASH_LAYOUT_VERSION:
+        raise ValueError(
+            f"simhash layout at {path} was built by {ver!r}; this code "
+            f"joins {_SIMHASH_LAYOUT_VERSION!r} fingerprints — rebuild "
+            "the layout"
+        )
+    return spark.read.parquet(path), meta
+
+
+def simhash_dedup_against(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    max_hamming: int = 3,
+    broadcast_keys_max: int = _BROADCAST_KEYS_MAX,
+) -> DataFrame:
+    """VERIFIED near-dup pairs of a new batch against stored simhash
+    fingerprints: (new_id, hist_id, hamming) with Hamming distance
+    <= ``max_hamming``, computed entirely from stored state (no history
+    text needed — the fingerprint IS the verifier). The batch's
+    distinct block set is broadcast (bounded probe) to semi-join the
+    layout, and the layout is partitioned by block, so history reads
+    are PRUNED to the batch's own blocks; within a block the join emits
+    |new_block|·|hist_block| scored rows — the blocking that bounds it
+    is the same top-bits scheme ``simhash_near_pairs`` uses."""
+    hist, meta = load_simhash_layout(spark, path)
+    id_col = meta["id_col"]
+    bits, block_bits = meta["bits"], meta["block_bits"]
+    from kowari_spark.operators.dedup import simhash_fingerprints
+
+    fp_new = (
+        simhash_fingerprints(new_df, meta["text_col"], id_col, bits)
+        .withColumn(
+            "block", F.shiftright(F.col("simhash"), bits - block_bits)
+        )
+        .localCheckpoint(eager=False)
+    )
+    keys = fp_new.select("block").distinct()
+    if keys.limit(broadcast_keys_max + 1).count() <= broadcast_keys_max:
+        keys = F.broadcast(keys)
+    hits = hist.join(keys, ["block"], "left_semi").select(
+        "block", F.col(id_col).alias("hist_id"),
+        F.col("simhash").alias("sh_h"),
+    )
+    return (
+        fp_new.select(
+            "block", F.col(id_col).alias("new_id"),
+            F.col("simhash").alias("sh_n"),
+        )
+        .join(hits, "block")
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_n").bitwiseXOR(F.col("sh_h")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("new_id", "hist_id", "hamming")
+        .distinct()
+    )
+
+
+def simhash_filter_new_against(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    max_hamming: int = 3,
+    broadcast_keys_max: int = _BROADCAST_KEYS_MAX,
+) -> DataFrame:
+    """Keep filter over the verified simhash probe: rows of ``new_df``
+    with NO stored fingerprint within ``max_hamming``."""
+    _, meta = load_simhash_layout(spark, path)
+    id_col = meta["id_col"]
+    matched = (
+        simhash_dedup_against(
+            spark, path, new_df, max_hamming=max_hamming,
+            broadcast_keys_max=broadcast_keys_max,
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(matched, id_col, "left_anti")
+
+
+def append_simhash_layout(
+    spark: SparkSession, path: str, new_df: DataFrame
+) -> None:
+    """Fingerprint ``new_df`` under the layout's stored params and
+    append — the minhash append's verified sibling."""
+    _, meta = load_simhash_layout(spark, path)
+    from kowari_spark.operators.dedup import simhash_fingerprints
+
+    bits, block_bits = meta["bits"], meta["block_bits"]
+    fp = simhash_fingerprints(
+        new_df, meta["text_col"], meta["id_col"], bits
+    ).withColumn("block", F.shiftright(F.col("simhash"), bits - block_bits))
+    fp.write.mode("append").partitionBy("block").parquet(path)
 
 
 def append_minhash_layout(

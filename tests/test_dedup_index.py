@@ -185,3 +185,66 @@ def test_streaming_sink_matches_batch_append(spark, halves, tmp_path):
     n = grown.count()
     drain(str(tmp_path / "ck1"))  # replay: markers + offsets gate it
     assert load_minhash_layout(spark, path)[0].count() == n
+
+
+def test_simhash_incremental_verified_matches_batch(spark, halves, tmp_path):
+    """The simhash layout's probe is VERIFIED from stored state alone:
+    (new, hist, hamming) pairs == the cross-half slice of the batch
+    simhash_near_pairs join at the same bound."""
+    from kowari_spark.operators.dedup import simhash_near_pairs
+    from kowari_spark.operators.dedup_index import (
+        build_simhash_layout,
+        simhash_dedup_against,
+        simhash_filter_new_against,
+    )
+
+    hist, new = halves
+    path = str(tmp_path / "shsig")
+    build_simhash_layout(hist, path)
+    inc = {
+        (r["new_id"], r["hist_id"], r["hamming"])
+        for r in simhash_dedup_against(
+            spark, path, new, max_hamming=6
+        ).collect()
+    }
+    hist_ids = {r["doc_id"] for r in hist.select("doc_id").collect()}
+    full = simhash_near_pairs(
+        hist.unionByName(new), max_hamming=6, edges="pairs"
+    )
+    expect = set()
+    for r in full.collect():
+        a, b, hm = r["id_a"], r["id_b"], r["hamming"]
+        if (a in hist_ids) != (b in hist_ids):
+            expect.add((b, a, hm) if a in hist_ids else (a, b, hm))
+    assert inc == expect
+
+    kept = simhash_filter_new_against(spark, path, new, max_hamming=6)
+    matched = {a for a, _, _ in inc}
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} \
+        == new_ids - matched
+
+
+def test_simhash_layout_provenance_and_append(spark, halves, tmp_path):
+    from kowari_spark.operators.dedup_index import (
+        append_simhash_layout,
+        build_simhash_layout,
+        load_simhash_layout,
+    )
+
+    hist, new = halves
+    path = str(tmp_path / "shsig2")
+    build_simhash_layout(hist, path, bits=32, block_bits=8)
+    _, meta = load_simhash_layout(spark, path)
+    assert (meta["bits"], meta["block_bits"]) == (32, 8)
+    append_simhash_layout(spark, path, new)
+    grown, _ = load_simhash_layout(spark, path)
+    rebuilt = str(tmp_path / "shsig3")
+    build_simhash_layout(hist.unionByName(new), rebuilt)
+    rb, _ = load_simhash_layout(spark, rebuilt)
+    cols = ["doc_id", "simhash", "block"]
+    assert sorted(map(tuple, grown.select(*cols).collect())) == sorted(
+        map(tuple, rb.select(*cols).collect())
+    )
+    with pytest.raises(ValueError, match="not a simhash layout"):
+        load_simhash_layout(spark, str(tmp_path / "missing"))
