@@ -282,22 +282,31 @@ def load_simhash_layout(
     return spark.read.parquet(path), meta
 
 
+#: literal block-IN filters stay readable and plan-cheap below this
+#: many values; a batch touching more distinct blocks falls back to a
+#: broadcast semi-join (no static pruning, still no history shuffle)
+_BLOCK_ISIN_MAX = 4096
+
+
 def simhash_dedup_against(
     spark: SparkSession,
     path: str,
     new_df: DataFrame,
     max_hamming: int = 3,
-    broadcast_keys_max: int = _BROADCAST_KEYS_MAX,
 ) -> DataFrame:
     """VERIFIED near-dup pairs of a new batch against stored simhash
     fingerprints: (new_id, hist_id, hamming) with Hamming distance
     <= ``max_hamming``, computed entirely from stored state (no history
     text needed — the fingerprint IS the verifier). The batch's
-    distinct block set is broadcast (bounded probe) to semi-join the
-    layout, and the layout is partitioned by block, so history reads
-    are PRUNED to the batch's own blocks; within a block the join emits
-    |new_block|·|hist_block| scored rows — the blocking that bounds it
-    is the same top-bits scheme ``simhash_near_pairs`` uses."""
+    distinct block set is collected (BOUNDED by construction: at most
+    2^block_bits values, 256 at the default) into a literal IN filter,
+    so the history scan is STATICALLY partition-pruned to the batch's
+    own blocks (plan-gated in tests); batches touching more than
+    ``_BLOCK_ISIN_MAX`` blocks fall back to a broadcast semi-join —
+    pruning lost, history still never shuffled. Within a block the
+    join emits |new_block|·|hist_block| scored rows — the blocking
+    that bounds it is the same top-bits scheme ``simhash_near_pairs``
+    uses."""
     hist, meta = load_simhash_layout(spark, path)
     id_col = meta["id_col"]
     bits, block_bits = meta["bits"], meta["block_bits"]
@@ -310,10 +319,19 @@ def simhash_dedup_against(
         )
         .localCheckpoint(eager=False)
     )
-    keys = fp_new.select("block").distinct()
-    if keys.limit(broadcast_keys_max + 1).count() <= broadcast_keys_max:
-        keys = F.broadcast(keys)
-    hits = hist.join(keys, ["block"], "left_semi").select(
+    blocks = [
+        r["block"]
+        for r in fp_new.select("block").distinct()
+        .limit(_BLOCK_ISIN_MAX + 1).collect()
+    ]
+    if len(blocks) <= _BLOCK_ISIN_MAX:
+        pruned = hist.filter(F.col("block").isin(blocks))
+    else:
+        pruned = hist.join(
+            F.broadcast(fp_new.select("block").distinct()),
+            ["block"], "left_semi",
+        )
+    hits = pruned.select(
         "block", F.col(id_col).alias("hist_id"),
         F.col("simhash").alias("sh_h"),
     )
@@ -337,7 +355,6 @@ def simhash_filter_new_against(
     path: str,
     new_df: DataFrame,
     max_hamming: int = 3,
-    broadcast_keys_max: int = _BROADCAST_KEYS_MAX,
 ) -> DataFrame:
     """Keep filter over the verified simhash probe: rows of ``new_df``
     with NO stored fingerprint within ``max_hamming``."""
@@ -346,7 +363,6 @@ def simhash_filter_new_against(
     matched = (
         simhash_dedup_against(
             spark, path, new_df, max_hamming=max_hamming,
-            broadcast_keys_max=broadcast_keys_max,
         )
         .select(F.col("new_id").alias(id_col))
         .distinct()

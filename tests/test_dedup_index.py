@@ -248,3 +248,41 @@ def test_simhash_layout_provenance_and_append(spark, halves, tmp_path):
     )
     with pytest.raises(ValueError, match="not a simhash layout"):
         load_simhash_layout(spark, str(tmp_path / "missing"))
+
+
+def test_probe_plan_gates(spark, halves, tmp_path):
+    """Scale-shape plan gates: the minhash probe semi-joins history via
+    BROADCAST (history never shuffles for candidate pruning); the
+    simhash probe's history scan is STATICALLY partition-pruned to the
+    batch's blocks (literal IN over the bounded block space)."""
+    import re
+
+    from kowari_spark.operators.dedup_index import (
+        build_simhash_layout,
+        dedup_against,
+        simhash_dedup_against,
+    )
+
+    hist, new = halves
+    mh_path = str(tmp_path / "pg_mh")
+    build_minhash_layout(hist, mh_path)
+    plan = (
+        dedup_against(spark, mh_path, new, mode="reps")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    sh_path = str(tmp_path / "pg_sh")
+    build_simhash_layout(hist, sh_path)
+    plan2 = (
+        simhash_dedup_against(spark, sh_path, new, max_hamming=6)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the history scan's PartitionFilters must carry the block IN list
+    # (not just isnotnull) — that is the static pruning the layout's
+    # partitionBy(block) exists for
+    pf = re.findall(r"PartitionFilters: \[[^\]]*\]", plan2)
+    assert any(
+        ("block" in f) and (" IN " in f or "INSET" in f.upper())
+        for f in pf
+    ), pf
