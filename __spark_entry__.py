@@ -1766,7 +1766,7 @@ def _minhash_sig_layout(spark: SparkSession, sf_dir: str) -> str:
         stamp = f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         stamp = "na"
-    tag = hashlib.md5(f"{src}:{stamp}:mh16b4s42".encode()).hexdigest()[:12]
+    tag = hashlib.md5(f"{src}:{stamp}:mh16b4s42sig".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"kowari_mhsig_{tag}")
     # the sidecar is written LAST by build_minhash_layout — its
     # presence marks a complete build
@@ -1801,6 +1801,47 @@ SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
 FROM bands n JOIN bands h ON n.band = h.band AND n.bk = h.bk
 WHERE n.doc_id % 2 = 1 AND h.doc_id % 2 = 0
 ORDER BY new_id, hist_id
+"""
+
+
+def q_doc_dedup_against_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-VERIFIED incremental dedup (dedup_index.dedup_against
+    with verify_threshold): candidates from the stored-band join are
+    verified by minhash signature agreement — est_jaccard = matching
+    positions / num_hashes, the standard unbiased estimator E = J —
+    entirely from stored state, no history text. The oracle replays
+    the band join AND the per-position agreement sum over the sig CTE."""
+    from kowari_spark.operators.dedup_index import dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    path = _minhash_sig_layout(spark, sf_dir)
+    return dedup_against(
+        spark, path, new, mode="pairs", verify_threshold=0.8
+    ).orderBy("new_id", "hist_id")
+
+
+def _oracle_doc_dedup_against_verified() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN sa.sig[{i + 1}] = sb.sig[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"""
+WITH {_minhash_ctes()},
+cand2 AS (
+  SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS hist_id
+  FROM bands n JOIN bands h ON n.band = h.band AND n.bk = h.bk
+  WHERE n.doc_id % 2 = 1 AND h.doc_id % 2 = 0
+),
+scored AS (
+  SELECT c.new_id, c.hist_id,
+         ROUND(({agree}) / 16.0, 6) + 0.0 AS est_jaccard
+  FROM cand2 c
+  JOIN sig sa ON sa.doc_id = c.new_id
+  JOIN sig sb ON sb.doc_id = c.hist_id
+)
+SELECT new_id, hist_id, est_jaccard FROM scored
+WHERE est_jaccard >= 0.8 ORDER BY new_id, hist_id
 """
 
 
@@ -3361,6 +3402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_against": q_doc_dedup_against,
         "doc_incremental_keep": q_doc_incremental_keep,
         "doc_simhash_against": q_doc_simhash_against,
+        "doc_dedup_against_verified": q_doc_dedup_against_verified,
         # -- past round 8's 50-row window (last driver-green r7)
         "events_funnel": q_events_funnel,
         "doc_split_sample": q_doc_split_sample,
@@ -3465,6 +3507,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_against": _oracle_doc_dedup_against(),
         "doc_incremental_keep": _oracle_doc_incremental_keep(),
         "doc_simhash_against": _oracle_doc_simhash_against(),
+        "doc_dedup_against_verified": _oracle_doc_dedup_against_verified(),
         "doc_dup_clusters": _oracle_doc_dup_clusters(),
         "doc_dedup_keep": _oracle_doc_dedup_keep(),
         "doc_dedup_keep_star": _oracle_doc_dedup_keep_star(),

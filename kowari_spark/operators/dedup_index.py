@@ -66,16 +66,23 @@ def build_minhash_layout(
     bands: int = 4,
     shingle_n: int = 3,
     seed: int = 42,
+    store_sigs: bool = True,
 ) -> None:
     """Fingerprint ``df`` once and persist its banded signature relation
     as a ``partitionBy(band)`` layout with a versioned sidecar. The
-    layout stores ONLY (id, band, band_key) — ~``bands`` skinny rows
-    per document regardless of document size — so the 100 TB corpus's
-    dedup state is a small fraction of the corpus itself."""
+    layout stores (id, band, band_key) — ~``bands`` skinny rows per
+    document regardless of document size — so the 100 TB corpus's dedup
+    state is a small fraction of the corpus itself. ``store_sigs``
+    (default) also carries the full minhash vector per band row
+    (num_hashes longs): the price of ``dedup_against``'s
+    ``verify_threshold`` signature-agreement verification, which needs
+    no history text; pass False for the skinniest membership-only
+    layout."""
     from kowari_spark.fsutil import write_bytes
 
     banded = minhash_bands(
-        df, text_col, id_col, num_hashes, bands, shingle_n, seed
+        df, text_col, id_col, num_hashes, bands, shingle_n, seed,
+        with_sig=store_sigs,
     )
     banded.write.mode("overwrite").partitionBy("band").parquet(path)
     meta = {
@@ -86,6 +93,7 @@ def build_minhash_layout(
         "seed": seed,
         "id_col": id_col,
         "text_col": text_col,
+        "store_sigs": store_sigs,
     }
     write_bytes(
         df.sparkSession, f"{path}/{_META_NAME}", json.dumps(meta).encode()
@@ -119,7 +127,9 @@ def load_minhash_layout(
 def _new_bands(meta: dict, new_df: DataFrame) -> DataFrame:
     """The new batch's bands under the LAYOUT's params (never the
     caller's — a num_hashes/seed drift between build and probe is the
-    silent-recall-loss failure the sidecar exists to prevent)."""
+    silent-recall-loss failure the sidecar exists to prevent).
+    Signature columns ride along iff the layout stores them, so appends
+    and probes stay schema-identical to the stored relation."""
     return minhash_bands(
         new_df,
         text_col=meta["text_col"],
@@ -128,6 +138,7 @@ def _new_bands(meta: dict, new_df: DataFrame) -> DataFrame:
         bands=meta["bands"],
         shingle_n=meta["shingle_n"],
         seed=meta["seed"],
+        with_sig=bool(meta.get("store_sigs", False)),
     )
 
 
@@ -136,6 +147,7 @@ def dedup_against(
     path: str,
     new_df: DataFrame,
     mode: str = "reps",
+    verify_threshold: float | None = None,
     broadcast_keys_max: int = _BROADCAST_KEYS_MAX,
 ) -> DataFrame:
     """Near-dup candidates of a NEW batch against the STORED corpus
@@ -150,16 +162,28 @@ def dedup_against(
     keep/drop decision needs; ``mode="pairs"`` returns the complete
     collision list (the oracle-replayable contract shape).
 
-    Candidate-level semantics by design: the layout stores signatures,
-    not text, so there is no Jaccard verification here — with banding
-    tuned via ``operators.dedup.minhash_banding`` the band collision
-    itself is the (CCNet-style) dedup criterion. Callers that retain
-    history text can verify the returned pairs with
-    ``operators.dedup.jaccard_pairs``."""
+    ``verify_threshold`` adds signature-agreement verification from
+    STORED state (layouts built with ``store_sigs=True``, the
+    default): est_jaccard = (matching minhash positions)/num_hashes —
+    the unbiased standard estimator E[match] = J — and only pairs with
+    the rounded estimate >= threshold survive, with the estimate
+    returned as an ``est_jaccard`` column. No history text is touched;
+    exact-Jaccard verification (needs text) remains the caller's
+    option via ``operators.dedup.jaccard_pairs``. In reps mode the
+    bucket-min representative is what gets verified (the verified-star
+    trade). Without it, the band collision itself is the (CCNet-style)
+    dedup criterion — tune banding via
+    ``operators.dedup.minhash_banding``."""
     if mode not in ("reps", "pairs"):
         raise ValueError(f"mode must be 'reps' or 'pairs', got {mode!r}")
     hist, meta = load_minhash_layout(spark, path)
     id_col = meta["id_col"]
+    verify = verify_threshold is not None
+    if verify and not meta.get("store_sigs", False):
+        raise ValueError(
+            "verify_threshold needs stored signatures — this layout was "
+            "built with store_sigs=False; rebuild with store_sigs=True"
+        )
     # checkpoint: the batch's fingerprint subtree feeds the key probe,
     # the semi-join AND the final equi-join — compute it once
     bands_new = _new_bands(meta, new_df).localCheckpoint(eager=False)
@@ -167,17 +191,36 @@ def dedup_against(
     if keys.limit(broadcast_keys_max + 1).count() <= broadcast_keys_max:
         keys = F.broadcast(keys)
     hits = hist.join(keys, ["band", "band_key"], "left_semi")
+    sig_h = (
+        [F.min_by(F.col("sig"), F.col(id_col)).alias("sig_h")]
+        if verify else []
+    )
     if mode == "reps":
         hist_side = hits.groupBy("band", "band_key").agg(
-            F.min(id_col).alias("hist_id")
+            F.min(id_col).alias("hist_id"), *sig_h
         )
     else:
         hist_side = hits.select(
-            "band", "band_key", F.col(id_col).alias("hist_id")
+            "band", "band_key", F.col(id_col).alias("hist_id"),
+            *([F.col("sig").alias("sig_h")] if verify else []),
         )
+    joined = bands_new.join(hist_side, ["band", "band_key"])
+    if not verify:
+        return joined.select(
+            F.col(id_col).alias("new_id"), "hist_id"
+        ).distinct()
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig", "sig_h", lambda x, y: x == y),
+            lambda b: b,
+        )
+    )
+    est = (
+        F.round(agree / F.lit(int(meta["num_hashes"])), 6) + F.lit(0.0)
+    ).alias("est_jaccard")
     return (
-        bands_new.join(hist_side, ["band", "band_key"])
-        .select(F.col(id_col).alias("new_id"), "hist_id")
+        joined.select(F.col(id_col).alias("new_id"), "hist_id", est)
+        .filter(F.col("est_jaccard") >= F.lit(float(verify_threshold)))
         .distinct()
     )
 

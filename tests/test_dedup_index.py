@@ -286,3 +286,55 @@ def test_probe_plan_gates(spark, halves, tmp_path):
         ("block" in f) and (" IN " in f or "INSET" in f.upper())
         for f in pf
     ), pf
+
+
+def test_signature_verified_dedup_against(spark, halves, tmp_path):
+    """verify_threshold: est_jaccard = (matching minhash positions)/
+    num_hashes computed from STORED state matches a direct signature
+    comparison; only pairs at/above threshold survive; sig-less layouts
+    refuse verification."""
+    from kowari_spark.operators.dedup import minhash_signatures
+    from kowari_spark.operators.dedup_index import (
+        build_minhash_layout,
+        dedup_against,
+    )
+
+    hist, new = halves
+    path = str(tmp_path / "vsig")
+    build_minhash_layout(hist, path)  # store_sigs defaults True
+
+    got = {
+        (r["new_id"], r["hist_id"]): r["est_jaccard"]
+        for r in dedup_against(
+            spark, path, new, mode="pairs", verify_threshold=0.0
+        ).collect()
+    }
+    assert got, "fixture produced no candidate pairs"
+    # direct agreement from fresh signatures over the union
+    sigs = {
+        r["doc_id"]: [r[f"m{i}"] for i in range(16)]
+        for r in minhash_signatures(hist.unionByName(new)).collect()
+    }
+    for (a, b), est in got.items():
+        agree = sum(x == y for x, y in zip(sigs[a], sigs[b]))
+        assert est == round(agree / 16.0, 6) + 0.0, (a, b)
+    # thresholding prunes: strictly fewer rows at a bound above the min
+    lo = min(got.values())
+    if lo < 1.0:
+        t = lo + 1e-6
+        kept = dedup_against(
+            spark, path, new, mode="pairs", verify_threshold=t
+        ).count()
+        assert kept < len(got)
+    # reps mode verifies the bucket-min representative
+    reps = dedup_against(
+        spark, path, new, mode="reps", verify_threshold=0.0
+    )
+    assert "est_jaccard" in reps.columns and reps.count() > 0
+
+    skinny = str(tmp_path / "vsig_skinny")
+    build_minhash_layout(hist, skinny, store_sigs=False)
+    with pytest.raises(ValueError, match="store_sigs"):
+        dedup_against(spark, skinny, new, verify_threshold=0.5)
+    # unverified probe over the skinny layout unchanged
+    assert dedup_against(spark, skinny, new, mode="pairs").count() == len(got)
