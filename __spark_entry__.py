@@ -2158,6 +2158,76 @@ ORDER BY id_a, id_b
 """
 
 
+def _winnow_sig_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted winnowing-fingerprint layout over the
+    history half — the substring-robust member of the signature-layout
+    trio (minhash bands / simhash blocks / winnow fps)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kowari_spark.operators.dedup_index import build_winnow_layout
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "na"
+    tag = hashlib.md5(f"{src}:{stamp}:wk4w4".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kowari_wsig_{tag}")
+    if not os.path.exists(os.path.join(path, "_winnow_meta.json")):
+        docs = _t(spark, sf_dir, "documents")
+        build_winnow_layout(docs.filter(F.col("doc_id") % 2 == 0), path)
+    return path
+
+
+def q_doc_winnow_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-robust incremental dedup against stored winnowing
+    fingerprints (dedup_index.winnow_dedup_against): the odd-doc_id
+    batch fingerprints only itself and joins the even-doc_id history
+    layout — the shared-fingerprint count is the match evidence,
+    computed entirely from stored state. mode="pairs" so the oracle
+    replays the complete per-pair shared counts."""
+    from kowari_spark.operators.dedup_index import winnow_dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    path = _winnow_sig_layout(spark, sf_dir)
+    return winnow_dedup_against(
+        spark, path, new, min_shared=2, mode="pairs"
+    ).orderBy("new_id", "hist_id")
+
+
+def _oracle_doc_winnow_against() -> str:
+    h = _SQL_HASH64.format(s="s")
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) - 3 >= 1
+              THEN list_transform(range(1, len(toks) - 3 + 1),
+                                  i -> array_to_string(list_slice(toks, i, i + 3), ' '))
+              ELSE [array_to_string(toks, ' ')] END AS grams
+  FROM t),
+h AS (SELECT doc_id, list_transform(grams, s -> {h}) AS hashes FROM g),
+sel AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           list_transform(range(1, greatest(len(hashes) - 3, 1) + 1),
+                          j -> list_min(list_slice(hashes, j, j + 3))))) AS fps
+  FROM h),
+e AS (SELECT doc_id, unnest(fps) AS fp FROM sel)
+SELECT n.doc_id AS new_id, h2.doc_id AS hist_id,
+       CAST(COUNT(*) AS BIGINT) AS shared
+FROM e n JOIN e h2 ON n.fp = h2.fp
+WHERE n.doc_id % 2 = 1 AND h2.doc_id % 2 = 0
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+ORDER BY new_id, hist_id
+"""
+
+
 def q_doc_winnow_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing candidates in STAR mode (round-8 #1): edges only
     member↔fingerprint-bucket-min, with ``shared`` counting the
@@ -3403,6 +3473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_incremental_keep": q_doc_incremental_keep,
         "doc_simhash_against": q_doc_simhash_against,
         "doc_dedup_against_verified": q_doc_dedup_against_verified,
+        "doc_winnow_against": q_doc_winnow_against,
         # -- past round 8's 50-row window (last driver-green r7)
         "events_funnel": q_events_funnel,
         "doc_split_sample": q_doc_split_sample,
@@ -3508,6 +3579,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_incremental_keep": _oracle_doc_incremental_keep(),
         "doc_simhash_against": _oracle_doc_simhash_against(),
         "doc_dedup_against_verified": _oracle_doc_dedup_against_verified(),
+        "doc_winnow_against": _oracle_doc_winnow_against(),
         "doc_dup_clusters": _oracle_doc_dup_clusters(),
         "doc_dedup_keep": _oracle_doc_dedup_keep(),
         "doc_dedup_keep_star": _oracle_doc_dedup_keep_star(),

@@ -428,6 +428,168 @@ def append_simhash_layout(
     fp.write.mode("append").partitionBy("block").parquet(path)
 
 
+# -- winnowing variant ---------------------------------------------------
+#
+# The third signature family: winnowing fingerprints (MOSS) catch
+# documents sharing a long RUN of tokens — boilerplate, quoted
+# passages, templated text — that whole-document minhash dilutes and
+# simhash averages away. The shared-fingerprint count is computed
+# entirely from stored state (like simhash's Hamming), so the
+# incremental probe is verified-by-construction: ``shared`` IS the
+# match evidence, thresholded by ``min_shared`` exactly as
+# ``dedup.winnow_pairs`` does. Layout: (id, fp) distinct, partitioned
+# by ``fpb = pmod(fp, 64)`` — NOT for pruning (a batch's fingerprints
+# hash across all 64 buckets) but to give appends bounded compaction
+# units (``compact_bucketed_layout(partition_col="fpb")``).
+
+_WINNOW_META_NAME = "_winnow_meta.json"
+_WINNOW_LAYOUT_VERSION = "winnow-fps-v1"
+_WINNOW_FPB = 64
+
+
+def build_winnow_layout(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 4,
+) -> None:
+    """Fingerprint ``df`` once (winnowing: k-token grams, window-min
+    selection) and persist (id, fp) with a versioned params sidecar."""
+    from kowari_spark.fsutil import write_bytes
+    from kowari_spark.operators.dedup import winnow_fps
+
+    fps = winnow_fps(df, k, window, id_col, text_col).withColumn(
+        "fpb", F.pmod(F.col("fp"), F.lit(_WINNOW_FPB))
+    )
+    fps.write.mode("overwrite").partitionBy("fpb").parquet(path)
+    meta = {
+        "version": _WINNOW_LAYOUT_VERSION,
+        "k": k,
+        "window": window,
+        "id_col": id_col,
+        "text_col": text_col,
+    }
+    write_bytes(
+        df.sparkSession, f"{path}/{_WINNOW_META_NAME}",
+        json.dumps(meta).encode(),
+    )
+
+
+def load_winnow_layout(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, dict]:
+    """Open a built winnow layout: (fingerprints DataFrame, meta);
+    refuses sidecar-less or version-mismatched dirs."""
+    from kowari_spark.fsutil import exists, read_bytes
+
+    meta_path = f"{path}/{_WINNOW_META_NAME}"
+    if not exists(spark, meta_path):
+        raise ValueError(
+            f"no {_WINNOW_META_NAME} sidecar at {path}: not a winnow "
+            "layout built by build_winnow_layout()"
+        )
+    meta = json.loads(read_bytes(spark, meta_path).decode())
+    ver = meta.get("version")
+    if ver != _WINNOW_LAYOUT_VERSION:
+        raise ValueError(
+            f"winnow layout at {path} was built by {ver!r}; this code "
+            f"joins {_WINNOW_LAYOUT_VERSION!r} fingerprints — rebuild "
+            "the layout"
+        )
+    return spark.read.parquet(path), meta
+
+
+def _winnow_new_fps(meta: dict, new_df: DataFrame) -> DataFrame:
+    from kowari_spark.operators.dedup import winnow_fps
+
+    return winnow_fps(
+        new_df, meta["k"], meta["window"], meta["id_col"], meta["text_col"]
+    )
+
+
+def winnow_dedup_against(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    min_shared: int = 2,
+    mode: str = "reps",
+    broadcast_keys_max: int = _BROADCAST_KEYS_MAX,
+) -> DataFrame:
+    """Substring-robust incremental dedup: (new_id, hist_id, shared)
+    where the new document shares at least ``min_shared`` stored
+    winnowing fingerprints with the history document — verified from
+    stored state by construction (the shared count IS the evidence,
+    the same criterion as ``dedup.winnow_pairs``). The batch's
+    distinct fingerprint set is broadcast (bounded probe, shuffle
+    fallback) to semi-join the layout — history scanned, never
+    re-fingerprinted, never shuffled for candidate pruning.
+
+    ``mode="reps"`` (default) joins against the per-fingerprint MIN
+    history id only — O(batch fingerprints) join output even when one
+    boilerplate fingerprint occurs in 100k history docs; ``shared``
+    then counts fingerprints where THAT member co-occurs with THAT min
+    (a lower bound — the ``doc_winnow_star`` semantics, so
+    ``min_shared`` prunes at least as hard). ``mode="pairs"`` emits
+    the complete per-pair shared counts (O(|new_fp|·|hist_fp|) rows on
+    a hot fingerprint — the exact contract shape)."""
+    if mode not in ("reps", "pairs"):
+        raise ValueError(f"mode must be 'reps' or 'pairs', got {mode!r}")
+    hist, meta = load_winnow_layout(spark, path)
+    id_col = meta["id_col"]
+    fps_new = _winnow_new_fps(meta, new_df).localCheckpoint(eager=False)
+    keys = fps_new.select("fp").distinct()
+    if keys.limit(broadcast_keys_max + 1).count() <= broadcast_keys_max:
+        keys = F.broadcast(keys)
+    hits = hist.join(keys, ["fp"], "left_semi")
+    if mode == "reps":
+        hist_side = hits.groupBy("fp").agg(F.min(id_col).alias("hist_id"))
+    else:
+        hist_side = hits.select("fp", F.col(id_col).alias("hist_id"))
+    return (
+        fps_new.join(hist_side, "fp")
+        .groupBy(F.col(id_col).alias("new_id"), F.col("hist_id"))
+        .agg(F.count("*").cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
+def winnow_filter_new_against(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    min_shared: int = 2,
+    broadcast_keys_max: int = _BROADCAST_KEYS_MAX,
+) -> DataFrame:
+    """Keep filter over the winnow probe: rows of ``new_df`` sharing
+    fewer than ``min_shared`` stored fingerprints with EVERY history
+    representative (reps mode — the scale shape)."""
+    _, meta = load_winnow_layout(spark, path)
+    id_col = meta["id_col"]
+    matched = (
+        winnow_dedup_against(
+            spark, path, new_df, min_shared=min_shared, mode="reps",
+            broadcast_keys_max=broadcast_keys_max,
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(matched, id_col, "left_anti")
+
+
+def append_winnow_layout(
+    spark: SparkSession, path: str, new_df: DataFrame
+) -> None:
+    """Fingerprint ``new_df`` under the layout's stored params and
+    append its (id, fp) rows."""
+    _, meta = load_winnow_layout(spark, path)
+    fps = _winnow_new_fps(meta, new_df).withColumn(
+        "fpb", F.pmod(F.col("fp"), F.lit(_WINNOW_FPB))
+    )
+    fps.write.mode("append").partitionBy("fpb").parquet(path)
+
+
 def append_minhash_layout(
     spark: SparkSession, path: str, new_df: DataFrame
 ) -> None:

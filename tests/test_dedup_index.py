@@ -338,3 +338,86 @@ def test_signature_verified_dedup_against(spark, halves, tmp_path):
         dedup_against(spark, skinny, new, verify_threshold=0.5)
     # unverified probe over the skinny layout unchanged
     assert dedup_against(spark, skinny, new, mode="pairs").count() == len(got)
+
+
+def test_winnow_incremental_matches_batch(spark, halves, tmp_path):
+    """winnow_dedup_against(mode="pairs") == the cross-half slice of
+    batch winnow_pairs at the same (k, window, min_shared) — shared
+    counts included (verified-by-construction from stored state)."""
+    from kowari_spark.operators.dedup import winnow_pairs
+    from kowari_spark.operators.dedup_index import (
+        build_winnow_layout,
+        winnow_dedup_against,
+        winnow_filter_new_against,
+    )
+
+    hist, new = halves
+    path = str(tmp_path / "wsig")
+    build_winnow_layout(hist, path, k=4, window=4)
+    inc = {
+        (r["new_id"], r["hist_id"], r["shared"])
+        for r in winnow_dedup_against(
+            spark, path, new, min_shared=2, mode="pairs"
+        ).collect()
+    }
+    hist_ids = {r["doc_id"] for r in hist.select("doc_id").collect()}
+    full = winnow_pairs(
+        hist.unionByName(new), k=4, window=4, min_shared=2, edges="pairs"
+    )
+    expect = set()
+    for r in full.collect():
+        a, b, sh = r["id_a"], r["id_b"], r["shared"]
+        if (a in hist_ids) != (b in hist_ids):
+            expect.add((b, a, sh) if a in hist_ids else (a, b, sh))
+    assert inc == expect
+
+    # reps mode: member↔per-fp-min lower-bound semantics — every match
+    # is a subset of some pairs match's shared count
+    reps = winnow_dedup_against(spark, path, new, min_shared=1, mode="reps")
+    pair_lookup = {}
+    for a, b, sh in {
+        (r["new_id"], r["hist_id"], r["shared"])
+        for r in winnow_dedup_against(
+            spark, path, new, min_shared=1, mode="pairs"
+        ).collect()
+    }:
+        pair_lookup[(a, b)] = sh
+    for r in reps.collect():
+        key = (r["new_id"], r["hist_id"])
+        assert key in pair_lookup and r["shared"] <= pair_lookup[key]
+
+    kept = winnow_filter_new_against(spark, path, new, min_shared=2)
+    matched = {
+        r["new_id"]
+        for r in winnow_dedup_against(
+            spark, path, new, min_shared=2, mode="reps"
+        ).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} \
+        == new_ids - matched
+
+
+def test_winnow_layout_provenance_and_append(spark, halves, tmp_path):
+    from kowari_spark.operators.dedup_index import (
+        append_winnow_layout,
+        build_winnow_layout,
+        load_winnow_layout,
+    )
+
+    hist, new = halves
+    path = str(tmp_path / "wsig2")
+    build_winnow_layout(hist, path, k=5, window=3)
+    _, meta = load_winnow_layout(spark, path)
+    assert (meta["k"], meta["window"]) == (5, 3)
+    append_winnow_layout(spark, path, new)
+    grown, _ = load_winnow_layout(spark, path)
+    rebuilt = str(tmp_path / "wsig3")
+    build_winnow_layout(hist.unionByName(new), rebuilt, k=5, window=3)
+    rb, _ = load_winnow_layout(spark, rebuilt)
+    cols = ["doc_id", "fp", "fpb"]
+    assert sorted(map(tuple, grown.select(*cols).collect())) == sorted(
+        map(tuple, rb.select(*cols).collect())
+    )
+    with pytest.raises(ValueError, match="not a winnow layout"):
+        load_winnow_layout(spark, str(tmp_path / "missing"))
