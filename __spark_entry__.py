@@ -3053,6 +3053,65 @@ ORDER BY id_a, id_b
 """
 
 
+def _lsh_hist_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once SignLSH layout over the history half of embeddings
+    (even vec_ids) under the contract instance's planes — the stored
+    index the incremental vector-dedup row probes."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "na"
+    tag = hashlib.md5(
+        f"{src}:{stamp}:hist_p{_LSH.num_planes}:s{_LSH.seed}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kowari_lshhist_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        hist = _t(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 2 == 0
+        ).select("vec_id", "embedding")
+        _LSH.build(hist, path, vec_col="embedding")
+    return path
+
+
+def q_embedding_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental VECTOR near-dup against the stored SignLSH layout
+    (dedup_index.embedding_near_dups_against): the odd-vec_id batch
+    hashes only itself; its bounded bucket list statically prunes the
+    partitionBy(bucket) history layout, and the cosine verification
+    reads the STORED vectors — history never re-hashed, never shuffled.
+    mode="pairs" so the oracle replays the complete co-bucket join."""
+    from kowari_spark.operators.dedup_index import embedding_near_dups_against
+
+    base = _t(spark, sf_dir, "embeddings")
+    new = base.filter(F.col("vec_id") % 2 == 1)
+    path = _lsh_hist_layout(spark, sf_dir)
+    return embedding_near_dups_against(
+        spark, _LSH, path, new, threshold=0.3,
+        id_col="vec_id", round_to=6, mode="pairs",
+    ).orderBy("new_id", "hist_id")
+
+
+def _oracle_embedding_dedup_against() -> str:
+    cos = _COS.format(a="n.v", b="h.v")
+    return f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  {_bucket_sql('embedding::DOUBLE[]')} AS bucket
+           FROM embeddings)
+SELECT DISTINCT n.vec_id AS new_id, h.vec_id AS hist_id,
+       ROUND({cos}, 6) + 0.0 AS cos
+FROM b n JOIN b h ON n.bucket = h.bucket
+WHERE n.vec_id % 2 = 1 AND h.vec_id % 2 = 0
+  AND ROUND({cos}, 6) + 0.0 >= 0.3
+ORDER BY new_id, hist_id
+"""
+
+
 _NDLSH_PLANES, _NDLSH_TABLES = 8, 4  # 256 buckets/table: verify work is
 # bounded by bucket size, recall at near-dup thresholds comes from the
 # 4-table OR-construction
@@ -3474,6 +3533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_against": q_doc_simhash_against,
         "doc_dedup_against_verified": q_doc_dedup_against_verified,
         "doc_winnow_against": q_doc_winnow_against,
+        "embedding_dedup_against": q_embedding_dedup_against,
         # -- past round 8's 50-row window (last driver-green r7)
         "events_funnel": q_events_funnel,
         "doc_split_sample": q_doc_split_sample,
@@ -3580,6 +3640,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_against": _oracle_doc_simhash_against(),
         "doc_dedup_against_verified": _oracle_doc_dedup_against_verified(),
         "doc_winnow_against": _oracle_doc_winnow_against(),
+        "embedding_dedup_against": _oracle_embedding_dedup_against(),
         "doc_dup_clusters": _oracle_doc_dup_clusters(),
         "doc_dedup_keep": _oracle_doc_dedup_keep(),
         "doc_dedup_keep_star": _oracle_doc_dedup_keep_star(),

@@ -428,6 +428,124 @@ def append_simhash_layout(
     fp.write.mode("append").partitionBy("block").parquet(path)
 
 
+# -- embedding variant (stored SignLSH layout) ----------------------------
+#
+# The vector side already persists its index (SignLSH.build /
+# stream_into_lsh_layout: full rows partitionBy(bucket)) — the stored
+# layout holds the EMBEDDINGS, so incremental near-dup against it is
+# fully cosine-VERIFIED from stored state, and the partition layout
+# gives the probe real static pruning (bucket space bounded by
+# 2^num_planes, same bounded-literal-IN argument as the simhash
+# blocks).
+
+
+def embedding_near_dups_against(
+    spark: SparkSession,
+    lsh,
+    path: str,
+    new_df: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+    mode: str = "reps",
+) -> DataFrame:
+    """Cosine-verified near-dups of a NEW vector batch against a stored
+    ``SignLSH`` layout (``SignLSH.build`` / the streaming LSH sink):
+    (new_id, hist_id, cos) with cos >= ``threshold``. The batch hashes
+    only ITSELF under the instance's planes (the same instance that
+    built the layout — SignLSH layouts carry no sidecar; the caller
+    owns plane provenance exactly as ``SignLSH.load`` does); its
+    distinct buckets (bounded by 2^num_planes) become a literal IN
+    filter, so the history scan is statically partition-pruned to
+    matching bucket directories and verification reads the STORED
+    vectors — history is never re-hashed and never shuffled.
+
+    ``mode="reps"`` verifies each new vector against the bucket-min
+    history row only — O(batch) scored rows per bucket regardless of
+    history bucket size (the verified-star trade: a representative
+    outside the threshold can hide a member within it);
+    ``mode="pairs"`` scores every (new, hist) co-bucket pair (the
+    oracle-replayable contract shape)."""
+    from kowari_spark.functions.vector import magnitude
+    from kowari_spark.operators.dedup import _pair_cosine
+    from kowari_spark.operators.lsh import SignLSH
+
+    if not isinstance(lsh, SignLSH):
+        raise TypeError(
+            f"lsh must be a SignLSH (the bucket-partitioned layout "
+            f"family), got {type(lsh).__name__}"
+        )
+    if mode not in ("reps", "pairs"):
+        raise ValueError(f"mode must be 'reps' or 'pairs', got {mode!r}")
+    hist = lsh.load(spark, path)
+    bn = lsh.with_buckets(
+        new_df.select(id_col, vec_col), vec_col
+    ).localCheckpoint(eager=False)
+    buckets = [
+        r["bucket"]
+        for r in bn.select("bucket").distinct()
+        .limit(_BLOCK_ISIN_MAX + 1).collect()
+    ]
+    if len(buckets) <= _BLOCK_ISIN_MAX:
+        pruned = hist.filter(F.col("bucket").isin(buckets))
+    else:
+        pruned = hist.join(
+            F.broadcast(bn.select("bucket").distinct()),
+            ["bucket"], "left_semi",
+        )
+    if mode == "reps":
+        hside = pruned.groupBy("bucket").agg(
+            F.min(id_col).alias("hist_id"),
+            F.min_by(F.col(vec_col), F.col(id_col)).alias("vb"),
+        )
+    else:
+        hside = pruned.select(
+            "bucket", F.col(id_col).alias("hist_id"),
+            F.col(vec_col).alias("vb"),
+        )
+    hside = hside.withColumn("nb", magnitude(F.col("vb")))
+    nn = bn.select(
+        "bucket", F.col(id_col).alias("new_id"),
+        F.col(vec_col).alias("va"),
+        magnitude(F.col(vec_col)).alias("na"),
+    )
+    cos = _pair_cosine()
+    if round_to is not None:
+        cos = F.round(cos, round_to) + F.lit(0.0)
+    return (
+        nn.join(hside, "bucket")
+        .select("new_id", "hist_id", cos.alias("cos"))
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+        .distinct()
+    )
+
+
+def embedding_filter_new_against(
+    spark: SparkSession,
+    lsh,
+    path: str,
+    new_df: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Keep filter over the stored-layout probe: rows of ``new_df``
+    whose vector is within ``threshold`` of NO bucket representative
+    (reps mode — the scale shape)."""
+    matched = (
+        embedding_near_dups_against(
+            spark, lsh, path, new_df, threshold,
+            id_col=id_col, vec_col=vec_col, round_to=round_to,
+            mode="reps",
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(matched, id_col, "left_anti")
+
+
 # -- winnowing variant ---------------------------------------------------
 #
 # The third signature family: winnowing fingerprints (MOSS) catch

@@ -421,3 +421,73 @@ def test_winnow_layout_provenance_and_append(spark, halves, tmp_path):
     )
     with pytest.raises(ValueError, match="not a winnow layout"):
         load_winnow_layout(spark, str(tmp_path / "missing"))
+
+
+def test_embedding_near_dups_against_stored_layout(spark, embeddings, tmp_path):
+    """Incremental vector near-dup against a stored SignLSH layout:
+    pairs mode == the cross-half co-bucket slice of the batch LSH
+    near-dup join (cosine verified from STORED vectors); the history
+    scan is partition-pruned to the batch's buckets (plan gate)."""
+    import re
+
+    from kowari_spark.operators.dedup import embedding_near_dups_lsh
+    from kowari_spark.operators.dedup_index import (
+        embedding_filter_new_against,
+        embedding_near_dups_against,
+    )
+    from kowari_spark.operators.lsh import SignLSH
+
+    base = embeddings.select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).limit(300).cache()
+    hist = base.filter(F.col("id") % 2 == 0).cache()
+    new = base.filter(F.col("id") % 2 == 1).cache()
+    lsh = SignLSH(dim=64, num_planes=4, seed=7)
+    path = str(tmp_path / "lsh_hist")
+    lsh.build(hist, path)
+
+    inc = {
+        (r["new_id"], r["hist_id"], r["cos"])
+        for r in embedding_near_dups_against(
+            spark, lsh, path, new, threshold=0.3, round_to=6,
+            mode="pairs",
+        ).collect()
+    }
+    # batch ground truth: single-table sign LSH over the union at the
+    # SAME planes, cross-half slice
+    full = embedding_near_dups_lsh(
+        base, threshold=0.3, num_planes=4, num_tables=1, seed=7,
+        round_to=6, dim=64, edges="pairs",
+    )
+    hist_ids = {r["id"] for r in hist.select("id").collect()}
+    expect = set()
+    for r in full.collect():
+        a, b, c = r["id_a"], r["id_b"], r["cos"]
+        if (a in hist_ids) != (b in hist_ids):
+            expect.add((b, a, c) if a in hist_ids else (a, b, c))
+    assert inc == expect
+    assert inc, "fixture produced no verified matches"
+
+    # plan gate: bucket IN list reaches PartitionFilters
+    plan = (
+        embedding_near_dups_against(
+            spark, lsh, path, new, threshold=0.3, mode="pairs"
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    pf = re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert any(
+        "bucket" in f and (" IN " in f or "INSET" in f.upper()) for f in pf
+    ), pf
+
+    # reps-mode keep filter: matched ids are a subset of pairs-mode's
+    kept = embedding_filter_new_against(
+        spark, lsh, path, new, threshold=0.3, round_to=6
+    )
+    kept_ids = {r["id"] for r in kept.select("id").collect()}
+    pairs_matched = {a for a, _, _ in inc}
+    new_ids = {r["id"] for r in new.select("id").collect()}
+    assert new_ids - pairs_matched <= kept_ids  # reps matches ⊆ pairs matches
+    assert kept_ids <= new_ids
+
+    with pytest.raises(TypeError, match="SignLSH"):
+        embedding_near_dups_against(spark, object(), path, new, 0.3)
