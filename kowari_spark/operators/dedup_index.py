@@ -466,15 +466,25 @@ def embedding_near_dups_against(
     history bucket size (the verified-star trade: a representative
     outside the threshold can hide a member within it);
     ``mode="pairs"`` scores every (new, hist) co-bucket pair (the
-    oracle-replayable contract shape)."""
+    oracle-replayable contract shape).
+
+    ``MultiSignLSH`` layouts (partitionBy(__tbl, bucket), the
+    OR-construction recall config) work identically — pruning becomes
+    per-table IN lists over the (table, bucket) tuples, and a pair
+    colliding in several tables is scored per collision then collapsed
+    by the final distinct (identical cos each time)."""
     from kowari_spark.functions.vector import magnitude
     from kowari_spark.operators.dedup import _pair_cosine
-    from kowari_spark.operators.lsh import SignLSH
+    from kowari_spark.operators.lsh import MultiSignLSH, SignLSH
 
-    if not isinstance(lsh, SignLSH):
+    if isinstance(lsh, MultiSignLSH):
+        bucket_cols = ["__tbl", "bucket"]
+    elif isinstance(lsh, SignLSH):
+        bucket_cols = ["bucket"]
+    else:
         raise TypeError(
-            f"lsh must be a SignLSH (the bucket-partitioned layout "
-            f"family), got {type(lsh).__name__}"
+            f"lsh must be a SignLSH or MultiSignLSH (the bucket-"
+            f"partitioned layout families), got {type(lsh).__name__}"
         )
     if mode not in ("reps", "pairs"):
         raise ValueError(f"mode must be 'reps' or 'pairs', got {mode!r}")
@@ -482,31 +492,43 @@ def embedding_near_dups_against(
     bn = lsh.with_buckets(
         new_df.select(id_col, vec_col), vec_col
     ).localCheckpoint(eager=False)
-    buckets = [
-        r["bucket"]
-        for r in bn.select("bucket").distinct()
+    keys = [
+        tuple(r)
+        for r in bn.select(*bucket_cols).distinct()
         .limit(_BLOCK_ISIN_MAX + 1).collect()
     ]
-    if len(buckets) <= _BLOCK_ISIN_MAX:
-        pruned = hist.filter(F.col("bucket").isin(buckets))
+    if len(keys) <= _BLOCK_ISIN_MAX:
+        if len(bucket_cols) == 1:
+            pred = F.col("bucket").isin([k[0] for k in keys])
+        else:
+            by_tbl: dict = {}
+            for t, b in keys:
+                by_tbl.setdefault(t, []).append(b)
+            pred = None
+            for t in sorted(by_tbl):
+                term = (F.col("__tbl") == t) & F.col("bucket").isin(
+                    by_tbl[t]
+                )
+                pred = term if pred is None else (pred | term)
+        pruned = hist.filter(pred)
     else:
         pruned = hist.join(
-            F.broadcast(bn.select("bucket").distinct()),
-            ["bucket"], "left_semi",
+            F.broadcast(bn.select(*bucket_cols).distinct()),
+            bucket_cols, "left_semi",
         )
     if mode == "reps":
-        hside = pruned.groupBy("bucket").agg(
+        hside = pruned.groupBy(*bucket_cols).agg(
             F.min(id_col).alias("hist_id"),
             F.min_by(F.col(vec_col), F.col(id_col)).alias("vb"),
         )
     else:
         hside = pruned.select(
-            "bucket", F.col(id_col).alias("hist_id"),
+            *bucket_cols, F.col(id_col).alias("hist_id"),
             F.col(vec_col).alias("vb"),
         )
     hside = hside.withColumn("nb", magnitude(F.col("vb")))
     nn = bn.select(
-        "bucket", F.col(id_col).alias("new_id"),
+        *bucket_cols, F.col(id_col).alias("new_id"),
         F.col(vec_col).alias("va"),
         magnitude(F.col(vec_col)).alias("na"),
     )
@@ -514,7 +536,7 @@ def embedding_near_dups_against(
     if round_to is not None:
         cos = F.round(cos, round_to) + F.lit(0.0)
     return (
-        nn.join(hside, "bucket")
+        nn.join(hside, bucket_cols)
         .select("new_id", "hist_id", cos.alias("cos"))
         .filter(F.col("cos") >= F.lit(float(threshold)))
         .distinct()

@@ -491,3 +491,45 @@ def test_embedding_near_dups_against_stored_layout(spark, embeddings, tmp_path):
 
     with pytest.raises(TypeError, match="SignLSH"):
         embedding_near_dups_against(spark, object(), path, new, 0.3)
+
+
+def test_embedding_against_multitable_layout(spark, embeddings, tmp_path):
+    """The MultiSignLSH (OR-construction) layout probes identically:
+    pairs == the cross-half slice of the multi-table batch join, and
+    the per-table IN predicate reaches PartitionFilters."""
+    import re
+
+    from kowari_spark.operators.dedup import embedding_near_dups_lsh
+    from kowari_spark.operators.dedup_index import embedding_near_dups_against
+    from kowari_spark.operators.lsh import MultiSignLSH
+
+    base = embeddings.select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).limit(300).cache()
+    hist = base.filter(F.col("id") % 2 == 0).cache()
+    new = base.filter(F.col("id") % 2 == 1).cache()
+    ml = MultiSignLSH(dim=64, num_planes=4, num_tables=3, seed=7)
+    path = str(tmp_path / "mlsh_hist")
+    ml.build(hist, path)
+
+    res = embedding_near_dups_against(
+        spark, ml, path, new, threshold=0.3, round_to=6, mode="pairs"
+    )
+    inc = {(r["new_id"], r["hist_id"], r["cos"]) for r in res.collect()}
+    full = embedding_near_dups_lsh(
+        base, threshold=0.3, num_planes=4, num_tables=3, seed=7,
+        round_to=6, dim=64, edges="pairs",
+    )
+    hist_ids = {r["id"] for r in hist.select("id").collect()}
+    expect = set()
+    for r in full.collect():
+        a, b, c = r["id_a"], r["id_b"], r["cos"]
+        if (a in hist_ids) != (b in hist_ids):
+            expect.add((b, a, c) if a in hist_ids else (a, b, c))
+    assert inc == expect and inc
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert any(
+        "__tbl" in f and (" IN " in f or "INSET" in f.upper()) for f in pf
+    ), pf
