@@ -533,3 +533,40 @@ def test_embedding_against_multitable_layout(spark, embeddings, tmp_path):
     assert any(
         "__tbl" in f and (" IN " in f or "INSET" in f.upper()) for f in pf
     ), pf
+
+
+def test_compact_minhash_layout_bounds_files(spark, halves, tmp_path):
+    """Streamed micro-batch appends leave one small file per band per
+    batch; compact_bucketed_layout(partition_col="band") bounds them
+    with NO data change — the maintenance claim in the module header,
+    exercised."""
+    from kowari_spark.fsutil import count_data_files, list_dirs
+    from kowari_spark.operators.dedup_index import load_minhash_layout
+    from kowari_spark.streaming.ingest import compact_bucketed_layout
+
+    hist, new = halves
+    path = str(tmp_path / "sig_compact")
+    build_minhash_layout(hist, path)
+    # several small appends -> file buildup per band dir
+    for i in range(1, 5):
+        append_minhash_layout(
+            spark, path, new.filter(F.col("doc_id") % 8 == i)
+        )
+    bands_dirs = [d for d in list_dirs(spark, path) if d.startswith("band=")]
+    assert any(count_data_files(spark, f"{path}/{d}") > 2 for d in bands_dirs)
+    before, _ = load_minhash_layout(spark, path)
+    rows_before = sorted(
+        map(tuple, before.select("doc_id", "band", "band_key").collect())
+    )
+    rewritten = compact_bucketed_layout(
+        spark, path, partition_col="band", max_files=2, target_files=1
+    )
+    assert rewritten
+    assert all(
+        count_data_files(spark, f"{path}/{d}") <= 2 for d in bands_dirs
+    )
+    after, meta = load_minhash_layout(spark, path)  # sidecar survived
+    assert meta["version"]
+    assert sorted(
+        map(tuple, after.select("doc_id", "band", "band_key").collect())
+    ) == rows_before

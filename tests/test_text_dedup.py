@@ -630,3 +630,36 @@ def test_auto_edges_default_matches_pairs_on_small_corpus(docs):
         auto = sorted(map(tuple, fn(docs, **kw).collect()))
         pinned = sorted(map(tuple, fn(docs, edges="pairs", **kw).collect()))
         assert auto == pinned, fn.__name__
+
+
+def test_auto_edges_hot_family_goes_star_end_to_end(spark, docs):
+    """A planted duplicate family above the auto threshold flips the
+    default candidate mode to star END TO END: candidate rows stay
+    linear in family size (pairs would emit ~bands·F²/2 rows) and the
+    family still collapses to one component."""
+    from kowari_spark.operators.dedup import (
+        _AUTO_STAR_BUCKET,
+        dedup_clusters,
+        minhash_band_pairs,
+    )
+
+    fs = _AUTO_STAR_BUCKET + 200
+    fam = spark.range(fs).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.lit("planted boilerplate family sharing one long token run "
+              "across every member").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(fam)
+    cand = minhash_band_pairs(corpus)  # edges defaults to "auto"
+    n = cand.count()
+    # star: <= F + small-corpus candidates; pairs would be ~bands*F²/2
+    assert n < 3 * fs, n
+    fam_edges = cand.filter(
+        (F.col("id_a") >= 10_000_000) & (F.col("id_b") >= 10_000_000)
+    )
+    # star shape within the family: one hub (the min id)
+    assert fam_edges.select("id_a").distinct().count() == 1
+    cc = dedup_clusters(cand)
+    fam_cc = cc.filter(F.col("id") >= 10_000_000)
+    assert fam_cc.select("cluster_id").distinct().count() == 1
+    assert fam_cc.count() == fs
