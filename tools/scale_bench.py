@@ -587,6 +587,38 @@ def _run_suite(
                 spark, sig_path, batch, mode="reps").count())
             rec("dedup_against_x1", s, r)
 
+    if want("emb_sig_build") or want("emb_against"):
+        # incremental VECTOR dedup vs a stored SignLSH layout
+        # (dedup_index.embedding_near_dups_against): build the
+        # bucket-partitioned history layout once, then probe an
+        # x1-sized batch — cosine verification reads STORED vectors,
+        # the batch's bounded bucket list statically prunes history.
+        from kowari_spark.operators.dedup_index import (
+            embedding_near_dups_against,
+        )
+        from kowari_spark.operators.lsh import SignLSH
+
+        n_emb = emb.count()
+        lsh = SignLSH(dim=64, num_planes=8, seed=42)
+        lpath = os.path.join(SCALE_DIR, f"x{mult}", "lsh_sig")
+        built = os.path.exists(os.path.join(lpath, "_SUCCESS"))
+        if want("emb_sig_build") or not built:
+            s, r = timed(lambda: (
+                lsh.build(emb.select("vec_id", "embedding"), lpath),
+                n_emb)[1])
+            if want("emb_sig_build"):
+                rec("emb_sig_build", s, r)
+        if want("emb_against"):
+            n_base = max(1, n_emb // mult)
+            batch = emb.filter(F.col("vec_id") < n_base).select(
+                (F.col("vec_id") + 10**12).alias("vec_id"), "embedding"
+            )
+            s, r = timed(lambda: embedding_near_dups_against(
+                spark, lsh, lpath, batch, threshold=0.5,
+                id_col="vec_id", mode="reps",
+            ).count())
+            rec("emb_against_x1", s, r)
+
     if want("planted_family"):
         # VERDICT r8 #1 evidence: ONE planted duplicate family of F
         # members lands in ONE (band, band_key) bucket per band — the
