@@ -420,36 +420,28 @@ def stream_into_quantized_layout(
     )
 
 
-def stream_into_minhash_layout(
+def _stream_into_signature_layout(
     stream_df: DataFrame,
     path: str,
     checkpoint_dir: str,
-    trigger_available_now: bool = True,
-    compaction_wait_secs: float = 60.0,
+    load_fn,
+    rows_fn,
+    partition_col: str,
+    trigger_available_now: bool,
+    compaction_wait_secs: float,
 ):
-    """Maintain a persisted text-dedup signature layout
-    (operators/dedup_index.py) from a document stream: each micro-batch
-    is fingerprinted under the LAYOUT's stored params (never the
-    caller's — the sidecar is the single source of signature truth) and
-    its bands appended into ``partitionBy(band)`` parquet, so the next
-    ``dedup_against`` probe sees the batch as history the moment it
-    commits. Same idempotence-marker exactly-once pattern and
-    cooperative compaction lock as the LSH layout sink; the layout must
-    already exist (``build_minhash_layout`` bootstraps it — a sink that
-    invents params would break the provenance rule)."""
+    """Shared signature-layout sink body: validate the sidecar and pin
+    its params at START (never per batch — a layout rebuilt mid-stream
+    under different params must not be silently appended to with stale
+    arithmetic; a restarted stream re-validates here), fingerprint each
+    micro-batch under THOSE params, append partitioned, commit an
+    idempotence marker. Same exactly-once pattern and cooperative
+    compaction lock as the LSH layout sink."""
     import hashlib
 
     from kowari_spark import fsutil
-    from kowari_spark.operators.dedup_index import (
-        _new_bands,
-        load_minhash_layout,
-    )
 
-    # validate version + pin params at START, not per batch: a layout
-    # rebuilt mid-stream under different params must not be silently
-    # appended to with stale arithmetic — the marker dir also changes
-    # with the checkpoint, so a restarted stream re-validates here
-    _, meta = load_minhash_layout(stream_df.sparkSession, path)
+    _, meta = load_fn(stream_df.sparkSession, path)
     ck_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -459,8 +451,8 @@ def stream_into_minhash_layout(
             return
         _wait_not_compacting(spark, path, compaction_wait_secs)
         if not batch_df.isEmpty():
-            _new_bands(meta, batch_df).write.mode("append").partitionBy(
-                "band"
+            rows_fn(meta, batch_df).write.mode("append").partitionBy(
+                partition_col
             ).parquet(path)
         fsutil.create_marker(spark, marker)
 
@@ -470,6 +462,87 @@ def stream_into_minhash_layout(
         .outputMode("append")
         .trigger(availableNow=trigger_available_now)
         .start()
+    )
+
+
+def stream_into_minhash_layout(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    compaction_wait_secs: float = 60.0,
+):
+    """Maintain a persisted minhash signature layout
+    (operators/dedup_index.py) from a document stream: each micro-batch
+    is fingerprinted under the LAYOUT's stored params (never the
+    caller's — the sidecar is the single source of signature truth) and
+    its bands appended into ``partitionBy(band)`` parquet, so the next
+    ``dedup_against`` probe sees the batch as history the moment it
+    commits. The layout must already exist (``build_minhash_layout``
+    bootstraps it — a sink that invents params would break the
+    provenance rule)."""
+    from kowari_spark.operators.dedup_index import (
+        _new_bands,
+        load_minhash_layout,
+    )
+
+    return _stream_into_signature_layout(
+        stream_df, path, checkpoint_dir, load_minhash_layout, _new_bands,
+        "band", trigger_available_now, compaction_wait_secs,
+    )
+
+
+def stream_into_simhash_layout(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    compaction_wait_secs: float = 60.0,
+):
+    """The simhash layout's streaming sink — fingerprints each
+    micro-batch under the sidecar's (bits, block_bits) and appends into
+    ``partitionBy(block)``; ``simhash_dedup_against`` then
+    Hamming-verifies new batches against the streamed history."""
+    from kowari_spark.operators.dedup_index import load_simhash_layout
+
+    def rows(meta, batch_df):
+        from kowari_spark.operators.dedup import simhash_fingerprints
+
+        bits, bb = meta["bits"], meta["block_bits"]
+        return simhash_fingerprints(
+            batch_df, meta["text_col"], meta["id_col"], bits
+        ).withColumn("block", F.shiftright(F.col("simhash"), bits - bb))
+
+    return _stream_into_signature_layout(
+        stream_df, path, checkpoint_dir, load_simhash_layout, rows,
+        "block", trigger_available_now, compaction_wait_secs,
+    )
+
+
+def stream_into_winnow_layout(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    compaction_wait_secs: float = 60.0,
+):
+    """The winnow layout's streaming sink — fingerprints each
+    micro-batch under the sidecar's (k, window) and appends into
+    ``partitionBy(fpb)``."""
+    from kowari_spark.operators.dedup_index import (
+        _WINNOW_FPB,
+        _winnow_new_fps,
+        load_winnow_layout,
+    )
+
+    def rows(meta, batch_df):
+        return _winnow_new_fps(meta, batch_df).withColumn(
+            "fpb", F.pmod(F.col("fp"), F.lit(_WINNOW_FPB))
+        )
+
+    return _stream_into_signature_layout(
+        stream_df, path, checkpoint_dir, load_winnow_layout, rows,
+        "fpb", trigger_available_now, compaction_wait_secs,
     )
 
 

@@ -570,3 +570,52 @@ def test_compact_minhash_layout_bounds_files(spark, halves, tmp_path):
     assert sorted(
         map(tuple, after.select("doc_id", "band", "band_key").collect())
     ) == rows_before
+
+
+def test_simhash_and_winnow_streaming_sinks(spark, halves, tmp_path):
+    """The simhash/winnow layout sinks mirror the minhash one: drained
+    streams leave exactly the rows a batch rebuild over the union would
+    hold, and re-draining is a no-op."""
+    from kowari_spark.operators.dedup_index import (
+        build_simhash_layout,
+        build_winnow_layout,
+        load_simhash_layout,
+        load_winnow_layout,
+    )
+    from kowari_spark.streaming.ingest import (
+        stream_into_simhash_layout,
+        stream_into_winnow_layout,
+    )
+
+    hist, new = halves
+    src = str(tmp_path / "src")
+    new.select("doc_id", "text").repartition(2).write.parquet(src)
+    schema = new.select("doc_id", "text").schema
+
+    for name, build, load, sink, cols in (
+        ("sh", build_simhash_layout, load_simhash_layout,
+         stream_into_simhash_layout, ["doc_id", "simhash", "block"]),
+        ("wn", build_winnow_layout, load_winnow_layout,
+         stream_into_winnow_layout, ["doc_id", "fp", "fpb"]),
+    ):
+        path = str(tmp_path / f"{name}_stream")
+        build(hist, path)
+        q = sink(
+            spark.readStream.schema(schema).parquet(src),
+            path, str(tmp_path / f"ck_{name}"),
+        )
+        q.awaitTermination(120)
+        grown, _ = load(spark, path)
+        rebuilt = str(tmp_path / f"{name}_all")
+        build(hist.unionByName(new), rebuilt)
+        rb, _ = load(spark, rebuilt)
+        assert sorted(map(tuple, grown.select(*cols).collect())) == sorted(
+            map(tuple, rb.select(*cols).collect())
+        ), name
+        n = grown.count()
+        q = sink(
+            spark.readStream.schema(schema).parquet(src),
+            path, str(tmp_path / f"ck_{name}"),
+        )
+        q.awaitTermination(120)
+        assert load(spark, path)[0].count() == n, name
