@@ -43,6 +43,13 @@ def bench_queries(spark, sf_dir, scratch):
     # composed IVF×PQ layout (cells + codes, partitionBy(list_id));
     # runs after its two parents so this line times the composition
     out["ivfpq_build"] = lambda: entrymod._ivfpq_index(spark, sf_dir)
+    # signature-layout builds (dedup_index): timed on their own lines so
+    # the *_against contract rows below measure the PROBE, the
+    # build-once/probe-many split the index rows already use
+    out["mh_sig_build"] = lambda: entrymod._minhash_sig_layout(spark, sf_dir)
+    out["sh_sig_build"] = lambda: entrymod._simhash_sig_layout(spark, sf_dir)
+    out["wn_sig_build"] = lambda: entrymod._winnow_sig_layout(spark, sf_dir)
+    out["lsh_hist_build"] = lambda: entrymod._lsh_hist_layout(spark, sf_dir)
     for name, fn in entrymod.queries().items():
         out[name] = (lambda f=fn: f(spark, sf_dir).toPandas())
 
