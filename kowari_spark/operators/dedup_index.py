@@ -468,23 +468,27 @@ def embedding_near_dups_against(
     ``mode="pairs"`` scores every (new, hist) co-bucket pair (the
     oracle-replayable contract shape).
 
-    ``MultiSignLSH`` layouts (partitionBy(__tbl, bucket), the
-    OR-construction recall config) work identically — pruning becomes
-    per-table IN lists over the (table, bucket) tuples, and a pair
-    colliding in several tables is scored per collision then collapsed
-    by the final distinct (identical cos each time)."""
+    ``MultiSignLSH`` and ``CrossPolytopeLSH`` layouts
+    (partitionBy(__tbl, bucket), the OR-construction recall configs)
+    work identically — pruning becomes per-table IN lists over the
+    (table, bucket) tuples, and a pair colliding in several tables is
+    scored per collision then collapsed by the final distinct
+    (identical cos each time). CP-LSH additionally gets its params
+    sidecar validated by its own ``load``."""
     from kowari_spark.functions.vector import magnitude
+    from kowari_spark.operators.cplsh import CrossPolytopeLSH
     from kowari_spark.operators.dedup import _pair_cosine
     from kowari_spark.operators.lsh import MultiSignLSH, SignLSH
 
-    if isinstance(lsh, MultiSignLSH):
+    if isinstance(lsh, (MultiSignLSH, CrossPolytopeLSH)):
         bucket_cols = ["__tbl", "bucket"]
     elif isinstance(lsh, SignLSH):
         bucket_cols = ["bucket"]
     else:
         raise TypeError(
-            f"lsh must be a SignLSH or MultiSignLSH (the bucket-"
-            f"partitioned layout families), got {type(lsh).__name__}"
+            f"lsh must be a SignLSH, MultiSignLSH or CrossPolytopeLSH "
+            f"(the bucket-partitioned layout families), got "
+            f"{type(lsh).__name__}"
         )
     if mode not in ("reps", "pairs"):
         raise ValueError(f"mode must be 'reps' or 'pairs', got {mode!r}")

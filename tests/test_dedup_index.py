@@ -619,3 +619,40 @@ def test_simhash_and_winnow_streaming_sinks(spark, halves, tmp_path):
         )
         q.awaitTermination(120)
         assert load(spark, path)[0].count() == n, name
+
+
+def test_embedding_against_cplsh_layout(spark, embeddings, tmp_path):
+    """CrossPolytopeLSH layouts (same (__tbl, bucket) shape) probe
+    through the same code path, with CP's own sidecar validation."""
+    from kowari_spark.operators.cplsh import CrossPolytopeLSH
+    from kowari_spark.operators.dedup_index import embedding_near_dups_against
+    from kowari_spark.functions.vector import cosine_similarity
+
+    base = embeddings.select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).limit(200).cache()
+    hist = base.filter(F.col("id") % 2 == 0).cache()
+    new = base.filter(F.col("id") % 2 == 1).cache()
+    cp = CrossPolytopeLSH(dim=64, num_tables=8, seed=100)
+    path = str(tmp_path / "cp_hist")
+    cp.build(hist, path)
+    res = embedding_near_dups_against(
+        spark, cp, path, new, threshold=0.3, round_to=6, mode="pairs"
+    )
+    got = {(r["new_id"], r["hist_id"]): r["cos"] for r in res.collect()}
+    assert got, "fixture produced no verified matches"
+    # every emitted pair passes the exact cosine bound (true values)
+    exact = (
+        new.withColumnRenamed("id", "new_id")
+        .withColumnRenamed("embedding", "va")
+        .crossJoin(hist.withColumnRenamed("id", "hist_id")
+                   .withColumnRenamed("embedding", "vb"))
+        .select("new_id", "hist_id",
+                (F.round(cosine_similarity("va", "vb"), 6)
+                 + F.lit(0.0)).alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+    )
+    e = {(r["new_id"], r["hist_id"]): r["cos"] for r in exact.collect()}
+    assert set(got) <= set(e)
+    for k, v in got.items():
+        assert v == e[k]
