@@ -70,6 +70,27 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
           f"{fresh.count()} not already in history")
     append_minhash_layout(spark, sig_path, fresh)  # batch joins history
 
+    # same shape for vectors: the stored SignLSH layout keeps the
+    # embeddings, so a new vector batch is cosine-VERIFIED against
+    # history without re-hashing it (static bucket-partition pruning)
+    from kowari_spark.operators.dedup_index import embedding_filter_new_against
+    from kowari_spark.operators.lsh import SignLSH
+
+    from kowari_spark.functions.text import hashed_embeddings as _he
+
+    vecs = _he(docs, "text", "doc_id", dim=32)
+    vhist = vecs.filter(F.col("doc_id") % 2 == 0)
+    vbatch = vecs.filter(F.col("doc_id") % 2 == 1)
+    vlsh = SignLSH(dim=32, num_planes=6, seed=42)
+    vpath = tempfile.mkdtemp(prefix="kowari_demo_vsig_")
+    vlsh.build(vhist, vpath, vec_col="embedding")
+    vfresh = embedding_filter_new_against(
+        spark, vlsh, vpath, vbatch, threshold=0.9,
+        id_col="doc_id", round_to=6,
+    )
+    print(f"incremental vector dedup: {vbatch.count()} -> "
+          f"{vfresh.count()} not near-duplicating stored history")
+
     # -- curation: decontaminate, quality-filter, scrub, re-mix, pack ----
     from kowari_spark.operators.decontam import ngram_decontaminate
     from kowari_spark.operators.pack import pack_documents

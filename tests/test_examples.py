@@ -72,3 +72,24 @@ def test_transcoded_ingest_example(spark):
         _w, _h, want = decode_y4m(blob)
         _kind, _w2, _h2, _n, got = _decode_blob(norm[ids[name]], "kwm")
         assert np.array_equal(got, want)
+
+
+def test_pipeline_demo_runs_end_to_end():
+    """The training-data pipeline walkthrough executes at sf0.001 —
+    every print line lands (subprocess: the demo stops its own Spark
+    session, which must not kill the shared test fixture)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "pipeline_demo.py")],
+        capture_output=True, text=True, timeout=540, cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    for marker in (
+        "language distribution:", "dedup:", "incremental dedup:",
+        "incremental vector dedup:", "curation:", "mixture:",
+        "packing:", "bm25(", "text knn:", "hybrid rrf:", "pq adc knn:",
+        "media feature dim:",
+    ):
+        assert marker in out.stdout, marker
