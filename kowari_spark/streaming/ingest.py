@@ -546,6 +546,33 @@ def stream_into_winnow_layout(
     )
 
 
+def stream_into_media_layout(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    compaction_wait_secs: float = 60.0,
+):
+    """The media layout's streaming sink — decodes + dHash-fingerprints
+    each micro-batch under the sidecar's (hash_size, bands, codec,
+    frame) and appends the banded rows into ``partitionBy(bv)``;
+    ``media_dedup_against`` then Hamming-verifies new batches against
+    the streamed history without ever re-decoding it."""
+    from kowari_spark.operators.dedup_index import (
+        _media_banded,
+        _media_phash_under,
+        load_media_layout,
+    )
+
+    def rows(meta, batch_df):
+        return _media_banded(meta, _media_phash_under(meta, batch_df))
+
+    return _stream_into_signature_layout(
+        stream_df, path, checkpoint_dir, load_media_layout, rows,
+        "bv", trigger_available_now, compaction_wait_secs,
+    )
+
+
 def stream_into_hnsw_graph(
     stream_df: DataFrame,
     hnsw,

@@ -204,7 +204,7 @@ def test_simhash_incremental_verified_matches_batch(spark, halves, tmp_path):
     inc = {
         (r["new_id"], r["hist_id"], r["hamming"])
         for r in simhash_dedup_against(
-            spark, path, new, max_hamming=6
+            spark, path, new, max_hamming=6, mode="pairs"
         ).collect()
     }
     hist_ids = {r["doc_id"] for r in hist.select("doc_id").collect()}
@@ -218,11 +218,68 @@ def test_simhash_incremental_verified_matches_batch(spark, halves, tmp_path):
             expect.add((b, a, hm) if a in hist_ids else (a, b, hm))
     assert inc == expect
 
+    # reps (the default): every emitted edge is a true verified pair
+    # (⊆ pairs), each hist_id is its block's min — the verified-star
+    # bound VERDICT r9 asked for
+    reps = {
+        (r["new_id"], r["hist_id"], r["hamming"])
+        for r in simhash_dedup_against(
+            spark, path, new, max_hamming=6
+        ).collect()
+    }
+    assert reps <= inc
+    with pytest.raises(ValueError, match="mode must be"):
+        simhash_dedup_against(spark, path, new, mode="all")
+
+    # the keep filter rides reps — matched set comes from the reps probe
     kept = simhash_filter_new_against(spark, path, new, max_hamming=6)
-    matched = {a for a, _, _ in inc}
+    matched = {a for a, _, _ in reps}
     new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
     assert {r["doc_id"] for r in kept.select("doc_id").collect()} \
         == new_ids - matched
+
+
+def test_simhash_reps_bounds_hot_block(spark, halves, tmp_path):
+    """The r9 scale-killer shape: a boilerplate family of F history
+    docs shares ONE block (identical text ⇒ identical fingerprint).
+    The pairs probe emits F verified rows for one matching batch doc
+    (linear in history); reps emits exactly ONE (the block-min), and
+    the keep filter still drops the batch copy because the family min
+    IS a family member (hamming 0)."""
+    from kowari_spark.operators.dedup_index import (
+        build_simhash_layout,
+        simhash_dedup_against,
+        simhash_filter_new_against,
+    )
+
+    fam_text = (
+        "planted boilerplate family document sharing one long run "
+        "of identical tokens across every member of the family"
+    )
+    fam_n = 50
+    hist, new = halves
+    fam = spark.range(fam_n).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.lit(fam_text).alias("text"),
+    )
+    path = str(tmp_path / "hotsig")
+    build_simhash_layout(
+        hist.select("doc_id", "text").unionByName(fam), path
+    )
+    batch = spark.createDataFrame(
+        [(99_000_000, fam_text)], "doc_id long, text string"
+    )
+    pairs = simhash_dedup_against(
+        spark, path, batch, max_hamming=3, mode="pairs"
+    ).collect()
+    assert len(pairs) == fam_n and all(r["hamming"] == 0 for r in pairs)
+    reps = simhash_dedup_against(
+        spark, path, batch, max_hamming=3
+    ).collect()
+    assert len(reps) == 1
+    assert reps[0]["hist_id"] == 10_000_000 and reps[0]["hamming"] == 0
+    kept = simhash_filter_new_against(spark, path, batch, max_hamming=3)
+    assert kept.count() == 0
 
 
 def test_simhash_layout_provenance_and_append(spark, halves, tmp_path):
@@ -656,3 +713,186 @@ def test_embedding_against_cplsh_layout(spark, embeddings, tmp_path):
     assert set(got) <= set(e)
     for k, v in got.items():
         assert v == e[k]
+
+
+# -- media layout (the fourth signature family) --------------------------
+
+
+@pytest.fixture(scope="module")
+def media_halves(spark):
+    """History: 40 distinct synthetic images. Batch: exact copies of
+    the first 20 under shifted ids plus 10 genuinely new images."""
+    from kowari_spark.operators.multimodal import synth_media
+
+    def mk(lo, hi):
+        ids = spark.createDataFrame(
+            [(i,) for i in range(lo, hi)], "media_id long"
+        )
+        return synth_media(ids, kind="image", width=32, height=24)
+
+    hist = mk(0, 40).cache()
+    # same content as 0..19 under shifted ids, plus 10 new images
+    copies = hist.filter(F.col("media_id") < 20).withColumn(
+        "media_id", F.col("media_id") + 1000
+    )
+    fresh = mk(1040, 1050)
+    return hist, copies.unionByName(fresh).cache()
+
+
+def test_media_incremental_matches_batch(spark, media_halves, tmp_path):
+    """media_dedup_against(mode="pairs") over the stored layout == the
+    cross-half slice of batch media_near_dups at the same bound —
+    history media never re-decoded; reps edges are verified (⊆ pairs)
+    and the keep filter drops exactly the reps-matched batch rows."""
+    from kowari_spark.operators.dedup_index import (
+        build_media_layout,
+        media_dedup_against,
+        media_filter_new_against,
+    )
+    from kowari_spark.operators.multimodal import media_near_dups
+
+    hist, new = media_halves
+    path = str(tmp_path / "media_sig")
+    build_media_layout(hist, path)
+
+    inc = {
+        (r["new_id"], r["hist_id"], r["hamming"])
+        for r in media_dedup_against(
+            spark, path, new, max_hamming=6, mode="pairs"
+        ).collect()
+    }
+    hist_ids = {r["media_id"] for r in hist.select("media_id").collect()}
+    full = media_near_dups(
+        hist.unionByName(new), max_hamming=6, edges="pairs"
+    )
+    expect = set()
+    for r in full.collect():
+        a, b, hm = r["id_a"], r["id_b"], r["hamming"]
+        if (a in hist_ids) != (b in hist_ids):
+            expect.add((b, a, hm) if a in hist_ids else (a, b, hm))
+    assert inc == expect
+    # every exact copy surfaces at hamming 0
+    assert {(i + 1000, i, 0) for i in range(20)} <= inc
+
+    reps = {
+        (r["new_id"], r["hist_id"], r["hamming"])
+        for r in media_dedup_against(
+            spark, path, new, max_hamming=6
+        ).collect()
+    }
+    assert reps <= inc
+    with pytest.raises(ValueError, match="mode must be"):
+        media_dedup_against(spark, path, new, mode="all")
+
+    kept = media_filter_new_against(spark, path, new, max_hamming=6)
+    matched = {a for a, _, _ in reps}
+    new_ids = {r["media_id"] for r in new.select("media_id").collect()}
+    assert {r["media_id"] for r in kept.select("media_id").collect()} \
+        == new_ids - matched
+    # the 20 exact copies are all dropped
+    assert not ({i + 1000 for i in range(20)} &
+                {r["media_id"] for r in kept.select("media_id").collect()})
+
+
+def test_media_layout_provenance_append_and_plan(
+    spark, media_halves, tmp_path
+):
+    """Sidecar round-trip + pigeonhole guard + append==rebuild + the
+    static-pruning plan gate (PartitionFilters IN over bv)."""
+    import json
+    import re
+
+    from kowari_spark.fsutil import write_bytes
+    from kowari_spark.operators.dedup_index import (
+        append_media_layout,
+        build_media_layout,
+        load_media_layout,
+        media_dedup_against,
+    )
+
+    hist, new = media_halves
+    path = str(tmp_path / "media_sig2")
+    build_media_layout(hist, path, bands=8, hash_size=8)
+    banded, meta = load_media_layout(spark, path)
+    assert (meta["bands"], meta["hash_size"]) == (8, 8)
+    assert set(banded.columns) == {"media_id", "phash", "bv"}
+    # 8 banded rows per media, bv packs (band, value) into [0, 2048)
+    assert banded.count() == 40 * 8
+    mn, mx = banded.agg(F.min("bv"), F.max("bv")).first()
+    assert 0 <= mn and mx < 8 * 256
+
+    # pigeonhole guard: probing past the layout's band budget refuses
+    with pytest.raises(ValueError, match="pigeonhole"):
+        media_dedup_against(spark, path, new, max_hamming=8)
+    with pytest.raises(ValueError, match="don't split"):
+        build_media_layout(hist, str(tmp_path / "bad"), bands=7)
+    with pytest.raises(ValueError, match="not a media layout"):
+        load_media_layout(spark, str(tmp_path / "missing"))
+    meta2 = dict(meta, version="media-dhash-v0")
+    wrong = str(tmp_path / "media_wrong")
+    build_media_layout(hist, wrong)
+    write_bytes(spark, f"{wrong}/_media_meta.json",
+                json.dumps(meta2).encode())
+    with pytest.raises(ValueError, match="rebuild the layout"):
+        load_media_layout(spark, wrong)
+
+    # append under stored params == rebuild over the union
+    append_media_layout(spark, path, new)
+    grown, _ = load_media_layout(spark, path)
+    rebuilt = str(tmp_path / "media_all")
+    build_media_layout(hist.unionByName(new), rebuilt)
+    rb, _ = load_media_layout(spark, rebuilt)
+    cols = ["media_id", "phash", "bv"]
+    assert sorted(map(tuple, grown.select(*cols).collect())) == sorted(
+        map(tuple, rb.select(*cols).collect())
+    )
+
+    # plan gate: the history scan is STATICALLY partition-pruned to the
+    # batch's buckets (literal IN in PartitionFilters, not just a
+    # runtime filter)
+    plan = (
+        media_dedup_against(spark, rebuilt, new, max_hamming=6)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pf = re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert any(
+        ("bv" in f) and (" IN " in f or "INSET" in f.upper())
+        for f in pf
+    ), pf
+
+
+def test_media_streaming_sink(spark, media_halves, tmp_path):
+    """stream_into_media_layout: the drained stream leaves exactly the
+    rows a batch rebuild over the union would hold; re-drain no-op."""
+    from kowari_spark.operators.dedup_index import (
+        build_media_layout,
+        load_media_layout,
+    )
+    from kowari_spark.streaming.ingest import stream_into_media_layout
+
+    hist, new = media_halves
+    src = str(tmp_path / "media_src")
+    new.repartition(2).write.parquet(src)
+    schema = new.schema
+    path = str(tmp_path / "media_stream")
+    build_media_layout(hist, path)
+    q = stream_into_media_layout(
+        spark.readStream.schema(schema).parquet(src),
+        path, str(tmp_path / "ck_media"),
+    )
+    q.awaitTermination(120)
+    grown, _ = load_media_layout(spark, path)
+    rebuilt = str(tmp_path / "media_stream_all")
+    build_media_layout(hist.unionByName(new), rebuilt)
+    rb, _ = load_media_layout(spark, rebuilt)
+    cols = ["media_id", "phash", "bv"]
+    assert sorted(map(tuple, grown.select(*cols).collect())) == sorted(
+        map(tuple, rb.select(*cols).collect())
+    )
+    n = grown.count()
+    q = stream_into_media_layout(
+        spark.readStream.schema(schema).parquet(src),
+        path, str(tmp_path / "ck_media"),
+    )
+    q.awaitTermination(120)
+    assert load_media_layout(spark, path)[0].count() == n

@@ -601,13 +601,30 @@ def test_resolve_edges_bounded_probe(spark):
     cold = spark.range(100).select(
         F.col("id"), (F.col("id") % 50).alias("bucket")
     )
-    assert resolve_edges("auto", cold, ["bucket"], threshold=10) == "pairs"
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # cold auto resolve stays silent
+        assert resolve_edges(
+            "auto", cold, ["bucket"], threshold=10
+        ) == "pairs"
     hot = spark.range(100).select(
         F.col("id"), (F.col("id") % 5).alias("bucket")
     )
-    assert resolve_edges("auto", hot, ["bucket"], threshold=10) == "star"
-    assert resolve_edges("pairs", hot, ["bucket"], threshold=10) == "pairs"
-    assert resolve_edges("star", cold, ["bucket"], threshold=10) == "star"
+    # the auto->star flip is a data-dependent OUTPUT change on
+    # *_pairs-named generators, so it must be LOUD (ADVICE r9)
+    with pytest.warns(UserWarning, match="resolved to 'star'"):
+        assert resolve_edges(
+            "auto", hot, ["bucket"], threshold=10
+        ) == "star"
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # explicit modes never warn
+        assert resolve_edges(
+            "pairs", hot, ["bucket"], threshold=10
+        ) == "pairs"
+        assert resolve_edges(
+            "star", cold, ["bucket"], threshold=10
+        ) == "star"
     with pytest.raises(ValueError, match="edges must be"):
         resolve_edges("stars", cold, ["bucket"])
 

@@ -587,6 +587,146 @@ def _run_suite(
                 spark, sig_path, batch, mode="reps").count())
             rec("dedup_against_x1", s, r)
 
+    if want("sh_sig_build") or want("sh_against"):
+        # the r10 ask (VERDICT r9 #1 + #4): decade evidence that the
+        # BOUNDED simhash probe (mode="reps", per-block min-id rep,
+        # Hamming-verified from stored state) stays flat as history
+        # grows — the pairs probe's join output is linear in history
+        # (|batch|·|hist|/2^block_bits), which is exactly why reps is
+        # now the default.
+        from kowari_spark.operators.dedup_index import (
+            build_simhash_layout,
+            simhash_dedup_against,
+        )
+
+        n_doc = docs.count()
+        sh_path = os.path.join(SCALE_DIR, f"x{mult}", "simhash_sig")
+        built = os.path.exists(os.path.join(sh_path, "_simhash_meta.json"))
+        if want("sh_sig_build") or not built:
+            s, r = timed(lambda: (build_simhash_layout(docs, sh_path),
+                                  n_doc)[1])
+            if want("sh_sig_build"):
+                rec("sh_sig_build", s, r)
+        if want("sh_against"):
+            n_base = max(1, n_doc // mult)
+            batch = docs.filter(F.col("doc_id") < n_base).select(
+                (F.col("doc_id") + F.lit(10**12)).alias("doc_id"), "text"
+            )
+            s, r = timed(lambda: simhash_dedup_against(
+                spark, sh_path, batch, max_hamming=6, mode="reps").count())
+            rec("sh_against_x1", s, r)
+
+    if want("wn_sig_build") or want("wn_against"):
+        # decade evidence for the third text family (VERDICT r9 #4):
+        # the winnow probe joins the batch's fingerprints against the
+        # per-fp MIN history id (reps), O(batch fps) join output.
+        from kowari_spark.operators.dedup_index import (
+            build_winnow_layout,
+            winnow_dedup_against,
+        )
+
+        n_doc = docs.count()
+        wn_path = os.path.join(SCALE_DIR, f"x{mult}", "winnow_sig")
+        built = os.path.exists(os.path.join(wn_path, "_winnow_meta.json"))
+        if want("wn_sig_build") or not built:
+            s, r = timed(lambda: (build_winnow_layout(docs, wn_path),
+                                  n_doc)[1])
+            if want("wn_sig_build"):
+                rec("wn_sig_build", s, r)
+        if want("wn_against"):
+            n_base = max(1, n_doc // mult)
+            batch = docs.filter(F.col("doc_id") < n_base).select(
+                (F.col("doc_id") + F.lit(10**12)).alias("doc_id"), "text"
+            )
+            s, r = timed(lambda: winnow_dedup_against(
+                spark, wn_path, batch, min_shared=2, mode="reps").count())
+            rec("wn_against_x1", s, r)
+
+    if want("incr_loop") or want("incr_loop_compact"):
+        # steady-state incremental economics (VERDICT r9 #5): a real
+        # crawl pipeline runs filter_new_against -> append forever, so
+        # the question isn't one probe against a pristine layout — it's
+        # whether probe cost creeps as appends accumulate small files,
+        # and where compaction must kick in. 10 sequential batches
+        # (deciles of the corpus); layout bootstrapped on decile 0.
+        # incr_loop_compact runs compact_bucketed_layout every 3
+        # appends; the per-batch probe walls + final file counts are
+        # the BASELINE.md table.
+        import shutil
+
+        from kowari_spark.operators.dedup_index import (
+            append_minhash_layout,
+            build_minhash_layout,
+            filter_new_against,
+        )
+        from kowari_spark.streaming.ingest import compact_bucketed_layout
+
+        def count_files(p):
+            total = 0
+            for root, _dirs, files in os.walk(p):
+                total += sum(
+                    1 for f in files
+                    if f.endswith(".parquet") and not f.startswith("_")
+                )
+            return total
+
+        for opname, every in (("incr_loop", 0), ("incr_loop_compact", 3)):
+            if not want(opname):
+                continue
+            path = os.path.join(SCALE_DIR, f"x{mult}", f"incr_{every}")
+            shutil.rmtree(path, ignore_errors=True)
+            build_minhash_layout(docs.filter(F.col("doc_id") % 10 == 0),
+                                 path)
+            walls = []
+            for i in range(1, 10):
+                batch = docs.filter(F.col("doc_id") % 10 == i)
+                s, kept = timed(
+                    lambda b=batch: filter_new_against(spark, path, b)
+                    .count()
+                )
+                walls.append(round(s, 3))
+                append_minhash_layout(spark, path, batch)
+                if every and i % every == 0:
+                    compact_bucketed_layout(spark, path,
+                                             partition_col="band")
+            rec(f"{opname}_probe_last", walls[-1], count_files(path))
+            print(f"         {opname} per-batch probe walls: {walls}")
+
+    if want("md_sig_build") or want("md_against"):
+        # the fourth signature family at scale: mult*2000 synthetic
+        # 32x24 images in history, a 200-image batch probed against the
+        # stored banded dHash layout (decode only the batch; Hamming
+        # verified from stored longs; reps bound).
+        from kowari_spark.operators.dedup_index import (
+            build_media_layout,
+            media_dedup_against,
+        )
+        from kowari_spark.operators.multimodal import synth_media
+
+        n_media = 2000 * mult
+        md_path = os.path.join(SCALE_DIR, f"x{mult}", "media_sig")
+        built = os.path.exists(os.path.join(md_path, "_media_meta.json"))
+        if want("md_sig_build") or not built:
+            hist_m = synth_media(
+                spark.range(n_media).select(F.col("id").alias("media_id")),
+                kind="image", width=32, height=24,
+            )
+            s, r = timed(lambda: (build_media_layout(hist_m, md_path),
+                                  n_media)[1])
+            if want("md_sig_build"):
+                rec("md_sig_build", s, r)
+        if want("md_against"):
+            batch_m = synth_media(
+                spark.range(200).select(
+                    (F.col("id") + 10**9).alias("media_id")
+                ),
+                kind="image", width=32, height=24,
+            )
+            s, r = timed(lambda: media_dedup_against(
+                spark, md_path, batch_m, max_hamming=6, mode="reps"
+            ).count())
+            rec("md_against_x1", s, r)
+
     if want("emb_sig_build") or want("emb_against"):
         # incremental VECTOR dedup vs a stored SignLSH layout
         # (dedup_index.embedding_near_dups_against): build the
