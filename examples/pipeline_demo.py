@@ -56,19 +56,21 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     import tempfile
 
     from kowari_spark.operators.dedup_index import (
-        append_minhash_layout,
+        SignatureLayout,
         build_minhash_layout,
-        filter_new_against,
     )
 
     sig_path = tempfile.mkdtemp(prefix="kowari_demo_sig_")
     history = kept.filter(F.col("doc_id") % 2 == 0)
     batch = kept.filter(F.col("doc_id") % 2 == 1)
     build_minhash_layout(history, sig_path)
-    fresh = filter_new_against(spark, sig_path, batch)
+    # the facade dispatches on the sidecar — the same three verbs work
+    # for the minhash/simhash/winnow/media families alike
+    layout = SignatureLayout.open(spark, sig_path)
+    fresh = layout.filter_new(batch)
     print(f"incremental dedup: {batch.count()}-doc batch -> "
           f"{fresh.count()} not already in history")
-    append_minhash_layout(spark, sig_path, fresh)  # batch joins history
+    layout.append(fresh)  # batch joins history
 
     # same shape for vectors: the stored SignLSH layout keeps the
     # embeddings, so a new vector batch is cosine-VERIFIED against

@@ -1072,3 +1072,123 @@ def append_minhash_layout(
     _new_bands(meta, new_df).write.mode("append").partitionBy(
         "band"
     ).parquet(path)
+
+
+# -- uniform facade --------------------------------------------------------
+
+
+class SignatureLayout:
+    """One handle over the four persisted dedup-signature families
+    (minhash bands / simhash blocks / winnow fingerprints / media
+    dHash buckets) with the shared verbs — so pipeline code that loops
+    ``probe → filter → append → (stream)`` doesn't hard-code a family:
+
+    >>> lay = SignatureLayout.open(spark, path)   # kind from sidecar
+    >>> dups = lay.dedup_against(batch)           # family's reps probe
+    >>> fresh = lay.filter_new(batch)             # history keep filter
+    >>> lay.append(fresh)                         # grow stored state
+    >>> lay.stream_into(stream_df, ckpt)          # exactly-once sink
+
+    Family selection happens at ``open`` time by sidecar dispatch
+    (each family writes a distinct versioned meta file; the underlying
+    ``load_*_layout`` still validates version/params). Per-family
+    tuning knobs pass through ``**kw`` — ``verify_threshold`` (minhash),
+    ``max_hamming`` (simhash/media), ``min_shared`` (winnow) — and the
+    family-specific BUILD functions remain the entry points for
+    creating layouts (their params differ by design).
+
+    What each family catches (the README table in prose): minhash =
+    whole-document set similarity (Broder; tunable banding); simhash =
+    near-identical token distributions (Charikar; Hamming-verified);
+    winnow = shared token RUNS — boilerplate/quotes (Schleimer MOSS);
+    media = visually near-identical frames (dHash, Hamming-verified).
+    Embedding layouts are NOT dispatched here: SignLSH layouts carry
+    no sidecar (plane provenance is the caller's, exactly as
+    ``SignLSH.load`` documents) — use ``embedding_near_dups_against``
+    with the owning LSH instance."""
+
+    #: kind -> (sidecar name, loader, prober, keep filter, appender,
+    #:          streaming sink name in streaming.ingest)
+    _FAMILIES = {
+        "minhash": (
+            _META_NAME, "load_minhash_layout", "dedup_against",
+            "filter_new_against", "append_minhash_layout",
+            "stream_into_minhash_layout",
+        ),
+        "simhash": (
+            _SIMHASH_META_NAME, "load_simhash_layout",
+            "simhash_dedup_against", "simhash_filter_new_against",
+            "append_simhash_layout", "stream_into_simhash_layout",
+        ),
+        "winnow": (
+            _WINNOW_META_NAME, "load_winnow_layout",
+            "winnow_dedup_against", "winnow_filter_new_against",
+            "append_winnow_layout", "stream_into_winnow_layout",
+        ),
+        "media": (
+            _MEDIA_META_NAME, "load_media_layout", "media_dedup_against",
+            "media_filter_new_against", "append_media_layout",
+            "stream_into_media_layout",
+        ),
+    }
+
+    def __init__(self, spark: SparkSession, path: str, kind: str):
+        if kind not in self._FAMILIES:
+            raise ValueError(
+                f"unknown signature-layout kind {kind!r}; one of "
+                f"{sorted(self._FAMILIES)}"
+            )
+        self.spark = spark
+        self.path = path
+        self.kind = kind
+        # validates sidecar version/params now, not at first probe
+        loader = globals()[self._FAMILIES[kind][1]]
+        _, self.meta = loader(spark, path)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "SignatureLayout":
+        """Open a layout directory, dispatching on which family's
+        sidecar it carries; refuses dirs with none (not a signature
+        layout) or several (ambiguous — never guess signatures)."""
+        from kowari_spark.fsutil import exists
+
+        kinds = [
+            k for k, fam in cls._FAMILIES.items()
+            if exists(spark, f"{path}/{fam[0]}")
+        ]
+        if not kinds:
+            raise ValueError(
+                f"no signature-layout sidecar at {path}: expected one "
+                f"of {[f[0] for f in cls._FAMILIES.values()]}"
+            )
+        if len(kinds) > 1:
+            raise ValueError(
+                f"ambiguous layout at {path}: sidecars for {kinds}"
+            )
+        return cls(spark, path, kinds[0])
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return f"SignatureLayout(kind={self.kind!r}, path={self.path!r})"
+
+    def dedup_against(self, new_df: DataFrame, **kw) -> DataFrame:
+        """The family's incremental probe (reps-bounded by default)."""
+        fn = globals()[self._FAMILIES[self.kind][2]]
+        return fn(self.spark, self.path, new_df, **kw)
+
+    def filter_new(self, new_df: DataFrame, **kw) -> DataFrame:
+        """Rows of ``new_df`` colliding with NO stored signature."""
+        fn = globals()[self._FAMILIES[self.kind][3]]
+        return fn(self.spark, self.path, new_df, **kw)
+
+    def append(self, new_df: DataFrame) -> None:
+        """Fingerprint under the stored params and append."""
+        fn = globals()[self._FAMILIES[self.kind][4]]
+        fn(self.spark, self.path, new_df)
+
+    def stream_into(self, stream_df: DataFrame, checkpoint_dir: str, **kw):
+        """The family's exactly-once streaming sink (idempotence
+        markers + compaction-lock cooperation); returns the query."""
+        from kowari_spark.streaming import ingest
+
+        fn = getattr(ingest, self._FAMILIES[self.kind][5])
+        return fn(stream_df, self.path, checkpoint_dir, **kw)

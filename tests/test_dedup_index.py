@@ -896,3 +896,89 @@ def test_media_streaming_sink(spark, media_halves, tmp_path):
     )
     q.awaitTermination(120)
     assert load_media_layout(spark, path)[0].count() == n
+
+
+def test_signature_layout_facade(spark, halves, media_halves, tmp_path):
+    """SignatureLayout.open dispatches on the sidecar and its verbs
+    delegate to the family functions (identical outputs)."""
+    from kowari_spark.operators.dedup_index import (
+        SignatureLayout,
+        build_media_layout,
+        build_minhash_layout,
+        build_simhash_layout,
+        build_winnow_layout,
+        dedup_against,
+        filter_new_against,
+        simhash_dedup_against,
+    )
+
+    hist, new = halves
+    mhist, mnew = media_halves
+    paths = {}
+    for kind, build, hdf in (
+        ("minhash", build_minhash_layout, hist),
+        ("simhash", build_simhash_layout, hist),
+        ("winnow", build_winnow_layout, hist),
+        ("media", build_media_layout, mhist),
+    ):
+        p = str(tmp_path / f"fac_{kind}")
+        build(hdf, p)
+        paths[kind] = p
+        assert SignatureLayout.open(spark, p).kind == kind
+
+    lay = SignatureLayout.open(spark, paths["minhash"])
+    assert lay.meta["num_hashes"] == 16
+    got = sorted(map(tuple, lay.dedup_against(new, mode="pairs").collect()))
+    want = sorted(map(tuple,
+                      dedup_against(spark, paths["minhash"], new,
+                                    mode="pairs").collect()))
+    assert got == want
+    assert lay.filter_new(new).count() == \
+        filter_new_against(spark, paths["minhash"], new).count()
+
+    sh = SignatureLayout.open(spark, paths["simhash"])
+    assert sorted(map(tuple, sh.dedup_against(new, max_hamming=6)
+                      .collect())) == \
+        sorted(map(tuple, simhash_dedup_against(
+            spark, paths["simhash"], new, max_hamming=6).collect()))
+    # append through the facade == family append (row counts grow alike)
+    before = spark.read.parquet(paths["winnow"]).count()
+    wn = SignatureLayout.open(spark, paths["winnow"])
+    wn.append(new)
+    assert spark.read.parquet(paths["winnow"]).count() > before
+
+    with pytest.raises(ValueError, match="no signature-layout sidecar"):
+        SignatureLayout.open(spark, str(tmp_path / "fac_nothing"))
+    with pytest.raises(ValueError, match="unknown signature-layout"):
+        SignatureLayout(spark, paths["minhash"], "embedding")
+
+
+def test_signature_layout_facade_stream(spark, halves, tmp_path):
+    """stream_into through the facade drives the family sink (drained
+    rows == batch append; idempotent re-drain)."""
+    from kowari_spark.operators.dedup_index import (
+        SignatureLayout,
+        build_minhash_layout,
+        load_minhash_layout,
+    )
+
+    hist, new = halves
+    path = str(tmp_path / "fac_stream")
+    build_minhash_layout(hist, path)
+    src = str(tmp_path / "fac_src")
+    new.select("doc_id", "text").repartition(2).write.parquet(src)
+    schema = new.select("doc_id", "text").schema
+    lay = SignatureLayout.open(spark, path)
+    q = lay.stream_into(
+        spark.readStream.schema(schema).parquet(src),
+        str(tmp_path / "fac_ck"),
+    )
+    q.awaitTermination(120)
+    grown, _ = load_minhash_layout(spark, path)
+    rebuilt = str(tmp_path / "fac_all")
+    build_minhash_layout(hist.unionByName(new), rebuilt)
+    rb, _ = load_minhash_layout(spark, rebuilt)
+    cols = ["doc_id", "band", "band_key"]
+    assert sorted(map(tuple, grown.select(*cols).collect())) == sorted(
+        map(tuple, rb.select(*cols).collect())
+    )
