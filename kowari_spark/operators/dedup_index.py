@@ -38,6 +38,15 @@ Reference analog: kowari maintains its LSH bucket index in memory
 query; this module is the text-fingerprint counterpart of that
 hash-once-probe-many economics, durably on disk because a 100 TB
 corpus's signatures outlive any one process.
+
+Steady-state loop guidance (measured, BASELINE.md round 10): probe
+cost stays flat across sequential filter→append batches — no creep
+from history growth (the reps bound) and none from file accumulation
+until partition file counts reach the tens, so compaction
+(``streaming.ingest.compact_bucketed_layout``) is a maintenance-window
+job whose cadence scales with APPEND RATE, not corpus size — its
+``max_files=4`` per-partition trigger ≈ every 4+ appends is the
+default rhythm.
 """
 
 from __future__ import annotations
