@@ -2737,6 +2737,54 @@ def _oracle_doc_bm25_top10() -> str:
     return bm25_oracle_sql(_BM25_QUERY, k=10)
 
 
+def _bm25_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once persisted BM25 postings layout over the documents
+    table (operators/search.py) — the keyword-search counterpart of the
+    ANN/dedup build-offline/probe-online split: tokenize the corpus
+    once, then every query reads only its terms' hash buckets."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kowari_spark.operators.search import build_bm25_layout
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "na"
+    tag = hashlib.md5(f"{src}:{stamp}:bm25b64".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kowari_bm25_{tag}")
+    if not os.path.exists(os.path.join(path, "_bm25_meta.json")):
+        build_bm25_layout(_t(spark, sf_dir, "documents"), path)
+    return path
+
+
+_BM25_IDX_QUERY = "filter scan merge sort"
+
+
+def q_doc_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 from the STORED postings layout (search.bm25_search_indexed):
+    no document text read, nothing re-tokenized — the query's terms map
+    to a bounded term-hash bucket list that statically partition-prunes
+    the postings scan (plan-gated in tests); document frequencies come
+    from the pruned postings (append-aware), corpus stats from the
+    versioned sidecar. Scores are BIT-IDENTICAL to the scan path (same
+    contribution expression + fold; parity-tested), so the oracle is
+    the already-proven bm25_search replay over the documents table."""
+    from kowari_spark.operators.search import bm25_search_indexed
+
+    path = _bm25_layout(spark, sf_dir)
+    return bm25_search_indexed(spark, path, _BM25_IDX_QUERY, k=10)
+
+
+def _oracle_doc_bm25_indexed() -> str:
+    from kowari_spark.operators.search import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_IDX_QUERY, k=10)
+
+
 def q_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search via reciprocal-rank fusion (operators/search.
     rrf_fuse, Cormack et al. 2009): the BM25 top-20 for the contract
@@ -3690,6 +3738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round
         "media_dedup_against": q_media_dedup_against,
         "doc_simhash_keep": q_doc_simhash_keep,
+        "doc_bm25_indexed": q_doc_bm25_indexed,
         # -- past round 9's 50-row window (last driver-green r8)
         "knn_batch_top5": q_knn_batch_top5,
         "lsh_knn_top10": q_lsh_knn_top10,
@@ -3801,6 +3850,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_incremental_keep": _oracle_doc_incremental_keep(),
         "doc_simhash_against": _oracle_doc_simhash_against(),
         "doc_simhash_keep": _oracle_doc_simhash_keep(),
+        "doc_bm25_indexed": _oracle_doc_bm25_indexed(),
         "media_dedup_against": _oracle_media_dedup_against(),
         "doc_dedup_against_verified": _oracle_doc_dedup_against_verified(),
         "doc_winnow_against": _oracle_doc_winnow_against(),

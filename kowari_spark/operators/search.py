@@ -34,10 +34,35 @@ implementations); the whole operator then has an exact DuckDB oracle.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kowari_spark.functions.text import token_count, tokens
+
+
+def _contrib_expr(k1, b):
+    """The per-(doc, term) BM25 contribution over columns __tf, __df,
+    __dl, __n, __avgdl — ONE expression shared by the scan path and the
+    indexed path, so their documented bit-parity cannot drift. The idf
+    is rounded to 9 decimals before use (cross-engine ln() parity)."""
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+        ),
+        9,
+    )
+    return idf * (
+        F.col("__tf")
+        * (k1 + 1.0)
+        / (
+            F.col("__tf")
+            + F.lit(k1)
+            * (1.0 - b + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+        )
+    )
 
 
 def _bm25_core(docs, qterms, text_col, id_col, k1, b):
@@ -71,23 +96,58 @@ def _bm25_core(docs, qterms, text_col, id_col, k1, b):
             F.sum(token_count(F.col(text_col))).cast("double") / F.count("*")
         ).alias("__avgdl"),
     )
-    idf = F.round(
-        F.log(
-            F.lit(1.0)
-            + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
-        ),
-        9,
+    return tf, dfreq, stats, _contrib_expr(k1, b)
+
+
+def _fold_single_topk(scored, qterms, id_col, k, round_to):
+    """Single-query scoring tail: one conditional aggregate per query
+    term (deterministic float fold order — part of the plan), then
+    TakeOrdered top-k. ``scored`` is (id_col, __t, __c)."""
+    per_term = scored.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("__t") == t, F.col("__c"))).alias(f"__c{i}")
+            for i, t in enumerate(qterms)
+        ]
     )
-    contrib = idf * (
-        F.col("__tf")
-        * (k1 + 1.0)
-        / (
-            F.col("__tf")
-            + F.lit(k1)
-            * (1.0 - b + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+    score = F.lit(0.0)
+    for i in range(len(qterms)):
+        score = score + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+    n_terms = sum(
+        F.when(F.col(f"__c{i}").isNotNull(), 1).otherwise(0)
+        for i in range(len(qterms))
+    )
+    return (
+        per_term.select(
+            id_col,
+            (F.round(score, round_to) + F.lit(0.0)).alias("bm25"),
+            n_terms.cast("int").alias("n_terms"),
         )
+        .orderBy(F.desc("bm25"), F.col(id_col))
+        .limit(k)
     )
-    return tf, dfreq, stats, contrib
+
+
+def _fold_batch_topk(scored, id_col, k, round_to):
+    """Batch scoring tail: sorted-term sequential fold (bit-identical
+    to the single-query fixed-order fold — absent terms add exactly
+    +0.0 there) + one window for per-query top-k. ``scored`` is
+    (query_id, id_col, __t, __c)."""
+    from pyspark.sql.window import Window
+
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("__t"), F.col("__c")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["__c"],
+    )
+    per = scored.groupBy("query_id", id_col).agg(
+        (F.round(folded, round_to) + F.lit(0.0)).alias("bm25"),
+        F.count("*").cast("int").alias("n_terms"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.col(id_col))
+    return (
+        per.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def bm25_search(
@@ -121,29 +181,7 @@ def bm25_search(
         .crossJoin(F.broadcast(stats))
         .select(id_col, "__t", contrib.alias("__c"))
     )
-    # one conditional aggregate per query term = deterministic fold order
-    per_term = scored.groupBy(id_col).agg(
-        *[
-            F.sum(F.when(F.col("__t") == t, F.col("__c"))).alias(f"__c{i}")
-            for i, t in enumerate(qterms)
-        ]
-    )
-    score = F.lit(0.0)
-    for i in range(len(qterms)):
-        score = score + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
-    n_terms = sum(
-        F.when(F.col(f"__c{i}").isNotNull(), 1).otherwise(0)
-        for i in range(len(qterms))
-    )
-    return (
-        per_term.select(
-            id_col,
-            (F.round(score, round_to) + F.lit(0.0)).alias("bm25"),
-            n_terms.cast("int").alias("n_terms"),
-        )
-        .orderBy(F.desc("bm25"), F.col(id_col))
-        .limit(k)
-    )
+    return _fold_single_topk(scored, qterms, id_col, k, round_to)
 
 
 def bm25_oracle_sql(
@@ -225,8 +263,6 @@ def bm25_search_batch(
     an absent term contributes exactly +0.0 there, so each query's
     scores are bit-identical to ``bm25_search`` run alone
     (parity-tested). Top-k per query is one window."""
-    from pyspark.sql.window import Window
-
     if not queries:
         raise ValueError("queries is empty")
     per_q = {
@@ -252,21 +288,228 @@ def bm25_search_batch(
         .join(F.broadcast(qt), "__t")
         .select("query_id", id_col, "__t", contrib.alias("__c"))
     )
-    # sorted-term sequential fold == the single-query fixed-order fold
-    # (absent terms add exactly +0.0 there)
-    folded = F.aggregate(
-        F.array_sort(F.collect_list(F.struct(F.col("__t"), F.col("__c")))),
-        F.lit(0.0),
-        lambda acc, x: acc + x["__c"],
-    )
-    per = scored.groupBy("query_id", id_col).agg(
-        (F.round(folded, round_to) + F.lit(0.0)).alias("bm25"),
-        F.count("*").cast("int").alias("n_terms"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.col(id_col))
+    return _fold_batch_topk(scored, id_col, k, round_to)
+
+
+# -- persisted BM25 postings layout ---------------------------------------
+#
+# The serving shape for repeated keyword search over a slow-moving
+# corpus: `bm25_search` re-tokenizes the WHOLE corpus per call (two
+# text scans), which at 100 TB is the dominant cost of every query.
+# The postings relation (id, t, tf, dl) — the classic inverted index,
+# as a table — is computed ONCE and persisted partitionBy(tb) where
+# ``tb = pmod(xxhash64(t), buckets)``: a query's terms map to a BOUNDED
+# bucket list, so the probe statically partition-prunes the postings
+# scan to ≤|query terms| buckets and never touches document text.
+# Corpus stats (N, Σdl) live in the versioned sidecar and update
+# additively on append; document frequencies are computed from the
+# pruned postings at query time, so they are always current. Scores
+# are BIT-IDENTICAL to the scan path (same `_contrib_expr`, same fold
+# tails; parity-tested) — the layout changes where the bytes come
+# from, never the math. Same build-offline/probe-online pattern as the
+# ANN and dedup-signature layouts (reference analog: the in-memory LSH
+# bucket index, src/index.rs:124-156).
+
+_BM25_META_NAME = "_bm25_meta.json"
+_BM25_LAYOUT_VERSION = "bm25-postings-v1"
+_BM25_BUCKETS = 64
+
+
+def _postings(docs, text_col, id_col, buckets):
+    """The postings relation of a corpus: (id, dl, t, tf, tb) — one row
+    per distinct (document, token), document length carried on every
+    row (the denominator needs it at scoring time without a join)."""
     return (
-        per.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        docs.select(
+            F.col(id_col),
+            token_count(F.col(text_col)).alias("dl"),
+            F.explode(tokens(F.col(text_col))).alias("t"),
+        )
+        .groupBy(id_col, "dl", "t")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("tb", F.pmod(F.xxhash64(F.col("t")), F.lit(buckets)))
+    )
+
+
+def build_bm25_layout(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = _BM25_BUCKETS,
+) -> None:
+    """Tokenize the corpus ONCE into a term-bucketed postings layout
+    with a versioned sidecar carrying the corpus stats (N, Σdl) the
+    BM25 denominator needs. ``buckets`` trades pruning sharpness
+    against partition count — 64 means a probe for a q-term query
+    reads at most q/64 of the postings bytes."""
+    from kowari_spark.fsutil import write_bytes
+
+    _postings(docs, text_col, id_col, buckets).write.mode(
+        "overwrite"
+    ).partitionBy("tb").parquet(path)
+    st = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(token_count(F.col(text_col))).alias("sum_dl"),
+    ).first()
+    meta = {
+        "version": _BM25_LAYOUT_VERSION,
+        "text_col": text_col,
+        "id_col": id_col,
+        "buckets": buckets,
+        "n_docs": int(st["n"]),
+        "sum_dl": int(st["sum_dl"]),
+    }
+    write_bytes(
+        docs.sparkSession, f"{path}/{_BM25_META_NAME}",
+        json.dumps(meta).encode(),
+    )
+
+
+def load_bm25_layout(spark, path: str) -> tuple[DataFrame, dict]:
+    """Open a built postings layout: (postings DataFrame, meta);
+    refuses sidecar-less or version-mismatched dirs — postings scored
+    under diverged tokenization silently mis-rank everything."""
+    from kowari_spark.fsutil import exists, read_bytes
+
+    meta_path = f"{path}/{_BM25_META_NAME}"
+    if not exists(spark, meta_path):
+        raise ValueError(
+            f"no {_BM25_META_NAME} sidecar at {path}: not a BM25 "
+            "postings layout built by build_bm25_layout()"
+        )
+    meta = json.loads(read_bytes(spark, meta_path).decode())
+    ver = meta.get("version")
+    if ver != _BM25_LAYOUT_VERSION:
+        raise ValueError(
+            f"BM25 layout at {path} was built by {ver!r}; this code "
+            f"scores {_BM25_LAYOUT_VERSION!r} postings — rebuild the "
+            "layout"
+        )
+    return spark.read.parquet(path), meta
+
+
+def _indexed_scored(spark, path, all_terms, k1, b):
+    """(postings-derived scored relation, meta): the pruned postings
+    for ``all_terms`` with the shared contribution expression applied.
+    The term→bucket mapping is computed by one tiny local-relation job
+    (|terms| rows, no table scan) so the bucket list becomes a LITERAL
+    IN filter the parquet source can prune partitions with."""
+    postings, meta = load_bm25_layout(spark, path)
+    id_col = meta["id_col"]
+    buckets = meta["buckets"]
+    tbs = sorted(
+        r["tb"]
+        for r in spark.createDataFrame([(t,) for t in all_terms], "t string")
+        .select(F.pmod(F.xxhash64(F.col("t")), F.lit(buckets)).alias("tb"))
+        .distinct()
+        .collect()
+    )
+    pruned = postings.filter(F.col("tb").isin(tbs)).filter(
+        F.col("t").isin(list(all_terms))
+    )
+    # df from the pruned postings — always current, append-aware
+    dfreq = pruned.groupBy("t").agg(F.count("*").alias("__df"))
+    n = int(meta["n_docs"])
+    avgdl = float(meta["sum_dl"]) / n  # same IEEE op as the scan path
+    scored = (
+        pruned.select(
+            id_col, F.col("t").alias("__t"),
+            F.col("tf").alias("__tf"), F.col("dl").alias("__dl"),
+        )
+        .join(F.broadcast(dfreq.withColumnRenamed("t", "__t")), "__t")
+        .withColumn("__n", F.lit(n))
+        .withColumn("__avgdl", F.lit(avgdl))
+        .withColumn("__c", _contrib_expr(k1, b))
+        .select(id_col, "__t", "__c")
+    )
+    return scored, meta
+
+
+def bm25_search_indexed(
+    spark,
+    path: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``k`` documents for ``query`` from the STORED postings
+    layout — no document text is read and nothing is re-tokenized;
+    bit-identical scores to :func:`bm25_search` over the same corpus
+    (same contribution expression, same fixed-order term fold;
+    parity-tested)."""
+    qterms = sorted({t for t in query.split(" ") if t})
+    if not qterms:
+        raise ValueError("query has no terms")
+    scored, meta = _indexed_scored(spark, path, qterms, k1, b)
+    return _fold_single_topk(scored, qterms, meta["id_col"], k, round_to)
+
+
+def bm25_batch_indexed(
+    spark,
+    path: str,
+    queries: dict,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-query top-``k`` for a BATCH of keyword queries from the
+    stored postings — one pruned postings scan for any number of
+    queries; bit-identical to :func:`bm25_search_batch`."""
+    if not queries:
+        raise ValueError("queries is empty")
+    per_q = {
+        qid: sorted({t for t in q.split(" ") if t})
+        for qid, q in queries.items()
+    }
+    if any(not ts for ts in per_q.values()):
+        raise ValueError("a query has no terms")
+    all_terms = sorted({t for ts in per_q.values() for t in ts})
+    scored, meta = _indexed_scored(spark, path, all_terms, k1, b)
+    qt = spark.createDataFrame(
+        [{"query_id": qid, "__t": t} for qid, ts in per_q.items() for t in ts],
+    ).select("query_id", F.col("__t").cast("string").alias("__t"))
+    scored = scored.join(F.broadcast(qt), "__t").select(
+        "query_id", meta["id_col"], "__t", "__c"
+    )
+    return _fold_batch_topk(scored, meta["id_col"], k, round_to)
+
+
+def append_bm25_layout(spark, path: str, new_docs: DataFrame) -> None:
+    """Tokenize ``new_docs`` under the layout's stored params, append
+    their postings, and roll the sidecar stats forward additively
+    (Σdl and N are exact integer sums, so build(hist) + append(batch)
+    is bit-identical to build(hist ∪ batch) — parity-tested). Appends
+    should be exactly-once (README release notes); the streaming sink
+    ``streaming.ingest.stream_into_bm25_layout`` carries idempotence
+    markers for re-drain safety."""
+    from kowari_spark.fsutil import write_bytes
+
+    _, meta = load_bm25_layout(spark, path)
+    _append_bm25_rows(spark, path, meta, new_docs, write_bytes)
+
+
+def _append_bm25_rows(spark, path, meta, new_docs, write_bytes) -> None:
+    """Shared append body (batch + streaming sink): postings append
+    under the sidecar's params, then the additive stats roll."""
+    text_col, id_col = meta["text_col"], meta["id_col"]
+    _postings(new_docs, text_col, id_col, meta["buckets"]).write.mode(
+        "append"
+    ).partitionBy("tb").parquet(path)
+    st = new_docs.agg(
+        F.count("*").alias("n"),
+        F.sum(token_count(F.col(text_col))).alias("sum_dl"),
+    ).first()
+    meta = dict(
+        meta,
+        n_docs=meta["n_docs"] + int(st["n"]),
+        sum_dl=meta["sum_dl"] + int(st["sum_dl"] or 0),
+    )
+    write_bytes(
+        spark, f"{path}/{_BM25_META_NAME}", json.dumps(meta).encode()
     )
 
 

@@ -573,6 +573,57 @@ def stream_into_media_layout(
     )
 
 
+def stream_into_bm25_layout(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    compaction_wait_secs: float = 60.0,
+):
+    """Maintain a persisted BM25 postings layout (operators/search.py)
+    from a document stream: each micro-batch is tokenized under the
+    sidecar's params, its postings appended into ``partitionBy(tb)``,
+    and the sidecar's corpus stats (N, Σdl) rolled forward additively —
+    all gated by an idempotence marker so a re-drained batch neither
+    duplicates postings NOR double-counts the stats. Not the shared
+    signature-sink body because of that stats roll: the sidecar update
+    must sit INSIDE the marker window."""
+    import hashlib
+
+    from kowari_spark import fsutil
+    from kowari_spark.operators.search import (
+        _append_bm25_rows,
+        load_bm25_layout,
+    )
+
+    _, meta0 = load_bm25_layout(stream_df.sparkSession, path)
+    del meta0  # START-time validation only; stats re-read per batch
+    ck_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = f"{path}/_batches/{ck_tag}-{batch_id}"
+        if fsutil.exists(spark, marker):
+            return
+        _wait_not_compacting(spark, path, compaction_wait_secs)
+        if not batch_df.isEmpty():
+            # re-load INSIDE the batch: the stats roll must see the
+            # previous batch's sidecar, not the stream-start snapshot
+            _, meta = load_bm25_layout(spark, path)
+            _append_bm25_rows(
+                spark, path, meta, batch_df, fsutil.write_bytes
+            )
+        fsutil.create_marker(spark, marker)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=trigger_available_now)
+        .start()
+    )
+
+
 def stream_into_hnsw_graph(
     stream_df: DataFrame,
     hnsw,

@@ -215,3 +215,141 @@ def test_bm25_batch_preserves_int_query_ids(corpus):
     b = sorted((int(r["query_id"]), r["doc_id"], r["bm25"])
                for r in out_s.collect())
     assert a == b
+
+
+# -- persisted BM25 postings layout ----------------------------------------
+
+
+def test_indexed_search_bitwise_matches_scan(spark, sf_dir, tmp_path):
+    """bm25_search_indexed over the stored postings == bm25_search over
+    the corpus, bit-identical (same contribution expression, same fold;
+    the layout only changes where the bytes come from). Batch variant
+    likewise."""
+    from kowari_spark.operators.search import (
+        bm25_batch_indexed,
+        bm25_search,
+        bm25_search_batch,
+        bm25_search_indexed,
+        build_bm25_layout,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "bm25")
+    build_bm25_layout(docs, path)
+
+    q = "vector hash join batch"
+    got = bm25_search_indexed(spark, path, q, k=10).collect()
+    want = bm25_search(docs, q, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    queries = {1: "vector hash", 2: "join batch stream", 3: "parquet"}
+    gb = sorted(map(tuple, bm25_batch_indexed(
+        spark, path, queries, k=5).collect()))
+    wb = sorted(map(tuple, bm25_search_batch(
+        docs, queries, k=5).collect()))
+    assert gb == wb
+
+
+def test_bm25_layout_provenance_append_and_plan(spark, sf_dir, tmp_path):
+    """Sidecar refusals; build(hist) + append(batch) == build(union)
+    bit-for-bit (postings rows AND additive stats, so probe results are
+    identical); the probe's postings scan is statically partition-pruned
+    to the query terms' buckets (PartitionFilters IN plan gate)."""
+    import json
+    import re
+
+    from kowari_spark.fsutil import write_bytes
+    from kowari_spark.operators.search import (
+        append_bm25_layout,
+        bm25_search_indexed,
+        build_bm25_layout,
+        load_bm25_layout,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    path = str(tmp_path / "bm25_grow")
+    build_bm25_layout(hist, path)
+    append_bm25_layout(spark, path, new)
+    grown, gmeta = load_bm25_layout(spark, path)
+    rebuilt = str(tmp_path / "bm25_all")
+    build_bm25_layout(docs, rebuilt)
+    rb, rmeta = load_bm25_layout(spark, rebuilt)
+    assert (gmeta["n_docs"], gmeta["sum_dl"]) == (
+        rmeta["n_docs"], rmeta["sum_dl"]
+    )
+    cols = ["doc_id", "dl", "t", "tf", "tb"]
+    assert sorted(map(tuple, grown.select(*cols).collect())) == sorted(
+        map(tuple, rb.select(*cols).collect())
+    )
+    q = "vector hash join batch"
+    assert [tuple(r) for r in bm25_search_indexed(spark, path, q).collect()] \
+        == [tuple(r) for r in bm25_search_indexed(spark, rebuilt, q).collect()]
+
+    # plan gate: literal IN over tb reaches PartitionFilters
+    plan = (
+        bm25_search_indexed(spark, rebuilt, q)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pf = re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert any(
+        ("tb" in f) and (" IN " in f or "INSET" in f.upper()) for f in pf
+    ), pf
+
+    with pytest.raises(ValueError, match="not a BM25 postings layout"):
+        load_bm25_layout(spark, str(tmp_path / "missing"))
+    _, meta = load_bm25_layout(spark, rebuilt)
+    write_bytes(
+        spark, f"{rebuilt}/_bm25_meta.json",
+        json.dumps(dict(meta, version="bm25-postings-v0")).encode(),
+    )
+    with pytest.raises(ValueError, match="rebuild the"):
+        load_bm25_layout(spark, rebuilt)
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_search_indexed(spark, path, "   ")
+
+
+def test_bm25_streaming_sink(spark, sf_dir, tmp_path):
+    """stream_into_bm25_layout: drained postings + rolled stats == a
+    batch rebuild over the union; re-draining the same checkpoint
+    neither duplicates postings nor double-counts the stats."""
+    from kowari_spark.operators.search import (
+        build_bm25_layout,
+        load_bm25_layout,
+    )
+    from kowari_spark.streaming.ingest import stream_into_bm25_layout
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    path = str(tmp_path / "bm25_stream")
+    build_bm25_layout(hist, path)
+    src = str(tmp_path / "bm25_src")
+    new.repartition(2).write.parquet(src)
+
+    def drain():
+        q = stream_into_bm25_layout(
+            spark.readStream.schema(new.schema).parquet(src),
+            path, str(tmp_path / "bm25_ck"),
+        )
+        q.awaitTermination(120)
+
+    drain()
+    grown, gmeta = load_bm25_layout(spark, path)
+    rebuilt = str(tmp_path / "bm25_stream_all")
+    build_bm25_layout(docs, rebuilt)
+    rb, rmeta = load_bm25_layout(spark, rebuilt)
+    assert (gmeta["n_docs"], gmeta["sum_dl"]) == (
+        rmeta["n_docs"], rmeta["sum_dl"]
+    )
+    cols = ["doc_id", "dl", "t", "tf", "tb"]
+    assert sorted(map(tuple, grown.select(*cols).collect())) == sorted(
+        map(tuple, rb.select(*cols).collect())
+    )
+    n, stats = grown.count(), (gmeta["n_docs"], gmeta["sum_dl"])
+    drain()  # replay: markers gate postings AND the stats roll
+    after, ameta = load_bm25_layout(spark, path)
+    assert after.count() == n
+    assert (ameta["n_docs"], ameta["sum_dl"]) == stats

@@ -448,6 +448,30 @@ def _run_suite(
             docs, "vector hash join batch", k=10).collect()))
         rec("doc_bm25", s, r)
 
+    if want("bm25_build") or want("bm25_indexed"):
+        # keyword-search serving economics: tokenize the corpus ONCE
+        # into the term-bucketed postings layout, then probe from
+        # stored postings — bit-identical scores to doc_bm25's
+        # full-corpus scan above, but the probe reads only the query
+        # terms' hash buckets and never re-tokenizes text.
+        from kowari_spark.operators.search import (
+            bm25_search_indexed,
+            build_bm25_layout,
+        )
+
+        n_doc = docs.count()
+        bpath = os.path.join(SCALE_DIR, f"x{mult}", "bm25_postings")
+        built = os.path.exists(os.path.join(bpath, "_bm25_meta.json"))
+        if want("bm25_build") or not built:
+            s, r = timed(lambda: (build_bm25_layout(docs, bpath),
+                                  n_doc)[1])
+            if want("bm25_build"):
+                rec("bm25_build", s, r)
+        if want("bm25_indexed"):
+            s, r = timed(lambda: len(bm25_search_indexed(
+                spark, bpath, "vector hash join batch", k=10).collect()))
+            rec("bm25_indexed", s, r)
+
     if want("doc_top_bigrams"):
         from kowari_spark.operators.quality import top_ngrams
 
