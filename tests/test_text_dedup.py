@@ -680,3 +680,33 @@ def test_auto_edges_hot_family_goes_star_end_to_end(spark, docs):
     fam_cc = cc.filter(F.col("id") >= 10_000_000)
     assert fam_cc.select("cluster_id").distinct().count() == 1
     assert fam_cc.count() == fs
+
+
+def test_fingerprint_arrow_engines_bit_identical(spark, docs):
+    """The r10 arrow engines for the two fingerprint passes (row-local
+    mapInPandas, no explode/window shuffle) produce BIT-IDENTICAL
+    relations to the expression engines — including the whole-text
+    fallback for sub-shingle/sub-gram documents."""
+    from kowari_spark.operators.dedup import minhash_signatures, winnow_fps
+
+    for frame in (
+        docs,
+        spark.createDataFrame(
+            [(1, "one"), (2, "two words"), (3, "exactly three tokens"),
+             (4, ""), (5, "a b c d e f g h")],
+            "doc_id long, text string",
+        ),
+    ):
+        e = sorted(map(tuple, minhash_signatures(
+            frame, engine="expr").collect()))
+        ar = sorted(map(tuple, minhash_signatures(
+            frame, engine="arrow").collect()))
+        assert e == ar
+        ew = sorted(map(tuple, winnow_fps(frame, engine="expr").collect()))
+        aw = sorted(map(tuple, winnow_fps(frame, engine="arrow").collect()))
+        assert ew == aw
+
+    with pytest.raises(ValueError, match="engine must be"):
+        minhash_signatures(docs, engine="fast")
+    with pytest.raises(ValueError, match="engine must be"):
+        winnow_fps(docs, engine="fast")
