@@ -687,7 +687,11 @@ def test_fingerprint_arrow_engines_bit_identical(spark, docs):
     mapInPandas, no explode/window shuffle) produce BIT-IDENTICAL
     relations to the expression engines — including the whole-text
     fallback for sub-shingle/sub-gram documents."""
-    from kowari_spark.operators.dedup import minhash_signatures, winnow_fps
+    from kowari_spark.operators.dedup import (
+        minhash_signatures,
+        simhash_fingerprints,
+        winnow_fps,
+    )
 
     for frame in (
         docs,
@@ -705,8 +709,15 @@ def test_fingerprint_arrow_engines_bit_identical(spark, docs):
         ew = sorted(map(tuple, winnow_fps(frame, engine="expr").collect()))
         aw = sorted(map(tuple, winnow_fps(frame, engine="arrow").collect()))
         assert ew == aw
+        es = sorted(map(tuple, simhash_fingerprints(
+            frame, engine="expr").collect()))
+        as_ = sorted(map(tuple, simhash_fingerprints(
+            frame, engine="arrow").collect()))
+        assert es == as_
 
     with pytest.raises(ValueError, match="engine must be"):
         minhash_signatures(docs, engine="fast")
     with pytest.raises(ValueError, match="engine must be"):
         winnow_fps(docs, engine="fast")
+    with pytest.raises(ValueError, match="engine must be"):
+        simhash_fingerprints(docs, engine="fast")
