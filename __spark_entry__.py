@@ -2681,6 +2681,60 @@ def _oracle_doc_bm25_batch() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+def q_doc_dsir_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection (operators/sampling.dsir_top, Xie et
+    al. 2023): rank raw documents by how much more likely their hashed
+    n-gram (uni+bi) features are under the TARGET slice's bucket model
+    (here: the corpus's English documents) than under the raw corpus's
+    own, add-one-smoothed; keep the deterministic top 50. Per-bucket
+    logs rounded to 9 before the per-document position-ordered fold
+    (the unigram_surprisal discipline), so the whole selection — hash
+    buckets, histograms, smoothing, fold, tie-broken top-k — replays
+    exactly in SQL."""
+    from kowari_spark.operators.sampling import dsir_top
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_top(docs, target, 50).orderBy(
+        F.desc("dsir_logw"), F.col("doc_id")
+    )
+
+
+def _oracle_doc_dsir_top() -> str:
+    h = _SQL_HASH64.format(s="g")
+    return f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS g
+        FROM tk),
+bl AS (SELECT doc_id, len(t) AS nt,
+              list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg
+       FROM tk),
+bi AS (SELECT doc_id, nt + generate_subscripts(bg, 1) AS pos, unnest(bg) AS g
+       FROM bl),
+feats AS (SELECT doc_id, pos, ({h}) % 10000 AS b
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+rh AS (SELECT b, COUNT(*) AS cr FROM feats GROUP BY 1),
+th AS (SELECT f.b, COUNT(*) AS ct
+       FROM feats f JOIN documents d USING (doc_id)
+       WHERE d.lang = 'en' GROUP BY 1),
+tot AS (SELECT (SELECT SUM(cr) FROM rh) AS totr,
+               (SELECT SUM(ct) FROM th) AS tott),
+lr AS (SELECT rh.b,
+              ROUND(LN(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (tott + 10000)), 9)
+            - ROUND(LN(CAST(cr + 1 AS DOUBLE) / (totr + 10000)), 9) AS lrv
+       FROM rh LEFT JOIN th ON rh.b = th.b CROSS JOIN tot),
+per AS (SELECT doc_id, pos, lrv FROM feats JOIN lr USING (b)),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+               ROUND(list_reduce(
+                 list_concat([0.0], list_transform(
+                   list_sort(list({{'p': pos, 'l': lrv}})), x -> x.l)),
+                 (a, b) -> a + b), 6) + 0.0 AS dsir_logw
+        FROM per GROUP BY doc_id)
+SELECT doc_id, n_feats, dsir_logw FROM agg
+ORDER BY dsir_logw DESC, doc_id LIMIT 50
+"""
+
+
 def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture sampling (operators/sampling.py): downsample the
     corpus so the language mix matches target weights, with the
@@ -3739,6 +3793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup_against": q_media_dedup_against,
         "doc_simhash_keep": q_doc_simhash_keep,
         "doc_bm25_indexed": q_doc_bm25_indexed,
+        "doc_dsir_top": q_doc_dsir_top,
         # -- past round 9's 50-row window (last driver-green r8)
         "knn_batch_top5": q_knn_batch_top5,
         "lsh_knn_top10": q_lsh_knn_top10,
@@ -3851,6 +3906,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_against": _oracle_doc_simhash_against(),
         "doc_simhash_keep": _oracle_doc_simhash_keep(),
         "doc_bm25_indexed": _oracle_doc_bm25_indexed(),
+        "doc_dsir_top": _oracle_doc_dsir_top(),
         "media_dedup_against": _oracle_media_dedup_against(),
         "doc_dedup_against_verified": _oracle_doc_dedup_against_verified(),
         "doc_winnow_against": _oracle_doc_winnow_against(),

@@ -184,3 +184,237 @@ def stratified_sample(
         F.lit(float(default_fraction)),
     )
     return df.filter(hash_uniform(id_col, seed) < frac)
+
+
+# -- DSIR importance resampling ---------------------------------------------
+
+def _hashed_feature_stream(df, text_col, id_col, buckets):
+    """Per-document hashed n-gram feature stream (id, pos, bucket):
+    word unigrams then bigrams, each md5-hashed into ``buckets``
+    (Xie et al. 2023's hashed-ngram DSIR features). ``pos`` is the
+    feature's index in the unigrams-then-bigrams order — the
+    deterministic fold key that makes the per-document float sum
+    engine-portable (the unigram_surprisal discipline)."""
+    from kowari_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bi)
+    return df.select(
+        F.col(id_col), F.posexplode(feats).alias("__pos", "__g")
+    ).select(
+        id_col, "__pos",
+        (base_hash64(F.col("__g")) % F.lit(buckets)).alias("__b"),
+    )
+
+
+def _dsir_ratios(raw_hist, tgt_hist, buckets):
+    """The per-bucket log importance ratio relation (__b, __lr) from
+    the two bucket histograms — ≤``buckets`` rows, one shared
+    construction so the expr and arrow engines score with IDENTICAL
+    doubles. Each log is rounded to 9 decimals before the subtraction
+    (cross-engine ln() parity, the idf discipline)."""
+    raw_tot = raw_hist.agg(
+        F.coalesce(F.sum("__cr"), F.lit(0)).alias("__totr")
+    )
+    tgt_tot = tgt_hist.agg(
+        F.coalesce(F.sum("__ct"), F.lit(0)).alias("__tott")
+    )
+    lp = lambda c, tot: F.round(  # noqa: E731
+        F.log(
+            (F.coalesce(c, F.lit(0)) + 1).cast("double")
+            / (tot + F.lit(buckets)).cast("double")
+        ),
+        9,
+    )
+    return (
+        raw_hist.join(tgt_hist, "__b", "left")
+        .crossJoin(raw_tot)
+        .crossJoin(tgt_tot)
+        .select(
+            "__b",
+            (lp(F.col("__ct"), F.col("__tott"))
+             - lp(F.col("__cr"), F.col("__totr"))).alias("__lr"),
+        )
+    )
+
+
+def _py_feats(txt: str, buckets: int) -> list[int]:
+    """Python mirror of ``_hashed_feature_stream``'s per-document
+    feature buckets, in the same unigrams-then-bigrams order
+    (``numerics.py_hash64`` is the portable-hash contract)."""
+    from kowari_spark.numerics import py_hash64
+
+    toks = txt.split(" ")
+    grams = toks + [
+        f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+    ]
+    return [py_hash64(g) % buckets for g in grams]
+
+
+def _dsir_hist_arrow(frame, text_col, buckets, count_alias):
+    """Bucket histogram via per-batch Python partials: each Arrow
+    batch emits at most ``buckets`` (bucket, partial count) rows, so
+    the shuffle reduces pre-aggregated partials — never the feature
+    stream itself."""
+    import pandas as pd
+
+    def part(batches):
+        for pdf in batches:
+            c: dict[int, int] = {}
+            for txt in pdf[text_col]:
+                for b in _py_feats(txt, buckets):
+                    c[b] = c.get(b, 0) + 1
+            yield pd.DataFrame(
+                {"__b": list(c.keys()), "__c": list(c.values())}
+            )
+
+    return (
+        frame.select(text_col)
+        .mapInPandas(part, "__b long, __c long")
+        .groupBy("__b")
+        .agg(F.sum("__c").alias(count_alias))
+    )
+
+
+def _dsir_logweights_arrow(
+    df, target, text_col, id_col, buckets, round_to
+) -> DataFrame:
+    """Row-local scoring: histograms from Python partials, the shared
+    ratio relation collected (BOUNDED: ≤``buckets`` rows — the
+    fit-time-collect convention) into a closure dict, then ONE
+    mapInPandas pass computes each document's weight with the same
+    left-fold order and HALF_UP rounding as the expression engine —
+    bit-identical (parity-tested), with no interpreted bigram lambdas
+    and no per-feature fold shuffle."""
+    import pandas as pd
+
+    from kowari_spark.numerics import round_half_up
+
+    raw_hist = _dsir_hist_arrow(df, text_col, buckets, "__cr")
+    tgt_hist = _dsir_hist_arrow(target, text_col, buckets, "__ct")
+    lrs = {
+        r["__b"]: r["__lr"]
+        for r in _dsir_ratios(raw_hist, tgt_hist, buckets).collect()
+    }
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_feats long, dsir_logw double"
+
+    def weigh(batches):
+        for pdf in batches:
+            ns, ws = [], []
+            for txt in pdf[text_col]:
+                fs = _py_feats(txt, buckets)
+                s = 0.0
+                for b in fs:
+                    s = s + lrs[b]
+                ns.append(len(fs))
+                ws.append(round_half_up(s, round_to) + 0.0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_feats": pd.array(ns, dtype="int64"),
+                    "dsir_logw": ws,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(weigh, schema)
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    round_to: int = 6,
+    engine: str = "auto",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): score each raw document by how much more likely its hashed
+    n-gram features are under a TARGET corpus's bucket model than
+    under the raw corpus's own — the standard cheap proxy for "select
+    web text that looks like the high-quality target" in LLM data
+    curation. Returns (id_col, n_feats, dsir_logw) with
+
+        dsir_logw = Σ_f [ round(ln p_target(b_f), 9)
+                          − round(ln p_raw(b_f), 9) ]
+
+    summed over the document's features in deterministic order,
+    p(b) = (count(b) + 1) / (total + buckets) (add-one smoothing over
+    the hash-bucket vocabulary), rounded to ``round_to`` (+0.0
+    normalizes negative zero). Per-bucket logs are rounded before the
+    sum and the sum folds in feature-position order — float addition
+    order is part of the plan, so the operator has an exact DuckDB
+    oracle.
+
+    Scale shape: ONE explode per corpus feeds the bucket histograms
+    (groupBy(bucket), map-side partials, ≤``buckets`` rows out); the
+    ≤``buckets``-row log-ratio relation BROADCASTS into the raw
+    feature stream (no shuffle of the stream for the join); the only
+    stream-sized shuffle is the per-document fold keyed on the id.
+    Raw-corpus buckets always exist in the raw histogram by
+    construction; target counts for unseen buckets coalesce to 0 and
+    smoothing keeps the ratio finite.
+
+    ``engine="arrow"`` ("auto" default at ≥1000 rows) computes the
+    histograms from per-batch Python partials and the per-document
+    fold row-locally against the collected ratio dict — BIT-IDENTICAL
+    (parity-tested): same portable hash, same shared ratio relation,
+    same left-fold order, same HALF_UP rounding; it removes the
+    expression plan's interpreted bigram lambdas and the per-feature
+    fold shuffle (measured 6× at 500k docs, BASELINE.md r10)."""
+    from kowari_spark.engines import resolve_engine
+
+    if resolve_engine(engine, df=df) == "arrow":
+        return _dsir_logweights_arrow(
+            df, target, text_col, id_col, buckets, round_to
+        )
+    raw_feats = _hashed_feature_stream(df, text_col, id_col, buckets)
+    tgt_feats = _hashed_feature_stream(target, text_col, id_col, buckets)
+    raw_hist = raw_feats.groupBy("__b").agg(F.count("*").alias("__cr"))
+    tgt_hist = tgt_feats.groupBy("__b").agg(F.count("*").alias("__ct"))
+    ratios = _dsir_ratios(raw_hist, tgt_hist, buckets)
+    joined = raw_feats.join(F.broadcast(ratios), "__b").select(
+        id_col, "__pos", "__lr"
+    )
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("__pos"), F.col("__lr")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["__lr"],
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_feats"),
+        (F.round(folded, round_to) + F.lit(0.0)).alias("dsir_logw"),
+    )
+
+
+def dsir_top(
+    df: DataFrame,
+    target: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    round_to: int = 6,
+    engine: str = "auto",
+) -> DataFrame:
+    """The ``n`` raw documents most target-like under the DSIR
+    importance weight — deterministic selection (ties break on
+    ascending id; TakeOrderedAndProject, no global sort), the
+    engine-portable stand-in for the paper's Gumbel resampling: at
+    selection time what a pipeline needs is a REPRODUCIBLE subset, and
+    rank-by-weight is the deterministic limit of importance
+    resampling as temperature → 0."""
+    w = dsir_logweights(
+        df, target, text_col, id_col, buckets, round_to, engine
+    )
+    return w.orderBy(F.desc("dsir_logw"), F.col(id_col)).limit(n)

@@ -1,5 +1,6 @@
 """Deterministic sampling / splits (operators/sampling.py)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from kowari_spark.operators.sampling import (
@@ -7,6 +8,11 @@ from kowari_spark.operators.sampling import (
     hash_uniform,
     train_val_test,
 )
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
 
 
 def test_sample_is_stable_and_near_fraction(spark):
@@ -65,3 +71,107 @@ def test_stratified_sample_per_group_rates(spark):
     b = sorted(r["doc_id"] for r in
                stratified_sample(df.repartition(5), "lang", {"en": 0.5, "de": 0.1}, seed=5).collect())
     assert a == b
+
+
+def test_dsir_logweights_hand_computed(spark):
+    """Pin one DSIR weight against a by-hand bucket-model computation
+    (same md5 hashing, add-one smoothing, rounded-log fold order)."""
+    import hashlib
+    import math
+
+    from kowari_spark.operators.sampling import dsir_logweights
+
+    B = 64
+    raw_rows = [(1, "aa bb"), (2, "cc dd"), (3, "aa cc")]
+    tgt_rows = [(10, "aa bb"), (11, "aa bb aa")]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+
+    def feats(txt):
+        toks = txt.split(" ")
+        grams = toks + [
+            f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)
+        ]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+            for g in grams
+        ]
+
+    raw_hist, tgt_hist = {}, {}
+    for _, t in raw_rows:
+        for b in feats(t):
+            raw_hist[b] = raw_hist.get(b, 0) + 1
+    for _, t in tgt_rows:
+        for b in feats(t):
+            tgt_hist[b] = tgt_hist.get(b, 0) + 1
+    totr, tott = sum(raw_hist.values()), sum(tgt_hist.values())
+
+    def lw(txt):
+        s = 0.0
+        for b in feats(txt):
+            lt = round(math.log((tgt_hist.get(b, 0) + 1) / (tott + B)), 9)
+            lr = round(math.log((raw_hist.get(b, 0) + 1) / (totr + B)), 9)
+            s = s + (lt - lr)
+        return round(s, 6) + 0.0
+
+    got = {
+        r["doc_id"]: (r["n_feats"], r["dsir_logw"])
+        for r in dsir_logweights(raw, tgt, buckets=B).collect()
+    }
+    assert got == {
+        i: (len(feats(t)), lw(t)) for i, t in raw_rows
+    }
+
+
+def test_dsir_ranks_target_like_docs_first(spark, docs):
+    """Sanity: raw docs whose vocabulary matches the target slice
+    outrank docs that don't; dsir_top is deterministic with id ties."""
+    from kowari_spark.operators.sampling import dsir_top
+
+    target = docs.filter(F.col("lang") == "en")
+    top = dsir_top(docs, target, 50)
+    rows = top.collect()
+    assert len(rows) == 50
+    scores = [r["dsir_logw"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # the top target-like docs should be dominated by the target lang
+    ids = [r["doc_id"] for r in rows]
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in docs.filter(F.col("doc_id").isin(ids))
+        .select("doc_id", "lang").collect()
+    }
+    en_frac = sum(1 for i in ids if langs[i] == "en") / len(ids)
+    base_frac = docs.filter(F.col("lang") == "en").count() / docs.count()
+    assert en_frac > base_frac
+    # determinism: a second run returns the identical selection
+    again = [r["doc_id"] for r in dsir_top(docs, target, 50).collect()]
+    assert again == ids
+
+
+def test_dsir_engines_bit_identical(spark, docs):
+    """The arrow DSIR engine (Python-partial histograms + collected
+    ratio dict + row-local fold) matches the expression engine
+    bit-for-bit, including on sub-bigram/empty edge docs."""
+    from kowari_spark.operators.sampling import dsir_logweights
+
+    target = docs.filter(F.col("lang") == "en")
+    for frame, tgt in (
+        (docs, target),
+        (
+            spark.createDataFrame(
+                [(1, "one"), (2, "two words"), (3, "")],
+                "doc_id long, text string",
+            ),
+            spark.createDataFrame(
+                [(9, "two words two")], "doc_id long, text string"
+            ),
+        ),
+    ):
+        e = sorted(map(tuple, dsir_logweights(
+            frame, tgt, engine="expr").collect()))
+        a = sorted(map(tuple, dsir_logweights(
+            frame, tgt, engine="arrow").collect()))
+        assert e == a
+    with pytest.raises(ValueError, match="engine must be"):
+        dsir_logweights(docs, target, engine="fast")

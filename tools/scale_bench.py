@@ -559,6 +559,18 @@ def _run_suite(
             s, r = timed(lambda: despan("arrow"))
             rec("doc_despan_arrow", s, r)
 
+    if want("doc_dsir"):
+        # DSIR importance selection: two explodes feed the bucket
+        # histograms (<=10k rows out each), the log-ratio relation
+        # broadcasts into the raw feature stream, and the only
+        # stream-sized shuffle is the per-document fold — surprisal's
+        # shape with a broadcast side-input
+        from kowari_spark.operators.sampling import dsir_top
+
+        s, r = timed(lambda: dsir_top(
+            docs, docs.filter(F.col("lang") == "en"), 100).count())
+        rec("doc_dsir", s, r)
+
     if want("doc_surprisal"):
         # unigram-model quality proxy: the wide shuffles are the vocab
         # count and the token⋈vocab join (both keyed on the token)
