@@ -130,6 +130,28 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         (r["doc_id"], r["bm25"])
         for r in bm25_search(mixed, "hash join", k=3).collect()])
 
+    # DSIR: keep the docs most like a target slice (here: the English
+    # half) — hashed-ngram importance weights, deterministic top-k
+    from kowari_spark.operators.sampling import dsir_top
+
+    en_like = dsir_top(clean, clean.filter(F.col("lang") == "en"), 20)
+    print("dsir top-3 target-like:", [
+        (r["doc_id"], r["dsir_logw"]) for r in en_like.limit(3).collect()])
+
+    # persisted BM25 postings: tokenize once, probe by term bucket —
+    # bit-identical scores to the scan path above
+    from kowari_spark.operators.search import (
+        bm25_search_indexed,
+        build_bm25_layout,
+    )
+
+    bpath = tempfile.mkdtemp(prefix="kowari_demo_bm25_")
+    build_bm25_layout(mixed, bpath)
+    print("bm25 indexed('hash join'):", [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_search_indexed(spark, bpath, "hash join", k=3)
+        .collect()])
+
     # -- model-free embeddings into the SAME search operators ------------
     embedded = hashed_embeddings(kept, "text", "doc_id", dim=32).cache()
     qvec = [float(x) for x in embedded.first()["embedding"]]
