@@ -3701,9 +3701,12 @@ def q_media_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.filter(F.col("media_id") < 20), kind="image",
         width=32, height=24,
     ).withColumn("media_id", F.col("media_id") + 1000)
+    # fresh keys 1100..1109: the KWM pixel pattern repeats mod 256, so
+    # genuinely-new keys must not alias a history key (0..39) mod 256 —
+    # 1100..1109 ≡ 76..85 and sit >= 18 Hamming bits from all history
     fresh = synth_media(
         base.filter((F.col("media_id") >= 40) & (F.col("media_id") < 50))
-        .select((F.col("media_id") + 1000).alias("media_id")),
+        .select((F.col("media_id") + 1060).alias("media_id")),
         kind="image", width=32, height=24,
     )
     path = _media_sig_layout(spark, sf_dir)
@@ -3729,7 +3732,7 @@ def _oracle_media_dedup_against() -> str:
 
     hist_vals = ",".join(f"({i}, {phash(i)})" for i in range(40))
     batch = [(i + 1000, phash(i)) for i in range(20)] + [
-        (i, phash(i)) for i in range(1040, 1050)
+        (i, phash(i)) for i in range(1100, 1110)
     ]
     new_vals = ",".join(f"({i}, {p})" for i, p in batch)
     band_rows = ",".join(f"({b}, {256 ** b}::HUGEINT)" for b in range(8))

@@ -200,9 +200,9 @@ def _minhash_dedup_against(
     hist: DataFrame,
     meta: dict,
     new_df: DataFrame,
-    mode: str,
-    verify_threshold: float | None,
-    broadcast_keys_max: int,
+    mode: str = "reps",
+    verify_threshold: float | None = None,
+    broadcast_keys_max: int = _BROADCAST_KEYS_MAX,
 ) -> DataFrame:
     """Probe body over an already-loaded (hist, meta) pair — the one
     sidecar read per public call (ADVICE r9: ``filter_new_against``
@@ -402,8 +402,8 @@ def _simhash_dedup_against(
     hist: DataFrame,
     meta: dict,
     new_df: DataFrame,
-    max_hamming: int,
-    mode: str,
+    max_hamming: int = 3,
+    mode: str = "reps",
 ) -> DataFrame:
     """Probe body over an already-loaded (hist, meta) pair."""
     if mode not in ("reps", "pairs"):
@@ -754,9 +754,9 @@ def _winnow_dedup_against(
     hist: DataFrame,
     meta: dict,
     new_df: DataFrame,
-    min_shared: int,
-    mode: str,
-    broadcast_keys_max: int,
+    min_shared: int = 2,
+    mode: str = "reps",
+    broadcast_keys_max: int = _BROADCAST_KEYS_MAX,
 ) -> DataFrame:
     """Probe body over an already-loaded (hist, meta) pair."""
     if mode not in ("reps", "pairs"):
@@ -982,8 +982,8 @@ def _media_dedup_against(
     hist: DataFrame,
     meta: dict,
     new_df: DataFrame,
-    max_hamming: int,
-    mode: str,
+    max_hamming: int = 6,
+    mode: str = "reps",
 ) -> DataFrame:
     """Probe body over an already-loaded (hist, meta) pair."""
     if mode not in ("reps", "pairs"):
@@ -1114,30 +1114,38 @@ class SignatureLayout:
     Embedding layouts are NOT dispatched here: SignLSH layouts carry
     no sidecar (plane provenance is the caller's, exactly as
     ``SignLSH.load`` documents) — use ``embedding_near_dups_against``
-    with the owning LSH instance."""
+    with the owning LSH instance.
 
-    #: kind -> (sidecar name, loader, prober, keep filter, appender,
-    #:          streaming sink name in streaming.ingest)
+    Load economics (ADVICE-r9 discipline, facade edition): the sidecar
+    is read and version-validated ONCE at ``open``; each probe verb
+    re-lists only the parquet data (a fresh ``spark.read.parquet``, so
+    rows appended after ``open`` — including by this handle's own
+    ``append`` — stay visible) and dispatches straight to the
+    family's (hist, meta) probe body. Append params are similarly
+    frozen at open. An out-of-band REBUILD under different params is
+    the one thing a held handle won't see — re-``open`` after
+    rebuilds."""
+
+    #: kind -> (sidecar name, loader, (hist, meta) probe body,
+    #:          appender, streaming sink name in streaming.ingest)
     _FAMILIES = {
         "minhash": (
-            _META_NAME, "load_minhash_layout", "dedup_against",
-            "filter_new_against", "append_minhash_layout",
-            "stream_into_minhash_layout",
+            _META_NAME, "load_minhash_layout", "_minhash_dedup_against",
+            "append_minhash_layout", "stream_into_minhash_layout",
         ),
         "simhash": (
             _SIMHASH_META_NAME, "load_simhash_layout",
-            "simhash_dedup_against", "simhash_filter_new_against",
-            "append_simhash_layout", "stream_into_simhash_layout",
+            "_simhash_dedup_against", "append_simhash_layout",
+            "stream_into_simhash_layout",
         ),
         "winnow": (
             _WINNOW_META_NAME, "load_winnow_layout",
-            "winnow_dedup_against", "winnow_filter_new_against",
-            "append_winnow_layout", "stream_into_winnow_layout",
+            "_winnow_dedup_against", "append_winnow_layout",
+            "stream_into_winnow_layout",
         ),
         "media": (
-            _MEDIA_META_NAME, "load_media_layout", "media_dedup_against",
-            "media_filter_new_against", "append_media_layout",
-            "stream_into_media_layout",
+            _MEDIA_META_NAME, "load_media_layout", "_media_dedup_against",
+            "append_media_layout", "stream_into_media_layout",
         ),
     }
 
@@ -1179,19 +1187,35 @@ class SignatureLayout:
     def __repr__(self) -> str:  # pragma: no cover - debugging aid
         return f"SignatureLayout(kind={self.kind!r}, path={self.path!r})"
 
+    def _hist(self) -> DataFrame:
+        """A fresh data relation (re-lists files, so appends since
+        ``open`` are visible) under the open-time-validated meta."""
+        return self.spark.read.parquet(self.path)
+
     def dedup_against(self, new_df: DataFrame, **kw) -> DataFrame:
-        """The family's incremental probe (reps-bounded by default)."""
+        """The family's incremental probe (reps-bounded by default);
+        per-family knobs pass through (``mode``, ``verify_threshold``,
+        ``max_hamming``, ``min_shared``, ``broadcast_keys_max``)."""
         fn = globals()[self._FAMILIES[self.kind][2]]
-        return fn(self.spark, self.path, new_df, **kw)
+        return fn(self._hist(), self.meta, new_df, **kw)
 
     def filter_new(self, new_df: DataFrame, **kw) -> DataFrame:
-        """Rows of ``new_df`` colliding with NO stored signature."""
-        fn = globals()[self._FAMILIES[self.kind][3]]
-        return fn(self.spark, self.path, new_df, **kw)
+        """Rows of ``new_df`` colliding with NO stored signature —
+        membership needs one representative per bucket, so this always
+        rides the family's ``mode="reps"`` probe (the public
+        ``*_filter_new_against`` contract)."""
+        kw["mode"] = "reps"
+        id_col = self.meta["id_col"]
+        matched = (
+            self.dedup_against(new_df, **kw)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        return new_df.join(matched, id_col, "left_anti")
 
     def append(self, new_df: DataFrame) -> None:
         """Fingerprint under the stored params and append."""
-        fn = globals()[self._FAMILIES[self.kind][4]]
+        fn = globals()[self._FAMILIES[self.kind][3]]
         fn(self.spark, self.path, new_df)
 
     def stream_into(self, stream_df: DataFrame, checkpoint_dir: str, **kw):
@@ -1199,5 +1223,5 @@ class SignatureLayout:
         markers + compaction-lock cooperation); returns the query."""
         from kowari_spark.streaming import ingest
 
-        fn = getattr(ingest, self._FAMILIES[self.kind][5])
+        fn = getattr(ingest, self._FAMILIES[self.kind][4])
         return fn(stream_df, self.path, checkpoint_dir, **kw)

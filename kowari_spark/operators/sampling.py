@@ -250,10 +250,11 @@ def _dsir_ratios(raw_hist, tgt_hist, buckets):
 def _py_feats(txt: str, buckets: int) -> list[int]:
     """Python mirror of ``_hashed_feature_stream``'s per-document
     feature buckets, in the same unigrams-then-bigrams order
-    (``numerics.py_hash64`` is the portable-hash contract)."""
+    (``numerics.py_hash64`` is the portable-hash contract). NULL text
+    featurizes as the empty string."""
     from kowari_spark.numerics import py_hash64
 
-    toks = txt.split(" ")
+    toks = ("" if txt is None else txt).split(" ")
     grams = toks + [
         f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
     ]

@@ -345,20 +345,28 @@ def build_bm25_layout(
     reads at most q/64 of the postings bytes."""
     from kowari_spark.fsutil import write_bytes
 
-    _postings(docs, text_col, id_col, buckets).write.mode(
-        "overwrite"
-    ).partitionBy("tb").parquet(path)
+    # stats FIRST: an empty corpus must refuse before anything is
+    # written (a postings dir without a sidecar is a half-built layout),
+    # and avgdl needs n > 0
     st = docs.agg(
         F.count("*").alias("n"),
         F.sum(token_count(F.col(text_col))).alias("sum_dl"),
     ).first()
+    if int(st["n"]) == 0:
+        raise ValueError(
+            "build_bm25_layout over an empty corpus: BM25 needs N > 0 "
+            "(avgdl is undefined) — build once data exists, then append"
+        )
+    _postings(docs, text_col, id_col, buckets).write.mode(
+        "overwrite"
+    ).partitionBy("tb").parquet(path)
     meta = {
         "version": _BM25_LAYOUT_VERSION,
         "text_col": text_col,
         "id_col": id_col,
         "buckets": buckets,
         "n_docs": int(st["n"]),
-        "sum_dl": int(st["sum_dl"]),
+        "sum_dl": int(st["sum_dl"] or 0),
     }
     write_bytes(
         docs.sparkSession, f"{path}/{_BM25_META_NAME}",
@@ -483,13 +491,46 @@ def append_bm25_layout(spark, path: str, new_docs: DataFrame) -> None:
     their postings, and roll the sidecar stats forward additively
     (Σdl and N are exact integer sums, so build(hist) + append(batch)
     is bit-identical to build(hist ∪ batch) — parity-tested). Appends
-    should be exactly-once (README release notes); the streaming sink
+    must be exactly-once (README release notes): unlike the dedup
+    signature layouts, duplicated postings are NOT benign — they
+    double df/tf contributions and inflate the stats, silently
+    shifting every future score. The streaming sink
     ``streaming.ingest.stream_into_bm25_layout`` carries idempotence
-    markers for re-drain safety."""
+    markers for re-drain safety (with a documented crash window
+    between the append and the marker commit — its docstring);
+    ``repair_bm25_layout`` restores a layout that a crashed or
+    double-run append corrupted."""
     from kowari_spark.fsutil import write_bytes
 
     _, meta = load_bm25_layout(spark, path)
     _append_bm25_rows(spark, path, meta, new_docs, write_bytes)
+
+
+def repair_bm25_layout(spark, path: str) -> None:
+    """Restore a postings layout whose append crashed between the
+    postings write and its marker/stats commit (or was run twice):
+    a replayed batch appends EXACT duplicate (id, dl, t, tf, tb) rows
+    and may double-roll the sidecar stats. Repair rewrites the
+    postings distinct and recomputes the stats FROM the deduped
+    postings — (id, dl) is unique per document, so N = distinct ids
+    and Σdl = sum of per-document dl are exact — leaving the layout
+    bit-identical to a clean rebuild. Run it from the maintenance
+    window (it rewrites the whole layout; no concurrent appends)."""
+    from kowari_spark.fsutil import write_bytes
+
+    postings, meta = load_bm25_layout(spark, path)
+    clean = postings.distinct().localCheckpoint()  # pre-delete snapshot
+    st = (
+        clean.select(meta["id_col"], "dl")
+        .distinct()
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl"))
+        .first()
+    )
+    clean.write.mode("overwrite").partitionBy("tb").parquet(path)
+    meta = dict(meta, n_docs=int(st["n"]), sum_dl=int(st["sum_dl"] or 0))
+    write_bytes(
+        spark, f"{path}/{_BM25_META_NAME}", json.dumps(meta).encode()
+    )
 
 
 def _append_bm25_rows(spark, path, meta, new_docs, write_bytes) -> None:

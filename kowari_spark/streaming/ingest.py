@@ -584,10 +584,19 @@ def stream_into_bm25_layout(
     from a document stream: each micro-batch is tokenized under the
     sidecar's params, its postings appended into ``partitionBy(tb)``,
     and the sidecar's corpus stats (N, Σdl) rolled forward additively —
-    all gated by an idempotence marker so a re-drained batch neither
-    duplicates postings NOR double-counts the stats. Not the shared
-    signature-sink body because of that stats roll: the sidecar update
-    must sit INSIDE the marker window."""
+    gated by an idempotence marker so a CLEANLY re-drained batch
+    neither duplicates postings nor double-counts the stats. Not the
+    shared signature-sink body because of that stats roll: the sidecar
+    update must sit INSIDE the marker window.
+
+    CRASH WINDOW (documented, mirrors compact_bucketed_layout's): a
+    driver death AFTER the append+stats commit but BEFORE the marker
+    lands makes the restart replay the batch — and unlike the dedup
+    signature sinks (whose duplicate rows are min-aggregate-benign),
+    duplicated postings and double-rolled stats SHIFT every future
+    score. ``operators.search.repair_bm25_layout`` restores the layout
+    exactly (distinct postings + stats recomputed from them); run it
+    after any unclean sink shutdown."""
     import hashlib
 
     from kowari_spark import fsutil

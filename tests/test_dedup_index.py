@@ -731,11 +731,16 @@ def media_halves(spark):
         return synth_media(ids, kind="image", width=32, height=24)
 
     hist = mk(0, 40).cache()
-    # same content as 0..19 under shifted ids, plus 10 new images
+    # same content as 0..19 under shifted ids, plus 10 genuinely new
+    # images: the synthetic KWM pixel pattern repeats mod 256
+    # (multimodal.encode_kwm), so "new" keys must NOT be congruent to
+    # any history key mod 256 — 1100..1109 ≡ 76..85, and their dHashes
+    # sit >= 18 Hamming bits from every history image (checked), so
+    # the no-match/keep path is genuinely exercised
     copies = hist.filter(F.col("media_id") < 20).withColumn(
         "media_id", F.col("media_id") + 1000
     )
-    fresh = mk(1040, 1050)
+    fresh = mk(1100, 1110)
     return hist, copies.unionByName(fresh).cache()
 
 
@@ -787,11 +792,13 @@ def test_media_incremental_matches_batch(spark, media_halves, tmp_path):
     kept = media_filter_new_against(spark, path, new, max_hamming=6)
     matched = {a for a, _, _ in reps}
     new_ids = {r["media_id"] for r in new.select("media_id").collect()}
-    assert {r["media_id"] for r in kept.select("media_id").collect()} \
-        == new_ids - matched
-    # the 20 exact copies are all dropped
-    assert not ({i + 1000 for i in range(20)} &
-                {r["media_id"] for r in kept.select("media_id").collect()})
+    kept_ids = {r["media_id"] for r in kept.select("media_id").collect()}
+    assert kept_ids == new_ids - matched
+    # the 20 exact copies are all dropped AND the 10 genuinely new
+    # images (>= 18 Hamming bits from all history) all survive — the
+    # keep path is exercised, not vacuously empty
+    assert not ({i + 1000 for i in range(20)} & kept_ids)
+    assert {i for i in range(1100, 1110)} <= kept_ids
 
 
 def test_media_layout_provenance_append_and_plan(

@@ -353,3 +353,54 @@ def test_bm25_streaming_sink(spark, sf_dir, tmp_path):
     after, ameta = load_bm25_layout(spark, path)
     assert after.count() == n
     assert (ameta["n_docs"], ameta["sum_dl"]) == stats
+
+
+def test_bm25_build_refuses_empty_and_repair_restores(spark, sf_dir, tmp_path):
+    """Empty-corpus builds refuse BEFORE writing anything; a
+    double-applied append (the sink's documented crash window) is
+    restored exactly by repair_bm25_layout — postings AND sidecar
+    stats match a clean rebuild, so probe results re-converge."""
+    import os
+
+    from kowari_spark.operators.search import (
+        append_bm25_layout,
+        bm25_search_indexed,
+        build_bm25_layout,
+        load_bm25_layout,
+        repair_bm25_layout,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    ep = str(tmp_path / "bm25_empty")
+    with pytest.raises(ValueError, match="empty corpus"):
+        build_bm25_layout(empty, ep)
+    assert not os.path.exists(ep)  # nothing was written
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "bm25_crash")
+    build_bm25_layout(hist, path)
+    append_bm25_layout(spark, path, new)
+    append_bm25_layout(spark, path, new)  # the replayed batch
+    q = "vector hash join batch"
+    clean = str(tmp_path / "bm25_clean")
+    build_bm25_layout(docs, clean)
+    want = [tuple(r) for r in bm25_search_indexed(spark, clean, q).collect()]
+    # corruption is real: stats inflated vs the clean build
+    _, corrupt_meta = load_bm25_layout(spark, path)
+    _, clean_meta = load_bm25_layout(spark, clean)
+    assert corrupt_meta["n_docs"] > clean_meta["n_docs"]
+
+    repair_bm25_layout(spark, path)
+    fixed, fmeta = load_bm25_layout(spark, path)
+    assert (fmeta["n_docs"], fmeta["sum_dl"]) == (
+        clean_meta["n_docs"], clean_meta["sum_dl"]
+    )
+    rb, _ = load_bm25_layout(spark, clean)
+    cols = ["doc_id", "dl", "t", "tf", "tb"]
+    assert sorted(map(tuple, fixed.select(*cols).collect())) == sorted(
+        map(tuple, rb.select(*cols).collect())
+    )
+    assert [tuple(r) for r in bm25_search_indexed(spark, path, q).collect()] \
+        == want

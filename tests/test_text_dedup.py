@@ -721,3 +721,35 @@ def test_fingerprint_arrow_engines_bit_identical(spark, docs):
         winnow_fps(docs, engine="fast")
     with pytest.raises(ValueError, match="engine must be"):
         simhash_fingerprints(docs, engine="fast")
+
+
+def test_arrow_engines_tolerate_null_text(spark):
+    """NULL text must not kill a whole build (VERDICT-r10 review): the
+    arrow engines score it as the empty string (the quality.py
+    convention — documented divergence from the expr engines' null
+    propagation; filter nulls upstream where it matters)."""
+    from kowari_spark.operators.dedup import (
+        minhash_signatures,
+        simhash_fingerprints,
+        winnow_fps,
+    )
+    from kowari_spark.operators.sampling import dsir_logweights
+
+    df = spark.createDataFrame(
+        [(1, "some normal text here"), (2, None)],
+        "doc_id long, text string",
+    )
+    empt = spark.createDataFrame(
+        [(1, "some normal text here"), (2, "")],
+        "doc_id long, text string",
+    )
+    for fn in (minhash_signatures, simhash_fingerprints, winnow_fps):
+        got = sorted(map(tuple, fn(df, engine="arrow").collect()))
+        want = sorted(map(tuple, fn(empt, engine="arrow").collect()))
+        assert got == want, fn.__name__
+    tgt = df.filter(F.col("doc_id") == 1)
+    got = sorted(map(tuple, dsir_logweights(
+        df, tgt, engine="arrow").collect()))
+    want = sorted(map(tuple, dsir_logweights(
+        empt, tgt, engine="arrow").collect()))
+    assert got == want

@@ -732,7 +732,11 @@ def _run_suite(
         # the fourth signature family at scale: mult*2000 synthetic
         # 32x24 images in history, a 200-image batch probed against the
         # stored banded dHash layout (decode only the batch; Hamming
-        # verified from stored longs; reps bound).
+        # verified from stored longs; reps bound). NOTE: the synthetic
+        # KWM pattern repeats mod 256, so with >=256 history images the
+        # batch keys (10^9..) all alias history — DELIBERATE worst case
+        # for timing: every batch image collides and the probe pays
+        # full bucket pruning + verification on each.
         from kowari_spark.operators.dedup_index import (
             build_media_layout,
             media_dedup_against,
