@@ -2703,7 +2703,7 @@ def q_doc_dsir_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_doc_dsir_top() -> str:
     h = _SQL_HASH64.format(s="g")
     return f"""
-WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+WITH tk AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS t FROM documents),
 uni AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS g
         FROM tk),
 bl AS (SELECT doc_id, len(t) AS nt,

@@ -97,6 +97,29 @@ def list_dirs(spark: SparkSession, path: str) -> list[str]:
     ]
 
 
+def list_files(spark: SparkSession, path: str) -> list[str]:
+    """Names of files directly inside ``path`` (hidden/marker files
+    included — this is what marker-preserving maintenance reads)."""
+    fs, jpath = _fs_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return [
+        st.getPath().getName() for st in fs.listStatus(jpath) if st.isFile()
+    ]
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Directory/file rename — atomic on HDFS and local filesystems,
+    which is what layout maintenance swaps rely on. Raises if the
+    filesystem refuses (dst exists, src missing) instead of returning
+    Hadoop's silent False: a swap step that didn't happen must stop
+    the maintenance job, not let it delete the original."""
+    fs, jsrc = _fs_path(spark, src)
+    _, jdst = _fs_path(spark, dst)
+    if not fs.rename(jsrc, jdst):
+        raise OSError(f"rename {src} -> {dst} refused by the filesystem")
+
+
 def count_data_files(spark: SparkSession, path: str) -> int:
     """Data files (non-hidden, non-marker) directly inside ``path``."""
     fs, jpath = _fs_path(spark, path)

@@ -1121,10 +1121,14 @@ class SignatureLayout:
     re-lists only the parquet data (a fresh ``spark.read.parquet``, so
     rows appended after ``open`` — including by this handle's own
     ``append`` — stay visible) and dispatches straight to the
-    family's (hist, meta) probe body. Append params are similarly
-    frozen at open. An out-of-band REBUILD under different params is
-    the one thing a held handle won't see — re-``open`` after
-    rebuilds."""
+    family's (hist, meta) probe body. ``append``/``stream_into``
+    delegate to the public ``append_*_layout`` functions and so
+    RE-READ the sidecar per call (deliberately NOT frozen: if the
+    layout was rebuilt under new params since ``open``, new rows must
+    be fingerprinted under the CURRENT stored params — stale-handle
+    appends corrupting a rebuilt layout is the worse failure). An
+    out-of-band rebuild under different params is therefore invisible
+    only to this handle's PROBES — re-``open`` after rebuilds."""
 
     #: kind -> (sidecar name, loader, (hist, meta) probe body,
     #:          appender, streaming sink name in streaming.ingest)

@@ -188,16 +188,15 @@ def stratified_sample(
 
 # -- DSIR importance resampling ---------------------------------------------
 
-def _hashed_feature_stream(df, text_col, id_col, buckets):
-    """Per-document hashed n-gram feature stream (id, pos, bucket):
-    word unigrams then bigrams, each md5-hashed into ``buckets``
-    (Xie et al. 2023's hashed-ngram DSIR features). ``pos`` is the
-    feature's index in the unigrams-then-bigrams order — the
-    deterministic fold key that makes the per-document float sum
-    engine-portable (the unigram_surprisal discipline)."""
+def _hashed_grams(text_col):
+    """Hashed-ngram DSIR feature array (word unigrams then bigrams,
+    Xie et al. 2023) for one text column. NULL text featurizes as the
+    empty string — one ""-unigram, exactly like the Python mirror
+    ``_py_feats`` — so both engines keep NULL-text rows and count them
+    identically in the histograms."""
     from kowari_spark.functions.text import tokens
 
-    toks = tokens(F.col(text_col))
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     bi = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -207,13 +206,30 @@ def _hashed_feature_stream(df, text_col, id_col, buckets):
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    feats = F.concat(toks, bi)
+    return F.concat(toks, bi)
+
+
+def _hashed_feature_stream(df, text_col, id_col, buckets):
+    """Per-document hashed n-gram feature stream (id, pos, bucket).
+    ``pos`` is the feature's index in the unigrams-then-bigrams order —
+    the deterministic fold key that makes the per-document float sum
+    engine-portable (the unigram_surprisal discipline)."""
     return df.select(
-        F.col(id_col), F.posexplode(feats).alias("__pos", "__g")
+        F.col(id_col), F.posexplode(_hashed_grams(text_col)).alias("__pos", "__g")
     ).select(
         id_col, "__pos",
         (base_hash64(F.col("__g")) % F.lit(buckets)).alias("__b"),
     )
+
+
+def _hashed_bucket_stream(df, text_col, buckets):
+    """Bucket-only feature stream for HISTOGRAM construction: selects
+    nothing but ``text_col``, so a text-only frame (no id column) is a
+    valid target under every engine — the target histogram never needs
+    document identity or position."""
+    return df.select(
+        F.explode(_hashed_grams(text_col)).alias("__g")
+    ).select((base_hash64(F.col("__g")) % F.lit(buckets)).alias("__b"))
 
 
 def _dsir_ratios(raw_hist, tgt_hist, buckets):
@@ -364,7 +380,10 @@ def dsir_logweights(
     stream-sized shuffle is the per-document fold keyed on the id.
     Raw-corpus buckets always exist in the raw histogram by
     construction; target counts for unseen buckets coalesce to 0 and
-    smoothing keeps the ratio finite.
+    smoothing keeps the ratio finite. NULL text featurizes as the
+    empty string (one ""-unigram) under BOTH engines, so histogram
+    mass and output membership agree on NULL-text corpora, and the
+    target may be a text-only frame — no id column required.
 
     ``engine="arrow"`` ("auto" default at ≥1000 rows) computes the
     histograms from per-batch Python partials and the per-document
@@ -380,7 +399,7 @@ def dsir_logweights(
             df, target, text_col, id_col, buckets, round_to
         )
     raw_feats = _hashed_feature_stream(df, text_col, id_col, buckets)
-    tgt_feats = _hashed_feature_stream(target, text_col, id_col, buckets)
+    tgt_feats = _hashed_bucket_stream(target, text_col, buckets)
     raw_hist = raw_feats.groupBy("__b").agg(F.count("*").alias("__cr"))
     tgt_hist = tgt_feats.groupBy("__b").agg(F.count("*").alias("__ct"))
     ratios = _dsir_ratios(raw_hist, tgt_hist, buckets)

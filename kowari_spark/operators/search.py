@@ -514,23 +514,66 @@ def repair_bm25_layout(spark, path: str) -> None:
     postings distinct and recomputes the stats FROM the deduped
     postings — (id, dl) is unique per document, so N = distinct ids
     and Σdl = sum of per-document dl are exact — leaving the layout
-    bit-identical to a clean rebuild. Run it from the maintenance
-    window (it rewrites the whole layout; no concurrent appends)."""
-    from kowari_spark.fsutil import write_bytes
+    bit-identical to a clean rebuild.
+
+    Crash-safe by construction: the repaired layout is built COMPLETE
+    in a sibling temp dir — postings, then the streaming sink's
+    ``_batches`` idempotence markers (so a later re-drain stays
+    deduplicated), sidecar LAST (a temp dir without a sidecar is
+    recognizably half-built) — and only then swapped into place via
+    two directory renames. The original files are never deleted
+    before the replacement is fully written, so executor loss
+    mid-rewrite recomputes from intact sources, and a driver crash
+    anywhere leaves either the original or the completed repair on
+    disk; re-running repair_bm25_layout finishes an interrupted swap
+    automatically. Run it from the maintenance window (no concurrent
+    appends)."""
+    from kowari_spark.fsutil import (
+        create_marker,
+        delete,
+        exists,
+        list_files,
+        rename,
+        write_bytes,
+    )
+
+    tmp, bak = f"{path}.__repair_tmp", f"{path}.__repair_bak"
+    if not exists(spark, path):
+        # Finish an interrupted swap: a sidecar-complete tmp IS the
+        # repaired layout; otherwise bak holds the pre-repair original
+        # (restored below, then repaired normally).
+        if exists(spark, f"{tmp}/{_BM25_META_NAME}"):
+            rename(spark, tmp, path)
+            delete(spark, bak)
+            return
+        if exists(spark, bak):
+            rename(spark, bak, path)
+        else:
+            raise FileNotFoundError(
+                f"no BM25 layout at {path} and no interrupted repair "
+                "to recover"
+            )
+    delete(spark, tmp)  # stale half-built attempt, if any
 
     postings, meta = load_bm25_layout(spark, path)
-    clean = postings.distinct().localCheckpoint()  # pre-delete snapshot
+    clean = postings.distinct()
     st = (
         clean.select(meta["id_col"], "dl")
         .distinct()
         .agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl"))
         .first()
     )
-    clean.write.mode("overwrite").partitionBy("tb").parquet(path)
+    clean.write.mode("overwrite").partitionBy("tb").parquet(tmp)
+    for name in list_files(spark, f"{path}/_batches"):
+        create_marker(spark, f"{tmp}/_batches/{name}")
     meta = dict(meta, n_docs=int(st["n"]), sum_dl=int(st["sum_dl"] or 0))
     write_bytes(
-        spark, f"{path}/{_BM25_META_NAME}", json.dumps(meta).encode()
+        spark, f"{tmp}/{_BM25_META_NAME}", json.dumps(meta).encode()
     )
+    delete(spark, bak)  # stale backup from a prior finished repair
+    rename(spark, path, bak)
+    rename(spark, tmp, path)
+    delete(spark, bak)
 
 
 def _append_bm25_rows(spark, path, meta, new_docs, write_bytes) -> None:

@@ -160,11 +160,12 @@ def test_dsir_engines_bit_identical(spark, docs):
         (docs, target),
         (
             spark.createDataFrame(
-                [(1, "one"), (2, "two words"), (3, "")],
+                [(1, "one"), (2, "two words"), (3, ""), (4, None)],
                 "doc_id long, text string",
             ),
             spark.createDataFrame(
-                [(9, "two words two")], "doc_id long, text string"
+                [(9, "two words two"), (10, None)],
+                "doc_id long, text string",
             ),
         ),
     ):
@@ -173,5 +174,23 @@ def test_dsir_engines_bit_identical(spark, docs):
         a = sorted(map(tuple, dsir_logweights(
             frame, tgt, engine="arrow").collect()))
         assert e == a
+    # NULL-text docs stay IN the output (featurized as "") — membership
+    # and histogram mass agree across engines
+    assert {t[0] for t in e} == {1, 2, 3, 4}
     with pytest.raises(ValueError, match="engine must be"):
         dsir_logweights(docs, target, engine="fast")
+
+
+def test_dsir_accepts_text_only_target(spark):
+    """The target histogram never needs ids: a frame with ONLY the text
+    column is a valid target under both engines (the expr engine must
+    not reach for id_col on the target side)."""
+    from kowari_spark.operators.sampling import dsir_logweights
+
+    raw = spark.createDataFrame(
+        [(1, "aa bb"), (2, "cc dd")], "doc_id long, text string"
+    )
+    tgt = spark.createDataFrame([("aa bb aa",)], "text string")
+    e = sorted(map(tuple, dsir_logweights(raw, tgt, engine="expr").collect()))
+    a = sorted(map(tuple, dsir_logweights(raw, tgt, engine="arrow").collect()))
+    assert e == a and len(e) == 2

@@ -392,6 +392,10 @@ def test_bm25_build_refuses_empty_and_repair_restores(spark, sf_dir, tmp_path):
     _, clean_meta = load_bm25_layout(spark, clean)
     assert corrupt_meta["n_docs"] > clean_meta["n_docs"]
 
+    # a streaming sink's idempotence markers must survive the rewrite
+    from kowari_spark.fsutil import create_marker, exists, rename
+
+    create_marker(spark, f"{path}/_batches/ck1-7")
     repair_bm25_layout(spark, path)
     fixed, fmeta = load_bm25_layout(spark, path)
     assert (fmeta["n_docs"], fmeta["sum_dl"]) == (
@@ -404,3 +408,21 @@ def test_bm25_build_refuses_empty_and_repair_restores(spark, sf_dir, tmp_path):
     )
     assert [tuple(r) for r in bm25_search_indexed(spark, path, q).collect()] \
         == want
+    assert exists(spark, f"{path}/_batches/ck1-7")  # marker preserved
+    assert not exists(spark, f"{path}.__repair_tmp")
+    assert not exists(spark, f"{path}.__repair_bak")
+
+    # interrupted-swap recovery: a crash between the two renames leaves
+    # the original parked at .__repair_bak — re-running repair restores
+    # and re-repairs it (and the swap windows never lose the layout)
+    rename(spark, path, f"{path}.__repair_bak")
+    repair_bm25_layout(spark, path)
+    again, ameta = load_bm25_layout(spark, path)
+    assert (ameta["n_docs"], ameta["sum_dl"]) == (
+        clean_meta["n_docs"], clean_meta["sum_dl"]
+    )
+    assert exists(spark, f"{path}/_batches/ck1-7")
+    assert [tuple(r) for r in bm25_search_indexed(spark, path, q).collect()] \
+        == want
+    with pytest.raises(FileNotFoundError, match="no BM25 layout"):
+        repair_bm25_layout(spark, str(tmp_path / "nowhere"))
