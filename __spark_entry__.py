@@ -2735,6 +2735,97 @@ ORDER BY dsir_logw DESC, doc_id LIMIT 50
 """
 
 
+def _dsir_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Fit-once persisted DSIR model (sampling.build_dsir_layout):
+    raw = even doc_ids, target = the corpus's English docs; tag-cached
+    so the doc_dsir_against row times the batch SCORING, not the fit
+    (the signature-layout build/probe split)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from kowari_spark.operators.sampling import build_dsir_layout
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "na"
+    tag = hashlib.md5(f"{src}:{stamp}:dsir10k".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kowari_dsir_{tag}")
+    # the sidecar is written LAST — its presence marks a complete fit
+    if not os.path.exists(os.path.join(path, "_dsir_meta.json")):
+        docs = _t(spark, sf_dir, "documents")
+        build_dsir_layout(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("lang") == "en"),
+            path,
+        )
+    return path
+
+
+def q_doc_dsir_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DSIR (VERDICT r10 ask #3): the importance model —
+    the DENSE 10k-bucket log-ratio relation — is fit ONCE over the
+    even-doc_id raw half vs the English target slice and persisted
+    (sampling.build_dsir_layout); the odd 'crawl batch' is then scored
+    with ONE pass over the batch (stored ratios broadcast into its
+    feature stream), zero passes over either fit corpus. Top 50 by
+    target-likeness, id tie-broken. The ENTIRE pipeline — fit
+    histograms, dense smoothing, stored-ratio join, position-ordered
+    fold, top-k — replays exactly in SQL."""
+    from kowari_spark.operators.sampling import dsir_score_against
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    path = _dsir_layout(spark, sf_dir)
+    return (
+        dsir_score_against(spark, path, batch)
+        .orderBy(F.desc("dsir_logw"), F.col("doc_id"))
+        .limit(50)
+    )
+
+
+def _oracle_doc_dsir_against() -> str:
+    h = _SQL_HASH64.format(s="g")
+    return f"""
+WITH tk AS (SELECT doc_id, lang, string_split(COALESCE(text, ''), ' ') AS t
+            FROM documents),
+uni AS (SELECT doc_id, lang, generate_subscripts(t, 1) AS pos, unnest(t) AS g
+        FROM tk),
+bl AS (SELECT doc_id, lang, len(t) AS nt,
+              list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg
+       FROM tk),
+bi AS (SELECT doc_id, lang, nt + generate_subscripts(bg, 1) AS pos,
+              unnest(bg) AS g
+       FROM bl),
+feats AS (SELECT doc_id, lang, pos, ({h}) % 10000 AS b
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+rh AS (SELECT b, COUNT(*) AS cr FROM feats WHERE doc_id % 2 = 0 GROUP BY 1),
+th AS (SELECT b, COUNT(*) AS ct FROM feats WHERE lang = 'en' GROUP BY 1),
+tot AS (SELECT (SELECT COALESCE(SUM(cr), 0) FROM rh) AS totr,
+               (SELECT COALESCE(SUM(ct), 0) FROM th) AS tott),
+dense AS (SELECT range AS b FROM range(10000)),
+lr AS (SELECT d.b,
+              ROUND(LN(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (tott + 10000)), 9)
+            - ROUND(LN(CAST(COALESCE(cr, 0) + 1 AS DOUBLE) / (totr + 10000)), 9)
+              AS lrv
+       FROM dense d LEFT JOIN rh ON d.b = rh.b LEFT JOIN th ON d.b = th.b
+       CROSS JOIN tot),
+per AS (SELECT doc_id, pos, lrv FROM feats JOIN lr ON feats.b = lr.b
+        WHERE doc_id % 2 = 1),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+               ROUND(list_reduce(
+                 list_concat([0.0], list_transform(
+                   list_sort(list({{'p': pos, 'l': lrv}})), x -> x.l)),
+                 (a, b) -> a + b), 6) + 0.0 AS dsir_logw
+        FROM per GROUP BY doc_id)
+SELECT doc_id, n_feats, dsir_logw FROM agg
+ORDER BY dsir_logw DESC, doc_id LIMIT 50
+"""
+
+
 def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture sampling (operators/sampling.py): downsample the
     corpus so the language mix matches target weights, with the
@@ -3220,14 +3311,14 @@ def _lsh_hist_layout(spark: SparkSession, sf_dir: str) -> str:
     except OSError:
         stamp = "na"
     tag = hashlib.md5(
-        f"{src}:{stamp}:hist_p{_LSH.num_planes}:s{_LSH.seed}".encode()
+        f"{src}:{stamp}:hist_p{_LSH.num_planes}:s{_LSH.seed}:meta1".encode()
     ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"kowari_lshhist_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         hist = _t(spark, sf_dir, "embeddings").filter(
             F.col("vec_id") % 2 == 0
         ).select("vec_id", "embedding")
-        _LSH.build(hist, path, vec_col="embedding")
+        _LSH.build(hist, path, vec_col="embedding", id_col="vec_id")
     return path
 
 
@@ -3797,6 +3888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_keep": q_doc_simhash_keep,
         "doc_bm25_indexed": q_doc_bm25_indexed,
         "doc_dsir_top": q_doc_dsir_top,
+        "doc_dsir_against": q_doc_dsir_against,
         # -- past round 9's 50-row window (last driver-green r8)
         "knn_batch_top5": q_knn_batch_top5,
         "lsh_knn_top10": q_lsh_knn_top10,
@@ -3910,6 +4002,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_keep": _oracle_doc_simhash_keep(),
         "doc_bm25_indexed": _oracle_doc_bm25_indexed(),
         "doc_dsir_top": _oracle_doc_dsir_top(),
+        "doc_dsir_against": _oracle_doc_dsir_against(),
         "media_dedup_against": _oracle_media_dedup_against(),
         "doc_dedup_against_verified": _oracle_doc_dedup_against_verified(),
         "doc_winnow_against": _oracle_doc_winnow_against(),

@@ -181,10 +181,13 @@ class CrossPolytopeLSH:
         }
 
     def build(self, df: DataFrame, path: str, vec_col: str = "embedding",
-              max_records_per_file: int | None = None) -> None:
+              max_records_per_file: int | None = None,
+              id_col: str = "id") -> None:
         """Persist the exploded (table, bucket) layout,
         partitionBy(__tbl, bucket) = 2·dim·T dirs, plus a params sidecar
-        (hash version + dim/tables/seed) that ``load`` checks — probing
+        (hash version + dim/tables/seed, and family/vec_col/id_col
+        provenance for param-free opens via
+        ``dedup_index.open_lsh_layout``) that ``load`` checks — probing
         a layout hashed by an incompatible build must error, not lose
         recall silently. ``max_records_per_file`` rolls big dirs into
         several scan-parallel files."""
@@ -200,13 +203,18 @@ class CrossPolytopeLSH:
         w.partitionBy("__tbl", "bucket").parquet(path)
         write_bytes(
             df.sparkSession, f"{path}/{self._META_NAME}",
-            json.dumps(self._params()).encode(),
+            json.dumps(dict(
+                self._params(), family="crosspolytope",
+                vec_col=vec_col, id_col=id_col,
+            )).encode(),
         )
 
     def load(self, spark: SparkSession, path: str) -> DataFrame:
         """Open a built layout, verifying the params sidecar against
         THIS instance's hashing when present (legacy layouts without a
-        sidecar load unchecked — rebuild them to get the check)."""
+        sidecar load unchecked — rebuild them to get the check).
+        Subset compare: provenance extras (family, column names) don't
+        participate in the hashing contract."""
         import json
 
         from kowari_spark.fsutil import exists, read_bytes
@@ -215,7 +223,7 @@ class CrossPolytopeLSH:
         if exists(spark, meta_path):
             saved = json.loads(read_bytes(spark, meta_path).decode())
             want = self._params()
-            if saved != want:
+            if {k: saved.get(k) for k in want} != want:
                 raise ValueError(
                     f"CP-LSH layout at {path} was built with {saved}, but "
                     f"this index hashes with {want}; rebuild the layout "

@@ -519,13 +519,19 @@ def embedding_near_dups_against(
     """Cosine-verified near-dups of a NEW vector batch against a stored
     ``SignLSH`` layout (``SignLSH.build`` / the streaming LSH sink):
     (new_id, hist_id, cos) with cos >= ``threshold``. The batch hashes
-    only ITSELF under the instance's planes (the same instance that
-    built the layout — SignLSH layouts carry no sidecar; the caller
-    owns plane provenance exactly as ``SignLSH.load`` does); its
-    distinct buckets (bounded by 2^num_planes) become a literal IN
-    filter, so the history scan is statically partition-pruned to
-    matching bucket directories and verification reads the STORED
-    vectors — history is never re-hashed and never shuffled.
+    only itself under the layout's planes; its distinct buckets
+    (bounded by 2^num_planes) become a literal IN filter, so the
+    history scan is statically partition-pruned to matching bucket
+    directories and verification reads the STORED vectors — history is
+    never re-hashed and never shuffled.
+
+    Plane provenance: pass ``lsh=None`` to RECONSTRUCT the hashing
+    instance from the layout's params sidecar (``open_lsh_layout`` —
+    the safe default for stored state); an explicitly-passed instance
+    is validated against the sidecar by its own ``load`` and refused
+    on mismatch (a differently-seeded/planed prober hashes the batch
+    into the wrong buckets and silently misses every duplicate).
+    Legacy sidecar-less layouts require the explicit instance.
 
     ``mode="reps"`` verifies each new vector against the bucket-min
     history row only — O(batch) scored rows per bucket regardless of
@@ -546,6 +552,8 @@ def embedding_near_dups_against(
     from kowari_spark.operators.dedup import _pair_cosine
     from kowari_spark.operators.lsh import MultiSignLSH, SignLSH
 
+    if lsh is None:
+        lsh, _ = open_lsh_layout(spark, path)
     if isinstance(lsh, (MultiSignLSH, CrossPolytopeLSH)):
         bucket_cols = ["__tbl", "bucket"]
     elif isinstance(lsh, SignLSH):
@@ -636,6 +644,86 @@ def embedding_filter_new_against(
         .distinct()
     )
     return new_df.join(matched, id_col, "left_anti")
+
+
+def open_lsh_layout(spark: SparkSession, path: str):
+    """(hashing instance, meta) for a stored embedding layout,
+    reconstructed from whichever params sidecar it carries —
+    ``_lsh_meta.json`` (SignLSH / MultiSignLSH) or ``_cplsh_meta.json``
+    (CrossPolytopeLSH; planes are a pure function of the recorded
+    params in every family, so reconstruction is exact). Refuses
+    sidecar-less dirs (legacy layouts: pass the owning instance
+    explicitly) and sidecars whose version/params this build cannot
+    reproduce — stored state must validate its reader, never guess."""
+    import json
+
+    from kowari_spark.fsutil import exists, read_bytes
+    from kowari_spark.operators.cplsh import CrossPolytopeLSH
+    from kowari_spark.operators.lsh import (
+        _LSH_META_NAME,
+        MultiSignLSH,
+        SignLSH,
+    )
+
+    sign_meta = f"{path}/{_LSH_META_NAME}"
+    cp_meta = f"{path}/{CrossPolytopeLSH._META_NAME}"
+    if exists(spark, sign_meta):
+        meta = json.loads(read_bytes(spark, sign_meta).decode())
+        fam = meta.get("family")
+        if fam == "sign":
+            inst = SignLSH(
+                dim=meta["dim"], num_planes=meta["num_planes"],
+                seed=meta["seed"],
+            )
+        elif fam == "multisign":
+            inst = MultiSignLSH(
+                dim=meta["dim"], num_planes=meta["num_planes"],
+                num_tables=meta["num_tables"], seed=meta["seed"],
+                hasher=meta.get("hasher", "expr"),
+            )
+        else:
+            raise ValueError(
+                f"unknown LSH family {fam!r} in sidecar at {path}"
+            )
+    elif exists(spark, cp_meta):
+        meta = json.loads(read_bytes(spark, cp_meta).decode())
+        inst = CrossPolytopeLSH(
+            dim=meta["dim"], num_tables=meta["num_tables"],
+            seed=meta["seed"],
+        )
+    else:
+        raise ValueError(
+            f"no LSH params sidecar at {path}: not a layout built by "
+            "SignLSH/MultiSignLSH/CrossPolytopeLSH.build or the "
+            "streaming LSH sink (legacy layouts predate the sidecar — "
+            "pass the owning instance explicitly, or rebuild)"
+        )
+    want = inst._params()
+    if {k: meta.get(k) for k in want} != want:
+        raise ValueError(
+            f"LSH layout at {path} was hashed under {meta}, which this "
+            f"build reconstructs as {want} — version drift; rebuild "
+            "the layout"
+        )
+    return inst, meta
+
+
+def append_lsh_layout(
+    spark: SparkSession, path: str, new_df: DataFrame
+) -> None:
+    """Hash ``new_df`` under the layout's STORED params (sidecar
+    reconstruction — a stale caller instance can't mis-bucket the
+    append) and append into the bucket-partitioned layout. The
+    repartition on the partition key(s) keeps one file per touched
+    bucket per append (the build's file-count discipline);
+    ``streaming.ingest.compact_bucketed_layout`` bounds accumulation
+    across appends."""
+    inst, meta = open_lsh_layout(spark, path)
+    bucketed = inst.with_buckets(new_df, meta.get("vec_col", "embedding"))
+    cols = ["__tbl", "bucket"] if "__tbl" in bucketed.columns else ["bucket"]
+    bucketed.repartition(*[F.col(c) for c in cols]).write.mode(
+        "append"
+    ).partitionBy(*cols).parquet(path)
 
 
 # -- winnowing variant ---------------------------------------------------
@@ -1087,10 +1175,11 @@ def append_minhash_layout(
 
 
 class SignatureLayout:
-    """One handle over the four persisted dedup-signature families
+    """One handle over the five persisted dedup-signature families
     (minhash bands / simhash blocks / winnow fingerprints / media
-    dHash buckets) with the shared verbs — so pipeline code that loops
-    ``probe → filter → append → (stream)`` doesn't hard-code a family:
+    dHash buckets / embedding LSH buckets) with the shared verbs — so
+    pipeline code that loops ``probe → filter → append → (stream)``
+    doesn't hard-code a family:
 
     >>> lay = SignatureLayout.open(spark, path)   # kind from sidecar
     >>> dups = lay.dedup_against(batch)           # family's reps probe
@@ -1102,19 +1191,24 @@ class SignatureLayout:
     (each family writes a distinct versioned meta file; the underlying
     ``load_*_layout`` still validates version/params). Per-family
     tuning knobs pass through ``**kw`` — ``verify_threshold`` (minhash),
-    ``max_hamming`` (simhash/media), ``min_shared`` (winnow) — and the
-    family-specific BUILD functions remain the entry points for
-    creating layouts (their params differ by design).
+    ``max_hamming`` (simhash/media), ``min_shared`` (winnow),
+    ``threshold`` (embedding — REQUIRED: cosine has no universal
+    near-dup cutoff) — and the family-specific BUILD functions remain
+    the entry points for creating layouts (their params differ by
+    design).
 
     What each family catches (the README table in prose): minhash =
     whole-document set similarity (Broder; tunable banding); simhash =
     near-identical token distributions (Charikar; Hamming-verified);
     winnow = shared token RUNS — boilerplate/quotes (Schleimer MOSS);
-    media = visually near-identical frames (dHash, Hamming-verified).
-    Embedding layouts are NOT dispatched here: SignLSH layouts carry
-    no sidecar (plane provenance is the caller's, exactly as
-    ``SignLSH.load`` documents) — use ``embedding_near_dups_against``
-    with the owning LSH instance.
+    media = visually near-identical frames (dHash, Hamming-verified);
+    embedding = semantic near-identity (sign/cross-polytope LSH
+    buckets, cosine-verified from the STORED vectors). Embedding
+    layouts dispatch through their ``_lsh_meta.json`` /
+    ``_cplsh_meta.json`` params sidecar (``open_lsh_layout``
+    reconstructs the hashing instance exactly); legacy sidecar-less
+    LSH layouts still need ``embedding_near_dups_against`` with the
+    owning instance.
 
     Load economics (ADVICE-r9 discipline, facade edition): the sidecar
     is read and version-validated ONCE at ``open``; each probe verb
@@ -1153,18 +1247,28 @@ class SignatureLayout:
         ),
     }
 
+    @classmethod
+    def _emb_sidecars(cls) -> list[str]:
+        from kowari_spark.operators.cplsh import CrossPolytopeLSH
+        from kowari_spark.operators.lsh import _LSH_META_NAME
+
+        return [_LSH_META_NAME, CrossPolytopeLSH._META_NAME]
+
     def __init__(self, spark: SparkSession, path: str, kind: str):
-        if kind not in self._FAMILIES:
+        if kind != "embedding" and kind not in self._FAMILIES:
             raise ValueError(
                 f"unknown signature-layout kind {kind!r}; one of "
-                f"{sorted(self._FAMILIES)}"
+                f"{sorted(self._FAMILIES) + ['embedding']}"
             )
         self.spark = spark
         self.path = path
         self.kind = kind
         # validates sidecar version/params now, not at first probe
-        loader = globals()[self._FAMILIES[kind][1]]
-        _, self.meta = loader(spark, path)
+        if kind == "embedding":
+            self._lsh, self.meta = open_lsh_layout(spark, path)
+        else:
+            loader = globals()[self._FAMILIES[kind][1]]
+            _, self.meta = loader(spark, path)
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "SignatureLayout":
@@ -1173,14 +1277,15 @@ class SignatureLayout:
         layout) or several (ambiguous — never guess signatures)."""
         from kowari_spark.fsutil import exists
 
-        kinds = [
-            k for k, fam in cls._FAMILIES.items()
-            if exists(spark, f"{path}/{fam[0]}")
-        ]
+        names = [(k, fam[0]) for k, fam in cls._FAMILIES.items()]
+        names += [("embedding", n) for n in cls._emb_sidecars()]
+        kinds = sorted({
+            k for k, name in names if exists(spark, f"{path}/{name}")
+        })
         if not kinds:
             raise ValueError(
                 f"no signature-layout sidecar at {path}: expected one "
-                f"of {[f[0] for f in cls._FAMILIES.values()]}"
+                f"of {[n for _, n in names]}"
             )
         if len(kinds) > 1:
             raise ValueError(
@@ -1199,7 +1304,19 @@ class SignatureLayout:
     def dedup_against(self, new_df: DataFrame, **kw) -> DataFrame:
         """The family's incremental probe (reps-bounded by default);
         per-family knobs pass through (``mode``, ``verify_threshold``,
-        ``max_hamming``, ``min_shared``, ``broadcast_keys_max``)."""
+        ``max_hamming``, ``min_shared``, ``broadcast_keys_max``;
+        embedding: ``threshold`` REQUIRED, ``round_to``)."""
+        if self.kind == "embedding":
+            if "threshold" not in kw:
+                raise ValueError(
+                    "embedding layouts need an explicit threshold= "
+                    "(cosine has no universal near-dup cutoff)"
+                )
+            kw.setdefault("id_col", self.meta.get("id_col", "id"))
+            kw.setdefault("vec_col", self.meta.get("vec_col", "embedding"))
+            return embedding_near_dups_against(
+                self.spark, self._lsh, self.path, new_df, **kw
+            )
         fn = globals()[self._FAMILIES[self.kind][2]]
         return fn(self._hist(), self.meta, new_df, **kw)
 
@@ -1209,7 +1326,7 @@ class SignatureLayout:
         rides the family's ``mode="reps"`` probe (the public
         ``*_filter_new_against`` contract)."""
         kw["mode"] = "reps"
-        id_col = self.meta["id_col"]
+        id_col = kw.get("id_col", self.meta.get("id_col", "id"))
         matched = (
             self.dedup_against(new_df, **kw)
             .select(F.col("new_id").alias(id_col))
@@ -1219,6 +1336,8 @@ class SignatureLayout:
 
     def append(self, new_df: DataFrame) -> None:
         """Fingerprint under the stored params and append."""
+        if self.kind == "embedding":
+            return append_lsh_layout(self.spark, self.path, new_df)
         fn = globals()[self._FAMILIES[self.kind][3]]
         fn(self.spark, self.path, new_df)
 
@@ -1227,5 +1346,17 @@ class SignatureLayout:
         markers + compaction-lock cooperation); returns the query."""
         from kowari_spark.streaming import ingest
 
+        if self.kind == "embedding":
+            if self.meta.get("family") != "sign":
+                raise ValueError(
+                    "streaming maintenance exists for single-table "
+                    "SignLSH layouts only; multi-table layouts rebuild "
+                    "or batch-append"
+                )
+            kw.setdefault("vec_col", self.meta.get("vec_col", "embedding"))
+            kw.setdefault("id_col", self.meta.get("id_col", "id"))
+            return ingest.stream_into_lsh_layout(
+                stream_df, self._lsh, self.path, checkpoint_dir, **kw
+            )
         fn = getattr(ingest, self._FAMILIES[self.kind][4])
         return fn(stream_df, self.path, checkpoint_dir, **kw)

@@ -33,6 +33,49 @@ from pyspark.sql import functions as F
 from kowari_spark.functions.vector import dot as dot_expr
 from kowari_spark.operators.topk import knn
 
+_LSH_META_NAME = "_lsh_meta.json"
+_LSH_LAYOUT_VERSION = "lsh-layout-v1"
+
+
+def _write_lsh_meta(spark, path: str, params: dict,
+                    vec_col: str, id_col: str) -> None:
+    """Persist the layout's params sidecar (hashing provenance + the
+    column names probes need). Written AFTER the data so a sidecar's
+    presence implies a complete build."""
+    import json
+
+    from kowari_spark.fsutil import write_bytes
+
+    write_bytes(
+        spark, f"{path}/{_LSH_META_NAME}",
+        json.dumps(dict(params, vec_col=vec_col, id_col=id_col)).encode(),
+    )
+
+
+def _check_lsh_meta(spark, path: str, params: dict) -> None:
+    """Refuse to read a layout whose stored params disagree with THIS
+    instance's hashing (subset compare: provenance extras like
+    vec_col/id_col don't participate). A param-mismatched reader
+    hashes queries into the wrong buckets and silently misses every
+    duplicate — the exact failure the sidecar exists to refuse.
+    Legacy layouts without a sidecar load unchecked (rebuild to get
+    the check)."""
+    import json
+
+    from kowari_spark.fsutil import exists, read_bytes
+
+    meta_path = f"{path}/{_LSH_META_NAME}"
+    if not exists(spark, meta_path):
+        return
+    saved = json.loads(read_bytes(spark, meta_path).decode())
+    if {k: saved.get(k) for k in params} != params:
+        raise ValueError(
+            f"LSH layout at {path} was built with {saved}, but this "
+            f"index hashes with {params}; rebuild the layout or "
+            "construct a matching instance (or open it param-free via "
+            "dedup_index.open_lsh_layout)"
+        )
+
 
 class SignLSH:
     """Seeded random-hyperplane LSH (reference defaults: 16 planes,
@@ -48,6 +91,17 @@ class SignLSH:
         # uniform [-1, 1) hyperplanes, matching the reference generator's
         # range (src/index.rs:134-143, utils.rs:26-39)
         self.planes = rng.uniform(-1.0, 1.0, size=(num_planes, dim))
+
+    def _params(self) -> dict:
+        """The hashing-provenance dict the layout sidecar records and
+        ``load`` validates (planes are a pure function of these)."""
+        return {
+            "version": _LSH_LAYOUT_VERSION,
+            "family": "sign",
+            "dim": self.dim,
+            "num_planes": self.num_planes,
+            "seed": self.seed,
+        }
 
     # -- hashing ---------------------------------------------------------
 
@@ -149,8 +203,18 @@ class SignLSH:
     # -- build (offline) --------------------------------------------------
 
     def build(self, df: DataFrame, path: str, vec_col: str = "embedding",
-              max_records_per_file: int | None = None) -> None:
-        """Materialize the bucketed layout: partitionBy(bucket) parquet.
+              max_records_per_file: int | None = None,
+              id_col: str = "id") -> None:
+        """Materialize the bucketed layout: partitionBy(bucket) parquet
+        plus a ``_lsh_meta.json`` params sidecar (family, dim, planes,
+        seed, column names) that ``load`` validates — probing a stored
+        layout with a differently-seeded/planed instance silently
+        misses every duplicate, so stored state must refuse mismatched
+        readers (the reference's ingest-time dimension check,
+        collection_manager.rs:147-152, applied to hash provenance).
+        ``id_col`` is recorded for param-free opens
+        (``dedup_index.open_lsh_layout`` / ``SignatureLayout.open``);
+        it does not affect the layout itself.
 
         With 2^p buckets the probe becomes partition pruning; at scale
         this is the difference between reading one bucket and scanning
@@ -172,8 +236,13 @@ class SignLSH:
         if max_records_per_file is not None:
             w = w.option("maxRecordsPerFile", str(max_records_per_file))
         w.partitionBy("bucket").parquet(path)
+        _write_lsh_meta(df.sparkSession, path, self._params(), vec_col, id_col)
 
     def load(self, spark: SparkSession, path: str) -> DataFrame:
+        """Open a built layout, verifying the params sidecar against
+        THIS instance's hashing when present (legacy sidecar-less
+        layouts load unchecked — rebuild them to get the check)."""
+        _check_lsh_meta(spark, path, self._params())
         return spark.read.parquet(path)
 
     # -- query ------------------------------------------------------------
@@ -348,6 +417,20 @@ class MultiSignLSH:
             for t in range(num_tables)
         ]
 
+    def _params(self) -> dict:
+        """Sidecar provenance. ``hasher`` participates: expr and gemm
+        sign bits can differ at ulp-margin vectors (see __init__), so
+        one hasher per LAYOUT is part of the stored contract."""
+        return {
+            "version": _LSH_LAYOUT_VERSION,
+            "family": "multisign",
+            "dim": self.dim,
+            "num_planes": self.num_planes,
+            "num_tables": self.num_tables,
+            "seed": self.seed,
+            "hasher": self.hasher,
+        }
+
     def buckets_expr(self, vec_col: Column | str) -> Column:
         """Array of per-table buckets — all tables hashed in ONE pass."""
         return F.array(*[t.bucket_expr(vec_col) for t in self.tables])
@@ -389,18 +472,26 @@ class MultiSignLSH:
         )
 
     def build(self, df: DataFrame, path: str, vec_col: str = "embedding",
-              max_records_per_file: int | None = None) -> None:
+              max_records_per_file: int | None = None,
+              id_col: str = "id") -> None:
         """Exploded multi-table layout, partitionBy(__tbl, bucket) —
-        2^p·T dirs. ``max_records_per_file`` rolls big (table, bucket)
-        dirs into several scan-parallel files (see SignLSH.build)."""
+        2^p·T dirs — plus the ``_lsh_meta.json`` params sidecar
+        ``load`` validates (see SignLSH.build). ``max_records_per_file``
+        rolls big (table, bucket) dirs into several scan-parallel
+        files."""
         w = self.with_buckets(df, vec_col).repartition(
             F.col("__tbl"), F.col("bucket")
         ).write.mode("overwrite")
         if max_records_per_file is not None:
             w = w.option("maxRecordsPerFile", str(max_records_per_file))
         w.partitionBy("__tbl", "bucket").parquet(path)
+        _write_lsh_meta(df.sparkSession, path, self._params(), vec_col, id_col)
 
     def load(self, spark: SparkSession, path: str) -> DataFrame:
+        """Open a built layout, verifying the params sidecar against
+        THIS instance's hashing when present (legacy sidecar-less
+        layouts load unchecked)."""
+        _check_lsh_meta(spark, path, self._params())
         return spark.read.parquet(path)
 
     def query_batch(

@@ -232,12 +232,20 @@ def _hashed_bucket_stream(df, text_col, buckets):
     ).select((base_hash64(F.col("__g")) % F.lit(buckets)).alias("__b"))
 
 
-def _dsir_ratios(raw_hist, tgt_hist, buckets):
+def _dsir_ratios(raw_hist, tgt_hist, buckets, dense_over=None):
     """The per-bucket log importance ratio relation (__b, __lr) from
     the two bucket histograms — ≤``buckets`` rows, one shared
     construction so the expr and arrow engines score with IDENTICAL
     doubles. Each log is rounded to 9 decimals before the subtraction
-    (cross-engine ln() parity, the idf discipline)."""
+    (cross-engine ln() parity, the idf discipline).
+
+    ``dense_over`` (a SparkSession) materializes the relation DENSE
+    over ALL bucket ids 0..buckets-1 (left joins on both histograms;
+    the shared ``lp`` coalesces absent counts to 0) — the layout-fit
+    shape, where batches scored later may hit buckets unseen in either
+    fit corpus and every bucket must carry its smoothed ratio. For
+    buckets present in the raw histogram the dense rows are the same
+    expression over the same counts, hence bit-identical."""
     raw_tot = raw_hist.agg(
         F.coalesce(F.sum("__cr"), F.lit(0)).alias("__totr")
     )
@@ -251,8 +259,17 @@ def _dsir_ratios(raw_hist, tgt_hist, buckets):
         ),
         9,
     )
+    if dense_over is not None:
+        joined = (
+            dense_over.range(buckets)
+            .select(F.col("id").cast("long").alias("__b"))
+            .join(raw_hist, "__b", "left")
+            .join(tgt_hist, "__b", "left")
+        )
+    else:
+        joined = raw_hist.join(tgt_hist, "__b", "left")
     return (
-        raw_hist.join(tgt_hist, "__b", "left")
+        joined
         .crossJoin(raw_tot)
         .crossJoin(tgt_tot)
         .select(
@@ -302,26 +319,34 @@ def _dsir_hist_arrow(frame, text_col, buckets, count_alias):
     )
 
 
-def _dsir_logweights_arrow(
-    df, target, text_col, id_col, buckets, round_to
-) -> DataFrame:
-    """Row-local scoring: histograms from Python partials, the shared
-    ratio relation collected (BOUNDED: ≤``buckets`` rows — the
-    fit-time-collect convention) into a closure dict, then ONE
-    mapInPandas pass computes each document's weight with the same
-    left-fold order and HALF_UP rounding as the expression engine —
-    bit-identical (parity-tested), with no interpreted bigram lambdas
-    and no per-feature fold shuffle."""
+def _dsir_fold_expr(df, ratios, text_col, id_col, buckets, round_to):
+    """Expression-engine scoring tail, shared by the in-corpus weigher
+    and the stored-layout scorer: feature stream ⋈ broadcast ratio
+    relation, then the position-ordered per-document fold."""
+    raw_feats = _hashed_feature_stream(df, text_col, id_col, buckets)
+    joined = raw_feats.join(F.broadcast(ratios), "__b").select(
+        id_col, "__pos", "__lr"
+    )
+    folded = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("__pos"), F.col("__lr")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["__lr"],
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_feats"),
+        (F.round(folded, round_to) + F.lit(0.0)).alias("dsir_logw"),
+    )
+
+
+def _dsir_score_rows_arrow(df, lrs, text_col, id_col, buckets, round_to):
+    """Arrow-engine scoring tail: ONE mapInPandas pass computes each
+    document's weight row-locally against the collected ratio dict,
+    with the same left-fold order and HALF_UP rounding as the
+    expression engine — bit-identical (parity-tested)."""
     import pandas as pd
 
     from kowari_spark.numerics import round_half_up
 
-    raw_hist = _dsir_hist_arrow(df, text_col, buckets, "__cr")
-    tgt_hist = _dsir_hist_arrow(target, text_col, buckets, "__ct")
-    lrs = {
-        r["__b"]: r["__lr"]
-        for r in _dsir_ratios(raw_hist, tgt_hist, buckets).collect()
-    }
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, n_feats long, dsir_logw double"
 
@@ -344,6 +369,25 @@ def _dsir_logweights_arrow(
             )
 
     return df.select(id_col, text_col).mapInPandas(weigh, schema)
+
+
+def _dsir_logweights_arrow(
+    df, target, text_col, id_col, buckets, round_to
+) -> DataFrame:
+    """Row-local scoring: histograms from Python partials, the shared
+    ratio relation collected (BOUNDED: ≤``buckets`` rows — the
+    fit-time-collect convention) into a closure dict, then the shared
+    arrow scoring tail — no interpreted bigram lambdas and no
+    per-feature fold shuffle."""
+    raw_hist = _dsir_hist_arrow(df, text_col, buckets, "__cr")
+    tgt_hist = _dsir_hist_arrow(target, text_col, buckets, "__ct")
+    lrs = {
+        r["__b"]: r["__lr"]
+        for r in _dsir_ratios(raw_hist, tgt_hist, buckets).collect()
+    }
+    return _dsir_score_rows_arrow(
+        df, lrs, text_col, id_col, buckets, round_to
+    )
 
 
 def dsir_logweights(
@@ -398,23 +442,14 @@ def dsir_logweights(
         return _dsir_logweights_arrow(
             df, target, text_col, id_col, buckets, round_to
         )
-    raw_feats = _hashed_feature_stream(df, text_col, id_col, buckets)
-    tgt_feats = _hashed_bucket_stream(target, text_col, buckets)
-    raw_hist = raw_feats.groupBy("__b").agg(F.count("*").alias("__cr"))
-    tgt_hist = tgt_feats.groupBy("__b").agg(F.count("*").alias("__ct"))
+    raw_hist = _hashed_bucket_stream(df, text_col, buckets).groupBy(
+        "__b"
+    ).agg(F.count("*").alias("__cr"))
+    tgt_hist = _hashed_bucket_stream(target, text_col, buckets).groupBy(
+        "__b"
+    ).agg(F.count("*").alias("__ct"))
     ratios = _dsir_ratios(raw_hist, tgt_hist, buckets)
-    joined = raw_feats.join(F.broadcast(ratios), "__b").select(
-        id_col, "__pos", "__lr"
-    )
-    folded = F.aggregate(
-        F.array_sort(F.collect_list(F.struct(F.col("__pos"), F.col("__lr")))),
-        F.lit(0.0),
-        lambda acc, x: acc + x["__lr"],
-    )
-    return joined.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_feats"),
-        (F.round(folded, round_to) + F.lit(0.0)).alias("dsir_logw"),
-    )
+    return _dsir_fold_expr(df, ratios, text_col, id_col, buckets, round_to)
 
 
 def dsir_top(
@@ -438,3 +473,125 @@ def dsir_top(
         df, target, text_col, id_col, buckets, round_to, engine
     )
     return w.orderBy(F.desc("dsir_logw"), F.col(id_col)).limit(n)
+
+
+# -- persisted DSIR layout (fit once, score batches) -------------------------
+
+_DSIR_META_NAME = "_dsir_meta.json"
+_DSIR_LAYOUT_VERSION = "dsir-ratios-v1"
+
+
+def build_dsir_layout(
+    df: DataFrame,
+    target: DataFrame,
+    path: str,
+    text_col: str = "text",
+    buckets: int = 10_000,
+    round_to: int = 6,
+    engine: str = "auto",
+) -> None:
+    """Fit DSIR ONCE and persist the fitted model: the DENSE
+    ``buckets``-row log-ratio relation (__b, __lr) plus a versioned
+    params sidecar — the signature-layout economics applied to
+    importance sampling. ``dsir_logweights`` recomputes both
+    histograms on every call; a curation loop scoring each new crawl
+    batch against the same target pays three full corpus passes per
+    batch for a model that never changed. After this fit,
+    :func:`dsir_score_against` scores any batch with ONE pass over the
+    batch — the raw and target corpora are never re-read.
+
+    Semantics: weights are importance ratios w.r.t. the FIT-TIME raw
+    and target distributions (fitted-model semantics — refit when the
+    raw distribution drifts). Dense materialization (``_dsir_ratios``
+    with ``dense_over``) gives EVERY bucket its add-one-smoothed
+    ratio, so batches hitting buckets unseen in either fit corpus
+    score exactly — scoring needs no fallback arithmetic and the
+    stored relation is the complete model. The relation is
+    engine-independent: both histogram engines produce identical
+    counts (parity-tested) and the ratio expression is shared.
+
+    Scale shape: two histogram aggregations (map-side partials,
+    ≤``buckets`` rows out each) + one ``buckets``-row write
+    (coalesce(1): it is sidecar-scale data). Nothing here grows with
+    future batch volume."""
+    import json
+
+    from kowari_spark.engines import resolve_engine
+    from kowari_spark.fsutil import write_bytes
+
+    spark = df.sparkSession
+    if resolve_engine(engine, df=df) == "arrow":
+        raw_hist = _dsir_hist_arrow(df, text_col, buckets, "__cr")
+        tgt_hist = _dsir_hist_arrow(target, text_col, buckets, "__ct")
+    else:
+        raw_hist = _hashed_bucket_stream(df, text_col, buckets).groupBy(
+            "__b"
+        ).agg(F.count("*").alias("__cr"))
+        tgt_hist = _hashed_bucket_stream(target, text_col, buckets).groupBy(
+            "__b"
+        ).agg(F.count("*").alias("__ct"))
+    ratios = _dsir_ratios(raw_hist, tgt_hist, buckets, dense_over=spark)
+    ratios.coalesce(1).write.mode("overwrite").parquet(path)
+    meta = {
+        "version": _DSIR_LAYOUT_VERSION,
+        "text_col": text_col,
+        "buckets": buckets,
+        "round_to": round_to,
+    }
+    write_bytes(
+        spark, f"{path}/{_DSIR_META_NAME}", json.dumps(meta).encode()
+    )
+
+
+def load_dsir_layout(spark, path: str) -> tuple[DataFrame, dict]:
+    """Open a fitted DSIR layout: (dense ratio relation, meta).
+    Refuses sidecar-less or version-mismatched dirs — scores computed
+    under diverged featurization silently re-rank every selection."""
+    import json
+
+    from kowari_spark.fsutil import exists, read_bytes
+
+    meta_path = f"{path}/{_DSIR_META_NAME}"
+    if not exists(spark, meta_path):
+        raise ValueError(
+            f"no {_DSIR_META_NAME} sidecar at {path}: not a DSIR layout "
+            "built by build_dsir_layout()"
+        )
+    meta = json.loads(read_bytes(spark, meta_path).decode())
+    ver = meta.get("version")
+    if ver != _DSIR_LAYOUT_VERSION:
+        raise ValueError(
+            f"DSIR layout at {path} was fit by {ver!r}; this code "
+            f"scores {_DSIR_LAYOUT_VERSION!r} ratios — refit the layout"
+        )
+    return spark.read.parquet(path), meta
+
+
+def dsir_score_against(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    round_to: int | None = None,
+    engine: str = "auto",
+) -> DataFrame:
+    """Score a NEW batch against the STORED DSIR model — (id_col,
+    n_feats, dsir_logw), bit-identical to ``dsir_logweights`` over the
+    fit corpora for any document whose text is unchanged
+    (parity-tested: scoring the fit raw corpus reproduces the full
+    recompute exactly). ONE pass over the batch: the expr engine
+    broadcasts the ``buckets``-row stored relation into the batch's
+    feature stream; the arrow engine collects it once (bounded) and
+    scores row-locally. Featurization params come from the sidecar,
+    so a batch can never be scored under diverged hashing."""
+    from kowari_spark.engines import resolve_engine
+
+    ratios, meta = load_dsir_layout(spark, path)
+    text_col, buckets = meta["text_col"], meta["buckets"]
+    rt = meta["round_to"] if round_to is None else round_to
+    if resolve_engine(engine, df=batch) == "arrow":
+        lrs = {r["__b"]: r["__lr"] for r in ratios.collect()}
+        return _dsir_score_rows_arrow(
+            batch, lrs, text_col, id_col, buckets, rt
+        )
+    return _dsir_fold_expr(batch, ratios, text_col, id_col, buckets, rt)

@@ -576,6 +576,71 @@ def repair_bm25_layout(spark, path: str) -> None:
     delete(spark, bak)
 
 
+def delete_from_bm25_layout(spark, path: str, ids_df: DataFrame) -> None:
+    """Remove documents from a postings layout and roll the sidecar
+    stats back — the lifecycle verb between dedup and serving: a dedup
+    pass that drops documents otherwise leaves n_docs/sum_dl (and df,
+    via the dead postings) overcounting forever, silently shifting
+    every future score.
+
+    ``ids_df``'s first column is the doomed id set (any name; deduped
+    here). Mechanics, in crash-ordered steps:
+
+    1. the doomed documents' exact stat mass (N, Σdl) is read from the
+       STORED postings — (id, dl) is unique per document, ids absent
+       from the layout contribute zero, so a double-run is a no-op;
+    2. the partition-pruned in-place delete reuses
+       ``streaming.ingest.delete_from_layout`` (tb-bucket pruning,
+       compaction-lock cooperation, emptied-partition removal) — df
+       self-heals because probes compute it from surviving postings;
+    3. the sidecar is decremented with exact integer arithmetic —
+       bit-identical stats (and scores) to a from-scratch rebuild over
+       the survivors (parity-tested).
+
+    Crash window (rows deleted, sidecar not yet rewritten):
+    ``repair_bm25_layout`` recomputes stats from the surviving
+    postings. A layout corrupted by a double-applied append should be
+    repaired BEFORE deleting (step 1 counts each doc once; the
+    inflated sidecar would stay inflated). Deleting the entire corpus
+    refuses — BM25 needs N > 0 (same rule as build); drop the layout
+    dir instead."""
+    from kowari_spark.fsutil import write_bytes
+    from kowari_spark.streaming.ingest import delete_from_layout
+
+    postings, meta = load_bm25_layout(spark, path)
+    id_col = meta["id_col"]
+    ids = ids_df.select(
+        F.col(ids_df.columns[0]).alias(id_col)
+    ).distinct()
+    st = (
+        postings.select(id_col, "dl")
+        .distinct()
+        .join(ids, id_col, "left_semi")
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl"))
+        .first()
+    )
+    n_del, dl_del = int(st["n"]), int(st["sum_dl"] or 0)
+    if n_del == 0:
+        return
+    if n_del >= meta["n_docs"]:
+        raise ValueError(
+            f"delete_from_bm25_layout would remove all {meta['n_docs']} "
+            "documents: BM25 needs N > 0 (avgdl is undefined) — drop "
+            "the layout directory instead"
+        )
+    delete_from_layout(
+        spark, path, ids, id_col=id_col, partition_cols=("tb",)
+    )
+    meta = dict(
+        meta,
+        n_docs=meta["n_docs"] - n_del,
+        sum_dl=meta["sum_dl"] - dl_del,
+    )
+    write_bytes(
+        spark, f"{path}/{_BM25_META_NAME}", json.dumps(meta).encode()
+    )
+
+
 def _append_bm25_rows(spark, path, meta, new_docs, write_bytes) -> None:
     """Shared append body (batch + streaming sink): postings append
     under the sidecar's params, then the additive stats roll."""

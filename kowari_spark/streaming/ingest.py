@@ -95,6 +95,7 @@ def stream_into_lsh_layout(
     vec_col: str = "embedding",
     trigger_available_now: bool = True,
     compaction_wait_secs: float = 60.0,
+    id_col: str = "id",
 ):
     """Maintain a bucket-partitioned LSH layout from a vector stream
     (SURVEY.md §7.1 step 9: streaming ingest + index maintenance).
@@ -125,8 +126,27 @@ def stream_into_lsh_layout(
     import hashlib
 
     from kowari_spark import fsutil
+    from kowari_spark.operators.lsh import (
+        _LSH_META_NAME,
+        _check_lsh_meta,
+        _write_lsh_meta,
+    )
 
     bucketed = lsh.with_buckets(stream_df, vec_col)
+    if "__tbl" in bucketed.columns:
+        raise ValueError(
+            "stream_into_lsh_layout maintains single-table "
+            "partitionBy(bucket) layouts; multi-table instances need "
+            "their own (__tbl, bucket) layout — build offline"
+        )
+    # params sidecar BEFORE any batch lands: a new layout records this
+    # instance's provenance; an existing one refuses a mismatched
+    # stream here, not after wrong-bucketed rows have been appended
+    spark0 = stream_df.sparkSession
+    if fsutil.exists(spark0, f"{path}/{_LSH_META_NAME}"):
+        _check_lsh_meta(spark0, path, lsh._params())
+    else:
+        _write_lsh_meta(spark0, path, lsh._params(), vec_col, id_col)
     ck_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:

@@ -957,6 +957,8 @@ def test_signature_layout_facade(spark, halves, media_halves, tmp_path):
     with pytest.raises(ValueError, match="no signature-layout sidecar"):
         SignatureLayout.open(spark, str(tmp_path / "fac_nothing"))
     with pytest.raises(ValueError, match="unknown signature-layout"):
+        SignatureLayout(spark, paths["minhash"], "bogus")
+    with pytest.raises(ValueError, match="no LSH params sidecar"):
         SignatureLayout(spark, paths["minhash"], "embedding")
 
 
@@ -989,3 +991,137 @@ def test_signature_layout_facade_stream(spark, halves, tmp_path):
     assert sorted(map(tuple, grown.select(*cols).collect())) == sorted(
         map(tuple, rb.select(*cols).collect())
     )
+
+
+def test_lsh_layout_params_sidecar(spark, embeddings, tmp_path):
+    """SignLSH/MultiSignLSH builds write a _lsh_meta.json params
+    sidecar; load refuses a param-mismatched reader; open_lsh_layout
+    reconstructs the exact instance (lsh=None probe == instance
+    probe); CP-LSH layouts open too."""
+    from kowari_spark.operators.cplsh import CrossPolytopeLSH
+    from kowari_spark.operators.dedup_index import (
+        embedding_near_dups_against,
+        open_lsh_layout,
+    )
+    from kowari_spark.operators.lsh import MultiSignLSH, SignLSH
+
+    base = embeddings.select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).limit(300).cache()
+    hist = base.filter(F.col("id") % 2 == 0).cache()
+    new = base.filter(F.col("id") % 2 == 1).cache()
+    path = str(tmp_path / "lsh_side")
+    SignLSH(dim=64, num_planes=4, seed=7).build(hist, path)
+
+    # a differently-seeded/planed reader is refused, not silently wrong
+    for bad in (
+        SignLSH(dim=64, num_planes=4, seed=8),
+        SignLSH(dim=64, num_planes=6, seed=7),
+    ):
+        with pytest.raises(ValueError, match="hashes with"):
+            bad.load(spark, path)
+        with pytest.raises(ValueError, match="hashes with"):
+            embedding_near_dups_against(
+                spark, bad, path, new, 0.3, id_col="id"
+            )
+
+    # sidecar reconstruction: a param-free probe == the instance probe
+    inst, meta = open_lsh_layout(spark, path)
+    assert (meta["family"], meta["vec_col"], meta["id_col"]) == \
+        ("sign", "embedding", "id")
+    assert (inst.num_planes, inst.seed) == (4, 7)
+    with_inst = sorted(map(tuple, embedding_near_dups_against(
+        spark, SignLSH(dim=64, num_planes=4, seed=7), path, new, 0.3,
+        id_col="id", round_to=6, mode="pairs",
+    ).collect()))
+    with_none = sorted(map(tuple, embedding_near_dups_against(
+        spark, None, path, new, 0.3, id_col="id", round_to=6,
+        mode="pairs",
+    ).collect()))
+    assert with_inst == with_none and with_inst
+
+    # multisign + cplsh sidecars reconstruct their families
+    mpath = str(tmp_path / "mlsh_side")
+    MultiSignLSH(dim=64, num_planes=4, num_tables=3, seed=7).build(
+        hist, mpath
+    )
+    minst, mmeta = open_lsh_layout(spark, mpath)
+    assert isinstance(minst, MultiSignLSH) and minst.num_tables == 3
+    assert mmeta["family"] == "multisign"
+    with pytest.raises(ValueError, match="hashes with"):
+        MultiSignLSH(dim=64, num_planes=4, num_tables=3, seed=9).load(
+            spark, mpath
+        )
+    cpath = str(tmp_path / "cp_side")
+    CrossPolytopeLSH(dim=64, num_tables=2, seed=5).build(hist, cpath)
+    cinst, cmeta = open_lsh_layout(spark, cpath)
+    assert isinstance(cinst, CrossPolytopeLSH) and cinst.num_tables == 2
+    assert cmeta["family"] == "crosspolytope"
+
+    with pytest.raises(ValueError, match="no LSH params sidecar"):
+        open_lsh_layout(spark, str(tmp_path / "lsh_nothing"))
+
+
+def test_facade_dispatches_embedding_family(spark, embeddings, tmp_path):
+    """SignatureLayout.open dispatches LSH layouts as the fifth family:
+    dedup_against == embedding_near_dups_against, filter_new keeps
+    non-matching rows, append extends probe-visible history, and the
+    streaming sink refuses a mismatched instance up front."""
+    from kowari_spark.operators.dedup_index import (
+        SignatureLayout,
+        embedding_near_dups_against,
+    )
+    from kowari_spark.operators.lsh import SignLSH
+    from kowari_spark.streaming.ingest import stream_into_lsh_layout
+
+    base = embeddings.select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).limit(300).cache()
+    hist = base.filter(F.col("id") % 4 == 0).cache()
+    grow = base.filter(F.col("id") % 4 == 2).cache()
+    new = base.filter(F.col("id") % 2 == 1).cache()
+    lsh = SignLSH(dim=64, num_planes=4, seed=7)
+    path = str(tmp_path / "fac_emb")
+    lsh.build(hist, path)
+
+    lay = SignatureLayout.open(spark, path)
+    assert lay.kind == "embedding" and lay.meta["family"] == "sign"
+    got = sorted(map(tuple, lay.dedup_against(
+        new, threshold=0.3, round_to=6, mode="pairs"
+    ).collect()))
+    want = sorted(map(tuple, embedding_near_dups_against(
+        spark, lsh, path, new, 0.3, id_col="id", round_to=6,
+        mode="pairs",
+    ).collect()))
+    assert got == want and got
+    with pytest.raises(ValueError, match="threshold"):
+        lay.dedup_against(new)
+
+    kept = lay.filter_new(new, threshold=0.3)
+    matched = {a for a, _, _ in got}
+    kept_ids = {r["id"] for r in kept.select("id").collect()}
+    new_ids = {r["id"] for r in new.select("id").collect()}
+    assert new_ids - matched <= kept_ids <= new_ids
+
+    # append under STORED params: appended rows join probe history
+    lay.append(grow)
+    after = sorted(map(tuple, lay.dedup_against(
+        new, threshold=0.3, round_to=6, mode="pairs"
+    ).collect()))
+    rebuilt = str(tmp_path / "fac_emb_all")
+    lsh.build(hist.unionByName(grow), rebuilt)
+    want_after = sorted(map(tuple, embedding_near_dups_against(
+        spark, lsh, rebuilt, new, 0.3, id_col="id", round_to=6,
+        mode="pairs",
+    ).collect()))
+    assert after == want_after and len(after) >= len(got)
+
+    # the streaming sink refuses a mismatched stream BEFORE any append
+    src = str(tmp_path / "fac_emb_src")
+    new.write.parquet(src)
+    stream = spark.readStream.schema(new.schema).parquet(src)
+    with pytest.raises(ValueError, match="hashes with"):
+        stream_into_lsh_layout(
+            stream, SignLSH(dim=64, num_planes=4, seed=99), path,
+            str(tmp_path / "fac_emb_ck"),
+        )

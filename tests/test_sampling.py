@@ -194,3 +194,56 @@ def test_dsir_accepts_text_only_target(spark):
     e = sorted(map(tuple, dsir_logweights(raw, tgt, engine="expr").collect()))
     a = sorted(map(tuple, dsir_logweights(raw, tgt, engine="arrow").collect()))
     assert e == a and len(e) == 2
+
+
+def test_dsir_layout_scores_match_full_recompute(spark, docs, tmp_path):
+    """build_dsir_layout + dsir_score_against == dsir_logweights
+    bit-for-bit over the fit corpus (stored-model parity), under both
+    engines; batches with buckets unseen at fit time score through the
+    dense relation (every bucket carries its smoothed ratio)."""
+    from kowari_spark.operators.sampling import (
+        build_dsir_layout,
+        dsir_logweights,
+        dsir_score_against,
+        load_dsir_layout,
+    )
+
+    target = docs.filter(F.col("lang") == "en")
+    path = str(tmp_path / "dsir_fit")
+    build_dsir_layout(docs, target, path)
+    ratios, meta = load_dsir_layout(spark, path)
+    assert ratios.count() == meta["buckets"] == 10_000  # dense
+    want = sorted(map(tuple, dsir_logweights(docs, target).collect()))
+    for eng in ("expr", "arrow"):
+        got = sorted(map(tuple, dsir_score_against(
+            spark, path, docs, engine=eng
+        ).collect()))
+        assert got == want
+
+    # unseen-vocabulary batch: inner join against the DENSE relation
+    # keeps every feature; engines agree bit-for-bit
+    odd = spark.createDataFrame(
+        [(1, "zzqj vvwk zzqj"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    e = sorted(map(tuple, dsir_score_against(
+        spark, path, odd, engine="expr").collect()))
+    a = sorted(map(tuple, dsir_score_against(
+        spark, path, odd, engine="arrow").collect()))
+    assert e == a and {t[0] for t in e} == {1, 2, 3}
+
+    # provenance: sidecar-less and version-mismatched dirs refuse
+    import json
+
+    import pytest as _pt
+
+    from kowari_spark.fsutil import write_bytes
+
+    with _pt.raises(ValueError, match="not a DSIR layout"):
+        load_dsir_layout(spark, str(tmp_path / "dsir_nope"))
+    write_bytes(
+        spark, f"{path}/_dsir_meta.json",
+        json.dumps(dict(meta, version="dsir-ratios-v0")).encode(),
+    )
+    with _pt.raises(ValueError, match="dsir-ratios-v0"):
+        load_dsir_layout(spark, path)

@@ -426,3 +426,60 @@ def test_bm25_build_refuses_empty_and_repair_restores(spark, sf_dir, tmp_path):
         == want
     with pytest.raises(FileNotFoundError, match="no BM25 layout"):
         repair_bm25_layout(spark, str(tmp_path / "nowhere"))
+
+
+def test_bm25_delete_matches_rebuild(spark, sf_dir, tmp_path):
+    """delete_from_bm25_layout: postings AND sidecar stats equal a
+    from-scratch rebuild over the survivors, so probe scores are
+    bit-identical; absent ids no-op; emptying the corpus refuses; the
+    crash window (rows gone, sidecar stale) is closed by repair."""
+    from kowari_spark.fsutil import write_bytes
+    from kowari_spark.operators.search import (
+        _BM25_META_NAME,
+        bm25_search_indexed,
+        build_bm25_layout,
+        delete_from_bm25_layout,
+        load_bm25_layout,
+        repair_bm25_layout,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "bm25_del")
+    build_bm25_layout(docs, path)
+    doomed = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    survivors = docs.filter(F.col("doc_id") % 3 != 0)
+
+    delete_from_bm25_layout(spark, path, doomed)
+    clean = str(tmp_path / "bm25_del_clean")
+    build_bm25_layout(survivors, clean)
+    got, gmeta = load_bm25_layout(spark, path)
+    want, wmeta = load_bm25_layout(spark, clean)
+    assert (gmeta["n_docs"], gmeta["sum_dl"]) == (
+        wmeta["n_docs"], wmeta["sum_dl"]
+    )
+    cols = ["doc_id", "dl", "t", "tf", "tb"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
+    q = "vector hash join batch"
+    assert [tuple(r) for r in bm25_search_indexed(spark, path, q).collect()] \
+        == [tuple(r) for r in bm25_search_indexed(spark, clean, q).collect()]
+
+    # double-run / absent ids: stats untouched
+    delete_from_bm25_layout(spark, path, doomed)
+    _, m2 = load_bm25_layout(spark, path)
+    assert (m2["n_docs"], m2["sum_dl"]) == (gmeta["n_docs"], gmeta["sum_dl"])
+
+    with pytest.raises(ValueError, match="remove all"):
+        delete_from_bm25_layout(spark, path, survivors.select("doc_id"))
+
+    # crash window: simulate 'rows deleted, sidecar not rewritten' by
+    # restoring the PRE-delete sidecar, then repair recomputes
+    import json
+
+    stale = dict(m2, n_docs=m2["n_docs"] + 999, sum_dl=m2["sum_dl"] + 12345)
+    write_bytes(spark, f"{path}/{_BM25_META_NAME}",
+                json.dumps(stale).encode())
+    repair_bm25_layout(spark, path)
+    _, m3 = load_bm25_layout(spark, path)
+    assert (m3["n_docs"], m3["sum_dl"]) == (gmeta["n_docs"], gmeta["sum_dl"])
