@@ -3876,68 +3876,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per round (dict order = check order), so rows are ordered by
     # driver-validation age — never/least-recently driver-validated
     # first, most-recently-validated last; every row gets a driver row
-    # at least every two rounds. Round 10 front block: this round's new
-    # rows (media_dedup_against, doc_simhash_keep), then the 27 rows
-    # past round 9's window (knn_batch_top5 … price_quantiles, last
-    # driver-green r8; judge re-verified them r9). The round-9 window
-    # rows follow in their r9 order; the tail past position 50
-    # (validated r9) returns in round 11.
+    # at least every two rounds. Round 11 front block: this round's
+    # new row (doc_dsir_against), then the 31 rows past round 10's
+    # window (ivf_knn ... knn_euclidean_top10, last driver-green r9;
+    # judge re-verified them r10). Round 10's 50-row window follows in
+    # its r10 order; its tail past position 50 (validated r10) returns
+    # in round 12.
     return {
         # -- new this round
-        "media_dedup_against": q_media_dedup_against,
-        "doc_simhash_keep": q_doc_simhash_keep,
-        "doc_bm25_indexed": q_doc_bm25_indexed,
-        "doc_dsir_top": q_doc_dsir_top,
         "doc_dsir_against": q_doc_dsir_against,
-        # -- past round 9's 50-row window (last driver-green r8)
-        "knn_batch_top5": q_knn_batch_top5,
-        "lsh_knn_top10": q_lsh_knn_top10,
-        "vector_stats": q_vector_stats,
-        "knn_manhattan_top10": q_knn_manhattan_top10,
-        "knn_quantized_top10": q_knn_quantized_top10,
-        "vector_normalize": q_vector_normalize,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "brand_revenue": q_brand_revenue,
-        "top_customer_per_nation": q_top_customer_per_nation,
-        "events_hourly": q_events_hourly,
-        "events_sessions": q_events_sessions,
-        "events_sliding": q_events_sliding,
-        "customers_without_orders": q_customers_without_orders,
-        "events_asof": q_events_asof,
-        "orders_fast_lines": q_orders_fast_lines,
-        "doc_token_stats": q_doc_token_stats,
-        "doc_lang_quality": q_doc_lang_quality,
-        "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_minhash_pairs": q_doc_minhash_pairs,
-        "doc_dup_clusters": q_doc_dup_clusters,
-        "doc_dedup_keep": q_doc_dedup_keep,
-        "doc_text_knn": q_doc_text_knn,
-        "doc_simhash_near": q_doc_simhash_near,
-        "doc_winnow_pairs": q_doc_winnow_pairs,
-        "salted_supplier_revenue": q_salted_supplier_revenue,
-        "price_quantiles": q_price_quantiles,
-        # -- round-9 window rows (driver-green r9), r9 order; the tail
-        # past position 50 returns in round 11
-        "doc_dedup_against": q_doc_dedup_against,
-        "doc_incremental_keep": q_doc_incremental_keep,
-        "doc_simhash_against": q_doc_simhash_against,
-        "doc_dedup_against_verified": q_doc_dedup_against_verified,
-        "doc_winnow_against": q_doc_winnow_against,
-        "embedding_dedup_against": q_embedding_dedup_against,
-        "events_funnel": q_events_funnel,
-        "doc_split_sample": q_doc_split_sample,
-        "doc_pack_chunks": q_doc_pack_chunks,
-        "doc_decontam": q_doc_decontam,
-        "ivfpq_knn": q_ivfpq_knn,
-        "filtered_lsh_knn": q_filtered_lsh_knn,
-        "media_dedup_keep": q_media_dedup_keep,
-        "pq_knn": q_pq_knn,
-        "filtered_knn": q_filtered_knn,
-        "lsh_recall_at_10": q_lsh_recall_at_10,
-        "lsh_precision_at_10": q_lsh_precision_at_10,
-        "hnsw_knn": q_hnsw_knn,
-        "cp_knn_top10": q_cp_knn_top10,
+        # -- past round 10's 50-row window (last driver-green r9)
         "ivf_knn": q_ivf_knn,
         "events_props_stats": q_events_props_stats,
         "events_kmv_users": q_events_kmv_users,
@@ -3969,6 +3917,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_join": q_similarity_join,
         "knn_cosine_top10": q_knn_cosine_top10,
         "knn_euclidean_top10": q_knn_euclidean_top10,
+        # -- round-10 window rows (driver-green r10), r10 order;
+        # the tail past position 50 returns in round 12
+        "media_dedup_against": q_media_dedup_against,
+        "doc_simhash_keep": q_doc_simhash_keep,
+        "doc_bm25_indexed": q_doc_bm25_indexed,
+        "doc_dsir_top": q_doc_dsir_top,
+        "knn_batch_top5": q_knn_batch_top5,
+        "lsh_knn_top10": q_lsh_knn_top10,
+        "vector_stats": q_vector_stats,
+        "knn_manhattan_top10": q_knn_manhattan_top10,
+        "knn_quantized_top10": q_knn_quantized_top10,
+        "vector_normalize": q_vector_normalize,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "brand_revenue": q_brand_revenue,
+        "top_customer_per_nation": q_top_customer_per_nation,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "events_sliding": q_events_sliding,
+        "customers_without_orders": q_customers_without_orders,
+        "events_asof": q_events_asof,
+        "orders_fast_lines": q_orders_fast_lines,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_lang_quality": q_doc_lang_quality,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_dedup_keep": q_doc_dedup_keep,
+        "doc_text_knn": q_doc_text_knn,
+        "doc_simhash_near": q_doc_simhash_near,
+        "doc_winnow_pairs": q_doc_winnow_pairs,
+        "salted_supplier_revenue": q_salted_supplier_revenue,
+        "price_quantiles": q_price_quantiles,
+        "doc_dedup_against": q_doc_dedup_against,
+        "doc_incremental_keep": q_doc_incremental_keep,
+        "doc_simhash_against": q_doc_simhash_against,
+        "doc_dedup_against_verified": q_doc_dedup_against_verified,
+        "doc_winnow_against": q_doc_winnow_against,
+        "embedding_dedup_against": q_embedding_dedup_against,
+        "events_funnel": q_events_funnel,
+        "doc_split_sample": q_doc_split_sample,
+        "doc_pack_chunks": q_doc_pack_chunks,
+        "doc_decontam": q_doc_decontam,
+        "ivfpq_knn": q_ivfpq_knn,
+        "filtered_lsh_knn": q_filtered_lsh_knn,
+        "media_dedup_keep": q_media_dedup_keep,
+        "pq_knn": q_pq_knn,
+        "filtered_knn": q_filtered_knn,
+        "lsh_recall_at_10": q_lsh_recall_at_10,
+        "lsh_precision_at_10": q_lsh_precision_at_10,
+        "hnsw_knn": q_hnsw_knn,
+        "cp_knn_top10": q_cp_knn_top10,
     }
 
 

@@ -4,6 +4,17 @@ Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query is timed
 end-to-end (plan + execute + fetch); the headline metric is the total
 wall time of the suite.
+
+Small-line stabilization (VERDICT r10 "what's wrong" #1): sub-3 s
+query lines are re-run twice and report the MEDIAN of three — the
+suite-position/GC drift that made one small line a false >1.3x
+"mover" every round (customer_strings r7/r8, doc_lang_quality r9/r10,
+ivfpq_knn r10, each proven drift by A/B) sits exactly in this band,
+and a median absorbs one bad draw. Build/ingest lines stay
+single-shot: their first call materializes a cached layout, so a
+rerun would time the cache hit, not the build. NOTE for cross-round
+comparison: medians of warm reruns sit at steady-state, so r10→r11
+small-line drops are partly this mechanism, not code.
 """
 
 from __future__ import annotations
@@ -512,7 +523,18 @@ def main() -> None:
         for name, fn in bench_queries(spark, sf_dir, scratch).items():
             t0 = time.perf_counter()
             fn()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            wall = time.perf_counter() - t0
+            # median-of-3 for drift-prone small QUERY lines; builds and
+            # ingest are one-shot (reruns would hit their caches)
+            once = "build" in name or name == "ingest_validated_10k"
+            if wall < 3.0 and not once:
+                walls = [wall]
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn()
+                    walls.append(time.perf_counter() - t0)
+                wall = sorted(walls)[1]
+            timings[name] = round(wall, 3)
         quality = quality_gates(spark, sf_dir)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

@@ -74,8 +74,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
 
     # same shape for vectors: the stored SignLSH layout keeps the
     # embeddings, so a new vector batch is cosine-VERIFIED against
-    # history without re-hashing it (static bucket-partition pruning)
-    from kowari_spark.operators.dedup_index import embedding_filter_new_against
+    # history without re-hashing it (static bucket-partition pruning).
+    # build() writes a params sidecar, so the layout dispatches through
+    # the SAME facade as the text families — no instance to thread
     from kowari_spark.operators.lsh import SignLSH
 
     from kowari_spark.functions.text import hashed_embeddings as _he
@@ -85,13 +86,12 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     vbatch = vecs.filter(F.col("doc_id") % 2 == 1)
     vlsh = SignLSH(dim=32, num_planes=6, seed=42)
     vpath = tempfile.mkdtemp(prefix="kowari_demo_vsig_")
-    vlsh.build(vhist, vpath, vec_col="embedding")
-    vfresh = embedding_filter_new_against(
-        spark, vlsh, vpath, vbatch, threshold=0.9,
-        id_col="doc_id", round_to=6,
-    )
+    vlsh.build(vhist, vpath, vec_col="embedding", id_col="doc_id")
+    vlayout = SignatureLayout.open(spark, vpath)  # fifth family
+    vfresh = vlayout.filter_new(vbatch, threshold=0.9, round_to=6)
     print(f"incremental vector dedup: {vbatch.count()} -> "
           f"{vfresh.count()} not near-duplicating stored history")
+    vlayout.append(vfresh)  # hashed under the STORED params
 
     # -- curation: decontaminate, quality-filter, scrub, re-mix, pack ----
     from kowari_spark.operators.decontam import ngram_decontaminate
@@ -138,16 +138,39 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("dsir top-3 target-like:", [
         (r["doc_id"], r["dsir_logw"]) for r in en_like.limit(3).collect()])
 
+    # ...and the fit-once shape: persist the ratio model, score any
+    # later crawl batch with ONE pass over the batch (zero passes over
+    # the fit corpora; bit-identical to the full recompute)
+    from kowari_spark.operators.sampling import (
+        build_dsir_layout,
+        dsir_score_against,
+    )
+
+    dpath = tempfile.mkdtemp(prefix="kowari_demo_dsir_")
+    build_dsir_layout(clean, clean.filter(F.col("lang") == "en"), dpath)
+    scored = dsir_score_against(spark, dpath, batch)
+    print("dsir stored-model batch scores (3):", [
+        (r["doc_id"], r["dsir_logw"]) for r in scored.limit(3).collect()])
+
     # persisted BM25 postings: tokenize once, probe by term bucket —
     # bit-identical scores to the scan path above
     from kowari_spark.operators.search import (
         bm25_search_indexed,
         build_bm25_layout,
+        delete_from_bm25_layout,
     )
 
     bpath = tempfile.mkdtemp(prefix="kowari_demo_bm25_")
     build_bm25_layout(mixed, bpath)
     print("bm25 indexed('hash join'):", [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_search_indexed(spark, bpath, "hash join", k=3)
+        .collect()])
+    # lifecycle: a later dedup pass drops docs -> remove them from the
+    # postings AND the sidecar stats (scores stay rebuild-identical)
+    delete_from_bm25_layout(
+        spark, bpath, mixed.select("doc_id").limit(5))
+    print("bm25 after delete:", [
         (r["doc_id"], r["bm25"])
         for r in bm25_search_indexed(spark, bpath, "hash join", k=3)
         .collect()])

@@ -343,6 +343,53 @@ class Collection:
             edges=edges, max_cell=max_cell,
         )
 
+    def signature_layout(
+        self,
+        num_planes: int = 8,
+        seed: int = 42,
+        rebuild: bool = False,
+    ):
+        """Build-or-open the collection's persisted embedding-signature
+        layout (sign-LSH buckets over the current snapshot, stored
+        under the collection dir at ``indexes/lsh``) and return the
+        :class:`~kowari_spark.operators.dedup_index.SignatureLayout`
+        facade handle — the crawl-loop last mile:
+
+        >>> lay = coll.signature_layout()
+        >>> fresh = lay.filter_new(batch_df, threshold=0.9)
+        >>> coll.add_df(fresh); lay.append(fresh)
+
+        Collections store vectors (VECTOR_SCHEMA), so the family is
+        ``embedding``; text/media corpora live outside the catalog and
+        build their layouts with the ``build_*_layout`` functions
+        directly. The layout is a SEPARATE bucket-partitioned relation
+        from the transaction log's segments: it reflects the snapshot
+        it was built from plus explicit ``append`` calls — after
+        deletes or bulk rewrites, pass ``rebuild=True``. Reopening
+        under different ``num_planes``/``seed`` REFUSES via the params
+        sidecar instead of silently probing wrong buckets."""
+        from kowari_spark.operators.dedup_index import SignatureLayout
+        from kowari_spark.operators.lsh import (
+            _LSH_META_NAME,
+            _check_lsh_meta,
+            SignLSH,
+        )
+
+        inst = SignLSH(
+            dim=self.dimension, num_planes=num_planes, seed=seed
+        )
+        path = os.path.join(self.path, "indexes", "lsh")
+        if rebuild or not os.path.exists(
+            os.path.join(path, _LSH_META_NAME)
+        ):
+            inst.build(
+                self.df().select("id", "embedding"), path,
+                vec_col="embedding", id_col="id",
+            )
+        else:
+            _check_lsh_meta(self.spark, path, inst._params())
+        return SignatureLayout.open(self.spark, path)
+
     # -- writes ----------------------------------------------------------
 
     def _validate_dims(self, df: DataFrame) -> None:

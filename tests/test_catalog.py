@@ -323,3 +323,42 @@ def test_collection_semantic_dedup(mgr):
     }
     assert out["a"]["is_kept"] and out["b"]["rep_id"] == "a"
     assert not out["b"]["is_kept"] and out["far"]["is_kept"]
+
+
+def test_collection_signature_layout_crawl_loop(mgr, spark):
+    """Collection.signature_layout wires the facade to the catalog:
+    build-or-open under the collection dir, probe/filter a new batch,
+    append alongside add_df; mismatched params refuse on reopen."""
+    from kowari_spark.schema import vector_df
+
+    c = mgr.create_collection("crawl", 4)
+    c.add([1.0, 0.0, 0.0, 0.0], id="a")
+    c.add([0.0, 0.0, 1.0, 0.0], id="far")
+
+    lay = c.signature_layout()
+    assert lay.kind == "embedding" and lay.meta["id_col"] == "id"
+    batch = vector_df(
+        spark,
+        [("dup_a", [1.0, 0.001, 0.0, 0.0], None),
+         ("new_1", [0.0, 1.0, 0.0, 0.0], None)],
+    )
+    dups = lay.dedup_against(batch, threshold=0.99, round_to=6).collect()
+    assert {(r["new_id"], r["hist_id"]) for r in dups} == {("dup_a", "a")}
+    fresh = lay.filter_new(batch, threshold=0.99)
+    assert {r["id"] for r in fresh.collect()} == {"new_1"}
+    # the five-line crawl loop: keep fresh rows, grow both relations
+    c.add_df(fresh)
+    lay.append(fresh)
+    assert c.count() == 3
+    again = lay.dedup_against(batch, threshold=0.99, round_to=6)
+    assert {(r["new_id"], r["hist_id"]) for r in again.collect()} == {
+        ("dup_a", "a"), ("new_1", "new_1"),
+    }
+    # a second open reuses the stored layout; changed params refuse
+    assert c.signature_layout().kind == "embedding"
+    with pytest.raises(ValueError, match="hashes with"):
+        c.signature_layout(num_planes=4)
+    # rebuild under new params replaces the layout
+    assert c.signature_layout(num_planes=4, rebuild=True).meta[
+        "num_planes"
+    ] == 4

@@ -799,6 +799,178 @@ def _run_suite(
             ).count())
             rec("emb_against_x1", s, r)
 
+    if want("dsir_fit") or want("dsir_score"):
+        # incremental DSIR economics (VERDICT r10 ask #3): the fit pays
+        # the corpus passes ONCE (dsir_fit grows with mult); scoring a
+        # fixed x1-sized batch against the STORED dense ratio relation
+        # must stay FLAT in mult — the relation is 10k rows regardless
+        # of what it was fit on, and scoring reads only the batch.
+        from kowari_spark.operators.sampling import (
+            build_dsir_layout,
+            dsir_score_against,
+        )
+
+        n_doc2 = docs.count()
+        dpath = os.path.join(SCALE_DIR, f"x{mult}", "dsir_fit")
+        built = os.path.exists(os.path.join(dpath, "_dsir_meta.json"))
+        if want("dsir_fit") or not built:
+            s, r = timed(lambda: (build_dsir_layout(
+                docs, docs.filter(F.col("lang") == "en"), dpath
+            ), n_doc2)[1])
+            if want("dsir_fit"):
+                rec("dsir_fit", s, r)
+        if want("dsir_score"):
+            n_base = max(1, n_doc2 // mult)
+            batch = docs.filter(F.col("doc_id") < n_base)
+            s, r = timed(lambda: dsir_score_against(
+                spark, dpath, batch
+            ).count())
+            rec("dsir_score_x1", s, r)
+
+    if want("md_against_big"):
+        # decode-free media history at ANY mult (VERDICT r10 ask #5:
+        # the x1000 media line without 2M image decodes). synth_media
+        # content is a pure function of media_id mod 256, so the
+        # 2000*mult history fingerprints are the 256 decoded phashes
+        # joined back by id % 256 — the resulting layout is
+        # BIT-IDENTICAL to the decode path's (same phash per id, same
+        # banding, same partitioning); only the redundant decodes are
+        # skipped. The probe then runs the REAL path: decode the
+        # 200-image batch, literal-IN prune, Hamming-verify reps.
+        import json as _json
+
+        from kowari_spark.fsutil import write_bytes
+        from kowari_spark.operators.dedup_index import (
+            _MEDIA_LAYOUT_VERSION,
+            _MEDIA_META_NAME,
+            _media_banded,
+            media_dedup_against,
+        )
+        from kowari_spark.operators.multimodal import media_phash, synth_media
+
+        n_media = 2000 * mult
+        md_meta = {
+            "version": _MEDIA_LAYOUT_VERSION, "hash_size": 8, "bands": 8,
+            "codec": "kwm", "frame": 0, "id_col": "media_id",
+            "media_col": "media",
+        }
+        mpath = os.path.join(SCALE_DIR, f"x{mult}", "media_sig_synth")
+        if not os.path.exists(os.path.join(mpath, _MEDIA_META_NAME)):
+            pat = media_phash(
+                synth_media(
+                    spark.range(256).select(F.col("id").alias("media_id")),
+                    kind="image", width=32, height=24,
+                ),
+                media_col="media", id_col="media_id", codec="kwm",
+                hash_size=8, frame=0,
+            ).select(F.col("media_id").alias("__k"), "phash")
+            ph = (
+                spark.range(n_media)
+                .select(
+                    F.col("id").alias("media_id"),
+                    (F.col("id") % 256).alias("__k"),
+                )
+                .join(F.broadcast(pat), "__k")
+                .select("media_id", "phash")
+            )
+            s, r = timed(lambda: (
+                _media_banded(md_meta, ph)
+                .repartition(F.col("bv"))
+                .write.mode("overwrite").partitionBy("bv").parquet(mpath),
+                n_media,
+            )[1])
+            write_bytes(
+                spark, f"{mpath}/{_MEDIA_META_NAME}",
+                _json.dumps(md_meta).encode(),
+            )
+            rec("md_synth_build", s, r)
+        batch_m = synth_media(
+            spark.range(200).select((F.col("id") + 10**9).alias("media_id")),
+            kind="image", width=32, height=24,
+        )
+        s, r = timed(lambda: media_dedup_against(
+            spark, mpath, batch_m, max_hamming=6, mode="reps"
+        ).count())
+        rec("md_against_big_x1", s, r)
+
+    if want("incr_loop_fam") or want("incr_loop_fam_compact"):
+        # facade-driven steady-state loop for every family beyond
+        # minhash (VERDICT r10 ask #6): 9 sequential filter_new ->
+        # append batches through SignatureLayout.open — per-family
+        # probe walls must stay flat as appended files accumulate (the
+        # incr_loop question, generalized, and the facade's own scale
+        # exercise). Media runs a fixed 2000-image corpus at every
+        # mult: its batches pay real decode, and the loop's subject is
+        # file-accumulation creep, which is mult-independent. The
+        # _compact variant runs compact_bucketed_layout every 3
+        # appends — the measured x1 answer: media creeps 2.3->5.0 s
+        # plain (each append touches ~all 2048 bv partitions, so files
+        # accumulate fastest there) and compaction flattens it; the
+        # other families' partition fan-out per append is narrow
+        # enough that 9 appends stay flat either way.
+        import shutil
+
+        from kowari_spark.operators.dedup_index import (
+            SignatureLayout,
+            build_media_layout,
+            build_simhash_layout,
+            build_winnow_layout,
+        )
+        from kowari_spark.operators.lsh import SignLSH
+        from kowari_spark.operators.multimodal import synth_media
+        from kowari_spark.streaming.ingest import compact_bucketed_layout
+
+        media_all = synth_media(
+            spark.range(2000).select(F.col("id").alias("media_id")),
+            kind="image", width=32, height=24,
+        )
+        fams = (
+            ("simhash", docs.select("doc_id", "text"), "doc_id",
+             lambda d, p: build_simhash_layout(d, p),
+             {"max_hamming": 6}, "block"),
+            ("winnow", docs.select("doc_id", "text"), "doc_id",
+             lambda d, p: build_winnow_layout(d, p),
+             {"min_shared": 2}, "fpb"),
+            ("media", media_all, "media_id",
+             lambda d, p: build_media_layout(d, p),
+             {"max_hamming": 6}, "bv"),
+            ("embedding", emb.select("vec_id", "embedding"), "vec_id",
+             lambda d, p: SignLSH(dim=64, num_planes=8, seed=42).build(
+                 d, p, vec_col="embedding", id_col="vec_id"),
+             {"threshold": 0.5}, "bucket"),
+        )
+        for opname, every in (("incr_loop_fam", 0),
+                              ("incr_loop_fam_compact", 3)):
+            if not want(opname):
+                continue
+            suffix = "_c" if every else ""
+            for kind, src, idc, boot_build, kw, pcol in fams:
+                fpath = os.path.join(
+                    SCALE_DIR, f"x{mult}", f"incrfam_{kind}{suffix}"
+                )
+                shutil.rmtree(fpath, ignore_errors=True)
+                boot_build(src.filter(F.col(idc) % 10 == 0), fpath)
+                lay = SignatureLayout.open(spark, fpath)
+                assert lay.kind == (
+                    "embedding" if kind == "embedding" else kind
+                )
+                walls, kept = [], 0
+                for i in range(1, 10):
+                    batch = src.filter(F.col(idc) % 10 == i)
+                    s, kept = timed(
+                        lambda b=batch: lay.filter_new(b, **kw).count()
+                    )
+                    walls.append(round(s, 3))
+                    lay.append(batch)
+                    if every and i % every == 0:
+                        compact_bucketed_layout(
+                            spark, fpath, partition_col=pcol
+                        )
+                rec(f"incrfam_{kind}{suffix}_last", walls[-1], kept)
+                print(
+                    f"         incrfam_{kind}{suffix} probe walls: {walls}"
+                )
+
     if want("planted_family"):
         # VERDICT r8 #1 evidence: ONE planted duplicate family of F
         # members lands in ONE (band, band_key) bucket per band — the
