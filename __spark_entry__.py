@@ -2995,6 +2995,133 @@ LIMIT 10
 """
 
 
+_TEXT_LSH = None  # built lazily: SignLSH over the 32-dim hashed embeddings
+
+
+def _text_lsh() :
+    global _TEXT_LSH
+    if _TEXT_LSH is None:
+        _TEXT_LSH = SignLSH(dim=32, num_planes=6, seed=11)
+    return _TEXT_LSH
+
+
+def _text_lsh_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once SignLSH layout over the documents' hashed embeddings
+    (functions.text.hashed_embeddings, dim 32) — the vector half of the
+    stored-state hybrid row. 2^6 buckets: ~94 docs/bucket at sf0.01 (no
+    fallback) and ~9 at sf0.001 (the reference's <k fallback fires), so
+    the contract pins BOTH probe branches across the driver's SFs."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "na"
+    lsh = _text_lsh()
+    tag = hashlib.md5(
+        f"{src}:{stamp}:textlsh_p{lsh.num_planes}:s{lsh.seed}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kowari_textlsh_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = _t(spark, sf_dir, "documents")
+        emb = T.hashed_embeddings(docs, "text", "doc_id", 32)
+        lsh.build(emb, path, vec_col="embedding", id_col="doc_id")
+    return path
+
+
+def q_doc_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid serving ENTIRELY from stored state (search.
+    hybrid_search_indexed): the BM25 list probes the term-bucketed
+    postings layout (no corpus scan, bit-identical to the proven scan
+    scorer) and the vector list probes the bucket-partitioned SignLSH
+    layout of hashed embeddings (static pruning; <k full-scan fallback
+    — sf0.001's 600 docs starve the 64-bucket probe, sf0.01's don't,
+    so both branches stay pinned), fused by RRF. The oracle replays
+    the postings scores, the hashed embeddings, the plane-literal
+    bucket probe WITH its conditional fallback, and the rank fusion —
+    depth ~25 of already-proven subqueries plus the probe CASE."""
+    from kowari_spark.operators.search import hybrid_search_indexed
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = T.hashed_embeddings(docs, "text", "doc_id", 32)
+    qrow = emb.filter(F.col("doc_id") == 0).first()
+    return hybrid_search_indexed(
+        spark,
+        _bm25_layout(spark, sf_dir),
+        _text_lsh_layout(spark, sf_dir),
+        _BM25_QUERY,
+        [float(x) for x in qrow["embedding"]],
+        k=10,
+        fetch_k=20,
+    )
+
+
+def _oracle_doc_hybrid_indexed() -> str:
+    from kowari_spark.operators.search import bm25_oracle_sql
+
+    kw_sql = bm25_oracle_sql(_BM25_QUERY, k=20)
+    h = _SQL_HASH64.format(s="t")
+    counts = (
+        f"list_transform(range(0, 32), "
+        f"j -> CAST(len(list_filter(toks, t -> {h} % 32 = j)) AS DOUBLE))"
+    )
+    bexpr = _bucket_sql_planes(_text_lsh().planes, "v")
+    cos = _cos_sql("e.v", "q.v")
+    return f"""
+WITH c AS (
+  SELECT doc_id, {counts} AS cnt
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+n AS (
+  SELECT doc_id,
+         CASE WHEN sqrt(list_dot_product(cnt, cnt)) = 0 THEN cnt
+              ELSE list_transform(cnt, x -> x / sqrt(list_dot_product(cnt, cnt)))
+         END AS v
+  FROM c
+),
+q AS (SELECT v FROM n WHERE doc_id = 0),
+qb AS (SELECT {_bucket_sql_planes(_text_lsh().planes, 'v')} AS b FROM q),
+eb AS (SELECT doc_id, v, {bexpr} AS b FROM n),
+cs AS (SELECT COUNT(*) AS nc FROM eb JOIN qb ON eb.b = qb.b),
+vecl AS (
+  SELECT e.doc_id, ROUND({cos}, 6) + 0.0 AS score
+  FROM eb e CROSS JOIN q CROSS JOIN qb CROSS JOIN cs
+  WHERE e.b = qb.b OR cs.nc < 20
+  ORDER BY score DESC, e.doc_id ASC LIMIT 20
+),
+kw AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r
+  FROM ({kw_sql})
+),
+vec AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM vecl
+),
+ids AS (SELECT doc_id FROM kw UNION SELECT doc_id FROM vec),
+fused AS (
+  SELECT i.doc_id,
+         ROUND(coalesce(1.0 / (60.0 + kw.r), 0.0)
+               + coalesce(1.0 / (60.0 + vec.r), 0.0), 9) + 0.0 AS rrf_score,
+         (CASE WHEN kw.r IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN vec.r IS NOT NULL THEN 1 ELSE 0 END) AS n_lists
+  FROM ids i
+  LEFT JOIN kw ON kw.doc_id = i.doc_id
+  LEFT JOIN vec ON vec.doc_id = i.doc_id
+)
+SELECT doc_id, rrf_score, n_lists,
+       row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+FROM fused
+ORDER BY rank
+LIMIT 10
+"""
+
+
 def q_doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py): flag corpus
     documents sharing any word 13-gram with an evaluation set — the
@@ -3885,6 +4012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round
         "doc_dsir_against": q_doc_dsir_against,
+        "doc_hybrid_indexed": q_doc_hybrid_indexed,
         # -- past round 10's 50-row window (last driver-green r9)
         "ivf_knn": q_ivf_knn,
         "events_props_stats": q_events_props_stats,
@@ -4003,6 +4131,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_indexed": _oracle_doc_bm25_indexed(),
         "doc_dsir_top": _oracle_doc_dsir_top(),
         "doc_dsir_against": _oracle_doc_dsir_against(),
+        "doc_hybrid_indexed": _oracle_doc_hybrid_indexed(),
         "media_dedup_against": _oracle_media_dedup_against(),
         "doc_dedup_against_verified": _oracle_doc_dedup_against_verified(),
         "doc_winnow_against": _oracle_doc_winnow_against(),

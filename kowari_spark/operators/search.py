@@ -486,6 +486,78 @@ def bm25_batch_indexed(
     return _fold_batch_topk(scored, meta["id_col"], k, round_to)
 
 
+def hybrid_search_indexed(
+    spark,
+    bm25_path: str,
+    lsh_path: str,
+    query_text: str,
+    query_vec,
+    k: int = 10,
+    lsh=None,
+    fetch_k: int | None = None,
+    k0: int = 60,
+    weights=None,
+    metric: str = "cosine",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Serve one hybrid (keyword + vector) query ENTIRELY from stored
+    state — the end-to-end serving composition the layouts exist for:
+    the BM25 list comes from the postings layout (term-bucket
+    partition pruning, no corpus scan, no re-tokenization,
+    bit-identical to the scan scorer) and the vector list from the
+    bucket-partitioned LSH layout (static partition pruning over the
+    stored vectors, the reference's <k full-scan fallback), fused by
+    reciprocal-rank fusion. No document text or embedding outside the
+    probed partitions is read on the happy path.
+
+    ``lsh=None`` reconstructs the hashing instance from the LSH
+    layout's params sidecar (``dedup_index.open_lsh_layout``); pass
+    the owning instance for legacy sidecar-less layouts. Single-table
+    sign layouts only (multi-table layouts batch-probe; fuse their
+    ``query_batch`` output through ``rrf_fuse`` directly). The two
+    layouts must index the SAME id space — the vector list's id
+    column is renamed to the postings layout's ``id_col`` before
+    fusion. ``fetch_k`` (default 2k) sets both list depths: fusion
+    needs deeper lists than it returns so a document ranked well by
+    only one signal can still displace one ranked shallowly by both.
+
+    Returns (id_col, rrf_score, n_lists, rank), the top ``k``."""
+    from kowari_spark.operators.dedup_index import open_lsh_layout
+    from pyspark.sql.window import Window
+
+    fk = fetch_k or 2 * k
+    if lsh is None:
+        lsh, lmeta = open_lsh_layout(spark, lsh_path)
+    else:
+        lmeta = {}
+    if getattr(lsh, "num_tables", 1) != 1 or not hasattr(lsh, "query"):
+        raise ValueError(
+            "hybrid_search_indexed probes single-table sign layouts; "
+            "multi-table layouts: fuse query_batch output via rrf_fuse"
+        )
+    _, bmeta = load_bm25_layout(spark, bm25_path)
+    id_col = bmeta["id_col"]
+    kw_list = bm25_search_indexed(spark, bm25_path, query_text, k=fk)
+    id_lsh = lmeta.get("id_col", id_col)
+    vec_list = lsh.query(
+        lsh.load(spark, lsh_path), query_vec, fk, metric=metric,
+        id_col=id_lsh, vec_col=lmeta.get("vec_col", "embedding"),
+        round_to=round_to,
+    )
+    if id_lsh != id_col:
+        vec_list = vec_list.withColumnRenamed(id_lsh, id_col)
+    fused = rrf_fuse(
+        [(kw_list, "bm25"), (vec_list, "score")],
+        id_col=id_col, k0=k0, weights=weights,
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("rank")
+    )
+
+
 def append_bm25_layout(spark, path: str, new_docs: DataFrame) -> None:
     """Tokenize ``new_docs`` under the layout's stored params, append
     their postings, and roll the sidecar stats forward additively

@@ -483,3 +483,56 @@ def test_bm25_delete_matches_rebuild(spark, sf_dir, tmp_path):
     repair_bm25_layout(spark, path)
     _, m3 = load_bm25_layout(spark, path)
     assert (m3["n_docs"], m3["sum_dl"]) == (gmeta["n_docs"], gmeta["sum_dl"])
+
+
+def test_hybrid_search_indexed_matches_scan_composition(
+    spark, sf_dir, tmp_path
+):
+    """hybrid_search_indexed (both lists from stored layouts, instance
+    reconstructed from the LSH sidecar) == composing the PROVEN scan
+    scorer + the same layout probe through rrf_fuse by hand; multi-
+    table layouts are refused with guidance."""
+    from pyspark.sql.window import Window
+
+    from kowari_spark.functions.text import hashed_embeddings
+    from kowari_spark.operators.lsh import MultiSignLSH, SignLSH
+    from kowari_spark.operators.search import (
+        build_bm25_layout,
+        hybrid_search_indexed,
+        rrf_fuse,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bpath = str(tmp_path / "hyb_bm25")
+    build_bm25_layout(docs, bpath)
+    emb = hashed_embeddings(docs, "text", "doc_id", 32)
+    lsh = SignLSH(dim=32, num_planes=4, seed=7)
+    lpath = str(tmp_path / "hyb_lsh")
+    lsh.build(emb, lpath, vec_col="embedding", id_col="doc_id")
+
+    q = "vector hash join batch"
+    qvec = [float(x) for x in emb.filter(F.col("doc_id") == 0)
+            .first()["embedding"]]
+    got = hybrid_search_indexed(
+        spark, bpath, lpath, q, qvec, k=10, fetch_k=20
+    ).collect()
+
+    kw = bm25_search(docs, q, k=20)  # indexed == scan is proven
+    vec = lsh.query(
+        lsh.load(spark, lpath), qvec, 20, id_col="doc_id", round_to=6
+    )
+    fused = rrf_fuse([(kw, "bm25"), (vec, "score")], id_col="doc_id")
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    want = (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10).orderBy("rank").collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 10 and got[0]["rank"] == 1
+
+    mpath = str(tmp_path / "hyb_mlsh")
+    MultiSignLSH(dim=32, num_planes=4, num_tables=2, seed=7).build(
+        emb, mpath, vec_col="embedding", id_col="doc_id"
+    )
+    with pytest.raises(ValueError, match="single-table"):
+        hybrid_search_indexed(spark, bpath, mpath, q, qvec)
