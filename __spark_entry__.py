@@ -3061,9 +3061,59 @@ def q_doc_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_doc_hybrid_indexed() -> str:
+    return _hybrid_indexed_oracle(_BM25_QUERY, 0)
+
+
+_HYB_BATCH = (("qa", "vector hash join batch", 0), ("qb", "filter scan", 3))
+
+
+def q_doc_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched stored-state hybrid serving (search.
+    hybrid_batch_indexed): two keyword+vector queries share ONE pruned
+    postings scan and ONE bucket equi-join against the stored layouts,
+    fused per query by rrf_fuse_batch — per-query output identical to
+    hybrid_search_indexed run alone (parity-tested). The oracle is the
+    per-query hybrid replay (probe CASE fallback and all) stamped with
+    its query_id and unioned."""
+    from kowari_spark.operators.search import hybrid_batch_indexed
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = T.hashed_embeddings(docs, "text", "doc_id", 32)
+    want = [d for _, _, d in _HYB_BATCH]
+    rows = {
+        r["doc_id"]: r["embedding"]
+        for r in emb.filter(F.col("doc_id").isin(want)).collect()
+    }
+    vec_df = spark.createDataFrame(
+        [(qid, [float(x) for x in rows[d]]) for qid, _, d in _HYB_BATCH],
+        "query_id string, embedding array<double>",
+    )
+    return hybrid_batch_indexed(
+        spark,
+        _bm25_layout(spark, sf_dir),
+        _text_lsh_layout(spark, sf_dir),
+        {qid: text for qid, text, _ in _HYB_BATCH},
+        vec_df,
+        k=10,
+        fetch_k=20,
+    )
+
+
+def _oracle_doc_hybrid_batch() -> str:
+    parts = [
+        f"SELECT '{qid}' AS query_id, * FROM ({_hybrid_indexed_oracle(text, d)})"
+        for qid, text, d in _HYB_BATCH
+    ]
+    return (
+        "SELECT * FROM (" + " UNION ALL ".join(parts)
+        + ") ORDER BY query_id, rank"
+    )
+
+
+def _hybrid_indexed_oracle(query_text: str, qdoc: int) -> str:
     from kowari_spark.operators.search import bm25_oracle_sql
 
-    kw_sql = bm25_oracle_sql(_BM25_QUERY, k=20)
+    kw_sql = bm25_oracle_sql(query_text, k=20)
     h = _SQL_HASH64.format(s="t")
     counts = (
         f"list_transform(range(0, 32), "
@@ -3083,7 +3133,7 @@ n AS (
          END AS v
   FROM c
 ),
-q AS (SELECT v FROM n WHERE doc_id = 0),
+q AS (SELECT v FROM n WHERE doc_id = {qdoc}),
 qb AS (SELECT {_bucket_sql_planes(_text_lsh().planes, 'v')} AS b FROM q),
 eb AS (SELECT doc_id, v, {bexpr} AS b FROM n),
 cs AS (SELECT COUNT(*) AS nc FROM eb JOIN qb ON eb.b = qb.b),
@@ -4013,6 +4063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round
         "doc_dsir_against": q_doc_dsir_against,
         "doc_hybrid_indexed": q_doc_hybrid_indexed,
+        "doc_hybrid_batch": q_doc_hybrid_batch,
         # -- past round 10's 50-row window (last driver-green r9)
         "ivf_knn": q_ivf_knn,
         "events_props_stats": q_events_props_stats,
@@ -4132,6 +4183,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dsir_top": _oracle_doc_dsir_top(),
         "doc_dsir_against": _oracle_doc_dsir_against(),
         "doc_hybrid_indexed": _oracle_doc_hybrid_indexed(),
+        "doc_hybrid_batch": _oracle_doc_hybrid_batch(),
         "media_dedup_against": _oracle_media_dedup_against(),
         "doc_dedup_against_verified": _oracle_doc_dedup_against_verified(),
         "doc_winnow_against": _oracle_doc_winnow_against(),

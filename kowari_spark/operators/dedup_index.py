@@ -1341,6 +1341,71 @@ class SignatureLayout:
         fn = globals()[self._FAMILIES[self.kind][3]]
         fn(self.spark, self.path, new_df)
 
+    #: the family's physical partition column — what appends fan out
+    #: over, and therefore what compaction rewrites
+    _PARTITION_COL = {
+        "minhash": "band", "simhash": "block",
+        "winnow": "fpb", "media": "bv",
+    }
+
+    def partition_col(self) -> str:
+        """The layout's partition column. Embedding layouts: sign
+        family only (multi-table layouts partition by (__tbl, bucket)
+        — compact/maintain those with their own tooling)."""
+        if self.kind == "embedding":
+            if self.meta.get("family") != "sign":
+                raise ValueError(
+                    "partition_col/compact support single-table sign "
+                    "layouts; multi-table layouts partition by "
+                    "(__tbl, bucket)"
+                )
+            return "bucket"
+        return self._PARTITION_COL[self.kind]
+
+    def file_stats(self, max_files: int = 4) -> dict:
+        """Small-file health from ONE filesystem listing (no Spark
+        job): partition count, data-file count, the worst partition,
+        and which partitions exceed ``max_files`` — the when-to-compact
+        signal. The round-11 loop measurements put numbers on why this
+        matters: probe walls creep with per-append partition FAN-OUT
+        (winnow/media batches touch most partitions, so 9 appends grew
+        their probes ~2.3×; simhash/embedding stayed flat), and
+        compaction every 3-4 appends bounds it (BASELINE.md r11)."""
+        from kowari_spark.fsutil import count_data_files, list_dirs
+
+        pcol = self.partition_col()
+        prefix = f"{pcol}="
+        counts = {
+            d: count_data_files(self.spark, f"{self.path}/{d}")
+            for d in list_dirs(self.spark, self.path)
+            if d.startswith(prefix)
+        }
+        over = sorted(d for d, c in counts.items() if c > max_files)
+        return {
+            "kind": self.kind,
+            "partition_col": pcol,
+            "n_partitions": len(counts),
+            "n_files": sum(counts.values()),
+            "max_files_per_partition": max(counts.values(), default=0),
+            "partitions_over": over,
+        }
+
+    def compact(self, max_files: int = 4, target_files: int = 1):
+        """Bound the small files appends accumulate: rewrite every
+        partition holding more than ``max_files`` data files down to
+        ``target_files`` (streaming.ingest.compact_bucketed_layout —
+        staged rewrite, cooperative ``_compacting`` lock, no data
+        change). Returns the rewritten partition names. Cadence
+        guidance: append rate × partition fan-out, not corpus size —
+        the wide-fan-out families (winnow, media) want this every 3-4
+        appends (measured, BASELINE.md r11)."""
+        from kowari_spark.streaming.ingest import compact_bucketed_layout
+
+        return compact_bucketed_layout(
+            self.spark, self.path, partition_col=self.partition_col(),
+            max_files=max_files, target_files=target_files,
+        )
+
     def stream_into(self, stream_df: DataFrame, checkpoint_dir: str, **kw):
         """The family's exactly-once streaming sink (idempotence
         markers + compaction-lock cooperation); returns the query."""

@@ -486,6 +486,85 @@ def bm25_batch_indexed(
     return _fold_batch_topk(scored, meta["id_col"], k, round_to)
 
 
+def rrf_fuse_batch(
+    rankings,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    k0: int = 60,
+    weights=None,
+    round_to: int = 9,
+    max_list_len: int | None = 10000,
+) -> DataFrame:
+    """:func:`rrf_fuse` for a BATCH of queries: each input df is a
+    per-query top-k relation (query_id + id + score) and ranks derive
+    per query (row_number over score DESC, id ASC WITHIN the query's
+    partition), so one fused job serves any number of queries — the
+    batch siblings' shape (`bm25_search_batch`, `query_batch`). The
+    per-(query, list) length guard, fixed list-order fold, rounding
+    and tie-breaks match rrf_fuse exactly (parity-tested per query).
+    Returns (query_id, id_col, rrf_score, n_lists)."""
+    from pyspark.sql.window import Window
+
+    rankings = list(rankings)
+    if not rankings:
+        raise ValueError("rrf_fuse_batch needs at least one ranking")
+    if weights is None:
+        weights = [1.0] * len(rankings)
+    if len(weights) != len(rankings):
+        raise ValueError(
+            f"{len(weights)} weights for {len(rankings)} rankings"
+        )
+    parts = []
+    for i, (df, score_col) in enumerate(rankings):
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.desc(score_col), F.asc(id_col)
+        )
+        rk = F.row_number().over(w).cast("double")
+        contrib = F.lit(float(weights[i])) / (F.lit(float(k0)) + rk)
+        if max_list_len is not None:
+            contrib = F.when(
+                rk > float(max_list_len),
+                F.raise_error(F.lit(
+                    f"rrf_fuse_batch: input list {i} exceeds "
+                    f"max_list_len={max_list_len} rows for a query — "
+                    "pre-clamp per query or raise/disable max_list_len"
+                )),
+            ).otherwise(contrib)
+        parts.append(
+            df.select(
+                F.col(query_id_col),
+                F.col(id_col),
+                F.lit(i).alias("__src"),
+                contrib.alias("__c"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = u.groupBy(query_id_col, id_col).agg(
+        *[
+            F.max(F.when(F.col("__src") == i, F.col("__c"))).alias(f"__c{i}")
+            for i in range(len(parts))
+        ]
+    )
+    score = F.coalesce(F.col("__c0"), F.lit(0.0))
+    for i in range(1, len(parts)):
+        score = score + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+    n_lists = sum(
+        F.when(F.col(f"__c{i}").isNotNull(), 1).otherwise(0)
+        for i in range(len(parts))
+    )
+    return (
+        agg.select(
+            query_id_col,
+            id_col,
+            (F.round(score, round_to) + F.lit(0.0)).alias("rrf_score"),
+            n_lists.cast("int").alias("n_lists"),
+        )
+        .orderBy(query_id_col, F.desc("rrf_score"), F.asc(id_col))
+    )
+
+
 def hybrid_search_indexed(
     spark,
     bm25_path: str,
@@ -555,6 +634,88 @@ def hybrid_search_indexed(
         fused.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .orderBy("rank")
+    )
+
+
+def hybrid_batch_indexed(
+    spark,
+    bm25_path: str,
+    lsh_path: str,
+    queries_text: dict,
+    queries_vec: DataFrame,
+    k: int = 10,
+    lsh=None,
+    fetch_k: int | None = None,
+    k0: int = 60,
+    weights=None,
+    metric: str = "cosine",
+    round_to: int | None = 6,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched :func:`hybrid_search_indexed`: ONE pruned postings scan
+    scores every keyword list (`bm25_batch_indexed` — the union of all
+    queries' term buckets is still a literal IN partition filter) and
+    ONE bucket equi-join probes every vector list
+    (`SignLSH.query_batch` over the stored layout, per-query <k
+    fallback), then `rrf_fuse_batch` fuses per query — per-query
+    results identical to running hybrid_search_indexed one query at a
+    time (parity-tested). ``queries_text`` maps query_id → keyword
+    string; ``queries_vec`` carries (query_id_col, query_vec_col) for
+    the SAME ids (validated — a query missing one modality would
+    silently fuse half-blind). Returns (query_id, id_col, rrf_score,
+    n_lists, rank), the per-query top ``k``."""
+    from pyspark.sql.window import Window
+
+    from kowari_spark.operators.dedup_index import open_lsh_layout
+
+    fk = fetch_k or 2 * k
+    if lsh is None:
+        lsh, lmeta = open_lsh_layout(spark, lsh_path)
+    else:
+        lmeta = {}
+    if getattr(lsh, "num_tables", 1) != 1 or not hasattr(lsh, "query"):
+        raise ValueError(
+            "hybrid_batch_indexed probes single-table sign layouts; "
+            "multi-table layouts: fuse query_batch output via "
+            "rrf_fuse_batch"
+        )
+    _, bmeta = load_bm25_layout(spark, bm25_path)
+    id_col = bmeta["id_col"]
+    vec_ids = {
+        r[query_id_col]
+        for r in queries_vec.select(query_id_col).collect()
+    }
+    if set(queries_text) != vec_ids:
+        raise ValueError(
+            "queries_text and queries_vec must carry the SAME query "
+            f"ids; text-only: {sorted(set(queries_text) - vec_ids)}, "
+            f"vec-only: {sorted(vec_ids - set(queries_text))}"
+        )
+    kw = bm25_batch_indexed(spark, bm25_path, queries_text, k=fk)
+    id_lsh = lmeta.get("id_col", id_col)
+    vec = lsh.query_batch(
+        lsh.load(spark, lsh_path), queries_vec, fk, metric=metric,
+        id_col=id_lsh, vec_col=lmeta.get("vec_col", "embedding"),
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        round_to=round_to,
+    )
+    if id_lsh != id_col:
+        vec = vec.withColumnRenamed(id_lsh, id_col)
+    fused = rrf_fuse_batch(
+        [
+            (kw.select("query_id", id_col, "bm25"), "bm25"),
+            (vec.select("query_id", id_col, "score"), "score"),
+        ],
+        id_col=id_col, query_id_col="query_id", k0=k0, weights=weights,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
     )
 
 

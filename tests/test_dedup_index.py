@@ -1125,3 +1125,57 @@ def test_facade_dispatches_embedding_family(spark, embeddings, tmp_path):
             stream, SignLSH(dim=64, num_planes=4, seed=99), path,
             str(tmp_path / "fac_emb_ck"),
         )
+
+
+def test_facade_file_stats_and_compact(spark, halves, tmp_path):
+    """file_stats (one FS listing, no job) reports the small-file
+    health appends degrade, and compact() bounds it with NO data
+    change — the maintenance loop the r11 measurements motivate."""
+    from kowari_spark.operators.dedup_index import (
+        SignatureLayout,
+        build_minhash_layout,
+    )
+    from kowari_spark.operators.lsh import MultiSignLSH
+
+    hist, new = halves
+    path = str(tmp_path / "maint_mh")
+    build_minhash_layout(hist, path)
+    lay = SignatureLayout.open(spark, path)
+    assert lay.partition_col() == "band"
+    for i in range(1, 5):
+        lay.append(new.filter(F.col("doc_id") % 8 == i))
+    st = lay.file_stats(max_files=1)
+    assert st["kind"] == "minhash" and st["n_partitions"] > 0
+    assert st["max_files_per_partition"] > 1 and st["partitions_over"]
+
+    before = sorted(map(tuple, lay.dedup_against(
+        new.filter(F.col("doc_id") % 8 == 7), mode="pairs").collect()))
+    rewritten = lay.compact(max_files=1)
+    assert rewritten  # something was actually over the bound
+    st2 = lay.file_stats(max_files=1)
+    assert st2["max_files_per_partition"] <= 1
+    assert st2["n_files"] < st["n_files"]
+    after = sorted(map(tuple, lay.dedup_against(
+        new.filter(F.col("doc_id") % 8 == 7), mode="pairs").collect()))
+    assert after == before  # compaction changed no data
+
+    # embedding: sign layouts compact on "bucket"; multi-table refuse
+    from kowari_spark.operators.lsh import SignLSH
+
+    epath = str(tmp_path / "maint_emb")
+    SignLSH(dim=4, num_planes=2, seed=1).build(
+        spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0, 0.0])], "id long, embedding array<double>"
+        ), epath, id_col="id",
+    )
+    elay = SignatureLayout.open(spark, epath)
+    assert elay.partition_col() == "bucket"
+    assert elay.file_stats()["partition_col"] == "bucket"
+    mpath = str(tmp_path / "maint_memb")
+    MultiSignLSH(dim=4, num_planes=2, num_tables=2, seed=1).build(
+        spark.createDataFrame(
+            [(1, [1.0, 0.0, 0.0, 0.0])], "id long, embedding array<double>"
+        ), mpath, id_col="id",
+    )
+    with pytest.raises(ValueError, match="single-table"):
+        SignatureLayout.open(spark, mpath).partition_col()

@@ -536,3 +536,84 @@ def test_hybrid_search_indexed_matches_scan_composition(
     )
     with pytest.raises(ValueError, match="single-table"):
         hybrid_search_indexed(spark, bpath, mpath, q, qvec)
+
+
+def test_rrf_fuse_batch_matches_single_per_query(spark):
+    """rrf_fuse_batch per query == rrf_fuse on that query's slices
+    (same ranks, fold order, rounding, tie-breaks)."""
+    from kowari_spark.operators.search import rrf_fuse, rrf_fuse_batch
+
+    a = spark.createDataFrame(
+        [("q1", 10, 9.0), ("q1", 11, 8.0), ("q2", 11, 5.0), ("q2", 12, 4.0)],
+        "query_id string, doc_id long, s double",
+    )
+    b = spark.createDataFrame(
+        [("q1", 10, 0.9), ("q1", 12, 0.8), ("q2", 12, 0.7)],
+        "query_id string, doc_id long, s double",
+    )
+    batch = rrf_fuse_batch([(a, "s"), (b, "s")]).collect()
+    for qid in ("q1", "q2"):
+        single = rrf_fuse([
+            (a.filter(F.col("query_id") == qid).drop("query_id"), "s"),
+            (b.filter(F.col("query_id") == qid).drop("query_id"), "s"),
+        ]).collect()
+        got = [
+            (r["doc_id"], r["rrf_score"], r["n_lists"])
+            for r in batch if r["query_id"] == qid
+        ]
+        want = [
+            (r["doc_id"], r["rrf_score"], r["n_lists"]) for r in single
+        ]
+        assert got == want, qid
+
+
+def test_hybrid_batch_indexed_matches_single(spark, sf_dir, tmp_path):
+    """hybrid_batch_indexed per query == hybrid_search_indexed run one
+    query at a time; mismatched text/vec id sets refuse."""
+    from kowari_spark.functions.text import hashed_embeddings
+    from kowari_spark.operators.lsh import SignLSH
+    from kowari_spark.operators.search import (
+        build_bm25_layout,
+        hybrid_batch_indexed,
+        hybrid_search_indexed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bpath = str(tmp_path / "hb_bm25")
+    build_bm25_layout(docs, bpath)
+    emb = hashed_embeddings(docs, "text", "doc_id", 32)
+    lsh = SignLSH(dim=32, num_planes=4, seed=7)
+    lpath = str(tmp_path / "hb_lsh")
+    lsh.build(emb, lpath, vec_col="embedding", id_col="doc_id")
+
+    texts = {"a": "vector hash join batch", "b": "filter scan"}
+    qvecs = {
+        qid: [float(x) for x in emb.filter(F.col("doc_id") == d)
+              .first()["embedding"]]
+        for qid, d in (("a", 0), ("b", 3))
+    }
+    vec_df = spark.createDataFrame(
+        [(qid, v) for qid, v in qvecs.items()],
+        "query_id string, embedding array<double>",
+    )
+    batch = hybrid_batch_indexed(
+        spark, bpath, lpath, texts, vec_df, k=5, fetch_k=10
+    ).collect()
+    for qid in texts:
+        single = hybrid_search_indexed(
+            spark, bpath, lpath, texts[qid], qvecs[qid], k=5, fetch_k=10
+        ).collect()
+        got = [
+            (r["doc_id"], r["rrf_score"], r["n_lists"], r["rank"])
+            for r in batch if r["query_id"] == qid
+        ]
+        want = [
+            (r["doc_id"], r["rrf_score"], r["n_lists"], r["rank"])
+            for r in single
+        ]
+        assert got == want, qid
+
+    with pytest.raises(ValueError, match="SAME query ids"):
+        hybrid_batch_indexed(
+            spark, bpath, lpath, {"a": "x"}, vec_df, k=5
+        )

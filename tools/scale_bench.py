@@ -963,9 +963,7 @@ def _run_suite(
                     walls.append(round(s, 3))
                     lay.append(batch)
                     if every and i % every == 0:
-                        compact_bucketed_layout(
-                            spark, fpath, partition_col=pcol
-                        )
+                        lay.compact()  # facade maintenance verb
                 rec(f"incrfam_{kind}{suffix}_last", walls[-1], kept)
                 print(
                     f"         incrfam_{kind}{suffix} probe walls: {walls}"
