@@ -1749,31 +1749,47 @@ FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b
 """
 
 
-def _minhash_sig_layout(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once (per source stamp) persisted signature layout over the
-    'history' half of documents (even doc_ids) — the incremental-dedup
-    rows probe it without ever re-fingerprinting history (the
-    ``_lsh_index`` build/probe caching pattern)."""
+def _cached_layout(sf_dir, table, tag_suffix, prefix, marker, build_fn):
+    """Shared tag-cached tmp-layout stanza: rebuild iff the source
+    table's stamp or the param tag changed. ``marker`` is the layout
+    family's LAST-written file (its params sidecar) — NEVER _SUCCESS:
+    a crash between the parquet commit and the sidecar write must not
+    poison the cache (the drift that bit _text_lsh_layout's first
+    version). ``build_fn(path)`` runs only on a cache miss."""
     import hashlib
     import os
     import tempfile
 
-    from kowari_spark.operators.dedup_index import build_minhash_layout
-
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     try:
         st = os.stat(src)
         stamp = f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         stamp = "na"
-    tag = hashlib.md5(f"{src}:{stamp}:mh16b4s42sig".encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"kowari_mhsig_{tag}")
-    # the sidecar is written LAST by build_minhash_layout — its
-    # presence marks a complete build
-    if not os.path.exists(os.path.join(path, "_minhash_meta.json")):
-        docs = _t(spark, sf_dir, "documents")
-        build_minhash_layout(docs.filter(F.col("doc_id") % 2 == 0), path)
+    tag = hashlib.md5(
+        f"{src}:{stamp}:{tag_suffix}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"kowari_{prefix}_{tag}")
+    if not os.path.exists(os.path.join(path, marker)):
+        build_fn(path)
     return path
+
+
+def _minhash_sig_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once (per source stamp) persisted signature layout over the
+    'history' half of documents (even doc_ids) — the incremental-dedup
+    rows probe it without ever re-fingerprinting history (the
+    ``_lsh_index`` build/probe caching pattern)."""
+    from kowari_spark.operators.dedup_index import build_minhash_layout
+
+    return _cached_layout(
+        sf_dir, "documents", "mh16b4s42sig", "mhsig",
+        "_minhash_meta.json",
+        lambda p: build_minhash_layout(
+            _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0),
+            p,
+        ),
+    )
 
 
 def q_doc_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1849,24 +1865,15 @@ def _simhash_sig_layout(spark: SparkSession, sf_dir: str) -> str:
     """Build-once persisted simhash layout over the history half —
     unlike minhash, the stored fingerprint IS the verifier, so the
     incremental probe is fully Hamming-VERIFIED from stored state."""
-    import hashlib
-    import os
-    import tempfile
-
     from kowari_spark.operators.dedup_index import build_simhash_layout
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-        stamp = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        stamp = "na"
-    tag = hashlib.md5(f"{src}:{stamp}:sh32b8".encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"kowari_shsig_{tag}")
-    if not os.path.exists(os.path.join(path, "_simhash_meta.json")):
-        docs = _t(spark, sf_dir, "documents")
-        build_simhash_layout(docs.filter(F.col("doc_id") % 2 == 0), path)
-    return path
+    return _cached_layout(
+        sf_dir, "documents", "sh32b8", "shsig", "_simhash_meta.json",
+        lambda p: build_simhash_layout(
+            _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0),
+            p,
+        ),
+    )
 
 
 def q_doc_simhash_against(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2212,24 +2219,15 @@ def _winnow_sig_layout(spark: SparkSession, sf_dir: str) -> str:
     """Build-once persisted winnowing-fingerprint layout over the
     history half — the substring-robust member of the signature-layout
     trio (minhash bands / simhash blocks / winnow fps)."""
-    import hashlib
-    import os
-    import tempfile
-
     from kowari_spark.operators.dedup_index import build_winnow_layout
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-        stamp = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        stamp = "na"
-    tag = hashlib.md5(f"{src}:{stamp}:wk4w4".encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"kowari_wsig_{tag}")
-    if not os.path.exists(os.path.join(path, "_winnow_meta.json")):
-        docs = _t(spark, sf_dir, "documents")
-        build_winnow_layout(docs.filter(F.col("doc_id") % 2 == 0), path)
-    return path
+    return _cached_layout(
+        sf_dir, "documents", "wk4w4", "wsig", "_winnow_meta.json",
+        lambda p: build_winnow_layout(
+            _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0),
+            p,
+        ),
+    )
 
 
 def q_doc_winnow_against(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2740,29 +2738,19 @@ def _dsir_layout(spark: SparkSession, sf_dir: str) -> str:
     raw = even doc_ids, target = the corpus's English docs; tag-cached
     so the doc_dsir_against row times the batch SCORING, not the fit
     (the signature-layout build/probe split)."""
-    import hashlib
-    import os
-    import tempfile
-
     from kowari_spark.operators.sampling import build_dsir_layout
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-        stamp = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        stamp = "na"
-    tag = hashlib.md5(f"{src}:{stamp}:dsir10k".encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"kowari_dsir_{tag}")
-    # the sidecar is written LAST — its presence marks a complete fit
-    if not os.path.exists(os.path.join(path, "_dsir_meta.json")):
+    def build(p):
         docs = _t(spark, sf_dir, "documents")
         build_dsir_layout(
             docs.filter(F.col("doc_id") % 2 == 0),
             docs.filter(F.col("lang") == "en"),
-            path,
+            p,
         )
-    return path
+
+    return _cached_layout(
+        sf_dir, "documents", "dsir10k", "dsir", "_dsir_meta.json", build
+    )
 
 
 def q_doc_dsir_against(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2887,23 +2875,12 @@ def _bm25_layout(spark: SparkSession, sf_dir: str) -> str:
     table (operators/search.py) — the keyword-search counterpart of the
     ANN/dedup build-offline/probe-online split: tokenize the corpus
     once, then every query reads only its terms' hash buckets."""
-    import hashlib
-    import os
-    import tempfile
-
     from kowari_spark.operators.search import build_bm25_layout
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-        stamp = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        stamp = "na"
-    tag = hashlib.md5(f"{src}:{stamp}:bm25b64".encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"kowari_bm25_{tag}")
-    if not os.path.exists(os.path.join(path, "_bm25_meta.json")):
-        build_bm25_layout(_t(spark, sf_dir, "documents"), path)
-    return path
+    return _cached_layout(
+        sf_dir, "documents", "bm25b64", "bm25", "_bm25_meta.json",
+        lambda p: build_bm25_layout(_t(spark, sf_dir, "documents"), p),
+    )
 
 
 _BM25_IDX_QUERY = "filter scan merge sort"
@@ -3011,26 +2988,18 @@ def _text_lsh_layout(spark: SparkSession, sf_dir: str) -> str:
     stored-state hybrid row. 2^6 buckets: ~94 docs/bucket at sf0.01 (no
     fallback) and ~9 at sf0.001 (the reference's <k fallback fires), so
     the contract pins BOTH probe branches across the driver's SFs."""
-    import hashlib
-    import os
-    import tempfile
-
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-        stamp = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        stamp = "na"
     lsh = _text_lsh()
-    tag = hashlib.md5(
-        f"{src}:{stamp}:textlsh_p{lsh.num_planes}:s{lsh.seed}".encode()
-    ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"kowari_textlsh_{tag}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    def build(p):
         docs = _t(spark, sf_dir, "documents")
         emb = T.hashed_embeddings(docs, "text", "doc_id", 32)
-        lsh.build(emb, path, vec_col="embedding", id_col="doc_id")
-    return path
+        lsh.build(emb, p, vec_col="embedding", id_col="doc_id")
+
+    return _cached_layout(
+        sf_dir, "documents",
+        f"textlsh_p{lsh.num_planes}:s{lsh.seed}", "textlsh",
+        "_lsh_meta.json", build,
+    )
 
 
 def q_doc_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3477,26 +3446,17 @@ def _lsh_hist_layout(spark: SparkSession, sf_dir: str) -> str:
     """Build-once SignLSH layout over the history half of embeddings
     (even vec_ids) under the contract instance's planes — the stored
     index the incremental vector-dedup row probes."""
-    import hashlib
-    import os
-    import tempfile
-
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-        stamp = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        stamp = "na"
-    tag = hashlib.md5(
-        f"{src}:{stamp}:hist_p{_LSH.num_planes}:s{_LSH.seed}:meta1".encode()
-    ).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"kowari_lshhist_{tag}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    def build(p):
         hist = _t(spark, sf_dir, "embeddings").filter(
             F.col("vec_id") % 2 == 0
         ).select("vec_id", "embedding")
-        _LSH.build(hist, path, vec_col="embedding", id_col="vec_id")
-    return path
+        _LSH.build(hist, p, vec_col="embedding", id_col="vec_id")
+
+    return _cached_layout(
+        sf_dir, "embeddings",
+        f"hist_p{_LSH.num_planes}:s{_LSH.seed}:meta1", "lshhist",
+        "_lsh_meta.json", build,
+    )
 
 
 def q_embedding_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3921,30 +3881,22 @@ def _media_sig_layout(spark: SparkSession, sf_dir: str) -> str:
     corpus (the media_near_dups fixture's originals) — the fourth
     signature family's stored state; probes Hamming-verify against it
     without re-decoding history (VERDICT r9 missing #1)."""
-    import hashlib
-    import os
-    import tempfile
-
     from kowari_spark.operators.dedup_index import build_media_layout
     from kowari_spark.operators.multimodal import synth_media
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-        stamp = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        stamp = "na"
-    tag = hashlib.md5(f"{src}:{stamp}:md8b8".encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"kowari_mdsig_{tag}")
-    if not os.path.exists(os.path.join(path, "_media_meta.json")):
+    def build(p):
         ids = (
             _t(spark, sf_dir, "embeddings")
             .filter(F.col("vec_id") < 40)
             .select(F.col("vec_id").alias("media_id"))
         )
-        media = synth_media(ids, kind="image", width=32, height=24)
-        build_media_layout(media, path)
-    return path
+        build_media_layout(
+            synth_media(ids, kind="image", width=32, height=24), p
+        )
+
+    return _cached_layout(
+        sf_dir, "embeddings", "md8b8", "mdsig", "_media_meta.json", build
+    )
 
 
 def q_media_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -169,7 +169,7 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # lifecycle: a later dedup pass drops docs -> remove them from the
     # postings AND the sidecar stats (scores stay rebuild-identical)
     delete_from_bm25_layout(
-        spark, bpath, mixed.select("doc_id").limit(5))
+        spark, bpath, mixed.select("doc_id").orderBy("doc_id").limit(5))
     print("bm25 after delete:", [
         (r["doc_id"], r["bm25"])
         for r in bm25_search_indexed(spark, bpath, "hash join", k=3)

@@ -382,10 +382,16 @@ class Collection:
         if rebuild or not os.path.exists(
             os.path.join(path, _LSH_META_NAME)
         ):
-            inst.build(
-                self.df().select("id", "embedding"), path,
-                vec_col="embedding", id_col="id",
-            )
+            snap = self.df().select("id", "embedding")
+            # an empty build would write a data-less dir whose sidecar
+            # open() accepts but whose first probe crashes on schema
+            # inference — refuse with the fix instead
+            if not snap.limit(1).count():
+                raise ValueError(
+                    f"collection {self.name!r} holds no vectors yet — "
+                    "add data before building its signature layout"
+                )
+            inst.build(snap, path, vec_col="embedding", id_col="id")
         else:
             _check_lsh_meta(self.spark, path, inst._params())
         return SignatureLayout.open(self.spark, path)

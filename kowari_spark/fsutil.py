@@ -108,6 +108,28 @@ def list_files(spark: SparkSession, path: str) -> list[str]:
     ]
 
 
+def list_data_files_recursive(spark: SparkSession, path: str) -> list[str]:
+    """Relative paths of every non-hidden data file under ``path`` from
+    ONE recursive listing (``fs.listFiles(path, recursive=True)``) —
+    the remote-FS-friendly walk: a per-partition ``listStatus`` loop
+    costs one namenode/object-store round trip per directory, which is
+    thousands of RPCs on a wide layout. Files inside hidden dirs
+    (``_batches``, ``.staging``…) are skipped like hidden files."""
+    fs, jpath = _fs_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    base = jpath.toUri().getPath().rstrip("/")
+    out = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        rel = p.toUri().getPath()[len(base) + 1:]
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
+        out.append(rel)
+    return out
+
+
 def rename(spark: SparkSession, src: str, dst: str) -> None:
     """Directory/file rename — atomic on HDFS and local filesystems,
     which is what layout maintenance swaps rely on. Raises if the

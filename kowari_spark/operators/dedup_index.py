@@ -1371,15 +1371,15 @@ class SignatureLayout:
         (winnow/media batches touch most partitions, so 9 appends grew
         their probes ~2.3×; simhash/embedding stayed flat), and
         compaction every 3-4 appends bounds it (BASELINE.md r11)."""
-        from kowari_spark.fsutil import count_data_files, list_dirs
+        from kowari_spark.fsutil import list_data_files_recursive
 
         pcol = self.partition_col()
         prefix = f"{pcol}="
-        counts = {
-            d: count_data_files(self.spark, f"{self.path}/{d}")
-            for d in list_dirs(self.spark, self.path)
-            if d.startswith(prefix)
-        }
+        counts: dict[str, int] = {}
+        for rel in list_data_files_recursive(self.spark, self.path):
+            head, _, rest = rel.partition("/")
+            if rest and head.startswith(prefix):
+                counts[head] = counts.get(head, 0) + 1
         over = sorted(d for d, c in counts.items() if c > max_files)
         return {
             "kind": self.kind,

@@ -565,6 +565,25 @@ def rrf_fuse_batch(
     )
 
 
+def _lsh_layout_meta(spark, path: str) -> dict:
+    """Column-name provenance from an LSH layout's params sidecar
+    (either family's file), {} for legacy sidecar-less dirs. Hashing
+    PARAMS are validated by the instance's own ``load`` at probe time;
+    this reads only the recorded vec/id column names so an explicitly-
+    passed instance still probes the layout's actual columns."""
+    import json as _json
+
+    from kowari_spark.fsutil import exists, read_bytes
+    from kowari_spark.operators.cplsh import CrossPolytopeLSH
+    from kowari_spark.operators.lsh import _LSH_META_NAME
+
+    for name in (_LSH_META_NAME, CrossPolytopeLSH._META_NAME):
+        p = f"{path}/{name}"
+        if exists(spark, p):
+            return _json.loads(read_bytes(spark, p).decode())
+    return {}
+
+
 def hybrid_search_indexed(
     spark,
     bm25_path: str,
@@ -608,7 +627,9 @@ def hybrid_search_indexed(
     if lsh is None:
         lsh, lmeta = open_lsh_layout(spark, lsh_path)
     else:
-        lmeta = {}
+        # explicit instance (legacy layouts): still honor the sidecar's
+        # recorded column names when one exists
+        lmeta = _lsh_layout_meta(spark, lsh_path)
     if getattr(lsh, "num_tables", 1) != 1 or not hasattr(lsh, "query"):
         raise ValueError(
             "hybrid_search_indexed probes single-table sign layouts; "
@@ -673,7 +694,9 @@ def hybrid_batch_indexed(
     if lsh is None:
         lsh, lmeta = open_lsh_layout(spark, lsh_path)
     else:
-        lmeta = {}
+        # explicit instance (legacy layouts): still honor the sidecar's
+        # recorded column names when one exists
+        lmeta = _lsh_layout_meta(spark, lsh_path)
     if getattr(lsh, "num_tables", 1) != 1 or not hasattr(lsh, "query"):
         raise ValueError(
             "hybrid_batch_indexed probes single-table sign layouts; "
@@ -842,9 +865,14 @@ def delete_from_bm25_layout(spark, path: str, ids_df: DataFrame) -> None:
 
     postings, meta = load_bm25_layout(spark, path)
     id_col = meta["id_col"]
+    # PIN the id set before using it twice: the stat job below and the
+    # delete's locate/anti-join jobs must see the SAME ids — a
+    # nondeterministic ids_df (limit/sample without an order) would
+    # otherwise decrement the sidecar for different docs than it
+    # deletes, silently corrupting every future score
     ids = ids_df.select(
         F.col(ids_df.columns[0]).alias(id_col)
-    ).distinct()
+    ).distinct().localCheckpoint()
     st = (
         postings.select(id_col, "dl")
         .distinct()
@@ -932,61 +960,17 @@ def rrf_fuse(
     Returns (id_col, rrf_score, n_lists) — ``n_lists`` = how many input
     lists contained the document — ordered by (rrf_score DESC, id ASC).
     """
-    from pyspark.sql.window import Window
-
-    rankings = list(rankings)
+    # ONE fold implementation: delegate to the batch variant over a
+    # constant query id — the fold order, rounding, guard and tie-break
+    # semantics are a bit-exactness contract replayed by SQL oracles,
+    # so two hand-maintained copies would be a drift hazard
+    rankings = [
+        (df.withColumn("__rrf_qid", F.lit(0)), sc)
+        for df, sc in rankings
+    ]
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
-    if weights is None:
-        weights = [1.0] * len(rankings)
-    if len(weights) != len(rankings):
-        raise ValueError(
-            f"{len(weights)} weights for {len(rankings)} rankings"
-        )
-    parts = []
-    for i, (df, score_col) in enumerate(rankings):
-        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
-        rk = F.row_number().over(w).cast("double")
-        contrib = F.lit(float(weights[i])) / (F.lit(float(k0)) + rk)
-        if max_list_len is not None:
-            contrib = F.when(
-                rk > float(max_list_len),
-                F.raise_error(F.lit(
-                    f"rrf_fuse: input list {i} exceeds max_list_len="
-                    f"{max_list_len} rows — rrf_fuse consumes TOP-K "
-                    "lists, not corpus relations; pre-clamp the list "
-                    "with .limit() or raise/disable max_list_len"
-                )),
-            ).otherwise(contrib)
-        parts.append(
-            df.select(
-                F.col(id_col),
-                F.lit(i).alias("__src"),
-                contrib.alias("__c"),
-            )
-        )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    # one conditional aggregate per list = deterministic fold order
-    agg = u.groupBy(id_col).agg(
-        *[
-            F.max(F.when(F.col("__src") == i, F.col("__c"))).alias(f"__c{i}")
-            for i in range(len(parts))
-        ]
-    )
-    score = F.coalesce(F.col("__c0"), F.lit(0.0))
-    for i in range(1, len(parts)):
-        score = score + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
-    n_lists = sum(
-        F.when(F.col(f"__c{i}").isNotNull(), 1).otherwise(0)
-        for i in range(len(parts))
-    )
-    return (
-        agg.select(
-            id_col,
-            (F.round(score, round_to) + F.lit(0.0)).alias("rrf_score"),
-            n_lists.cast("int").alias("n_lists"),
-        )
-        .orderBy(F.desc("rrf_score"), F.asc(id_col))
-    )
+    return rrf_fuse_batch(
+        rankings, id_col=id_col, query_id_col="__rrf_qid", k0=k0,
+        weights=weights, round_to=round_to, max_list_len=max_list_len,
+    ).drop("__rrf_qid")

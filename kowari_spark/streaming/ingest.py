@@ -139,14 +139,16 @@ def stream_into_lsh_layout(
             "partitionBy(bucket) layouts; multi-table instances need "
             "their own (__tbl, bucket) layout — build offline"
         )
-    # params sidecar BEFORE any batch lands: a new layout records this
-    # instance's provenance; an existing one refuses a mismatched
-    # stream here, not after wrong-bucketed rows have been appended
+    # validate an EXISTING sidecar before any batch lands: a mismatched
+    # stream must refuse here, not after wrong-bucketed rows appended.
+    # A NEW layout's sidecar is written inside the sink AFTER the first
+    # batch's files land — writing it up front would leave a data-less
+    # dir that open_lsh_layout accepts as a complete layout but whose
+    # first probe crashes on schema inference (the sidecar's documented
+    # invariant: presence implies committed data)
     spark0 = stream_df.sparkSession
     if fsutil.exists(spark0, f"{path}/{_LSH_META_NAME}"):
         _check_lsh_meta(spark0, path, lsh._params())
-    else:
-        _write_lsh_meta(spark0, path, lsh._params(), vec_col, id_col)
     ck_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -162,6 +164,8 @@ def stream_into_lsh_layout(
         _wait_not_compacting(spark, path, compaction_wait_secs)
         if not batch_df.isEmpty():
             batch_df.write.mode("append").partitionBy("bucket").parquet(path)
+            if not fsutil.exists(spark, f"{path}/{_LSH_META_NAME}"):
+                _write_lsh_meta(spark, path, lsh._params(), vec_col, id_col)
         fsutil.create_marker(spark, marker)
 
     return (
