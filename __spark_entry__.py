@@ -2619,6 +2619,35 @@ GROUP BY doc_id
 """
 
 
+def q_doc_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus split (quality.surprisal_buckets,
+    Wenzek et al. 2020): rank each language's documents by the unigram
+    fluency proxy and NTILE(3) them into equal-count buckets — the
+    slice labels a curation pipeline trains on first/last. Exact mode
+    (the SQL-replayable contract shape; ``mode="approx"`` is the
+    sort-free percentile-boundary path for corpus scale,
+    tested equivalent away from boundaries)."""
+    from kowari_spark.operators.quality import surprisal_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return surprisal_buckets(docs, strata_col="lang").orderBy("doc_id")
+
+
+def _oracle_doc_surprisal_buckets() -> str:
+    base = _ORACLE_DOC_SURPRISAL.strip().rstrip()
+    return f"""
+WITH s AS ({base}),
+j AS (SELECT s.*, d.lang FROM s JOIN documents d USING (doc_id))
+SELECT doc_id, lang, n_tokens, mean_logprob,
+       (['head', 'middle', 'tail'])[
+         NTILE(3) OVER (PARTITION BY lang
+                        ORDER BY mean_logprob DESC, doc_id ASC)
+       ] AS bucket
+FROM j
+ORDER BY doc_id
+"""
+
+
 def q_doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus heavy hitters (operators/quality.top_ngrams): the 20 most
     frequent word bigrams with occurrence + document counts — the
@@ -4016,6 +4045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_against": q_doc_dsir_against,
         "doc_hybrid_indexed": q_doc_hybrid_indexed,
         "doc_hybrid_batch": q_doc_hybrid_batch,
+        "doc_surprisal_buckets": q_doc_surprisal_buckets,
         # -- past round 10's 50-row window (last driver-green r9)
         "ivf_knn": q_ivf_knn,
         "events_props_stats": q_events_props_stats,
@@ -4136,6 +4166,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dsir_against": _oracle_doc_dsir_against(),
         "doc_hybrid_indexed": _oracle_doc_hybrid_indexed(),
         "doc_hybrid_batch": _oracle_doc_hybrid_batch(),
+        "doc_surprisal_buckets": _oracle_doc_surprisal_buckets(),
         "media_dedup_against": _oracle_media_dedup_against(),
         "doc_dedup_against_verified": _oracle_doc_dedup_against_verified(),
         "doc_winnow_against": _oracle_doc_winnow_against(),

@@ -258,3 +258,79 @@ def unigram_surprisal(
         F.count("*").cast("long").alias("n_tokens"),
         (F.round(folded / F.count("*"), 6) + F.lit(0.0)).alias("mean_logprob"),
     )
+
+
+def surprisal_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    names: tuple = ("head", "middle", "tail"),
+    mode: str = "exact",
+) -> DataFrame:
+    """CCNet-style corpus split (Wenzek et al. 2020): rank documents
+    by the unigram-LM quality proxy (:func:`unigram_surprisal`) and
+    split each stratum (usually the language) into ``len(names)``
+    buckets — ``head`` = the most-fluent slice the pipeline trains on
+    first, ``tail`` = the noisiest. Returns (id_col, [strata_col],
+    n_tokens, mean_logprob, bucket). NULL-text documents have no
+    tokens, hence no surprisal row, hence no bucket (the
+    unigram_surprisal contract).
+
+    ``mode="exact"``: per-stratum NTILE over (mean_logprob DESC, id
+    ASC) — equal-count buckets (±1), deterministic, and exactly
+    SQL-replayable (the contract shape). The window sorts each stratum
+    on ONE partition — fine up to tens of millions of rows per
+    stratum, the wrong plan at 100 TB.
+
+    ``mode="approx"``: per-stratum ``percentile_approx`` boundaries
+    (a ≤|strata|-row relation, broadcast back into a comparison) — no
+    per-stratum global sort, every stage parallel; bucket counts are
+    approximate near the boundaries (the documented trade, exactly
+    CCNet's own practice of thresholding on precomputed percentiles).
+    """
+    from pyspark.sql.window import Window
+
+    if mode not in ("exact", "approx"):
+        raise ValueError(f"mode must be 'exact' or 'approx', got {mode!r}")
+    if len(names) < 2:
+        raise ValueError("need at least two bucket names")
+    sp = unigram_surprisal(df, text_col, id_col)
+    keys = []
+    if strata_col:
+        sp = sp.join(df.select(id_col, strata_col), id_col)
+        keys = [strata_col]
+    n = len(names)
+    cols = [id_col, *keys, "n_tokens", "mean_logprob"]
+    if mode == "exact":
+        w = Window.partitionBy(
+            *[F.col(k) for k in keys] if keys else [F.lit(1)]
+        ).orderBy(F.desc("mean_logprob"), F.col(id_col))
+        name_arr = F.array(*[F.lit(x) for x in names])
+        return sp.select(
+            *cols, F.element_at(name_arr, F.ntile(n).over(w)).alias("bucket")
+        )
+    qs = [i / n for i in range(1, n)]  # ascending quantiles
+    bounds = (
+        sp.groupBy(*keys).agg(
+            F.percentile_approx("mean_logprob", qs).alias("__qs")
+        )
+        if keys
+        else sp.agg(F.percentile_approx("mean_logprob", qs).alias("__qs"))
+    )
+    joined = (
+        sp.join(F.broadcast(bounds), keys)
+        if keys
+        else sp.crossJoin(F.broadcast(bounds))
+    )
+    # head = above the highest boundary, tail = below the lowest
+    chain = F.when(
+        F.col("mean_logprob") >= F.element_at("__qs", n - 1),
+        F.lit(names[0]),
+    )
+    for k in range(1, n - 1):
+        chain = chain.when(
+            F.col("mean_logprob") >= F.element_at("__qs", n - 1 - k),
+            F.lit(names[k]),
+        )
+    return joined.select(*cols, chain.otherwise(F.lit(names[-1])).alias("bucket"))

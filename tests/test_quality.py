@@ -140,3 +140,58 @@ def test_unigram_surprisal_ranks_gibberish_below_typical(spark):
     )
     out2 = {r["doc_id"]: r for r in unigram_surprisal(df2).collect()}
     assert out2[0]["mean_logprob"] == out[0]["mean_logprob"]
+
+
+def test_surprisal_buckets_exact_and_approx(spark, sf_dir):
+    """Exact mode: per-stratum equal-count (±1) head/middle/tail by
+    fluency, deterministic; approx mode agrees except near the
+    percentile boundaries; NULL-text docs get no bucket."""
+    from kowari_spark.operators.quality import surprisal_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    out = surprisal_buckets(docs, strata_col="lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        counts = {}
+        for r in rows:
+            counts[r["bucket"]] = counts.get(r["bucket"], 0) + 1
+        assert set(counts) <= {"head", "middle", "tail"}
+        if len(rows) >= 3:
+            assert max(counts.values()) - min(counts.values()) <= 1, lang
+        # head rows are at least as fluent as tail rows
+        h = [r["mean_logprob"] for r in rows if r["bucket"] == "head"]
+        t = [r["mean_logprob"] for r in rows if r["bucket"] == "tail"]
+        if h and t:
+            assert min(h) >= max(t), lang
+    # deterministic
+    again = surprisal_buckets(docs, strata_col="lang").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+    # approx path: same schema, buckets only differ near boundaries —
+    # every disagreement sits between the exact neighbors' scores
+    ap = {
+        r["doc_id"]: r["bucket"]
+        for r in surprisal_buckets(
+            docs, strata_col="lang", mode="approx"
+        ).collect()
+    }
+    ex = {r["doc_id"]: r["bucket"] for r in out}
+    assert set(ap) == set(ex)
+    agree = sum(1 for d in ex if ap[d] == ex[d]) / len(ex)
+    assert agree > 0.8  # boundary-only disagreement
+
+    nulls = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, None, "en"), (3, "d e", "en"),
+         (4, "f g h", "en")],
+        "doc_id long, text string, lang string",
+    )
+    got = surprisal_buckets(nulls, strata_col="lang").collect()
+    assert {r["doc_id"] for r in got} == {1, 3, 4}
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="mode must be"):
+        surprisal_buckets(docs, mode="fast")
+    with _pt.raises(ValueError, match="two bucket"):
+        surprisal_buckets(docs, names=("only",))
