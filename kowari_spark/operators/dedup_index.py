@@ -1263,12 +1263,79 @@ class SignatureLayout:
         self.spark = spark
         self.path = path
         self.kind = kind
-        # validates sidecar version/params now, not at first probe
+        # Family dispatch happens ONCE, here: every verb below calls a
+        # constructor-bound closure, so adding a verb never needs a
+        # per-family branch (the round-11 review's altitude ask). The
+        # sidecar is validated now, not at first probe.
         if kind == "embedding":
             self._lsh, self.meta = open_lsh_layout(spark, path)
+
+            def probe(new_df, **kw):
+                if "threshold" not in kw:
+                    raise ValueError(
+                        "embedding layouts need an explicit threshold= "
+                        "(cosine has no universal near-dup cutoff)"
+                    )
+                kw.setdefault("id_col", self.meta.get("id_col", "id"))
+                kw.setdefault(
+                    "vec_col", self.meta.get("vec_col", "embedding")
+                )
+                return embedding_near_dups_against(
+                    spark, self._lsh, path, new_df, **kw
+                )
+
+            def sink(stream_df, checkpoint_dir, **kw):
+                from kowari_spark.streaming import ingest
+
+                if self.meta.get("family") != "sign":
+                    raise ValueError(
+                        "streaming maintenance exists for single-table "
+                        "SignLSH layouts only; multi-table layouts "
+                        "rebuild or batch-append"
+                    )
+                kw.setdefault(
+                    "vec_col", self.meta.get("vec_col", "embedding")
+                )
+                kw.setdefault("id_col", self.meta.get("id_col", "id"))
+                return ingest.stream_into_lsh_layout(
+                    stream_df, self._lsh, path, checkpoint_dir, **kw
+                )
+
+            def pcol():
+                if self.meta.get("family") != "sign":
+                    raise ValueError(
+                        "partition_col/compact support single-table "
+                        "sign layouts; multi-table layouts partition "
+                        "by (__tbl, bucket)"
+                    )
+                return "bucket"
+
+            self._probe = probe
+            self._append = lambda new_df: append_lsh_layout(
+                spark, path, new_df
+            )
+            self._sink = sink
+            self._pcol = pcol
         else:
             loader = globals()[self._FAMILIES[kind][1]]
             _, self.meta = loader(spark, path)
+            probe_fn = globals()[self._FAMILIES[kind][2]]
+            append_fn = globals()[self._FAMILIES[kind][3]]
+            sink_name = self._FAMILIES[kind][4]
+
+            def sink(stream_df, checkpoint_dir, **kw):
+                from kowari_spark.streaming import ingest
+
+                return getattr(ingest, sink_name)(
+                    stream_df, path, checkpoint_dir, **kw
+                )
+
+            self._probe = lambda new_df, **kw: probe_fn(
+                self._hist(), self.meta, new_df, **kw
+            )
+            self._append = lambda new_df: append_fn(spark, path, new_df)
+            self._sink = sink
+            self._pcol = lambda: self._PARTITION_COL[kind]
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "SignatureLayout":
@@ -1306,19 +1373,7 @@ class SignatureLayout:
         per-family knobs pass through (``mode``, ``verify_threshold``,
         ``max_hamming``, ``min_shared``, ``broadcast_keys_max``;
         embedding: ``threshold`` REQUIRED, ``round_to``)."""
-        if self.kind == "embedding":
-            if "threshold" not in kw:
-                raise ValueError(
-                    "embedding layouts need an explicit threshold= "
-                    "(cosine has no universal near-dup cutoff)"
-                )
-            kw.setdefault("id_col", self.meta.get("id_col", "id"))
-            kw.setdefault("vec_col", self.meta.get("vec_col", "embedding"))
-            return embedding_near_dups_against(
-                self.spark, self._lsh, self.path, new_df, **kw
-            )
-        fn = globals()[self._FAMILIES[self.kind][2]]
-        return fn(self._hist(), self.meta, new_df, **kw)
+        return self._probe(new_df, **kw)
 
     def filter_new(self, new_df: DataFrame, **kw) -> DataFrame:
         """Rows of ``new_df`` colliding with NO stored signature —
@@ -1336,10 +1391,7 @@ class SignatureLayout:
 
     def append(self, new_df: DataFrame) -> None:
         """Fingerprint under the stored params and append."""
-        if self.kind == "embedding":
-            return append_lsh_layout(self.spark, self.path, new_df)
-        fn = globals()[self._FAMILIES[self.kind][3]]
-        fn(self.spark, self.path, new_df)
+        self._append(new_df)
 
     #: the family's physical partition column — what appends fan out
     #: over, and therefore what compaction rewrites
@@ -1352,15 +1404,7 @@ class SignatureLayout:
         """The layout's partition column. Embedding layouts: sign
         family only (multi-table layouts partition by (__tbl, bucket)
         — compact/maintain those with their own tooling)."""
-        if self.kind == "embedding":
-            if self.meta.get("family") != "sign":
-                raise ValueError(
-                    "partition_col/compact support single-table sign "
-                    "layouts; multi-table layouts partition by "
-                    "(__tbl, bucket)"
-                )
-            return "bucket"
-        return self._PARTITION_COL[self.kind]
+        return self._pcol()
 
     def file_stats(self, max_files: int = 4) -> dict:
         """Small-file health from ONE filesystem listing (no Spark
@@ -1409,19 +1453,4 @@ class SignatureLayout:
     def stream_into(self, stream_df: DataFrame, checkpoint_dir: str, **kw):
         """The family's exactly-once streaming sink (idempotence
         markers + compaction-lock cooperation); returns the query."""
-        from kowari_spark.streaming import ingest
-
-        if self.kind == "embedding":
-            if self.meta.get("family") != "sign":
-                raise ValueError(
-                    "streaming maintenance exists for single-table "
-                    "SignLSH layouts only; multi-table layouts rebuild "
-                    "or batch-append"
-                )
-            kw.setdefault("vec_col", self.meta.get("vec_col", "embedding"))
-            kw.setdefault("id_col", self.meta.get("id_col", "id"))
-            return ingest.stream_into_lsh_layout(
-                stream_df, self._lsh, self.path, checkpoint_dir, **kw
-            )
-        fn = getattr(ingest, self._FAMILIES[self.kind][4])
-        return fn(stream_df, self.path, checkpoint_dir, **kw)
+        return self._sink(stream_df, checkpoint_dir, **kw)
