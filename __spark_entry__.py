@@ -2634,7 +2634,7 @@ def q_doc_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_doc_surprisal_buckets() -> str:
-    base = _ORACLE_DOC_SURPRISAL.strip().rstrip()
+    base = _ORACLE_DOC_SURPRISAL.strip()
     return f"""
 WITH s AS ({base}),
 j AS (SELECT s.*, d.lang FROM s JOIN documents d USING (doc_id))

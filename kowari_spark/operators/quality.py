@@ -318,11 +318,15 @@ def surprisal_buckets(
         if keys
         else sp.agg(F.percentile_approx("mean_logprob", qs).alias("__qs"))
     )
-    joined = (
-        sp.join(F.broadcast(bounds), keys)
-        if keys
-        else sp.crossJoin(F.broadcast(bounds))
-    )
+    if keys:
+        # null-safe: a NULL stratum is a normal group in exact mode's
+        # window, so the boundary join must keep it too
+        joined = sp.join(
+            F.broadcast(bounds),
+            [sp[k].eqNullSafe(bounds[k]) for k in keys],
+        ).drop(*[bounds[k] for k in keys])
+    else:
+        joined = sp.crossJoin(F.broadcast(bounds))
     # head = above the highest boundary, tail = below the lowest
     chain = F.when(
         F.col("mean_logprob") >= F.element_at("__qs", n - 1),

@@ -195,3 +195,26 @@ def test_surprisal_buckets_exact_and_approx(spark, sf_dir):
         surprisal_buckets(docs, mode="fast")
     with _pt.raises(ValueError, match="two bucket"):
         surprisal_buckets(docs, names=("only",))
+
+
+def test_surprisal_buckets_null_strata_and_no_strata(spark):
+    """A NULL stratum is a normal group in BOTH modes (the approx
+    boundary join is null-safe), and the strata-less paths (global
+    window / crossJoin-broadcast boundaries) bucket every doc."""
+    from kowari_spark.operators.quality import surprisal_buckets
+
+    rows = [
+        (1, "a b c a b", "en"), (2, "a b", None), (3, "d e a", "en"),
+        (4, "f g h a b", None), (5, "a a b b", None), (6, "c d e", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    ids = {r[0] for r in rows}
+    for mode in ("exact", "approx"):
+        got = surprisal_buckets(docs, strata_col="lang", mode=mode).collect()
+        assert {r["doc_id"] for r in got} == ids, mode
+        null_buckets = {r["bucket"] for r in got if r["lang"] is None}
+        assert null_buckets <= {"head", "middle", "tail"} and null_buckets
+        # strata-less: one global ranking, every doc bucketed
+        flat = surprisal_buckets(docs, mode=mode).collect()
+        assert {r["doc_id"] for r in flat} == ids, mode
+        assert "lang" not in flat[0].asDict()
