@@ -1185,6 +1185,7 @@ class SignatureLayout:
     >>> dups = lay.dedup_against(batch)           # family's reps probe
     >>> fresh = lay.filter_new(batch)             # history keep filter
     >>> lay.append(fresh)                         # grow stored state
+    >>> lay.delete(dropped_ids)                   # keep-list cleanup
     >>> lay.stream_into(stream_df, ckpt)          # exactly-once sink
 
     Family selection happens at ``open`` time by sidecar dispatch
@@ -1310,12 +1311,22 @@ class SignatureLayout:
                     )
                 return "bucket"
 
+            def del_pcols():
+                # multi-table layouts carry a __tbl partition level;
+                # resolved from the data (not the sidecar) so both
+                # Multi and CrossPolytope layouts dispatch right
+                cols = self._hist().columns
+                if "__tbl" in cols:
+                    return ("__tbl", "bucket")
+                return ("bucket",)
+
             self._probe = probe
             self._append = lambda new_df: append_lsh_layout(
                 spark, path, new_df
             )
             self._sink = sink
             self._pcol = pcol
+            self._del_pcols = del_pcols
         else:
             loader = globals()[self._FAMILIES[kind][1]]
             _, self.meta = loader(spark, path)
@@ -1336,6 +1347,7 @@ class SignatureLayout:
             self._append = lambda new_df: append_fn(spark, path, new_df)
             self._sink = sink
             self._pcol = lambda: self._PARTITION_COL[kind]
+            self._del_pcols = lambda: (self._PARTITION_COL[kind],)
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "SignatureLayout":
@@ -1392,6 +1404,27 @@ class SignatureLayout:
     def append(self, new_df: DataFrame) -> None:
         """Fingerprint under the stored params and append."""
         self._append(new_df)
+
+    def delete(self, ids_df: DataFrame, id_col: str | None = None) -> list:
+        """Drop every stored signature row for the given document ids —
+        the maintenance verb a dedup keep-list implies: a document
+        dropped from the corpus must stop matching future probes, and
+        an append-only layout would surface it forever (the same
+        overcount rationale as ``search.delete_from_bm25_layout``).
+        Partition-pruned in-place rewrite via
+        ``streaming.ingest.delete_from_layout`` (holds the layout's
+        ``_compacting`` marker; the params sidecar and streaming batch
+        markers survive even the full-rewrite path). ``ids_df`` carries
+        the layout's id column (or pass ``id_col=``). Returns the
+        rewritten partition names (``["*"]`` full rewrite, ``[]`` when
+        no stored row matched)."""
+        from kowari_spark.streaming import ingest
+
+        return ingest.delete_from_layout(
+            self.spark, self.path, ids_df,
+            id_col=id_col or self.meta.get("id_col", "id"),
+            partition_cols=self._del_pcols(),
+        )
 
     #: the family's physical partition column — what appends fan out
     #: over, and therefore what compaction rewrites

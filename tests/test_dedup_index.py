@@ -1179,3 +1179,77 @@ def test_facade_file_stats_and_compact(spark, halves, tmp_path):
     )
     with pytest.raises(ValueError, match="single-table"):
         SignatureLayout.open(spark, mpath).partition_col()
+
+
+def test_signature_layout_delete(spark, halves, tmp_path):
+    """delete(ids) drops the docs' stored signatures: pruned rewrite,
+    they stop matching probes, survivors' probe results are unchanged,
+    and the sidecar survives (the layout re-opens)."""
+    from kowari_spark.operators.dedup_index import SignatureLayout
+    from kowari_spark.operators.dedup_index import build_minhash_layout
+
+    hist, new = halves
+    path = str(tmp_path / "del_mh")
+    build_minhash_layout(hist, path)
+    lay = SignatureLayout.open(spark, path)
+
+    before = lay.dedup_against(new, mode="pairs").collect()
+    assert before
+    doomed = sorted({r["hist_id"] for r in before})[: max(1, len(before) // 4)]
+    ids = spark.createDataFrame([(i,) for i in doomed], "doc_id long")
+    parts = lay.delete(ids)
+    assert parts  # something was rewritten
+    stored = {r["doc_id"] for r in
+              spark.read.parquet(path).select("doc_id").collect()}
+    assert not stored & set(doomed)
+
+    after = lay.dedup_against(new, mode="pairs").collect()
+    gone = set(doomed)
+    assert not {r["hist_id"] for r in after} & gone
+    # survivors: exactly the before-pairs not touching a doomed id
+    keep = {(r["new_id"], r["hist_id"]) for r in before
+            if r["hist_id"] not in gone}
+    assert {(r["new_id"], r["hist_id"]) for r in after} == keep
+
+    # sidecar intact: a fresh open still dispatches and probes
+    again = SignatureLayout.open(spark, path)
+    assert again.kind == "minhash" and again.meta == lay.meta
+    # deleting nothing is a no-op
+    assert lay.delete(
+        spark.createDataFrame([(-(10**9),)], "doc_id long")) == []
+
+
+def test_signature_layout_delete_embedding(spark, embeddings, tmp_path):
+    """The embedding family's delete prunes on (bucket) for sign
+    layouts and (__tbl, bucket) for multi-table layouts — deleted
+    vectors stop surfacing from probes in both."""
+    from kowari_spark.operators.dedup_index import SignatureLayout
+    from kowari_spark.operators.lsh import MultiSignLSH, SignLSH
+
+    base = embeddings.select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).limit(200).cache()
+    hist = base.filter(F.col("id") % 2 == 0).cache()
+    new = base.filter(F.col("id") % 2 == 1).cache()
+
+    for name, inst in (
+        ("sign", SignLSH(dim=64, num_planes=4, seed=7)),
+        ("multi", MultiSignLSH(dim=64, num_planes=4, num_tables=3, seed=7)),
+    ):
+        path = str(tmp_path / f"del_emb_{name}")
+        inst.build(hist, path)
+        lay = SignatureLayout.open(spark, path)
+        before = lay.dedup_against(
+            new, threshold=0.3, round_to=6, mode="pairs").collect()
+        assert before, name
+        doomed = sorted({r["hist_id"] for r in before})[:2]
+        lay.delete(spark.createDataFrame([(i,) for i in doomed], "id long"))
+        stored = {r["id"] for r in
+                  spark.read.parquet(path).select("id").collect()}
+        assert not stored & set(doomed), name
+        after = lay.dedup_against(
+            new, threshold=0.3, round_to=6, mode="pairs").collect()
+        assert not {r["hist_id"] for r in after} & set(doomed), name
+        keep = {(r["new_id"], r["hist_id"]) for r in before
+                if r["hist_id"] not in set(doomed)}
+        assert {(r["new_id"], r["hist_id"]) for r in after} == keep, name
