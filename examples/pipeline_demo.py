@@ -71,6 +71,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print(f"incremental dedup: {batch.count()}-doc batch -> "
           f"{fresh.count()} not already in history")
     layout.append(fresh)  # batch joins history
+    # a later curation pass dropped some docs: their stored signatures
+    # must stop matching future probes (partition-pruned rewrite)
+    dropped = history.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    layout.delete(dropped)
+    print(f"keep-list cleanup: {dropped.count()} docs' signatures dropped")
 
     # same shape for vectors: the stored SignLSH layout keeps the
     # embeddings, so a new vector batch is cosine-VERIFIED against
