@@ -186,6 +186,44 @@ def stratified_sample(
     return df.filter(hash_uniform(id_col, seed) < frac)
 
 
+def source_cap(
+    df: DataFrame,
+    cap: int,
+    by: str = "source",
+    order_by: Column | list | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group frequency cap — the heavy-hitter guard every web
+    corpus applies (RefinedWeb's per-domain dedup, Gopher's source
+    balancing): keep at most ``cap`` documents per ``by`` group,
+    best-first under ``order_by`` (a Column or list of Columns, e.g.
+    ``F.desc("quality")``), with ``id_col`` ascending always appended
+    as the deterministic tie-break. Without this, one crawler-friendly
+    mirror domain floods the training mixture no matter how good the
+    per-document filters are. Default order (``order_by=None``) is id
+    ascending — first-crawled wins, fully deterministic.
+
+    Scale shape: ONE shuffle on ``by``. Spark's InferWindowGroupLimit
+    rewrites the ``row_number() <= cap`` filter into a PARTIAL top-cap
+    below the exchange, so each map task ships at most ``cap`` rows per
+    group it holds — the shuffle is bounded by cap × |groups| per task,
+    never the corpus (plan-gated in tests). Output: the surviving rows,
+    original columns."""
+    from pyspark.sql.window import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    order = list(order_by) if isinstance(order_by, (list, tuple)) else (
+        [order_by] if order_by is not None else []
+    )
+    w = Window.partitionBy(by).orderBy(*order, F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
 # -- DSIR importance resampling ---------------------------------------------
 
 def _hashed_grams(text_col):

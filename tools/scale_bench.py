@@ -652,6 +652,44 @@ def _run_suite(
                 spark, sh_path, batch, max_hamming=6, mode="reps").count())
             rec("sh_against_x1", s, r)
 
+    if want("sig_delete"):
+        # facade delete economics: drop a fixed 200-doc keep-list slice
+        # from the Mx-history layout. Two deliberately-contrasting
+        # families: minhash partitions by band (bands=4 — every doc in
+        # every partition, so ANY delete is a full rewrite, O(layout));
+        # simhash partitions by content block (256 — a 200-id set
+        # touches ≤200 blocks, pruned rewrite). The table is the
+        # guidance: deletes are batch-amortized maintenance (collect a
+        # tombstone list, delete at compaction cadence), never per-doc.
+        from kowari_spark.operators.dedup_index import SignatureLayout
+
+        n_doc = docs.count()
+        doomed = docs.select("doc_id").orderBy("doc_id").limit(200)
+        for fam, sub in (("minhash", "minhash_sig"), ("simhash",
+                                                      "simhash_sig")):
+            p = os.path.join(SCALE_DIR, f"x{mult}", sub)
+            meta_name = ("_minhash_meta.json" if fam == "minhash"
+                         else "_simhash_meta.json")
+            if not os.path.exists(os.path.join(p, meta_name)):
+                if fam == "minhash":
+                    from kowari_spark.operators.dedup_index import (
+                        build_minhash_layout,
+                    )
+                    build_minhash_layout(docs, p)
+                else:
+                    from kowari_spark.operators.dedup_index import (
+                        build_simhash_layout,
+                    )
+                    build_simhash_layout(docs, p)
+            lay = SignatureLayout.open(spark, p)
+            s, parts = timed(lambda: lay.delete(doomed))
+            # rows = rewritten partition count ("*" full rewrite -> -1)
+            rec(f"{fam[:2]}_delete_200", s,
+                -1 if parts == ["*"] else len(parts))
+            # restore (untimed): deterministic re-fingerprint of the
+            # deleted docs — later ops see identical layout rows
+            lay.append(docs.join(doomed, "doc_id", "left_semi"))
+
     if want("wn_sig_build") or want("wn_against"):
         # decade evidence for the third text family (VERDICT r9 #4):
         # the winnow probe joins the batch's fingerprints against the
