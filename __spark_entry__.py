@@ -2619,6 +2619,31 @@ GROUP BY doc_id
 """
 
 
+def q_doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency cap (operators/sampling.source_cap): keep
+    the 15 longest docs per source (n_chars DESC, doc_id ASC tie-break)
+    — the RefinedWeb/Gopher heavy-hitter guard. Partial top-k below the
+    exchange (plan-gated in tests)."""
+    from kowari_spark.operators.sampling import source_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_cap(
+        docs, 15, order_by=F.desc("n_chars")
+    ).select("doc_id", "source", "n_chars")
+
+
+_ORACLE_DOC_SOURCE_CAP = """
+SELECT doc_id, source, n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+)
+WHERE rk <= 15
+"""
+
+
 def q_doc_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail corpus split (quality.surprisal_buckets,
     Wenzek et al. 2020): rank each language's documents by the unigram
@@ -4046,6 +4071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hybrid_indexed": q_doc_hybrid_indexed,
         "doc_hybrid_batch": q_doc_hybrid_batch,
         "doc_surprisal_buckets": q_doc_surprisal_buckets,
+        "doc_source_cap": q_doc_source_cap,
         # -- past round 10's 50-row window (last driver-green r9)
         "ivf_knn": q_ivf_knn,
         "events_props_stats": q_events_props_stats,
@@ -4167,6 +4193,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_hybrid_indexed": _oracle_doc_hybrid_indexed(),
         "doc_hybrid_batch": _oracle_doc_hybrid_batch(),
         "doc_surprisal_buckets": _oracle_doc_surprisal_buckets(),
+        "doc_source_cap": _ORACLE_DOC_SOURCE_CAP,
         "media_dedup_against": _oracle_media_dedup_against(),
         "doc_dedup_against_verified": _oracle_doc_dedup_against_verified(),
         "doc_winnow_against": _oracle_doc_winnow_against(),

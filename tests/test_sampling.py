@@ -247,3 +247,48 @@ def test_dsir_layout_scores_match_full_recompute(spark, docs, tmp_path):
     )
     with _pt.raises(ValueError, match="dsir-ratios-v0"):
         load_dsir_layout(spark, path)
+
+
+def test_source_cap_keeps_best_per_group(spark):
+    from kowari_spark.operators.sampling import source_cap
+
+    rows = [
+        # (doc_id, source, quality) — src 'a' has 4 docs, 'b' has 2
+        (1, "a", 0.9), (2, "a", 0.5), (3, "a", 0.9), (4, "a", 0.1),
+        (5, "b", 0.7), (6, "b", 0.8), (7, None, 0.3), (8, None, 0.2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    out = source_cap(df, 2, order_by=F.desc("q"))
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # best-two per source; q tie (docs 1,3) breaks on id ascending
+    assert sorted(by_src["a"]) == [1, 3]
+    assert sorted(by_src["b"]) == [5, 6]
+    # a NULL source is a normal group (window partitioning semantics)
+    assert sorted(by_src[None]) == [7, 8]
+    # default order: id ascending (first-crawled wins)
+    first = source_cap(df, 1)
+    assert {r["doc_id"] for r in first.collect()} == {1, 5, 7}
+    assert first.columns == df.columns  # rank column dropped
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="cap must be"):
+        source_cap(df, 0)
+
+
+def test_source_cap_partial_topk_below_exchange(spark):
+    """InferWindowGroupLimit must push a PARTIAL top-cap below the
+    shuffle: each map task ships <= cap rows per group, so the
+    exchange is bounded by cap x |groups| per task — the reason the
+    op survives a 100-TB corpus with hot domains."""
+    from kowari_spark.operators.sampling import source_cap
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("source"),
+    )
+    plan = source_cap(df, 5)._jdf.queryExecution().executedPlan().toString()
+    partial = plan.find("row_number(), 5, Partial")
+    exch = plan.find("Exchange hashpartitioning(source")
+    assert partial != -1 and exch != -1 and partial > exch, plan
