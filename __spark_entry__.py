@@ -4060,11 +4060,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-validation age — never/least-recently driver-validated
     # first, most-recently-validated last; every row gets a driver row
     # at least every two rounds. Round 11 front block: this round's
-    # new row (doc_dsir_against), then the 31 rows past round 10's
-    # window (ivf_knn ... knn_euclidean_top10, last driver-green r9;
-    # judge re-verified them r10). Round 10's 50-row window follows in
-    # its r10 order; its tail past position 50 (validated r10) returns
-    # in round 12.
+    # five new rows (doc_dsir_against, doc_hybrid_indexed,
+    # doc_hybrid_batch, doc_surprisal_buckets, doc_source_cap), then
+    # the 31 rows past round 10's window (ivf_knn ...
+    # knn_euclidean_top10, last driver-green r9; judge re-verified
+    # them r10). Round 10's 50-row window follows in its r10 order;
+    # everything past position 50 (validated r10) returns in round 12.
     return {
         # -- new this round
         "doc_dsir_against": q_doc_dsir_against,
