@@ -1417,12 +1417,26 @@ class SignatureLayout:
         markers survive even the full-rewrite path). ``ids_df`` carries
         the layout's id column (or pass ``id_col=``). Returns the
         rewritten partition names (``["*"]`` full rewrite, ``[]`` when
-        no stored row matched)."""
+        no stored row matched). Deleting EVERY stored row refuses (an
+        emptied partitioned layout has no data file to infer a schema
+        from, so every later probe would crash) — drop the layout
+        directory and rebuild instead, the same rule as
+        ``delete_from_bm25_layout``."""
         from kowari_spark.streaming import ingest
 
+        idc = id_col or self.meta.get("id_col", "id")
+        # bounded survivor probe (limit-1): refuse the delete-all that
+        # would leave a sidecar-only, unreadable directory behind
+        doomed = ids_df.select(F.col(idc)).distinct()
+        if self._hist().join(doomed, idc, "left_anti").limit(1).count() == 0:
+            raise ValueError(
+                "delete would remove every stored signature row — an "
+                "emptied partitioned layout is unreadable; drop the "
+                f"layout directory ({self.path}) and rebuild instead"
+            )
         return ingest.delete_from_layout(
             self.spark, self.path, ids_df,
-            id_col=id_col or self.meta.get("id_col", "id"),
+            id_col=idc,
             partition_cols=self._del_pcols(),
         )
 

@@ -1253,3 +1253,45 @@ def test_signature_layout_delete_embedding(spark, embeddings, tmp_path):
         keep = {(r["new_id"], r["hist_id"]) for r in before
                 if r["hist_id"] not in set(doomed)}
         assert {(r["new_id"], r["hist_id"]) for r in after} == keep, name
+
+
+def test_signature_layout_delete_all_families(spark, halves, media_halves,
+                                              tmp_path):
+    """Every family's _del_pcols path runs: delete shrinks stored ids,
+    the layout re-opens (sidecar intact), and a delete of EVERY stored
+    row refuses instead of leaving an unreadable directory."""
+    from kowari_spark.operators.dedup_index import (
+        SignatureLayout,
+        build_media_layout,
+        build_simhash_layout,
+        build_winnow_layout,
+    )
+
+    hist, _ = halves
+    mhist, _ = media_halves
+    for kind, build, hdf, idc in (
+        ("simhash", build_simhash_layout, hist, "doc_id"),
+        ("winnow", build_winnow_layout, hist, "doc_id"),
+        ("media", build_media_layout, mhist, "media_id"),
+    ):
+        p = str(tmp_path / f"delall_{kind}")
+        build(hdf, p)
+        lay = SignatureLayout.open(spark, p)
+        stored = sorted({r[idc] for r in
+                         spark.read.parquet(p).select(idc).collect()})
+        doomed = stored[: max(1, len(stored) // 5)]
+        parts = lay.delete(
+            spark.createDataFrame([(i,) for i in doomed], f"{idc} long"))
+        assert parts, kind
+        left = {r[idc] for r in
+                spark.read.parquet(p).select(idc).collect()}
+        assert left == set(stored) - set(doomed), kind
+        again = SignatureLayout.open(spark, p)
+        assert again.kind == kind and again.meta == lay.meta
+
+        # delete-all refuses BEFORE touching the layout
+        with pytest.raises(ValueError, match="every stored signature"):
+            lay.delete(spark.createDataFrame(
+                [(i,) for i in stored], f"{idc} long"))
+        assert {r[idc] for r in
+                spark.read.parquet(p).select(idc).collect()} == left, kind

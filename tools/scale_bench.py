@@ -661,26 +661,19 @@ def _run_suite(
         # touches ≤200 blocks, pruned rewrite). The table is the
         # guidance: deletes are batch-amortized maintenance (collect a
         # tombstone list, delete at compaction cadence), never per-doc.
+        from kowari_spark.operators import dedup_index as dxi
         from kowari_spark.operators.dedup_index import SignatureLayout
 
-        n_doc = docs.count()
         doomed = docs.select("doc_id").orderBy("doc_id").limit(200)
-        for fam, sub in (("minhash", "minhash_sig"), ("simhash",
-                                                      "simhash_sig")):
+        for fam, sub, meta_name, build in (
+            ("minhash", "minhash_sig", dxi._META_NAME,
+             dxi.build_minhash_layout),
+            ("simhash", "simhash_sig", dxi._SIMHASH_META_NAME,
+             dxi.build_simhash_layout),
+        ):
             p = os.path.join(SCALE_DIR, f"x{mult}", sub)
-            meta_name = ("_minhash_meta.json" if fam == "minhash"
-                         else "_simhash_meta.json")
             if not os.path.exists(os.path.join(p, meta_name)):
-                if fam == "minhash":
-                    from kowari_spark.operators.dedup_index import (
-                        build_minhash_layout,
-                    )
-                    build_minhash_layout(docs, p)
-                else:
-                    from kowari_spark.operators.dedup_index import (
-                        build_simhash_layout,
-                    )
-                    build_simhash_layout(docs, p)
+                build(docs, p)
             lay = SignatureLayout.open(spark, p)
             s, parts = timed(lambda: lay.delete(doomed))
             # rows = rewritten partition count ("*" full rewrite -> -1)
