@@ -683,6 +683,23 @@ def _run_suite(
             # deleted docs — later ops see identical layout rows
             lay.append(docs.join(doomed, "doc_id", "left_semi"))
 
+    if want("corpus_balance"):
+        # the round-11 corpus-balancing ops: per-source frequency cap
+        # (one shuffle, partial top-cap below the exchange) and the
+        # CCNet surprisal split in its scale mode (approx percentile
+        # boundaries — no per-stratum global sort). Both should track
+        # the corpus linearly: nothing quadratic, no single-partition
+        # stage.
+        from kowari_spark.operators.quality import surprisal_buckets
+        from kowari_spark.operators.sampling import source_cap
+
+        s, r = timed(lambda: source_cap(
+            docs, 15, order_by=F.desc(F.length("text"))).count())
+        rec("source_cap_15", s, r)
+        s, r = timed(lambda: surprisal_buckets(
+            docs, strata_col="lang", mode="approx").count())
+        rec("surprisal_split_approx", s, r)
+
     if want("wn_sig_build") or want("wn_against"):
         # decade evidence for the third text family (VERDICT r9 #4):
         # the winnow probe joins the batch's fingerprints against the
