@@ -2619,6 +2619,51 @@ GROUP BY doc_id
 """
 
 
+def q_embedding_cluster_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClusterClip-style topic balancing: assign every embedding to its
+    IVF cell (the fitted coarse quantizer — same fit the ivf_knn row
+    replays) and keep the 10 most-central members per cell (distance to
+    the cell's own centroid ASC, vec_id tie-break) via
+    operators/sampling.source_cap — over-represented topics are capped,
+    rare topics kept whole. The oracle re-derives the ENTIRE pipeline:
+    seeding, Lloyd rounds, assignment, per-cell distance and the cap."""
+    from kowari_spark.functions.vector import euclidean_distance
+    from kowari_spark.operators.sampling import source_cap
+
+    ivf, lists = _ivf_index(spark, sf_dir)
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(ivf.centroids)],
+        "list_id int, cvec array<double>",
+    )
+    member = lists.join(F.broadcast(cents), "list_id").withColumn(
+        "dist",
+        F.round(euclidean_distance("embedding", "cvec"), 6) + F.lit(0.0),
+    )
+    return source_cap(
+        member, 10, by="list_id", order_by=[F.asc("dist")], id_col="vec_id"
+    ).select(
+        "vec_id", F.col("list_id").cast("long").alias("list_id"), "dist"
+    )
+
+
+def _oracle_embedding_cluster_cap() -> str:
+    fin = f"c{_IVF_PARAMS['max_iter']}"
+    dist = _ivf_dist_sql("a.e", "c.vec")
+    ctes = _ivf_fit_sql_ctes()
+    return (
+        "WITH\n" + ",\n".join(ctes) + f"""
+SELECT vec_id, list_id, dist FROM (
+  SELECT a.vec_id, a.cid AS list_id,
+         ROUND(sqrt({dist}), 6) + 0.0 AS dist,
+         row_number() OVER (
+           PARTITION BY a.cid
+           ORDER BY ROUND(sqrt({dist}), 6) + 0.0 ASC, a.vec_id ASC
+         ) AS rk
+  FROM fa a JOIN {fin} c ON c.cid = a.cid)
+WHERE rk <= 10"""
+    )
+
+
 def q_doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source frequency cap (operators/sampling.source_cap): keep
     the 15 longest docs per source (n_chars DESC, doc_id ASC tie-break)
@@ -4060,8 +4105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-validation age — never/least-recently driver-validated
     # first, most-recently-validated last; every row gets a driver row
     # at least every two rounds. Round 11 front block: this round's
-    # five new rows (doc_dsir_against, doc_hybrid_indexed,
-    # doc_hybrid_batch, doc_surprisal_buckets, doc_source_cap), then
+    # six new rows (doc_dsir_against, doc_hybrid_indexed,
+    # doc_hybrid_batch, doc_surprisal_buckets, doc_source_cap,
+    # embedding_cluster_cap), then
     # the 31 rows past round 10's window (ivf_knn ...
     # knn_euclidean_top10, last driver-green r9; judge re-verified
     # them r10). Round 10's 50-row window follows in its r10 order;
@@ -4073,6 +4119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hybrid_batch": q_doc_hybrid_batch,
         "doc_surprisal_buckets": q_doc_surprisal_buckets,
         "doc_source_cap": q_doc_source_cap,
+        "embedding_cluster_cap": q_embedding_cluster_cap,
         # -- past round 10's 50-row window (last driver-green r9)
         "ivf_knn": q_ivf_knn,
         "events_props_stats": q_events_props_stats,
@@ -4195,6 +4242,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_hybrid_batch": _oracle_doc_hybrid_batch(),
         "doc_surprisal_buckets": _oracle_doc_surprisal_buckets(),
         "doc_source_cap": _ORACLE_DOC_SOURCE_CAP,
+        "embedding_cluster_cap": _oracle_embedding_cluster_cap(),
         "media_dedup_against": _oracle_media_dedup_against(),
         "doc_dedup_against_verified": _oracle_doc_dedup_against_verified(),
         "doc_winnow_against": _oracle_doc_winnow_against(),
