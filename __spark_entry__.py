@@ -2619,6 +2619,52 @@ GROUP BY doc_id
 """
 
 
+def q_doc_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (operators/decontam.
+    semantic_decontaminate): flag documents whose feature-hashed
+    embedding lands within cosine 0.98 of ANY eval doc (doc_id % 17 ==
+    0 stands in for the benchmark) — the paraphrase-leakage companion
+    to the 13-gram filter. Oracle replays the hashed embeddings, the
+    broadcast cross-score, the per-doc max and the left join."""
+    from kowari_spark.operators.decontam import semantic_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    return semantic_decontaminate(docs, ev, 0.98).orderBy("doc_id")
+
+
+def _oracle_doc_semantic_decontam() -> str:
+    h = _SQL_HASH64.format(s="t")
+    counts = (
+        f"list_transform(range(0, 32), "
+        f"j -> CAST(len(list_filter(toks, t -> {h} % 32 = j)) AS DOUBLE))"
+    )
+    cos = _cos_sql("e.v", "ev.v")
+    return f"""
+WITH c AS (
+  SELECT doc_id, {counts} AS cnt
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+n AS (
+  SELECT doc_id,
+         CASE WHEN sqrt(list_dot_product(cnt, cnt)) = 0 THEN cnt
+              ELSE list_transform(cnt, x -> x / sqrt(list_dot_product(cnt, cnt)))
+         END AS v
+  FROM c
+),
+ev AS (SELECT v FROM n WHERE doc_id % 17 = 0),
+s AS (
+  SELECT e.doc_id, MAX(ROUND({cos}, 6) + 0.0) AS mc
+  FROM n e CROSS JOIN ev
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id, COALESCE(s.mc, 0.0) + 0.0 AS max_eval_cos,
+       COALESCE(s.mc, 0.0) >= 0.98 AS is_contaminated
+FROM documents d LEFT JOIN s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_embedding_cluster_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClusterClip-style topic balancing: assign every embedding to its
     IVF cell (the fitted coarse quantizer — same fit the ivf_knn row
@@ -4105,9 +4151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-validation age — never/least-recently driver-validated
     # first, most-recently-validated last; every row gets a driver row
     # at least every two rounds. Round 11 front block: this round's
-    # six new rows (doc_dsir_against, doc_hybrid_indexed,
+    # seven new rows (doc_dsir_against, doc_hybrid_indexed,
     # doc_hybrid_batch, doc_surprisal_buckets, doc_source_cap,
-    # embedding_cluster_cap), then
+    # embedding_cluster_cap, doc_semantic_decontam), then
     # the 31 rows past round 10's window (ivf_knn ...
     # knn_euclidean_top10, last driver-green r9; judge re-verified
     # them r10). Round 10's 50-row window follows in its r10 order;
@@ -4120,6 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_surprisal_buckets": q_doc_surprisal_buckets,
         "doc_source_cap": q_doc_source_cap,
         "embedding_cluster_cap": q_embedding_cluster_cap,
+        "doc_semantic_decontam": q_doc_semantic_decontam,
         # -- past round 10's 50-row window (last driver-green r9)
         "ivf_knn": q_ivf_knn,
         "events_props_stats": q_events_props_stats,
@@ -4243,6 +4290,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_surprisal_buckets": _oracle_doc_surprisal_buckets(),
         "doc_source_cap": _ORACLE_DOC_SOURCE_CAP,
         "embedding_cluster_cap": _oracle_embedding_cluster_cap(),
+        "doc_semantic_decontam": _oracle_doc_semantic_decontam(),
         "media_dedup_against": _oracle_media_dedup_against(),
         "doc_dedup_against_verified": _oracle_doc_dedup_against_verified(),
         "doc_winnow_against": _oracle_doc_winnow_against(),

@@ -196,3 +196,64 @@ def ngram_decontaminate(
             (F.coalesce("contam_grams", F.lit(0)) > 0).alias("is_contaminated"),
         )
     )
+
+
+def semantic_decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    dim: int = 32,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Embedding-space decontamination — the companion to
+    :func:`ngram_decontaminate` for PARAPHRASED leakage: a benchmark
+    answer reworded enough to share no 13-gram still lands near the
+    original in embedding space. Both sides are embedded with the
+    model-free feature-hashed embeddings
+    (:func:`kowari_spark.functions.text.hashed_embeddings` — exactly
+    SQL-replayable), and a document is flagged when its max cosine
+    against ANY eval doc reaches ``threshold``.
+
+    Returns one row per input document: (id_col, ``max_eval_cos``
+    rounded to ``round_to``, ``is_contaminated``). Documents with no
+    tokens have no embedding and score 0.0 (trivially clean).
+
+    Scale shape (the decontamination regime: eval ≪ corpus): the eval
+    embeddings are BROADCAST and cross-joined — each corpus partition
+    scores its own docs against the tiny eval relation and the partial
+    ``max`` collapses to one row per doc map-side, so the only shuffle
+    carries |docs| skinny rows. Nothing corpus-sized moves. For an
+    unusually large eval set, pre-bucket both sides with the LSH
+    operators instead (operators/lsh.py) and verify only co-bucketed
+    pairs."""
+    from kowari_spark.functions.text import hashed_embeddings
+    from kowari_spark.functions.vector import cosine_similarity
+
+    eval_text = eval_text_col or text_col
+    emb = hashed_embeddings(docs, text_col, id_col, dim)
+    ev = hashed_embeddings(
+        eval_df.select(F.col(eval_text).alias("__evt")), "__evt",
+        id_col="__evt", dim=dim, out_col="__ev",
+    ).select("__ev")
+    cos = cosine_similarity(F.col("embedding"), F.col("__ev"))
+    if round_to is not None:
+        cos = F.round(cos, round_to) + F.lit(0.0)
+    scored = (
+        emb.crossJoin(F.broadcast(ev))
+        .groupBy(id_col)
+        .agg(F.max(cos).alias("max_eval_cos"))
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("max_eval_cos", F.lit(0.0)).alias("max_eval_cos"),
+            (F.coalesce("max_eval_cos", F.lit(0.0)) >= threshold).alias(
+                "is_contaminated"
+            ),
+        )
+    )

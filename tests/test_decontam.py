@@ -134,3 +134,42 @@ def test_arrow_engine_is_shuffle_free(corpus, eval_set):
 def test_bad_engine_rejected(corpus, eval_set):
     with pytest.raises(ValueError):
         ngram_decontaminate(corpus, eval_set, engine="nope")
+
+
+def test_semantic_decontaminate_catches_paraphrase(spark):
+    """The embedding path flags a token-REORDERED copy of an eval doc
+    (identical token multiset -> cosine 1.0) that shares no 13-gram;
+    clean docs score below; every input doc gets exactly one row."""
+    from kowari_spark.operators.decontam import (
+        ngram_decontaminate,
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            # same multiset as the eval doc, different order — the
+            # paraphrase ngram overlap misses
+            (0, "m l k j i h g f e d c b a"),
+            (1, "entirely different clean words here nothing shared"),
+            (2, "a b c unrelated tail of mostly other tokens q r s"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "a b c d e f g h i j k l m")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           semantic_decontaminate(corpus, ev, 0.9).collect()}
+    assert len(out) == 3
+    assert out[0]["max_eval_cos"] == 1.0 and out[0]["is_contaminated"]
+    assert not out[1]["is_contaminated"]
+    assert out[1]["max_eval_cos"] < 0.9
+    # the 13-gram filter misses the reorder — the two ops are companions
+    ng = {r["doc_id"]: r["is_contaminated"]
+          for r in ngram_decontaminate(corpus, ev, engine="expr").collect()}
+    assert not ng[0]
+
+    # eval set broadcast: the corpus side is never shuffled pre-agg
+    plan = (semantic_decontaminate(corpus, ev, 0.9)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
