@@ -173,3 +173,30 @@ def test_semantic_decontaminate_catches_paraphrase(spark):
     plan = (semantic_decontaminate(corpus, ev, 0.9)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semantic_decontaminate_engines_bit_identical(spark, sf_dir):
+    """engine='arrow' (GEMM select + exact fold rescore) returns
+    EXACTLY the expression engine's rows on the real table — rounded
+    max cosines equal to the last bit; bad engine refused."""
+    from kowari_spark.operators.decontam import semantic_decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    a = sorted(map(tuple, semantic_decontaminate(
+        docs, ev, 0.98, engine="expr").collect()))
+    b = sorted(map(tuple, semantic_decontaminate(
+        docs, ev, 0.98, engine="arrow").collect()))
+    assert a == b and len(a) == docs.count()
+
+    # empty eval set: everything clean, both engines
+    empty = ev.filter(F.lit(False))
+    for eng in ("expr", "arrow"):
+        out = semantic_decontaminate(docs.limit(5), empty, 0.5, engine=eng)
+        got = out.collect()
+        assert len(got) == 5 and all(
+            r["max_eval_cos"] == 0.0 and not r["is_contaminated"]
+            for r in got), eng
+
+    with pytest.raises(ValueError, match="engine"):
+        semantic_decontaminate(docs, ev, 0.5, engine="gemm")
