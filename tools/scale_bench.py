@@ -683,6 +683,21 @@ def _run_suite(
             # deleted docs — later ops see identical layout rows
             lay.append(docs.join(doomed, "doc_id", "left_semi"))
 
+    if want("semdecon"):
+        # embedding-space decontamination: the eval set stays FIXED
+        # (the benchmark doesn't grow with the corpus) while the corpus
+        # multiplies — the arrow engine should track the corpus
+        # linearly (one GEMM per batch, no shuffle beyond the
+        # embedding groupBy).
+        from kowari_spark.operators.decontam import semantic_decontaminate
+
+        # fixed x1-sized eval set (benchmarks don't grow with the crawl)
+        ev = docs.filter(F.col("doc_id") % 17 == 0).select(
+            "text").limit(300)
+        s, r = timed(lambda: semantic_decontaminate(
+            docs, ev, 0.98, engine="arrow").filter("is_contaminated").count())
+        rec("semdecon_arrow", s, r)
+
     if want("corpus_balance"):
         # the round-11 corpus-balancing ops: per-source frequency cap
         # (one shuffle, partial top-cap below the exchange) and the
