@@ -99,7 +99,10 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     vlayout.append(vfresh)  # hashed under the STORED params
 
     # -- curation: decontaminate, quality-filter, scrub, re-mix, pack ----
-    from kowari_spark.operators.decontam import ngram_decontaminate
+    from kowari_spark.operators.decontam import (
+        ngram_decontaminate,
+        semantic_decontaminate,
+    )
     from kowari_spark.operators.pack import pack_documents
     from kowari_spark.operators.pii import pii_scrub
     from kowari_spark.operators.quality import repetition_stats, top_ngrams
@@ -110,6 +113,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     clean = (
         kept.join(
             ngram_decontaminate(kept, eval_df, n=13, engine="arrow")
+            .filter(~F.col("is_contaminated")).select("doc_id"),
+            "doc_id",
+        )
+        # companion pass: paraphrased leakage the 13-gram filter
+        # misses (reworded benchmark answers land near the original
+        # in embedding space)
+        .join(
+            semantic_decontaminate(kept, eval_df, 0.98)
             .filter(~F.col("is_contaminated")).select("doc_id"),
             "doc_id",
         )
