@@ -194,7 +194,9 @@ class CrossPolytopeLSH:
         import json
 
         from kowari_spark.fsutil import write_bytes
+        from kowari_spark.operators.lsh import _refuse_empty_build
 
+        _refuse_empty_build(df, "CrossPolytopeLSH.build")
         w = self.with_buckets(df, vec_col).repartition(
             F.col("__tbl"), F.col("bucket")
         ).write.mode("overwrite")

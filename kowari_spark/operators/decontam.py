@@ -328,7 +328,10 @@ def _semantic_decontam_arrow(
             rmax = C.max(axis=1)
             for i in range(len(V)):
                 cand = np.flatnonzero(C[i] >= rmax[i] - 1e-9)
-                ex = 0.0
+                # cand is non-empty (it contains argmax), so -inf is
+                # always replaced by an exact score; starting at 0.0
+                # would clamp negative maxima for signed embeddings.
+                ex = float("-inf")
                 for j in cand:
                     if na[i] == 0.0 or ne[j] == 0.0:
                         v = 0.0

@@ -77,6 +77,21 @@ def _check_lsh_meta(spark, path: str, params: dict) -> None:
         )
 
 
+def _refuse_empty_build(df: DataFrame, what: str) -> None:
+    """Bounded emptiness probe (limit(1).count(), one short job) run
+    BEFORE any layout file is written: a build over an empty frame would
+    stamp the params sidecar onto a data-less directory, violating the
+    'sidecar presence implies committed data' invariant — loaders accept
+    it and the first probe crashes on parquet schema inference (same
+    rule as build_bm25_layout's empty-corpus refusal)."""
+    if df.limit(1).count() == 0:
+        raise ValueError(
+            f"{what} over an empty DataFrame: a layout's params sidecar "
+            "must never exist without committed data — build once data "
+            "exists, then append/stream"
+        )
+
+
 class SignLSH:
     """Seeded random-hyperplane LSH (reference defaults: 16 planes,
     src/index.rs:183-185)."""
@@ -230,6 +245,7 @@ class SignLSH:
         after that many rows, so a hot bucket becomes several
         scan-parallel files instead of one monolith (file count stays
         proportional to data, not tasks x buckets)."""
+        _refuse_empty_build(df, "SignLSH.build")
         w = self.with_buckets(df, vec_col).repartition(F.col("bucket")).write.mode(
             "overwrite"
         )
@@ -479,6 +495,7 @@ class MultiSignLSH:
         ``load`` validates (see SignLSH.build). ``max_records_per_file``
         rolls big (table, bucket) dirs into several scan-parallel
         files."""
+        _refuse_empty_build(df, "MultiSignLSH.build")
         w = self.with_buckets(df, vec_col).repartition(
             F.col("__tbl"), F.col("bucket")
         ).write.mode("overwrite")

@@ -149,6 +149,25 @@ def stream_into_lsh_layout(
     spark0 = stream_df.sparkSession
     if fsutil.exists(spark0, f"{path}/{_LSH_META_NAME}"):
         _check_lsh_meta(spark0, path, lsh._params())
+        preexisting_sidecar_less = False
+    else:
+        # Decide NOW whether this stream is allowed to stamp the params
+        # sidecar: only when the layout starts empty/new. Streaming into
+        # a legacy sidecar-less layout that already holds data must NOT
+        # stamp this instance's params as provenance for history rows
+        # hashed under possibly-different planes — that would make
+        # open_lsh_layout trust a wrong reconstruction forever (the
+        # silent recall loss the sidecar exists to refuse). Such layouts
+        # need an explicit offline rebuild to gain a sidecar.
+        # one non-recursive listing: any non-hidden entry (a bucket=
+        # partition dir or a data file) means the layout held data
+        preexisting_sidecar_less = (
+            fsutil.count_data_files(spark0, path) > 0
+            or any(
+                not d.startswith(("_", "."))
+                for d in fsutil.list_dirs(spark0, path)
+            )
+        )
     ck_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -164,7 +183,9 @@ def stream_into_lsh_layout(
         _wait_not_compacting(spark, path, compaction_wait_secs)
         if not batch_df.isEmpty():
             batch_df.write.mode("append").partitionBy("bucket").parquet(path)
-            if not fsutil.exists(spark, f"{path}/{_LSH_META_NAME}"):
+            if not preexisting_sidecar_less and not fsutil.exists(
+                spark, f"{path}/{_LSH_META_NAME}"
+            ):
                 _write_lsh_meta(spark, path, lsh._params(), vec_col, id_col)
         fsutil.create_marker(spark, marker)
 

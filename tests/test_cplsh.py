@@ -225,3 +225,15 @@ def test_prebuilt_layout_probe_matches_onthefly_and_prunes(
     # the vector-recovery scan is pruned to __tbl=0 at the source
     assert "__tbl = 0" in plan or "__tbl#" in plan and "= 0" in plan
     assert "dropDuplicates" not in plan and "Deduplicate" not in plan
+
+
+def test_cp_build_refuses_empty_input(tmp_path, spark, embeddings, cp):
+    """Empty-input builds must refuse before the sidecar lands (the
+    'sidecar presence implies committed data' invariant; ADVICE r11)."""
+    from kowari_spark.fsutil import exists
+
+    empty = embeddings.select("vec_id", "embedding").filter(F.lit(False))
+    path = str(tmp_path / "cp_empty")
+    with pytest.raises(ValueError, match="empty DataFrame"):
+        cp.build(empty, path)
+    assert not exists(spark, f"{path}/{cp._META_NAME}")

@@ -200,3 +200,36 @@ def test_semantic_decontaminate_engines_bit_identical(spark, sf_dir):
 
     with pytest.raises(ValueError, match="engine"):
         semantic_decontaminate(docs, ev, 0.5, engine="gemm")
+
+
+def test_semantic_arrow_rescore_keeps_negative_maxima(spark):
+    """The arrow helper's exact rescore must carry a NEGATIVE max cosine
+    (signed embeddings whose best eval match is still anti-aligned) —
+    initializing the running max at 0.0 would clamp it and silently
+    break the bit-identical claim for any signed-embedding reuse
+    (ADVICE r11). Compared against the expression plan directly."""
+    from kowari_spark.operators.decontam import _semantic_decontam_arrow
+    from kowari_spark.functions.vector import cosine_similarity
+
+    # every doc embedding is anti-aligned with every eval vector
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0, -1.0]), (2, [-3.0, 0.5, 2.0]), (3, [0.0, 0.0, 0.0])],
+        "doc_id long, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [([-1.0, -2.0, 1.0],), ([-2.0, -3.0, 0.0],)],
+        "__ev array<double>",
+    )
+    got = sorted(map(tuple, _semantic_decontam_arrow(
+        emb, ev, "doc_id", 6).collect()))
+    cos = F.round(
+        cosine_similarity(F.col("embedding"), F.col("__ev")), 6
+    ) + F.lit(0.0)
+    want = sorted(map(tuple, emb.crossJoin(F.broadcast(ev)).groupBy(
+        "doc_id").agg(F.max(cos).alias("max_eval_cos")).collect()))
+    assert got == want
+    by_id = dict(got)
+    # doc 1 is anti-aligned with BOTH eval vectors — its true max is
+    # negative and must survive the rescore un-clamped
+    assert by_id[1] < -0.5
+    assert by_id[3] == 0.0  # zero-norm doc stays at the 0.0 guard

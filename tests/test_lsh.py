@@ -210,3 +210,22 @@ def test_multitable_hasher_validation():
 
     with pytest.raises(ValueError, match="hasher"):
         MultiSignLSH(dim=8, hasher="blas")
+
+
+def test_build_refuses_empty_input(tmp_path, base, spark):
+    """A build over an empty frame must refuse BEFORE writing anything:
+    a params sidecar over a data-less dir would be accepted by
+    open_lsh_layout/SignatureLayout.open and crash the first probe on
+    parquet schema inference (ADVICE r11)."""
+    from kowari_spark.fsutil import exists
+    from kowari_spark.operators.lsh import MultiSignLSH
+
+    empty = base.filter(F.lit(False))
+    for idx, name in [
+        (SignLSH(dim=64, num_planes=4, seed=1), "sig"),
+        (MultiSignLSH(dim=64, num_planes=4, num_tables=2, seed=1), "multi"),
+    ]:
+        path = str(tmp_path / f"empty_{name}")
+        with pytest.raises(ValueError, match="empty DataFrame"):
+            idx.build(empty, path)
+        assert not exists(spark, f"{path}/_lsh_meta.json")

@@ -962,3 +962,44 @@ def test_delete_join_hint_probe_is_bounded(spark):
     assert _delete_join_hint(small, 100) is F.broadcast
     big = spark.range(500)
     assert _delete_join_hint(big, 100) is not F.broadcast
+
+
+def test_stream_does_not_stamp_sidecar_on_legacy_layout(spark, embeddings, tmp_path):
+    """Streaming into a PRE-EXISTING sidecar-less layout must not stamp
+    the caller instance's params as provenance for history rows that may
+    have been hashed under different planes (ADVICE r11). A fresh/empty
+    layout still gets the sidecar after the first batch lands."""
+    from kowari_spark.fsutil import delete, exists
+    from kowari_spark.operators.lsh import SignLSH, _LSH_META_NAME
+    from kowari_spark.streaming.ingest import stream_into_lsh_layout
+
+    vecs = embeddings.select("vec_id", "embedding").limit(80).cache()
+    hist = vecs.filter(F.col("vec_id") % 2 == 0)
+    batch = vecs.filter(F.col("vec_id") % 2 == 1)
+
+    # legacy layout: built (possibly under OTHER params), sidecar lost
+    legacy = str(tmp_path / "legacy_layout")
+    SignLSH(dim=64, num_planes=4, seed=99).build(hist, legacy)
+    delete(spark, f"{legacy}/{_LSH_META_NAME}")
+
+    src = str(tmp_path / "lsrc")
+    batch.write.parquet(src)
+    lsh = SignLSH(dim=64, num_planes=4, seed=42)
+    q = stream_into_lsh_layout(
+        spark.readStream.schema(batch.schema).parquet(src),
+        lsh, legacy, str(tmp_path / "lck"),
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(legacy).count() == 80
+    assert not exists(spark, f"{legacy}/{_LSH_META_NAME}"), (
+        "sidecar stamped onto a layout with pre-existing unverified data"
+    )
+
+    # control: an empty/new layout DOES get the sidecar
+    fresh = str(tmp_path / "fresh_layout")
+    q = stream_into_lsh_layout(
+        spark.readStream.schema(batch.schema).parquet(src),
+        lsh, fresh, str(tmp_path / "fck"),
+    )
+    q.awaitTermination(120)
+    assert exists(spark, f"{fresh}/{_LSH_META_NAME}")
