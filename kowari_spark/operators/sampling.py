@@ -513,10 +513,24 @@ def dsir_top(
     return w.orderBy(F.desc("dsir_logw"), F.col(id_col)).limit(n)
 
 
-# -- persisted DSIR layout (fit once, score batches) -------------------------
+# -- persisted DSIR layout (fit once, score batches, roll appends) -----------
 
 _DSIR_META_NAME = "_dsir_meta.json"
-_DSIR_LAYOUT_VERSION = "dsir-ratios-v1"
+_DSIR_LAYOUT_VERSION = "dsir-hists-v2"
+_DSIR_V1 = "dsir-ratios-v1"  # legacy: dense ratios at the dir root, no hists
+
+
+def _dsir_hist(frame, text_col, buckets, count_alias, engine):
+    """One bucket histogram under the chosen engine. The engines are
+    parity-tested to produce IDENTICAL counts (exact integers), so the
+    choice never affects stored bits — only which plan builds them."""
+    from kowari_spark.engines import resolve_engine
+
+    if resolve_engine(engine, df=frame) == "arrow":
+        return _dsir_hist_arrow(frame, text_col, buckets, count_alias)
+    return _hashed_bucket_stream(frame, text_col, buckets).groupBy(
+        "__b"
+    ).agg(F.count("*").alias(count_alias))
 
 
 def build_dsir_layout(
@@ -549,27 +563,30 @@ def build_dsir_layout(
     counts (parity-tested) and the ratio expression is shared.
 
     Scale shape: two histogram aggregations (map-side partials,
-    ≤``buckets`` rows out each) + one ``buckets``-row write
+    ≤``buckets`` rows out each) + three ≤``buckets``-row writes
     (coalesce(1): it is sidecar-scale data). Nothing here grows with
-    future batch volume."""
+    future batch volume.
+
+    Layout (v2): ``raw_hist/`` and ``target_hist/`` hold the SPARSE
+    bucket histograms — both are additive integer counts, so
+    :func:`append_dsir_layout` can roll a new batch into the model
+    without re-reading either fit corpus; ``ratios/`` holds the dense
+    scoring relation DERIVED from the stored histogram bits (written
+    after reading the hists back, so the relation can never diverge
+    from what appends will roll forward). Sidecar LAST — its presence
+    is the committed-layout invariant."""
     import json
 
-    from kowari_spark.engines import resolve_engine
     from kowari_spark.fsutil import write_bytes
 
     spark = df.sparkSession
-    if resolve_engine(engine, df=df) == "arrow":
-        raw_hist = _dsir_hist_arrow(df, text_col, buckets, "__cr")
-        tgt_hist = _dsir_hist_arrow(target, text_col, buckets, "__ct")
-    else:
-        raw_hist = _hashed_bucket_stream(df, text_col, buckets).groupBy(
-            "__b"
-        ).agg(F.count("*").alias("__cr"))
-        tgt_hist = _hashed_bucket_stream(target, text_col, buckets).groupBy(
-            "__b"
-        ).agg(F.count("*").alias("__ct"))
-    ratios = _dsir_ratios(raw_hist, tgt_hist, buckets, dense_over=spark)
-    ratios.coalesce(1).write.mode("overwrite").parquet(path)
+    _dsir_hist(df, text_col, buckets, "__cr", engine).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/raw_hist")
+    _dsir_hist(target, text_col, buckets, "__ct", engine).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/target_hist")
+    _write_dsir_ratios(spark, path, buckets)
     meta = {
         "version": _DSIR_LAYOUT_VERSION,
         "text_col": text_col,
@@ -581,14 +598,54 @@ def build_dsir_layout(
     )
 
 
+def _write_dsir_ratios(spark, path: str, buckets: int) -> None:
+    """(Re)derive the dense scoring relation from the layout dir's own
+    stored histograms — the single construction both build and append
+    use, so an appended layout's ratios are bit-identical to a
+    from-scratch refit over the union corpus (exact integer counts +
+    the shared ratio expression)."""
+    raw_hist = spark.read.parquet(f"{path}/raw_hist")
+    tgt_hist = spark.read.parquet(f"{path}/target_hist")
+    _dsir_ratios(raw_hist, tgt_hist, buckets, dense_over=spark).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/ratios")
+
+
+def _finish_dsir_swap(spark, path: str) -> None:
+    """Finish an append swap a driver crash interrupted: the sidecar is
+    each dir's LAST-written file, so a sidecar-complete ``__roll_tmp``
+    IS the committed post-append layout (its ``_batches`` markers
+    included — the batch commits WITH the swap, never before or after);
+    failing that, a sidecar-complete ``__roll_bak`` is the intact
+    pre-append original. No-op when ``path`` itself is complete."""
+    from kowari_spark.fsutil import delete, exists, rename
+
+    if exists(spark, f"{path}/{_DSIR_META_NAME}"):
+        return
+    tmp, bak = f"{path}.__roll_tmp", f"{path}.__roll_bak"
+    if exists(spark, f"{tmp}/{_DSIR_META_NAME}"):
+        delete(spark, path)
+        rename(spark, tmp, path)
+        delete(spark, bak)
+    elif exists(spark, f"{bak}/{_DSIR_META_NAME}"):
+        delete(spark, path)
+        rename(spark, bak, path)
+
+
 def load_dsir_layout(spark, path: str) -> tuple[DataFrame, dict]:
     """Open a fitted DSIR layout: (dense ratio relation, meta).
     Refuses sidecar-less or version-mismatched dirs — scores computed
-    under diverged featurization silently re-rank every selection."""
+    under diverged featurization silently re-rank every selection.
+    Both layout generations score: v2 (histograms + derived ratios,
+    appendable) and legacy v1 (ratios only, at the dir root — still a
+    complete scoring model, but ``append_dsir_layout`` refuses it).
+    Finishes an interrupted append swap first, so a reader arriving
+    after a mid-swap driver crash sees a complete layout."""
     import json
 
     from kowari_spark.fsutil import exists, read_bytes
 
+    _finish_dsir_swap(spark, path)
     meta_path = f"{path}/{_DSIR_META_NAME}"
     if not exists(spark, meta_path):
         raise ValueError(
@@ -597,12 +654,110 @@ def load_dsir_layout(spark, path: str) -> tuple[DataFrame, dict]:
         )
     meta = json.loads(read_bytes(spark, meta_path).decode())
     ver = meta.get("version")
-    if ver != _DSIR_LAYOUT_VERSION:
+    if ver not in (_DSIR_LAYOUT_VERSION, _DSIR_V1):
         raise ValueError(
             f"DSIR layout at {path} was fit by {ver!r}; this code "
             f"scores {_DSIR_LAYOUT_VERSION!r} ratios — refit the layout"
         )
-    return spark.read.parquet(path), meta
+    ratios_path = path if ver == _DSIR_V1 else f"{path}/ratios"
+    return spark.read.parquet(ratios_path), meta
+
+
+def append_dsir_layout(
+    spark,
+    path: str,
+    batch: DataFrame,
+    which: str = "raw",
+    engine: str = "auto",
+    _commit_marker: str | None = None,
+) -> None:
+    """Roll a new batch into a fitted DSIR model WITHOUT re-reading
+    either fit corpus — the additive-maintenance verb a crawl loop
+    needs (``append_bm25_layout``'s sidecar-stats precedent): both
+    stored histograms are exact integer bucket counts, so
+    build(fit) + append(batch) is BIT-IDENTICAL to
+    build(fit ∪ batch) — same counts, same shared ratio expression,
+    same dense materialization (parity-tested). A refit pays three
+    full corpus passes per batch for a model only the batch changed;
+    this pays ONE pass over the batch plus three ≤``buckets``-row
+    sidecar-scale rewrites.
+
+    ``which`` selects the distribution the batch extends: ``"raw"``
+    (new crawl data — the common case) or ``"target"`` (a growing
+    high-quality exemplar set). Featurization params come from the
+    sidecar, so a batch can never be rolled under diverged hashing;
+    legacy v1 layouts (no stored histograms) refuse — refit once to
+    gain appendability.
+
+    Crash-safe with NO unprotected window (stronger than the BM25
+    append, whose stats roll has a documented replay hazard): the
+    post-append layout is built COMPLETE in a sibling temp dir —
+    rolled histogram, untouched other histogram, rederived dense
+    ratios, prior idempotence markers plus this batch's
+    ``_commit_marker`` (streaming-sink use), sidecar LAST — then
+    swapped into place via two directory renames. A crash anywhere
+    leaves either the intact original or the completed append on
+    disk; the next ``load``/``append`` finishes an interrupted swap
+    automatically, and because the marker rides INSIDE the swap, a
+    re-drained streaming batch is either fully applied (marker
+    present → skipped) or not at all (replayed cleanly). Single
+    writer at a time — run appends from the maintenance window or one
+    streaming sink."""
+    from kowari_spark.fsutil import (
+        create_marker,
+        delete,
+        list_files,
+        rename,
+        write_bytes,
+    )
+
+    if which not in ("raw", "target"):
+        raise ValueError(f"which must be 'raw' or 'target', got {which!r}")
+    _finish_dsir_swap(spark, path)
+    _, meta = load_dsir_layout(spark, path)
+    if meta.get("version") != _DSIR_LAYOUT_VERSION:
+        raise ValueError(
+            f"DSIR layout at {path} is {meta.get('version')!r} (no stored "
+            f"histograms): appends need {_DSIR_LAYOUT_VERSION!r} — refit "
+            "once with build_dsir_layout()"
+        )
+    if batch.limit(1).count() == 0:
+        if _commit_marker is not None:
+            create_marker(spark, f"{path}/_batches/{_commit_marker}")
+        return
+    sub, cnt = (
+        ("raw_hist", "__cr") if which == "raw" else ("target_hist", "__ct")
+    )
+    other = "target_hist" if which == "raw" else "raw_hist"
+    buckets = meta["buckets"]
+    batch_hist = _dsir_hist(batch, meta["text_col"], buckets, cnt, engine)
+    tmp, bak = f"{path}.__roll_tmp", f"{path}.__roll_bak"
+    delete(spark, tmp)  # stale uncommitted attempt, if any
+    (
+        spark.read.parquet(f"{path}/{sub}")
+        .unionByName(batch_hist)
+        .groupBy("__b")
+        .agg(F.sum(cnt).alias(cnt))
+        .coalesce(1)
+        .write.parquet(f"{tmp}/{sub}")
+    )
+    spark.read.parquet(f"{path}/{other}").coalesce(1).write.parquet(
+        f"{tmp}/{other}"
+    )
+    _write_dsir_ratios(spark, tmp, buckets)
+    for name in list_files(spark, f"{path}/_batches"):
+        create_marker(spark, f"{tmp}/_batches/{name}")
+    if _commit_marker is not None:
+        create_marker(spark, f"{tmp}/_batches/{_commit_marker}")
+    import json
+
+    write_bytes(
+        spark, f"{tmp}/{_DSIR_META_NAME}", json.dumps(meta).encode()
+    )
+    delete(spark, bak)  # stale backup from a prior finished append
+    rename(spark, path, bak)
+    rename(spark, tmp, path)
+    delete(spark, bak)
 
 
 def dsir_score_against(

@@ -678,6 +678,71 @@ def stream_into_bm25_layout(
     )
 
 
+def stream_into_dsir_layout(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    which: str = "raw",
+    trigger_available_now: bool = True,
+):
+    """Maintain a fitted DSIR importance model (operators/sampling.py)
+    from a document stream: each micro-batch's bucket histogram is
+    rolled additively into the stored ``raw_hist`` (or, with
+    ``which="target"``, the growing exemplar set) and the dense
+    scoring relation rederived — build + N appends is bit-identical to
+    one fit over everything (append_dsir_layout's parity contract), so
+    a crawl loop keeps its selection model current for the cost of
+    ONE pass per batch instead of a three-pass refit.
+
+    EXACTLY-ONCE with no crash window (unlike stream_into_bm25_layout,
+    whose stats roll has a documented replay hazard needing repair):
+    the batch's idempotence marker is written INSIDE the append's
+    sibling-dir swap — the marker and the rolled histogram commit with
+    the same directory rename, so a re-drained batch is either fully
+    applied (marker present → skipped here) or left no trace
+    (replayed cleanly). The layout must already exist (fit once with
+    build_dsir_layout — a model can't bootstrap from a raw stream
+    alone; it needs the target corpus) and be the appendable v2
+    generation — both validated at stream START so a mismatch refuses
+    before any batch lands."""
+    import hashlib
+
+    from kowari_spark import fsutil
+    from kowari_spark.operators.sampling import (
+        _DSIR_LAYOUT_VERSION,
+        append_dsir_layout,
+        load_dsir_layout,
+    )
+
+    _, meta0 = load_dsir_layout(stream_df.sparkSession, path)
+    if meta0.get("version") != _DSIR_LAYOUT_VERSION:
+        raise ValueError(
+            f"DSIR layout at {path} is {meta0.get('version')!r}: streaming "
+            f"appends need {_DSIR_LAYOUT_VERSION!r} — refit once with "
+            "build_dsir_layout()"
+        )
+    if which not in ("raw", "target"):
+        raise ValueError(f"which must be 'raw' or 'target', got {which!r}")
+    ck_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        name = f"{ck_tag}-{batch_id}"
+        if fsutil.exists(spark, f"{path}/_batches/{name}"):
+            return
+        append_dsir_layout(
+            spark, path, batch_df, which=which, _commit_marker=name
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=trigger_available_now)
+        .start()
+    )
+
+
 def stream_into_hnsw_graph(
     stream_df: DataFrame,
     hnsw,

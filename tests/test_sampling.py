@@ -249,6 +249,161 @@ def test_dsir_layout_scores_match_full_recompute(spark, docs, tmp_path):
         load_dsir_layout(spark, path)
 
 
+def test_dsir_append_bit_identical_to_refit(spark, docs, tmp_path):
+    """build(fit) + append(batch) == build(fit ∪ batch) BIT-FOR-BIT:
+    stored ratio relations are identical doubles and a scored batch
+    ranks identically under both layouts (the additive-maintenance
+    parity contract, VERDICT r11 ask #1) — for raw appends AND target
+    appends."""
+    from kowari_spark.operators.sampling import (
+        append_dsir_layout,
+        build_dsir_layout,
+        dsir_score_against,
+        load_dsir_layout,
+    )
+
+    target = docs.filter(F.col("lang") == "en")
+    q0 = docs.filter(F.col("doc_id") % 4 == 0)
+    q2 = docs.filter(F.col("doc_id") % 4 == 2)
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+
+    refit = str(tmp_path / "dsir_refit")
+    build_dsir_layout(even, target, refit)
+    rolled = str(tmp_path / "dsir_rolled")
+    build_dsir_layout(q0, target, rolled)
+    append_dsir_layout(spark, rolled, q2, which="raw")
+
+    def snap(p):
+        ratios, _ = load_dsir_layout(spark, p)
+        return sorted(map(tuple, ratios.collect()))
+
+    assert snap(rolled) == snap(refit)
+    want = sorted(map(tuple, dsir_score_against(spark, refit, odd).collect()))
+    got = sorted(map(tuple, dsir_score_against(spark, rolled, odd).collect()))
+    assert got == want
+
+    # target-side append: growing the exemplar set rolls target_hist
+    t_en = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 4 == 0))
+    t_de = docs.filter(F.col("lang") == "de")
+    tr = str(tmp_path / "dsir_tref")
+    build_dsir_layout(even, t_en.unionByName(t_de), tr)
+    ta = str(tmp_path / "dsir_tapp")
+    build_dsir_layout(even, t_en, ta)
+    append_dsir_layout(spark, ta, t_de, which="target")
+    assert snap(ta) == snap(tr)
+
+    # empty batch: a no-op, not a corrupted roll
+    append_dsir_layout(spark, rolled, odd.filter(F.lit(False)))
+    assert snap(rolled) == snap(refit)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="'raw' or 'target'"):
+        append_dsir_layout(spark, rolled, q2, which="both")
+
+
+def test_dsir_append_refuses_v1_and_recovers_interrupted_swap(
+    spark, docs, tmp_path
+):
+    """Legacy v1 layouts (no stored histograms) still SCORE but refuse
+    appends with a refit instruction; a driver crash between the
+    append's two swap renames leaves either the complete tmp (the
+    committed post-append state, markers included) or the complete bak
+    (the intact original) — the next load finishes the swap."""
+    import json
+    import os
+    import shutil
+
+    import pytest as _pt
+
+    from kowari_spark.fsutil import write_bytes
+    from kowari_spark.operators.sampling import (
+        append_dsir_layout,
+        build_dsir_layout,
+        dsir_score_against,
+        load_dsir_layout,
+    )
+
+    target = docs.filter(F.col("lang") == "en")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+
+    # v1 layout: ratios at the dir root, v1 sidecar (what r11 shipped)
+    v2 = str(tmp_path / "dsir_v2")
+    build_dsir_layout(even, target, v2)
+    ratios, meta = load_dsir_layout(spark, v2)
+    v1 = str(tmp_path / "dsir_v1")
+    ratios.coalesce(1).write.parquet(v1)
+    write_bytes(
+        spark, f"{v1}/_dsir_meta.json",
+        json.dumps(dict(meta, version="dsir-ratios-v1")).encode(),
+    )
+    a = sorted(map(tuple, dsir_score_against(spark, v1, odd).collect()))
+    b = sorted(map(tuple, dsir_score_against(spark, v2, odd).collect()))
+    assert a == b  # v1 still scores, identically
+    with _pt.raises(ValueError, match="refit"):
+        append_dsir_layout(spark, v1, odd)
+
+    # interrupted swap, case 1: tmp complete, path gone -> tmp wins
+    appended = str(tmp_path / "dsir_crash")
+    build_dsir_layout(even, target, appended)
+    append_dsir_layout(spark, appended, odd, which="raw")
+    want = sorted(map(tuple, load_dsir_layout(spark, appended)[0].collect()))
+    os.rename(appended, f"{appended}.__roll_tmp")
+    got, _ = load_dsir_layout(spark, appended)
+    assert sorted(map(tuple, got.collect())) == want
+    assert not os.path.exists(f"{appended}.__roll_tmp")
+
+    # case 2: no tmp, bak complete -> original restored
+    os.rename(appended, f"{appended}.__roll_bak")
+    got2, _ = load_dsir_layout(spark, appended)
+    assert sorted(map(tuple, got2.collect())) == want
+    shutil.rmtree(appended)
+
+
+def test_stream_into_dsir_layout(spark, docs, tmp_path):
+    """Drained micro-batches == one refit over everything; re-draining
+    the same checkpoint is a no-op (the marker commits INSIDE the
+    append's swap — exactly-once with no crash window)."""
+    import os
+
+    from kowari_spark.operators.sampling import (
+        build_dsir_layout,
+        load_dsir_layout,
+    )
+    from kowari_spark.streaming.ingest import stream_into_dsir_layout
+
+    target = docs.filter(F.col("lang") == "en")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    path = str(tmp_path / "dsir_sink")
+    build_dsir_layout(even, target, path)
+    src = str(tmp_path / "dsir_src")
+    odd.repartition(2).write.parquet(src)
+
+    def drain():
+        q = stream_into_dsir_layout(
+            spark.readStream.schema(odd.schema).parquet(src),
+            path, str(tmp_path / "dsir_ck"),
+        )
+        q.awaitTermination(120)
+
+    drain()
+    refit = str(tmp_path / "dsir_sink_all")
+    build_dsir_layout(
+        even.select("doc_id", "text").unionByName(odd), target, refit
+    )
+    want = sorted(map(tuple, load_dsir_layout(spark, refit)[0].collect()))
+    got = sorted(map(tuple, load_dsir_layout(spark, path)[0].collect()))
+    assert got == want
+    markers = set(os.listdir(f"{path}/_batches"))
+    drain()  # replay: markers gate the roll
+    assert sorted(
+        map(tuple, load_dsir_layout(spark, path)[0].collect())
+    ) == want
+    assert set(os.listdir(f"{path}/_batches")) == markers
+
+
 def test_source_cap_keeps_best_per_group(spark):
     from kowari_spark.operators.sampling import source_cap
 
