@@ -490,8 +490,9 @@ def test_hybrid_search_indexed_matches_scan_composition(
 ):
     """hybrid_search_indexed (both lists from stored layouts, instance
     reconstructed from the LSH sidecar) == composing the PROVEN scan
-    scorer + the same layout probe through rrf_fuse by hand; multi-
-    table layouts are refused with guidance."""
+    scorer + the same layout probe through rrf_fuse by hand — for
+    single-table SignLSH AND a multi-table MultiSignLSH layout (which
+    routes through query_batch with a one-row query relation)."""
     from pyspark.sql.window import Window
 
     from kowari_spark.functions.text import hashed_embeddings
@@ -531,11 +532,23 @@ def test_hybrid_search_indexed_matches_scan_composition(
     assert len(got) == 10 and got[0]["rank"] == 1
 
     mpath = str(tmp_path / "hyb_mlsh")
-    MultiSignLSH(dim=32, num_planes=4, num_tables=2, seed=7).build(
-        emb, mpath, vec_col="embedding", id_col="doc_id"
+    mlsh = MultiSignLSH(dim=32, num_planes=4, num_tables=2, seed=7)
+    mlsh.build(emb, mpath, vec_col="embedding", id_col="doc_id")
+    got_m = hybrid_search_indexed(
+        spark, bpath, mpath, q, qvec, k=10, fetch_k=20
+    ).collect()
+    q1 = spark.createDataFrame(
+        [(0, qvec)], "query_id long, embedding array<double>"
     )
-    with pytest.raises(ValueError, match="single-table"):
-        hybrid_search_indexed(spark, bpath, mpath, q, qvec)
+    mvec = mlsh.query_batch(
+        mlsh.load(spark, mpath), q1, 20, id_col="doc_id", round_to=6
+    ).drop("query_id", "rank")
+    mfused = rrf_fuse([(kw, "bm25"), (mvec, "score")], id_col="doc_id")
+    want_m = (
+        mfused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10).orderBy("rank").collect()
+    )
+    assert [tuple(r) for r in got_m] == [tuple(r) for r in want_m]
 
 
 def test_rrf_fuse_batch_matches_single_per_query(spark):
@@ -617,3 +630,54 @@ def test_hybrid_batch_indexed_matches_single(spark, sf_dir, tmp_path):
         hybrid_batch_indexed(
             spark, bpath, lpath, {"a": "x"}, vec_df, k=5
         )
+
+
+def test_hybrid_batch_indexed_multi_table(spark, sf_dir, tmp_path):
+    """hybrid_batch_indexed over a MULTI-TABLE MultiSignLSH layout
+    (VERDICT r11 missing #2: the highest-recall stored-vector config
+    now serves batched hybrid through the one-call path) == the
+    single-query server per query, instance reconstructed from the
+    sidecar in both."""
+    from kowari_spark.functions.text import hashed_embeddings
+    from kowari_spark.operators.lsh import MultiSignLSH
+    from kowari_spark.operators.search import (
+        build_bm25_layout,
+        hybrid_batch_indexed,
+        hybrid_search_indexed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bpath = str(tmp_path / "hbm_bm25")
+    build_bm25_layout(docs, bpath)
+    emb = hashed_embeddings(docs, "text", "doc_id", 32)
+    mpath = str(tmp_path / "hbm_mlsh")
+    MultiSignLSH(dim=32, num_planes=4, num_tables=3, seed=7).build(
+        emb, mpath, vec_col="embedding", id_col="doc_id"
+    )
+
+    texts = {"a": "vector hash join batch", "b": "filter scan"}
+    qvecs = {
+        qid: [float(x) for x in emb.filter(F.col("doc_id") == d)
+              .first()["embedding"]]
+        for qid, d in (("a", 0), ("b", 3))
+    }
+    vec_df = spark.createDataFrame(
+        [(qid, v) for qid, v in qvecs.items()],
+        "query_id string, embedding array<double>",
+    )
+    batch = hybrid_batch_indexed(
+        spark, bpath, mpath, texts, vec_df, k=5, fetch_k=10
+    ).collect()
+    for qid in texts:
+        single = hybrid_search_indexed(
+            spark, bpath, mpath, texts[qid], qvecs[qid], k=5, fetch_k=10
+        ).collect()
+        got = [
+            (r["doc_id"], r["rrf_score"], r["n_lists"], r["rank"])
+            for r in batch if r["query_id"] == qid
+        ]
+        want = [
+            (r["doc_id"], r["rrf_score"], r["n_lists"], r["rank"])
+            for r in single
+        ]
+        assert got == want, qid
