@@ -116,12 +116,47 @@ def build_minhash_layout(
     )
 
 
+#: pending logical deletes live here — "_"-prefixed, so the parquet
+#: reader never mixes them into the data relation and the file-stats
+#: walk skips them
+_TOMBSTONES_DIR = "_tombstones"
+
+
+def _minus_tombstones(spark, path: str, df: DataFrame, id_col: str):
+    """Subtract the layout's tombstone log (pending logical deletes,
+    ``SignatureLayout.delete(mode="tombstone")``) from a loaded history
+    relation — the probe-time half of the tombstone design: a doomed
+    id stops matching probes the moment its tombstone lands, at the
+    cost of ONE broadcast anti-join, while the physical partition
+    rewrite waits for the compaction window (``apply_deletes``).
+
+    The broadcast is deliberate: the log is bounded by the maintenance
+    cadence (apply folds into ``compact()``), so it stays
+    tombstone-sized, never corpus-sized — a keep-list-complement-scale
+    delete belongs on ``mode="rewrite"``. No log dir → zero cost (one
+    existence check, no join in the plan)."""
+    from kowari_spark.fsutil import exists
+
+    tpath = f"{path}/{_TOMBSTONES_DIR}"
+    if not exists(spark, tpath):
+        return df
+    doomed = (
+        spark.read.parquet(tpath)
+        .select(
+            F.col("__tomb_id").cast(df.schema[id_col].dataType).alias(id_col)
+        )
+        .distinct()
+    )
+    return df.join(F.broadcast(doomed), id_col, "left_anti")
+
+
 def load_minhash_layout(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, dict]:
     """Open a built signature layout: (bands DataFrame, meta). Refuses
     sidecar-less or version-mismatched dirs — signatures joined across
-    diverged arithmetic silently miss every duplicate."""
+    diverged arithmetic silently miss every duplicate. Tombstoned ids
+    (pending logical deletes) are already subtracted."""
     from kowari_spark.fsutil import exists, read_bytes
 
     meta_path = f"{path}/{_META_NAME}"
@@ -137,7 +172,8 @@ def load_minhash_layout(
             f"minhash layout at {path} was built by {ver!r}; this code "
             f"joins {_LAYOUT_VERSION!r} signatures — rebuild the layout"
         )
-    return spark.read.parquet(path), meta
+    hist = spark.read.parquet(path)
+    return _minus_tombstones(spark, path, hist, meta["id_col"]), meta
 
 
 def _new_bands(meta: dict, new_df: DataFrame) -> DataFrame:
@@ -353,7 +389,8 @@ def load_simhash_layout(
             f"joins {_SIMHASH_LAYOUT_VERSION!r} fingerprints — rebuild "
             "the layout"
         )
-    return spark.read.parquet(path), meta
+    hist = spark.read.parquet(path)
+    return _minus_tombstones(spark, path, hist, meta["id_col"]), meta
 
 
 #: literal block-IN filters stay readable and plan-cheap below this
@@ -796,7 +833,8 @@ def load_winnow_layout(
             f"joins {_WINNOW_LAYOUT_VERSION!r} fingerprints — rebuild "
             "the layout"
         )
-    return spark.read.parquet(path), meta
+    hist = spark.read.parquet(path)
+    return _minus_tombstones(spark, path, hist, meta["id_col"]), meta
 
 
 def _winnow_new_fps(meta: dict, new_df: DataFrame) -> DataFrame:
@@ -1032,7 +1070,8 @@ def load_media_layout(
             f"joins {_MEDIA_LAYOUT_VERSION!r} fingerprints — rebuild "
             "the layout"
         )
-    return spark.read.parquet(path), meta
+    hist = spark.read.parquet(path)
+    return _minus_tombstones(spark, path, hist, meta["id_col"]), meta
 
 
 def media_dedup_against(
@@ -1377,8 +1416,14 @@ class SignatureLayout:
 
     def _hist(self) -> DataFrame:
         """A fresh data relation (re-lists files, so appends since
-        ``open`` are visible) under the open-time-validated meta."""
-        return self.spark.read.parquet(self.path)
+        ``open`` are visible) under the open-time-validated meta, with
+        pending tombstones subtracted — probes through this handle
+        never surface a logically-deleted id."""
+        return _minus_tombstones(
+            self.spark, self.path,
+            self.spark.read.parquet(self.path),
+            self.meta.get("id_col", "id"),
+        )
 
     def dedup_against(self, new_df: DataFrame, **kw) -> DataFrame:
         """The family's incremental probe (reps-bounded by default);
@@ -1405,28 +1450,61 @@ class SignatureLayout:
         """Fingerprint under the stored params and append."""
         self._append(new_df)
 
-    def delete(self, ids_df: DataFrame, id_col: str | None = None) -> list:
+    def delete(
+        self,
+        ids_df: DataFrame,
+        id_col: str | None = None,
+        mode: str = "rewrite",
+    ) -> list:
         """Drop every stored signature row for the given document ids —
         the maintenance verb a dedup keep-list implies: a document
         dropped from the corpus must stop matching future probes, and
         an append-only layout would surface it forever (the same
         overcount rationale as ``search.delete_from_bm25_layout``).
-        Partition-pruned in-place rewrite via
-        ``streaming.ingest.delete_from_layout`` (holds the layout's
-        ``_compacting`` marker; the params sidecar and streaming batch
-        markers survive even the full-rewrite path). ``ids_df`` carries
-        the layout's id column (or pass ``id_col=``). Returns the
+        ``ids_df`` carries the layout's id column (or pass
+        ``id_col=``). Deleting EVERY (surviving) stored id refuses in
+        both modes (an emptied partitioned layout has no data file to
+        infer a schema from, so every later probe would crash) — drop
+        the layout directory and rebuild instead.
+
+        ``mode="rewrite"`` (default): partition-pruned in-place
+        rewrite via ``streaming.ingest.delete_from_layout`` (holds the
+        layout's ``_compacting`` marker; sidecar and streaming batch
+        markers survive even the full-rewrite path). Returns the
         rewritten partition names (``["*"]`` full rewrite, ``[]`` when
-        no stored row matched). Deleting EVERY stored row refuses (an
-        emptied partitioned layout has no data file to infer a schema
-        from, so every later probe would crash) — drop the layout
-        directory and rebuild instead, the same rule as
-        ``delete_from_bm25_layout``."""
+        no stored row matched). For families whose documents span
+        FEW partitions (simhash hot blocks, embedding buckets) this is
+        already cheap; for minhash — where every document has a row in
+        EVERY band partition, so any delete rewrites the whole layout
+        (BASELINE.md sig_delete: grows with history) — prefer:
+
+        ``mode="tombstone"``: O(|ids|) — append the ids to the
+        layout's ``_tombstones/`` log and return ``[]``; nothing is
+        rewritten now. Every probe (facade verbs AND the public
+        ``load_*_layout`` consumers) anti-joins the broadcast log, so
+        a tombstoned id stops matching IMMEDIATELY;
+        ``apply_deletes()`` — run standalone or folded into
+        ``compact()``, where the partitions are being rewritten anyway
+        — performs the physical rewrite and clears the log. Duplicate
+        tombstones are benign (the log is read distinct). Caveat:
+        tombstones suppress the ID wholesale, so re-ingesting a
+        tombstoned document id requires ``apply_deletes()`` first —
+        otherwise its fresh rows are invisible too. Embedding layouts
+        refuse this mode (their probes read the layout internally,
+        not through the facade relation; their per-id bucket fan-out
+        makes rewrite deletes cheap anyway)."""
         from kowari_spark.streaming import ingest
 
+        if mode not in ("rewrite", "tombstone"):
+            raise ValueError(
+                f"mode must be 'rewrite' or 'tombstone', got {mode!r}"
+            )
         idc = id_col or self.meta.get("id_col", "id")
         # bounded survivor probe (limit-1): refuse the delete-all that
-        # would leave a sidecar-only, unreadable directory behind
+        # would leave a sidecar-only, unreadable directory behind.
+        # _hist() already excludes prior tombstones, so the check is
+        # against what a probe can still SEE — refusing when the last
+        # visible ids go is right in both modes.
         doomed = ids_df.select(F.col(idc)).distinct()
         if self._hist().join(doomed, idc, "left_anti").limit(1).count() == 0:
             raise ValueError(
@@ -1434,11 +1512,58 @@ class SignatureLayout:
                 "emptied partitioned layout is unreadable; drop the "
                 f"layout directory ({self.path}) and rebuild instead"
             )
+        if mode == "tombstone":
+            if self.kind == "embedding":
+                raise ValueError(
+                    "embedding layouts support mode='rewrite' only "
+                    "(bucket-pruned, cheap per id); tombstones exist "
+                    "for the every-id-in-every-partition families"
+                )
+            (
+                doomed.select(F.col(idc).alias("__tomb_id"))
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(f"{self.path}/{_TOMBSTONES_DIR}")
+            )
+            return []
         return ingest.delete_from_layout(
             self.spark, self.path, ids_df,
             id_col=idc,
             partition_cols=self._del_pcols(),
         )
+
+    def apply_deletes(self) -> list:
+        """Physically apply the pending tombstone log: one
+        partition-pruned ``delete_from_layout`` rewrite over the
+        logged ids, then the log is cleared. Idempotent and
+        crash-safe: a crash after the rewrite but before the clear
+        leaves already-deleted ids in the log — the next apply's
+        rewrite matches nothing and the clear completes; probes are
+        correct throughout (the anti-join is a no-op once rows are
+        gone). Returns the rewritten partition names (``[]`` when no
+        log exists). ``compact()`` calls this first, so the periodic
+        maintenance window pays ONE rewrite for deletes + small-file
+        folding together."""
+        from kowari_spark.fsutil import delete as fs_delete
+        from kowari_spark.fsutil import exists
+        from kowari_spark.streaming import ingest
+
+        tpath = f"{self.path}/{_TOMBSTONES_DIR}"
+        if not exists(self.spark, tpath):
+            return []
+        idc = self.meta.get("id_col", "id")
+        doomed = (
+            self.spark.read.parquet(tpath)
+            .select(F.col("__tomb_id").alias(idc))
+            .distinct()
+        )
+        rewritten = ingest.delete_from_layout(
+            self.spark, self.path, doomed,
+            id_col=idc,
+            partition_cols=self._del_pcols(),
+        )
+        fs_delete(self.spark, tpath)
+        return rewritten
 
     #: the family's physical partition column — what appends fan out
     #: over, and therefore what compaction rewrites
@@ -1472,6 +1597,8 @@ class SignatureLayout:
             if rest and head.startswith(prefix):
                 counts[head] = counts.get(head, 0) + 1
         over = sorted(d for d, c in counts.items() if c > max_files)
+        from kowari_spark.fsutil import exists
+
         return {
             "kind": self.kind,
             "partition_col": pcol,
@@ -1479,23 +1606,33 @@ class SignatureLayout:
             "n_files": sum(counts.values()),
             "max_files_per_partition": max(counts.values(), default=0),
             "partitions_over": over,
+            # pending logical deletes awaiting apply_deletes()/compact()
+            # — one existence check, still no Spark job
+            "has_pending_tombstones": exists(
+                self.spark, f"{self.path}/{_TOMBSTONES_DIR}"
+            ),
         }
 
     def compact(self, max_files: int = 4, target_files: int = 1):
-        """Bound the small files appends accumulate: rewrite every
-        partition holding more than ``max_files`` data files down to
+        """Bound the small files appends accumulate: first apply any
+        pending tombstones (``apply_deletes`` — the partitions are
+        about to be rewritten anyway, so logical deletes ride the same
+        maintenance window for free), then rewrite every partition
+        holding more than ``max_files`` data files down to
         ``target_files`` (streaming.ingest.compact_bucketed_layout —
         staged rewrite, cooperative ``_compacting`` lock, no data
-        change). Returns the rewritten partition names. Cadence
-        guidance: append rate × partition fan-out, not corpus size —
-        the wide-fan-out families (winnow, media) want this every 3-4
-        appends (measured, BASELINE.md r11)."""
+        change). Returns the union of rewritten partition names.
+        Cadence guidance: append rate × partition fan-out, not corpus
+        size — the wide-fan-out families (winnow, media) want this
+        every 3-4 appends (measured, BASELINE.md r11)."""
         from kowari_spark.streaming.ingest import compact_bucketed_layout
 
-        return compact_bucketed_layout(
+        applied = self.apply_deletes()
+        compacted = compact_bucketed_layout(
             self.spark, self.path, partition_col=self.partition_col(),
             max_files=max_files, target_files=target_files,
         )
+        return sorted(set(applied) | set(compacted))
 
     def stream_into(self, stream_df: DataFrame, checkpoint_dir: str, **kw):
         """The family's exactly-once streaming sink (idempotence
