@@ -343,6 +343,106 @@ class Collection:
             edges=edges, max_cell=max_cell,
         )
 
+    def semantic_decontaminate(
+        self,
+        eval_df: DataFrame,
+        threshold: float,
+        eval_vec_col: str = "embedding",
+        round_to: int | None = 6,
+        engine: str = "auto",
+    ) -> DataFrame:
+        """Flag every stored vector whose max cosine against ANY eval
+        vector reaches ``threshold`` (operators/decontam.
+        embedding_decontaminate — the pre-embedded decontamination
+        path): (id, max_eval_cos, is_contaminated). The eval relation
+        broadcasts (decontamination regime: eval ≪ collection), the
+        per-id max collapses map-side, and the arrow engine's
+        GEMM-select/exact-rescore handles signed embeddings exactly.
+        Compose with ``delete_vector``/``delete_df`` to enact the
+        keep-list."""
+        from kowari_spark.operators.decontam import embedding_decontaminate
+
+        return embedding_decontaminate(
+            self.df(), eval_df, threshold, id_col="id",
+            vec_col="embedding", eval_vec_col=eval_vec_col,
+            round_to=round_to, engine=engine,
+        )
+
+    def cluster_cap(
+        self,
+        cap: int,
+        n_lists: int | str = 16,
+        ivf=None,
+        order_by=None,
+        round_to: int | None = 6,
+    ) -> DataFrame:
+        """ClusterClip-style topic balancing over the collection
+        (operators/sampling.cluster_cap): assign each vector to its
+        IVF cell and keep at most ``cap`` members per cell,
+        most-central-first by default (or best-first under
+        ``order_by``). Pass a fitted ``ivf`` (e.g. the collection's
+        search index) to reuse its cells. Returns survivors with
+        ``list_id``/``dist`` appended."""
+        from kowari_spark.operators.sampling import cluster_cap
+
+        return cluster_cap(
+            self.df(), cap, n_lists=n_lists, ivf=ivf, id_col="id",
+            vec_col="embedding", order_by=order_by, round_to=round_to,
+        )
+
+    def source_cap(self, cap: int, key: str, order_by=None) -> DataFrame:
+        """Per-source frequency cap over the collection
+        (operators/sampling.source_cap), grouped by a METADATA JSON
+        field (``key`` like ``"source"`` or ``"features.domain"`` —
+        functions.metadata.meta_field navigation): keep at most
+        ``cap`` records per group, id-ascending by default (or
+        best-first under ``order_by``). Records whose metadata lacks
+        the key form one NULL group (window partitioning semantics,
+        same as the library op). Returns survivors with the
+        collection's own columns."""
+        from kowari_spark.functions.metadata import meta_field
+        from kowari_spark.operators.sampling import source_cap
+
+        capped = source_cap(
+            self.df().withColumn(
+                "__src", meta_field("metadata", key)
+            ),
+            cap, by="__src", order_by=order_by, id_col="id",
+        )
+        return capped.drop("__src")
+
+    def surprisal_buckets(
+        self,
+        key: str = "text",
+        strata_key: str | None = None,
+        names: tuple = ("head", "middle", "tail"),
+        mode: str = "exact",
+    ) -> DataFrame:
+        """CCNet-style head/middle/tail split over the collection
+        (operators/quality.surprisal_buckets), reading each record's
+        TEXT from the metadata JSON field ``key`` (collections store
+        vectors; the source text rides in metadata) and optionally
+        stratifying by the metadata field ``strata_key`` (e.g. a
+        language tag). Records whose metadata lacks ``key`` have no
+        tokens, hence no bucket row (the unigram_surprisal contract).
+        ``mode="approx"`` is the 100 TB plan (broadcast percentile
+        boundaries, no per-stratum global sort)."""
+        from kowari_spark.functions.metadata import meta_field
+        from kowari_spark.operators.quality import surprisal_buckets
+
+        base = self.df().select(
+            "id", meta_field("metadata", key).alias("__text"),
+            *(
+                [meta_field("metadata", strata_key).alias("__stratum")]
+                if strata_key else []
+            ),
+        )
+        return surprisal_buckets(
+            base, text_col="__text", id_col="id",
+            strata_col="__stratum" if strata_key else None,
+            names=names, mode=mode,
+        )
+
     def signature_layout(
         self,
         num_planes: int = 8,

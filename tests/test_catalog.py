@@ -362,3 +362,65 @@ def test_collection_signature_layout_crawl_loop(mgr, spark):
     assert c.signature_layout(num_planes=4, rebuild=True).meta[
         "num_planes"
     ] == 4
+
+
+def test_collection_curation_surface(mgr, spark):
+    """The r11 corpus-curation ops wired onto the Collection (VERDICT
+    r11 missing #5): semantic_decontaminate over stored vectors,
+    cluster_cap topic balancing, source_cap / surprisal_buckets over
+    metadata JSON fields."""
+    import json as _json
+
+    c = mgr.create_collection("cur", 4)
+    texts = {
+        "a1": "the quick brown fox", "a2": "the quick brown fox jumps",
+        "a3": "lazy dog sleeps here", "a4": "quick brown dog",
+        "b1": "entirely different words", "b2": "other tokens again",
+    }
+    vecs = {
+        "a1": [1.0, 0.0, 0.0, 0.0], "a2": [1.0, 0.1, 0.0, 0.0],
+        "a3": [0.9, 0.2, 0.0, 0.0], "a4": [1.0, 0.05, 0.0, 0.0],
+        "b1": [0.0, 0.0, 1.0, 0.0], "b2": [0.0, 0.0, 1.0, 0.1],
+    }
+    for vid in sorted(texts):
+        c.add(
+            vecs[vid],
+            {"source": vid[0], "text": texts[vid], "lang": "en"},
+            id=vid,
+        )
+    c.add([0.0, 1.0, 0.0, 0.0], None, id="nometa")  # NULL metadata
+
+    # semantic_decontaminate: eval vector == a1's direction -> the
+    # aligned family flags, the orthogonal one doesn't
+    ev = spark.createDataFrame(
+        [([1.0, 0.0, 0.0, 0.0],)], "embedding array<double>"
+    )
+    rows = {r["id"]: r["is_contaminated"]
+            for r in c.semantic_decontaminate(ev, 0.95).collect()}
+    assert rows["a1"] and rows["a4"]
+    assert not rows["b1"] and not rows["b2"] and not rows["nometa"]
+
+    # cluster_cap: 2 cells, cap 2 -> each cell keeps <= 2, most-central
+    out = c.cluster_cap(2, n_lists=2).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["list_id"], set()).add(r["id"])
+    assert all(len(v) <= 2 for v in per.values())
+    assert {"list_id", "dist"} <= set(out[0].asDict())
+
+    # source_cap on the metadata JSON "source" key: a has 4 records,
+    # cap 2 keeps the id-ascending first two; NULL metadata is its own
+    # group (same semantics as the library op)
+    kept = sorted(r["id"] for r in c.source_cap(2, "source").collect())
+    assert kept == ["a1", "a2", "b1", "b2", "nometa"]
+    assert "metadata" in c.source_cap(2, "source").columns
+
+    # surprisal_buckets reads text from metadata; the no-text record
+    # has no bucket row; every named bucket non-empty on 6 docs
+    sb = c.surprisal_buckets("text").collect()
+    assert {r["id"] for r in sb} == set(texts)
+    assert {r["bucket"] for r in sb} == {"head", "middle", "tail"}
+    # stratified: one stratum (lang=en) still buckets everything
+    sb2 = c.surprisal_buckets("text", strata_key="lang").collect()
+    assert {r["id"] for r in sb2} == set(texts)
+    assert {r["__stratum"] for r in sb2} == {"en"}

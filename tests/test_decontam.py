@@ -233,3 +233,58 @@ def test_semantic_arrow_rescore_keeps_negative_maxima(spark):
     # negative and must survive the rescore un-clamped
     assert by_id[1] < -0.5
     assert by_id[3] == 0.0  # zero-norm doc stays at the 0.0 guard
+
+
+def test_embedding_decontaminate_pre_embedded(spark):
+    """embedding_decontaminate over corpora that already carry vectors
+    (the Collection-surface decontamination path): signed embeddings
+    flag on max cosine under BOTH engines identically, and composing
+    it with hashed_embeddings reproduces semantic_decontaminate."""
+    from kowari_spark.functions.text import hashed_embeddings
+    from kowari_spark.operators.decontam import (
+        embedding_decontaminate,
+        semantic_decontaminate,
+    )
+
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [-1.0, 0.0]), ("c", [0.0, 1.0])],
+        "id string, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [([-1.0, 0.0],)], "embedding array<double>"
+    )
+    for eng in ("expr", "arrow"):
+        rows = {r["id"]: (r["max_eval_cos"], r["is_contaminated"])
+                for r in embedding_decontaminate(
+                    emb, ev, 0.5, engine=eng).collect()}
+        # 'a' is anti-aligned: max stays NEGATIVE (un-clamped), clean;
+        # 'b' aligned: contaminated; 'c' orthogonal: 0.0, clean
+        assert rows["a"] == (-1.0, False), eng
+        assert rows["b"] == (1.0, True), eng
+        assert rows["c"] == (0.0, False), eng
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon"), (3, None)],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [("alpha beta gamma",)], "text string"
+    )
+    want = sorted(map(tuple, semantic_decontaminate(
+        docs, eval_df, 0.9, engine="expr").collect()))
+    demb = hashed_embeddings(docs, "text", "doc_id", 32)
+    devs = hashed_embeddings(
+        eval_df, "text", id_col="text", dim=32
+    ).select("embedding")
+    got = sorted(map(tuple,
+        docs.select("doc_id").join(
+            embedding_decontaminate(
+                demb, devs, 0.9, id_col="doc_id", engine="expr"
+            ), "doc_id", "left",
+        ).select(
+            "doc_id",
+            F.coalesce("max_eval_cos", F.lit(0.0)).alias("max_eval_cos"),
+            F.coalesce("is_contaminated", F.lit(False)).alias(
+                "is_contaminated"),
+        ).collect()))
+    assert got == want

@@ -447,3 +447,47 @@ def test_source_cap_partial_topk_below_exchange(spark):
     partial = plan.find("row_number(), 5, Partial")
     exch = plan.find("Exchange hashpartitioning(source")
     assert partial != -1 and exch != -1 and partial > exch, plan
+
+
+def test_cluster_cap_caps_per_cell_most_central_first(spark):
+    """cluster_cap == IVF assignment + per-cell source_cap: every cell
+    keeps at most cap members and exactly the cap smallest
+    centroid-distances (id tie-break); a fitted ivf is reused (no
+    refit drift), an unfitted call fits internally."""
+    import numpy as np
+
+    from kowari_spark.operators.ivf import IVF
+    from kowari_spark.operators.sampling import cluster_cap
+
+    rng = np.random.default_rng(5)
+    centers = np.array([[10.0, 0.0], [0.0, 10.0], [-10.0, -10.0]])
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, [float(x) for x in c + rng.normal(0, 1.0, 2)]))
+    df = spark.createDataFrame(rows, "vid long, emb array<double>")
+    ivf = IVF(n_lists=3, seed=1).fit(df, id_col="vid", vec_col="emb")
+
+    out = cluster_cap(
+        df, 7, ivf=ivf, id_col="vid", vec_col="emb"
+    ).collect()
+    assert {r["vid"] for r in out} <= {r[0] for r in rows}
+    by_cell: dict = {}
+    for r in out:
+        by_cell.setdefault(r["list_id"], []).append((r["dist"], r["vid"]))
+    assert all(len(v) <= 7 for v in by_cell.values())
+    # expected survivors: the 7 smallest (dist, vid) per cell over the
+    # FULL assignment
+    full: dict = {}
+    for r in cluster_cap(
+        df, 10**6, ivf=ivf, id_col="vid", vec_col="emb"
+    ).collect():
+        full.setdefault(r["list_id"], []).append((r["dist"], r["vid"]))
+    for cell, kept in by_cell.items():
+        assert sorted(kept) == sorted(full[cell])[:7], cell
+
+    # unfitted path: fits internally, caps respected
+    out2 = cluster_cap(df, 5, n_lists=3, id_col="vid", vec_col="emb")
+    sizes = [r["n"] for r in out2.groupBy("list_id").agg(
+        F.count("*").alias("n")).collect()]
+    assert sizes and all(n <= 5 for n in sizes)
