@@ -681,3 +681,53 @@ def test_hybrid_batch_indexed_multi_table(spark, sf_dir, tmp_path):
             for r in single
         ]
         assert got == want, qid
+
+
+def test_hybrid_indexed_cross_polytope_layout(spark, sf_dir, tmp_path):
+    """Both hybrid servers also accept CrossPolytopeLSH layouts — the
+    third query_batch family — with the instance reconstructed from
+    the _cplsh_meta.json sidecar; batch == single per query."""
+    from kowari_spark.functions.text import hashed_embeddings
+    from kowari_spark.operators.cplsh import CrossPolytopeLSH
+    from kowari_spark.operators.search import (
+        build_bm25_layout,
+        hybrid_batch_indexed,
+        hybrid_search_indexed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bpath = str(tmp_path / "hcp_bm25")
+    build_bm25_layout(docs, bpath)
+    emb = hashed_embeddings(docs, "text", "doc_id", 32)
+    cpath = str(tmp_path / "hcp_cp")
+    CrossPolytopeLSH(dim=32, num_tables=2, seed=5).build(
+        emb, cpath, vec_col="embedding", id_col="doc_id"
+    )
+
+    texts = {"a": "vector hash join batch", "b": "filter scan"}
+    qvecs = {
+        qid: [float(x) for x in emb.filter(F.col("doc_id") == d)
+              .first()["embedding"]]
+        for qid, d in (("a", 0), ("b", 3))
+    }
+    vec_df = spark.createDataFrame(
+        [(qid, v) for qid, v in qvecs.items()],
+        "query_id string, embedding array<double>",
+    )
+    batch = hybrid_batch_indexed(
+        spark, bpath, cpath, texts, vec_df, k=5, fetch_k=10
+    ).collect()
+    assert batch
+    for qid in texts:
+        single = hybrid_search_indexed(
+            spark, bpath, cpath, texts[qid], qvecs[qid], k=5, fetch_k=10
+        ).collect()
+        got = [
+            (r["doc_id"], r["rrf_score"], r["n_lists"], r["rank"])
+            for r in batch if r["query_id"] == qid
+        ]
+        want = [
+            (r["doc_id"], r["rrf_score"], r["n_lists"], r["rank"])
+            for r in single
+        ]
+        assert got == want, qid
