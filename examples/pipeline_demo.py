@@ -72,10 +72,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
           f"{fresh.count()} not already in history")
     layout.append(fresh)  # batch joins history
     # a later curation pass dropped some docs: their stored signatures
-    # must stop matching future probes (partition-pruned rewrite)
+    # must stop matching future probes. mode="tombstone" logs the ids
+    # in O(|ids|) — probes anti-join the log immediately — and the
+    # physical rewrite rides the next compact()/apply_deletes()
+    # maintenance window (minhash docs live in EVERY band partition,
+    # so an eager rewrite would rebuild the whole layout per delete)
     dropped = history.filter(F.col("doc_id") % 10 == 0).select("doc_id")
-    layout.delete(dropped)
-    print(f"keep-list cleanup: {dropped.count()} docs' signatures dropped")
+    layout.delete(dropped, mode="tombstone")
+    print(f"keep-list cleanup: {dropped.count()} docs tombstoned; "
+          f"pending={layout.file_stats()['has_pending_tombstones']}")
+    layout.compact()  # maintenance window: deletes + small-file folding
+    print(f"after compact: "
+          f"pending={layout.file_stats()['has_pending_tombstones']}")
 
     # same shape for vectors: the stored SignLSH layout keeps the
     # embeddings, so a new vector batch is cosine-VERIFIED against
@@ -167,6 +175,17 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     scored = dsir_score_against(spark, dpath, batch)
     print("dsir stored-model batch scores (3):", [
         (r["doc_id"], r["dsir_logw"]) for r in scored.limit(3).collect()])
+
+    # ...and the crawl-loop maintenance verb: roll the scored batch's
+    # histogram INTO the stored model additively (one batch pass, no
+    # corpus re-read; bit-identical to refitting over fit ∪ batch)
+    from kowari_spark.operators.sampling import append_dsir_layout
+
+    append_dsir_layout(spark, dpath, batch, which="raw")
+    print("dsir model after append scores (3):", [
+        (r["doc_id"], r["dsir_logw"])
+        for r in dsir_score_against(spark, dpath, batch)
+        .limit(3).collect()])
 
     # persisted BM25 postings: tokenize once, probe by term bucket —
     # bit-identical scores to the scan path above
