@@ -433,13 +433,13 @@ class Collection:
         base = self.df().select(
             "id", meta_field("metadata", key).alias("__text"),
             *(
-                [meta_field("metadata", strata_key).alias("__stratum")]
+                [meta_field("metadata", strata_key).alias("stratum")]
                 if strata_key else []
             ),
         )
         return surprisal_buckets(
             base, text_col="__text", id_col="id",
-            strata_col="__stratum" if strata_key else None,
+            strata_col="stratum" if strata_key else None,
             names=names, mode=mode,
         )
 

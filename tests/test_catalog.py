@@ -423,4 +423,4 @@ def test_collection_curation_surface(mgr, spark):
     # stratified: one stratum (lang=en) still buckets everything
     sb2 = c.surprisal_buckets("text", strata_key="lang").collect()
     assert {r["id"] for r in sb2} == set(texts)
-    assert {r["__stratum"] for r in sb2} == {"en"}
+    assert {r["stratum"] for r in sb2} == {"en"}
