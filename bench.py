@@ -65,6 +65,7 @@ def bench_queries(spark, sf_dir, scratch):
     out["lsh_hist_build"] = lambda: entrymod._lsh_hist_layout(spark, sf_dir)
     out["dsir_fit_build"] = lambda: entrymod._dsir_layout(spark, sf_dir)
     out["text_lsh_build"] = lambda: entrymod._text_lsh_layout(spark, sf_dir)
+    out["text_mlsh_build"] = lambda: entrymod._text_mlsh_layout(spark, sf_dir)
     for name, fn in entrymod.queries().items():
         out[name] = (lambda f=fn: f(spark, sf_dir).toPandas())
 
