@@ -761,6 +761,42 @@ def append_dsir_layout(
     present → skipped) or not at all (replayed cleanly). Single
     writer at a time — run appends from the maintenance window or one
     streaming sink."""
+    _roll_dsir_layout(spark, path, batch, which, engine, _commit_marker, 1)
+
+
+def remove_from_dsir_layout(
+    spark,
+    path: str,
+    batch: DataFrame,
+    which: str = "raw",
+    engine: str = "auto",
+) -> None:
+    """Subtract previously-rolled documents from a fitted DSIR model —
+    the unlearn verb a dedup/curation pass implies (the
+    ``delete_from_bm25_layout`` rationale applied to the importance
+    model): documents dropped from the corpus otherwise keep shaping
+    every future selection. Exact by the same arithmetic as append:
+    hist(fit ∪ batch) − hist(batch) = hist(fit) in exact integer
+    counts, zeroed buckets drop from the sparse relation, and the
+    rederived ratios are BIT-IDENTICAL to a model that never saw the
+    batch (parity-tested: build(a ∪ b) + remove(b) == build(a)).
+
+    Caller contract: ``batch`` must carry the SAME texts that were
+    rolled in (fit-time or appended) — the model has no per-document
+    memory, only counts, so removing never-added documents cannot be
+    detected unless it would drive some bucket negative (which raises
+    with no file touched). Same sibling-dir swap, crash recovery, and
+    single-writer rules as :func:`append_dsir_layout`."""
+    _roll_dsir_layout(spark, path, batch, which, engine, None, -1)
+
+
+def _roll_dsir_layout(
+    spark, path, batch, which, engine, _commit_marker, sign
+) -> None:
+    """Shared additive-roll body: histogram ± batch, ratios rederived
+    from the rolled bits, committed via the sibling-dir rename swap
+    (sidecar LAST; markers — plus the streaming sink's commit marker —
+    ride inside the swap)."""
     from kowari_spark.fsutil import (
         create_marker,
         delete,
@@ -776,7 +812,7 @@ def append_dsir_layout(
     if meta.get("version") != _DSIR_LAYOUT_VERSION:
         raise ValueError(
             f"DSIR layout at {path} is {meta.get('version')!r} (no stored "
-            f"histograms): appends need {_DSIR_LAYOUT_VERSION!r} — refit "
+            f"histograms): rolls need {_DSIR_LAYOUT_VERSION!r} — refit "
             "once with build_dsir_layout()"
         )
     if batch.limit(1).count() == 0:
@@ -789,16 +825,31 @@ def append_dsir_layout(
     other = "target_hist" if which == "raw" else "raw_hist"
     buckets = meta["buckets"]
     batch_hist = _dsir_hist(batch, meta["text_col"], buckets, cnt, engine)
-    tmp, bak = f"{path}.__roll_tmp", f"{path}.__roll_bak"
-    delete(spark, tmp)  # stale uncommitted attempt, if any
-    (
+    if sign < 0:
+        batch_hist = batch_hist.select("__b", (-F.col(cnt)).alias(cnt))
+    rolled = (
         spark.read.parquet(f"{path}/{sub}")
         .unionByName(batch_hist)
         .groupBy("__b")
         .agg(F.sum(cnt).alias(cnt))
-        .coalesce(1)
-        .write.parquet(f"{tmp}/{sub}")
     )
+    if sign < 0:
+        # bound the two consumers (negative check + write) to ONE
+        # materialization of the ≤buckets-row relation, then refuse
+        # BEFORE any file is touched: a bucket gone negative proves the
+        # batch was never (fully) rolled into this model
+        rolled = rolled.localCheckpoint()
+        if rolled.filter(F.col(cnt) < 0).limit(1).count() > 0:
+            raise ValueError(
+                f"removing this batch would drive {which} bucket counts "
+                f"negative at {path}: it was not (fully) rolled into "
+                "this model — remove only previously-added documents, "
+                "or refit over the survivors"
+            )
+        rolled = rolled.filter(F.col(cnt) > 0)
+    tmp, bak = f"{path}.__roll_tmp", f"{path}.__roll_bak"
+    delete(spark, tmp)  # stale uncommitted attempt, if any
+    rolled.coalesce(1).write.parquet(f"{tmp}/{sub}")
     spark.read.parquet(f"{path}/{other}").coalesce(1).write.parquet(
         f"{tmp}/{other}"
     )
@@ -812,7 +863,7 @@ def append_dsir_layout(
     write_bytes(
         spark, f"{tmp}/{_DSIR_META_NAME}", json.dumps(meta).encode()
     )
-    delete(spark, bak)  # stale backup from a prior finished append
+    delete(spark, bak)  # stale backup from a prior finished roll
     rename(spark, path, bak)
     rename(spark, tmp, path)
     delete(spark, bak)

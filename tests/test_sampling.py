@@ -491,3 +491,53 @@ def test_cluster_cap_caps_per_cell_most_central_first(spark):
     sizes = [r["n"] for r in out2.groupBy("list_id").agg(
         F.count("*").alias("n")).collect()]
     assert sizes and all(n <= 5 for n in sizes)
+
+
+def test_dsir_remove_bit_identical_to_never_added(spark, docs, tmp_path):
+    """remove_from_dsir_layout: build(a ∪ b) then remove(b) ==
+    build(a) bit-for-bit (exact integer subtraction, zeroed buckets
+    dropped, ratios rederived); removing a never-rolled batch that
+    would drive counts negative refuses with no file touched."""
+    import pytest as _pt
+
+    from kowari_spark.operators.sampling import (
+        build_dsir_layout,
+        dsir_score_against,
+        load_dsir_layout,
+        remove_from_dsir_layout,
+    )
+
+    target = docs.filter(F.col("lang") == "en")
+    a = docs.filter(F.col("doc_id") % 4 == 0)
+    b = docs.filter(F.col("doc_id") % 4 == 2)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+
+    ref = str(tmp_path / "dsir_only_a")
+    build_dsir_layout(a, target, ref)
+    full = str(tmp_path / "dsir_ab")
+    build_dsir_layout(a.unionByName(b), target, full)
+    remove_from_dsir_layout(spark, full, b, which="raw")
+
+    def snap(p):
+        ratios, _ = load_dsir_layout(spark, p)
+        return sorted(map(tuple, ratios.collect()))
+
+    assert snap(full) == snap(ref)
+    got = sorted(map(tuple, dsir_score_against(spark, full, odd).collect()))
+    want = sorted(map(tuple, dsir_score_against(spark, ref, odd).collect()))
+    assert got == want
+
+    # a batch never rolled in: some bucket count would go negative
+    before = snap(full)
+    with _pt.raises(ValueError, match="negative"):
+        remove_from_dsir_layout(spark, full, odd, which="raw")
+    assert snap(full) == before  # nothing was touched
+
+    # target-side removal shares the body
+    t_extra = docs.filter(F.col("lang") == "de")
+    t_ref = str(tmp_path / "dsir_t_ref")
+    build_dsir_layout(a, target, t_ref)
+    t_full = str(tmp_path / "dsir_t_full")
+    build_dsir_layout(a, target.unionByName(t_extra), t_full)
+    remove_from_dsir_layout(spark, t_full, t_extra, which="target")
+    assert snap(t_full) == snap(t_ref)
