@@ -1257,6 +1257,13 @@ def test_signature_layout_tombstone_delete(spark, halves, tmp_path):
     assert raw & set(doomed)  # physical rows still present
     assert lay.file_stats()["has_pending_tombstones"]
 
+    # the pending log subtracts via a BROADCAST anti-join — history is
+    # never shuffled for tombstone filtering (plan gate)
+    plan = (
+        lay._hist()._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
     # probe results identical to the physically-rewritten twin —
     # through the facade AND the public loader path
     ref.delete(ids)
