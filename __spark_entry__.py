@@ -2894,6 +2894,8 @@ def _dsir_layout(spark: SparkSession, sf_dir: str) -> str:
     )
 
     def build(p):
+        import os
+
         docs = _t(spark, sf_dir, "documents")
         build_dsir_layout(
             docs.filter(F.col("doc_id") % 4 == 0),
@@ -2903,9 +2905,16 @@ def _dsir_layout(spark: SparkSession, sf_dir: str) -> str:
         append_dsir_layout(
             spark, p, docs.filter(F.col("doc_id") % 4 == 2), which="raw"
         )
+        # cache sentinel AFTER the append commits: the layout's own
+        # sidecar exists already after build_dsir_layout, so using it
+        # as the marker would let a crash between build and append
+        # poison the cache with a quarter-rolled model (_cached_layout's
+        # marker-discipline docstring names exactly this drift)
+        open(os.path.join(p, "_contract_roll_done"), "w").close()
 
     return _cached_layout(
-        sf_dir, "documents", "dsir10k-app", "dsir", "_dsir_meta.json", build
+        sf_dir, "documents", "dsir10k-app", "dsir",
+        "_contract_roll_done", build,
     )
 
 

@@ -358,8 +358,9 @@ class Collection:
         broadcasts (decontamination regime: eval ≪ collection), the
         per-id max collapses map-side, and the arrow engine's
         GEMM-select/exact-rescore handles signed embeddings exactly.
-        Compose with ``delete_vector``/``delete_df`` to enact the
-        keep-list."""
+        Enact the keep-list by ``delete``-ing the flagged ids (or
+        rebuilding the collection from the clean slice via
+        ``add_df``)."""
         from kowari_spark.operators.decontam import embedding_decontaminate
 
         return embedding_decontaminate(

@@ -352,6 +352,15 @@ def _semantic_decontam_arrow(
     from kowari_spark.numerics import round_half_up
 
     rows = ev.collect()
+    if rows and (
+        any(r["__ev"] is None for r in rows)
+        or len({len(r["__ev"]) for r in rows}) > 1
+    ):
+        raise ValueError(
+            "eval embeddings must be non-null and share one dimension "
+            "(null/mismatched eval vectors would silently contribute "
+            "nothing under the expression engine — refuse instead)"
+        )
     EV = (
         np.stack([list(r["__ev"]) for r in rows]).astype(np.float64)
         if rows else np.zeros((0, 1))
@@ -375,7 +384,27 @@ def _semantic_decontam_arrow(
                     {id_col: ids, "max_eval_cos": np.zeros(len(pdf))}
                 )
                 continue
-            V = np.stack(pdf["embedding"].to_list()).astype(np.float64)
+            # expr-engine parity for degraded rows (the pre-embedded
+            # surface feeds arbitrary user vectors): a NULL embedding
+            # or one whose dimension mismatches the eval set yields a
+            # null cosine against EVERY eval vector under zip_with
+            # null-padding, which coalesces to 0.0 — score those rows
+            # 0.0 here instead of crashing np.stack on ragged input
+            vecs = pdf["embedding"].to_list()
+            dim = EV.shape[1]
+            good = [
+                i for i, v in enumerate(vecs)
+                if v is not None and len(v) == dim
+            ]
+            if len(good) < len(vecs):
+                out = np.zeros(len(vecs))
+                if good:
+                    sub = pdf.iloc[good]
+                    for part in score([sub]):
+                        out[good] = part["max_eval_cos"].to_numpy()
+                yield pd.DataFrame({id_col: ids, "max_eval_cos": out})
+                continue
+            V = np.stack(vecs).astype(np.float64)
             # norms via per-dim accumulation == the expr sqrt fold
             acc = np.zeros(len(V), dtype=np.float64)
             for d in range(V.shape[1]):

@@ -1519,8 +1519,16 @@ class SignatureLayout:
                     "(bucket-pruned, cheap per id); tombstones exist "
                     "for the every-id-in-every-partition families"
                 )
+            # normalize to the LAYOUT's stored id dtype: successive
+            # deletes with different (castable) caller dtypes must not
+            # leave a mixed-schema parquet log that later reads refuse
+            id_type = self.spark.read.parquet(self.path).schema[
+                idc
+            ].dataType
             (
-                doomed.select(F.col(idc).alias("__tomb_id"))
+                doomed.select(
+                    F.col(idc).cast(id_type).alias("__tomb_id")
+                )
                 .coalesce(1)
                 .write.mode("append")
                 .parquet(f"{self.path}/{_TOMBSTONES_DIR}")
@@ -1632,6 +1640,8 @@ class SignatureLayout:
             self.spark, self.path, partition_col=self.partition_col(),
             max_files=max_files, target_files=target_files,
         )
+        if "*" in applied:  # full-rewrite token subsumes every name
+            return ["*"]
         return sorted(set(applied) | set(compacted))
 
     def stream_into(self, stream_df: DataFrame, checkpoint_dir: str, **kw):

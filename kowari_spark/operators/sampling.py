@@ -863,9 +863,22 @@ def _roll_dsir_layout(
     write_bytes(
         spark, f"{tmp}/{_DSIR_META_NAME}", json.dumps(meta).encode()
     )
+    from kowari_spark.fsutil import exists
+
     delete(spark, bak)  # stale backup from a prior finished roll
     rename(spark, path, bak)
-    rename(spark, tmp, path)
+    try:
+        rename(spark, tmp, path)
+    except OSError:
+        # a concurrent reader's load-time recovery (_finish_dsir_swap)
+        # may have completed OUR swap between the two renames — the
+        # committed state is exactly what this roll built, so treat it
+        # as success rather than failing a healthy append/batch
+        if not (
+            exists(spark, f"{path}/{_DSIR_META_NAME}")
+            and not exists(spark, f"{tmp}/{_DSIR_META_NAME}")
+        ):
+            raise
     delete(spark, bak)
 
 

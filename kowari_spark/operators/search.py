@@ -633,6 +633,12 @@ def hybrid_search_indexed(
         # explicit instance (legacy layouts): still honor the sidecar's
         # recorded column names when one exists
         lmeta = _lsh_layout_meta(spark, lsh_path)
+    if not (hasattr(lsh, "query") or hasattr(lsh, "query_batch")):
+        raise ValueError(
+            f"{type(lsh).__name__} has neither query nor query_batch — "
+            "hybrid_search_indexed serves layouts of the probing "
+            "families (SignLSH / MultiSignLSH / CrossPolytopeLSH)"
+        )
     _, bmeta = load_bm25_layout(spark, bm25_path)
     id_col = bmeta["id_col"]
     kw_list = bm25_search_indexed(spark, bm25_path, query_text, k=fk)

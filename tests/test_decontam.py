@@ -288,3 +288,36 @@ def test_embedding_decontaminate_pre_embedded(spark):
                 "is_contaminated"),
         ).collect()))
     assert got == want
+
+
+def test_embedding_decontaminate_degraded_rows(spark):
+    """Pre-embedded corpora carry arbitrary user vectors: NULL or
+    dimension-mismatched rows must score 0.0 under BOTH engines (the
+    expr plan's zip_with null-padding semantics), not crash the arrow
+    stack; null/ragged EVAL vectors refuse with a clear error."""
+    import pytest as _pt
+
+    from kowari_spark.operators.decontam import embedding_decontaminate
+
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", None), ("c", [1.0, 0.0, 5.0])],
+        "id string, embedding array<double>",
+    )
+    ev = spark.createDataFrame([([1.0, 0.0],)], "embedding array<double>")
+    for eng in ("expr", "arrow"):
+        rows = {r["id"]: (r["max_eval_cos"], r["is_contaminated"])
+                for r in embedding_decontaminate(
+                    emb, ev, 0.5, engine=eng).collect()}
+        assert rows["a"] == (1.0, True), eng
+        assert rows["b"] == (0.0, False), eng   # NULL vector
+        assert rows["c"] == (0.0, False), eng   # dim mismatch
+
+    bad_evs = (
+        spark.createDataFrame(
+            [([1.0, 0.0],), (None,)], "embedding array<double>"),
+        spark.createDataFrame(
+            [([1.0, 0.0],), ([1.0, 0.0, 3.0],)], "embedding array<double>"),
+    )
+    for bev in bad_evs:
+        with _pt.raises(ValueError, match="share one dimension"):
+            embedding_decontaminate(emb, bev, 0.5, engine="arrow").collect()

@@ -1403,3 +1403,37 @@ def test_signature_layout_delete_all_families(spark, halves, media_halves,
                 [(i,) for i in stored], f"{idc} long"))
         assert {r[idc] for r in
                 spark.read.parquet(p).select(idc).collect()} == left, kind
+
+
+def test_tombstone_log_normalizes_id_dtype(spark, halves, tmp_path):
+    """Successive tombstone deletes with different (castable) caller id
+    dtypes must not leave a mixed-schema parquet log — ids are cast to
+    the LAYOUT's stored dtype on write, so probes and apply keep
+    working."""
+    from kowari_spark.operators.dedup_index import (
+        SignatureLayout,
+        build_minhash_layout,
+    )
+
+    hist, new = halves
+    path = str(tmp_path / "tomb_dtype")
+    build_minhash_layout(hist, path)
+    lay = SignatureLayout.open(spark, path)
+    stored = sorted({r["doc_id"] for r in
+                     spark.read.parquet(path).select("doc_id").collect()})
+    lay.delete(
+        spark.createDataFrame([(int(stored[0]),)], "doc_id int"),
+        mode="tombstone",
+    )
+    lay.delete(
+        spark.createDataFrame([(int(stored[1]),)], "doc_id long"),
+        mode="tombstone",
+    )
+    gone = {stored[0], stored[1]}
+    after = {r["hist_id"] for r in
+             lay.dedup_against(new, mode="pairs").collect()}
+    assert not after & gone
+    assert lay.apply_deletes()
+    left = {r["doc_id"] for r in
+            spark.read.parquet(path).select("doc_id").collect()}
+    assert not left & gone
