@@ -1327,10 +1327,10 @@ class SignatureLayout:
             def sink(stream_df, checkpoint_dir, **kw):
                 from kowari_spark.streaming import ingest
 
-                if self.meta.get("family") != "sign":
+                if self.meta.get("family") not in ("sign", "multisign"):
                     raise ValueError(
-                        "streaming maintenance exists for single-table "
-                        "SignLSH layouts only; multi-table layouts "
+                        "streaming maintenance exists for SignLSH / "
+                        "MultiSignLSH layouts; CrossPolytopeLSH layouts "
                         "rebuild or batch-append"
                     )
                 kw.setdefault(

@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kowari_spark.catalog import Collection
-from kowari_spark.operators.lsh import SignLSH
 
 
 def stream_vectors_into(
@@ -89,7 +88,7 @@ def _wait_not_compacting(spark, path: str, timeout_secs: float) -> None:
 
 def stream_into_lsh_layout(
     stream_df: DataFrame,
-    lsh: SignLSH,
+    lsh,  # SignLSH | MultiSignLSH (CP layouts build offline)
     path: str,
     checkpoint_dir: str,
     vec_col: str = "embedding",
@@ -133,12 +132,14 @@ def stream_into_lsh_layout(
     )
 
     bucketed = lsh.with_buckets(stream_df, vec_col)
-    if "__tbl" in bucketed.columns:
-        raise ValueError(
-            "stream_into_lsh_layout maintains single-table "
-            "partitionBy(bucket) layouts; multi-table instances need "
-            "their own (__tbl, bucket) layout — build offline"
-        )
+    # multi-table instances (MultiSignLSH) emit the exploded
+    # (__tbl, bucket) relation — the sink appends into the same
+    # two-level partitioning their build() writes, so the high-recall
+    # OR-construction gets streaming maintenance too (round 12;
+    # CrossPolytopeLSH keeps its own sidecar format — build offline)
+    pcols = (
+        ["__tbl", "bucket"] if "__tbl" in bucketed.columns else ["bucket"]
+    )
     # validate an EXISTING sidecar before any batch lands: a mismatched
     # stream must refuse here, not after wrong-bucketed rows appended.
     # A NEW layout's sidecar is written inside the sink AFTER the first
@@ -182,7 +183,7 @@ def stream_into_lsh_layout(
         # replays cleanly after the compactor finishes.
         _wait_not_compacting(spark, path, compaction_wait_secs)
         if not batch_df.isEmpty():
-            batch_df.write.mode("append").partitionBy("bucket").parquet(path)
+            batch_df.write.mode("append").partitionBy(*pcols).parquet(path)
             if not preexisting_sidecar_less and not fsutil.exists(
                 spark, f"{path}/{_LSH_META_NAME}"
             ):

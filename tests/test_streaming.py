@@ -1003,3 +1003,61 @@ def test_stream_does_not_stamp_sidecar_on_legacy_layout(spark, embeddings, tmp_p
     )
     q.awaitTermination(120)
     assert exists(spark, f"{fresh}/{_LSH_META_NAME}")
+
+
+def test_stream_into_multi_table_lsh_layout(spark, embeddings, tmp_path):
+    """The LSH sink also maintains MULTI-TABLE MultiSignLSH layouts
+    (round 12): streamed rows land in the same (__tbl, bucket)
+    two-level partitioning build() writes — drained layout == batch
+    build over the union, the sidecar stamps on the first batch, and
+    the facade dispatches stream_into for the multisign family."""
+    from kowari_spark.operators.dedup_index import SignatureLayout
+    from kowari_spark.operators.lsh import MultiSignLSH
+    from kowari_spark.streaming.ingest import stream_into_lsh_layout
+
+    base = embeddings.select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).limit(200).cache()
+    hist = base.filter(F.col("id") % 2 == 0)
+    new = base.filter(F.col("id") % 2 == 1)
+    mlsh = MultiSignLSH(dim=64, num_planes=4, num_tables=3, seed=9)
+    out = str(tmp_path / "mlsh_stream")
+    mlsh.build(hist, out, vec_col="embedding", id_col="id")
+
+    src = str(tmp_path / "mlsh_src")
+    new.repartition(2).write.parquet(src)
+    lay = SignatureLayout.open(spark, out)  # multisign family
+    q = lay.stream_into(
+        spark.readStream.schema(new.schema).parquet(src),
+        str(tmp_path / "mlsh_ck"),
+    )
+    q.awaitTermination(120)
+
+    rebuilt = str(tmp_path / "mlsh_all")
+    mlsh.build(base, rebuilt, vec_col="embedding", id_col="id")
+    cols = ["id", "__tbl", "bucket"]
+    got = sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
+    want = sorted(map(tuple,
+                      spark.read.parquet(rebuilt).select(*cols).collect()))
+    assert got == want
+
+    # re-drain: markers gate it
+    n = len(got)
+    q2 = stream_into_lsh_layout(
+        spark.readStream.schema(new.schema).parquet(src),
+        mlsh, out, str(tmp_path / "mlsh_ck"),
+        id_col="id",
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n
+
+    # sidecar stamping on a FRESH layout fed only by the stream
+    fresh = str(tmp_path / "mlsh_fresh")
+    q3 = stream_into_lsh_layout(
+        spark.readStream.schema(new.schema).parquet(src),
+        mlsh, fresh, str(tmp_path / "mlsh_ck2"),
+        id_col="id",
+    )
+    q3.awaitTermination(120)
+    relay = SignatureLayout.open(spark, fresh)
+    assert relay.meta.get("family") == "multisign"
