@@ -1224,8 +1224,10 @@ class SignatureLayout:
     >>> dups = lay.dedup_against(batch)           # family's reps probe
     >>> fresh = lay.filter_new(batch)             # history keep filter
     >>> lay.append(fresh)                         # grow stored state
-    >>> lay.delete(dropped_ids)                   # keep-list cleanup
+    >>> lay.delete(ids, mode="tombstone")         # O(|ids|) keep-list
     >>> lay.stream_into(stream_df, ckpt)          # exactly-once sink
+    >>> lay.compact()                             # apply deletes + fold
+    ...                                           # small files
 
     Family selection happens at ``open`` time by sidecar dispatch
     (each family writes a distinct versioned meta file; the underlying
