@@ -1437,3 +1437,53 @@ def test_tombstone_log_normalizes_id_dtype(spark, halves, tmp_path):
     left = {r["doc_id"] for r in
             spark.read.parquet(path).select("doc_id").collect()}
     assert not left & gone
+
+
+def test_tombstone_delete_all_hist_families(spark, halves, media_halves,
+                                            tmp_path):
+    """The tombstone path is loader-level, so simhash / winnow / media
+    inherit it: tombstoned ids vanish from probes immediately (equal to
+    the rewrite-twin's results), apply_deletes makes it physical and
+    clears the log."""
+    from kowari_spark.operators.dedup_index import (
+        SignatureLayout,
+        build_media_layout,
+        build_simhash_layout,
+        build_winnow_layout,
+    )
+
+    hist, new = halves
+    mhist, mnew = media_halves
+    for kind, build, hdf, ndf, idc, kw in (
+        ("simhash", build_simhash_layout, hist, new, "doc_id", {}),
+        ("winnow", build_winnow_layout, hist, new, "doc_id", {}),
+        ("media", build_media_layout, mhist, mnew, "media_id", {}),
+    ):
+        p = str(tmp_path / f"tomb_{kind}")
+        tw = str(tmp_path / f"tomb_{kind}_twin")
+        build(hdf, p)
+        build(hdf, tw)
+        lay = SignatureLayout.open(spark, p)
+        ref = SignatureLayout.open(spark, tw)
+        before = lay.dedup_against(ndf, mode="pairs", **kw).collect()
+        assert before, kind
+        doomed = sorted({r["hist_id"] for r in before})[:3]
+        ids = spark.createDataFrame([(i,) for i in doomed], f"{idc} long")
+        assert lay.delete(ids, mode="tombstone") == [], kind
+        ref.delete(ids)
+
+        def pairs(layout):
+            return sorted(
+                (r["new_id"], r["hist_id"])
+                for r in layout.dedup_against(
+                    ndf, mode="pairs", **kw).collect()
+            )
+
+        want = pairs(ref)
+        assert pairs(lay) == want, kind
+        lay.apply_deletes()
+        assert not lay.file_stats()["has_pending_tombstones"], kind
+        assert pairs(lay) == want, kind
+        stored = {r[idc] for r in
+                  spark.read.parquet(p).select(idc).collect()}
+        assert not stored & set(doomed), kind
