@@ -36,6 +36,11 @@ from kowari_spark.operators.topk import knn
 _LSH_META_NAME = "_lsh_meta.json"
 _LSH_LAYOUT_VERSION = "lsh-layout-v1"
 
+#: literal (table, bucket) IN-predicates stay readable and plan-cheap
+#: below this many probed pairs; bigger query batches fall back to the
+#: broadcast equi-join (the simhash _BLOCK_ISIN_MAX discipline)
+_BUCKET_ISIN_MAX = 4096
+
 
 def _write_lsh_meta(spark, path: str, params: dict,
                     vec_col: str, id_col: str) -> None:
@@ -526,7 +531,19 @@ class MultiSignLSH:
         """Batch OR-probe: (table, bucket) equi-join, candidate pairs
         de-duplicated across tables, exact score + per-query top-k;
         queries with < k distinct candidates fall back to the exact scan
-        (the single-table reference semantic, generalized)."""
+        (the single-table reference semantic, generalized).
+
+        Scale shape (round 12): candidates carry their STORED vector out
+        of the probed partitions, so the exact re-score never touches
+        the rest of the layout — every stage is bounded by
+        |candidates| ≈ Q · T · n/2^p, the quantity ``num_planes``
+        exists to control, never by the corpus. (CrossPolytopeLSH keeps
+        the skinny-dedup + table-0-join shape instead: its bucket count
+        is FIXED at 2·dim per table, so with T=40 the matched rows are
+        a large corpus fraction and shuffling their vectors measured
+        3× worse — the same measurement that picked this plan here
+        says the opposite there; BASELINE.md r12 hybrid_serve decade.)
+        """
         from pyspark.sql.window import Window
 
         from kowari_spark.operators.topk import (
@@ -535,20 +552,14 @@ class MultiSignLSH:
             brute_force_fallback,
         )
 
-        bucketed = (
-            df.select(F.col(id_col), "__tbl", "bucket")
-            if "__tbl" in df.columns
-            else df.select(
-                F.col(id_col),
-                F.posexplode(self._buckets_col(vec_col)).alias("__tbl", "bucket"),
-            )
-        )
+        prebuilt = "__tbl" in df.columns
         # table 0 of a built layout holds every id exactly once — a
-        # duplicate-free vector set from 1/T of the partitions, no
-        # dedup shuffle (see CrossPolytopeLSH.query_batch)
+        # duplicate-free vector set from 1/T of the partitions; used by
+        # the FALLBACK exact scan only (the happy path re-scores from
+        # the probed partitions' own rows)
         base_vecs = (
             df.filter(F.col("__tbl") == 0).select(id_col, vec_col)
-            if "__tbl" in df.columns
+            if prebuilt
             else df.select(id_col, vec_col)
         )
         q = queries.select(
@@ -558,15 +569,59 @@ class MultiSignLSH:
         qb = q.select(
             "query_id", F.posexplode(self._buckets_col("__qvec")).alias("__tbl", "bucket")
         )
+        if prebuilt:
+            # STATIC partition pruning via the literal-IN discipline
+            # (bm25_batch_indexed / simhash_dedup_against precedent):
+            # the batch's probed (table, bucket) pairs are Q·T values —
+            # bounded by the QUERY side, the operator's small relation
+            # by premise — collected once and compiled into a per-table
+            # literal predicate, so the candidate scan reads ONLY
+            # probed partitions. Spark's dynamic pruning is not enough
+            # here: against a (__tbl, bucket) layout it emits a filter
+            # on __tbl alone (measured), which prunes nothing — every
+            # table is probed — and the vector column would be read
+            # from every bucket. Past _BUCKET_ISIN_MAX pairs the plan
+            # falls back to the broadcast equi-join (pruning lost,
+            # still candidate-bounded downstream).
+            probed = [
+                (r["__tbl"], r["bucket"])
+                for r in qb.select("__tbl", "bucket").distinct().collect()
+                if r["bucket"] is not None
+            ]
+            if len(probed) <= _BUCKET_ISIN_MAX:
+                by_tbl: dict = {}
+                for t, b in probed:
+                    by_tbl.setdefault(t, []).append(b)
+                pred = F.lit(False)
+                for t, bs in sorted(by_tbl.items()):
+                    pred = pred | (
+                        (F.col("__tbl") == t)
+                        & F.col("bucket").isin(*sorted(bs))
+                    )
+                src = df.filter(pred)
+            else:
+                src = df
+            bucketed = src.select(
+                F.col(id_col), F.col(vec_col), "__tbl", "bucket"
+            )
+        else:
+            bucketed = df.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.posexplode(self._buckets_col(vec_col)).alias("__tbl", "bucket"),
+            )
         # one candidate computation feeds the sizes, the re-score and
-        # the fallback anti-join: the subtree ends in the distinct's
+        # the fallback anti-join: the subtree ends in the dedup's
         # Exchange and exchange reuse serves all consumers from that one
-        # shuffle (see CrossPolytopeLSH.query_batch) — plan construction
-        # stays action-free
+        # shuffle — plan construction stays action-free. The dedup
+        # carries the vector (identical across a candidate's T copies —
+        # same source row exploded — so which copy survives is
+        # immaterial); the exchange widens by one vector per CANDIDATE,
+        # and in return the re-score needs no corpus-sized join
         cand = (
             bucketed.join(F.broadcast(qb), ["__tbl", "bucket"])
-            .select("query_id", id_col)
-            .distinct()
+            .select("query_id", id_col, vec_col)
+            .dropDuplicates(["query_id", id_col])
         )
         sizes = cand.groupBy("query_id").agg(F.count("*").alias("__n"))
         ok_ids = sizes.filter(F.col("__n") >= k).select("query_id")
@@ -574,7 +629,6 @@ class MultiSignLSH:
 
         scored = (
             cand.join(F.broadcast(ok_ids), "query_id")
-            .join(base_vecs, id_col)
             .join(F.broadcast(q), "query_id")
             .select(
                 "query_id",

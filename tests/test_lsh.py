@@ -229,3 +229,41 @@ def test_build_refuses_empty_input(tmp_path, base, spark):
         with pytest.raises(ValueError, match="empty DataFrame"):
             idx.build(empty, path)
         assert not exists(spark, f"{path}/_lsh_meta.json")
+
+
+def test_multi_table_batch_probe_statically_prunes(spark, embeddings, tmp_path):
+    """MultiSignLSH.query_batch against a BUILT layout compiles the
+    query batch's probed (table, bucket) pairs into a literal
+    predicate: the candidate scan's PartitionFilters carry bucket
+    values (static pruning — Spark's dynamic pruning emits a
+    __tbl-only filter here, which prunes nothing), and the re-score
+    reads vectors only from probed partitions (no table-0 join on the
+    happy path)."""
+    import re
+
+    from kowari_spark.operators.lsh import MultiSignLSH
+
+    base = embeddings.select("vec_id", "embedding").limit(400)
+    mlsh = MultiSignLSH(dim=64, num_planes=4, num_tables=2, seed=7)
+    path = str(tmp_path / "mlsh_prune")
+    mlsh.build(base, path, vec_col="embedding", id_col="vec_id")
+    queries = base.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = mlsh.query_batch(
+        mlsh.load(spark, path), queries, 5,
+        id_col="vec_id", query_vec_col="embedding", round_to=6,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert any(
+        "bucket" in f and (" IN " in f or "INSET" in f.upper())
+        for f in pf
+    ), pf
+    # results identical to probing the raw (unpartitioned) relation,
+    # where the probe computes buckets on the fly instead of pruning
+    want = sorted(map(tuple, mlsh.query_batch(
+        base, queries, 5, id_col="vec_id", query_vec_col="embedding",
+        round_to=6,
+    ).collect()))
+    assert sorted(map(tuple, out.collect())) == want

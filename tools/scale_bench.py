@@ -472,6 +472,72 @@ def _run_suite(
                 spark, bpath, "vector hash join batch", k=10).collect()))
             rec("bm25_indexed", s, r)
 
+    if want("hybrid_serve"):
+        # stored-state hybrid serving end to end (round 12, multi-table
+        # capable): two keyword+vector queries share ONE pruned postings
+        # scan and ONE (table, bucket) equi-join against the stored
+        # MultiSignLSH layout of hashed embeddings — the wall should
+        # track probed buckets (per-bucket history), never the corpus.
+        # Contract geometry (p=6 per table): x1 starves the 20-deep
+        # probe (fallback branch), bigger mults serve from partitions.
+        from kowari_spark.functions.text import hashed_embeddings
+        from kowari_spark.operators.lsh import _LSH_META_NAME, MultiSignLSH
+        from kowari_spark.operators.search import (
+            build_bm25_layout,
+            hybrid_batch_indexed,
+        )
+
+        n_doc3 = docs.count()
+        bpath = os.path.join(SCALE_DIR, f"x{mult}", "bm25_postings")
+        if not os.path.exists(os.path.join(bpath, "_bm25_meta.json")):
+            build_bm25_layout(docs, bpath)
+        emb = hashed_embeddings(docs, "text", "doc_id", 32)
+        mlsh = MultiSignLSH(dim=32, num_planes=6, num_tables=2, seed=11)
+        mpath = os.path.join(SCALE_DIR, f"x{mult}", "text_mlsh")
+        if not os.path.exists(os.path.join(mpath, _LSH_META_NAME)):
+            s, _r = timed(lambda: (mlsh.build(
+                emb, mpath, vec_col="embedding", id_col="doc_id"
+            ), 1)[1])
+            rec("hybrid_mlsh_build", s, n_doc3)
+        qdocs = (("qa", 0), ("qb", 3))
+        rows = {
+            r["doc_id"]: r["embedding"]
+            for r in emb.filter(
+                F.col("doc_id").isin([d for _, d in qdocs])
+            ).collect()
+        }
+        vec_df = spark.createDataFrame(
+            [(qid, [float(x) for x in rows[d]]) for qid, d in qdocs],
+            "query_id string, embedding array<double>",
+        )
+        texts = {"qa": "vector hash join batch", "qb": "filter scan"}
+        s, r = timed(lambda: len(hybrid_batch_indexed(
+            spark, bpath, mpath, texts, vec_df, k=10, fetch_k=20
+        ).collect()))
+        rec("hybrid_serve_batch2", s, r)
+
+        # geometry sized to the corpus ("size num_planes to the data",
+        # SignLSH.build): candidates per probe track per-bucket history
+        # (n / 2^p), so planes must grow with the corpus to keep the
+        # serve flat — p = 6 + 2·log10(mult) holds ~80 docs/bucket at
+        # every mult here
+        p_tuned = 6 + 2 * len(str(mult)) - 2
+        if p_tuned != 6:
+            mlsh_t = MultiSignLSH(
+                dim=32, num_planes=p_tuned, num_tables=2, seed=11
+            )
+            tpath = os.path.join(
+                SCALE_DIR, f"x{mult}", f"text_mlsh_p{p_tuned}"
+            )
+            if not os.path.exists(os.path.join(tpath, _LSH_META_NAME)):
+                mlsh_t.build(
+                    emb, tpath, vec_col="embedding", id_col="doc_id"
+                )
+            s, r = timed(lambda: len(hybrid_batch_indexed(
+                spark, bpath, tpath, texts, vec_df, k=10, fetch_k=20
+            ).collect()))
+            rec(f"hybrid_serve_tuned_p{p_tuned}", s, r)
+
     if want("doc_top_bigrams"):
         from kowari_spark.operators.quality import top_ngrams
 
