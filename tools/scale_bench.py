@@ -813,6 +813,15 @@ def _run_suite(
             lambda: (append_dsir_layout(spark, work, batch), n_base)[1]
         )
         rec("dsir_append_x1", s, r)
+        # ...and the unlearn inverse: subtracting the batch just rolled
+        # in must cost the same sidecar-scale roll (one batch pass +
+        # three ≤10k-row rewrites), independent of the fit corpus
+        from kowari_spark.operators.sampling import remove_from_dsir_layout
+
+        s, r = timed(
+            lambda: (remove_from_dsir_layout(spark, work, batch), n_base)[1]
+        )
+        rec("dsir_remove_x1", s, r)
 
     if want("semdecon"):
         # embedding-space decontamination: the eval set stays FIXED
