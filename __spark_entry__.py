@@ -4321,68 +4321,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per round (dict order = check order), so rows are ordered by
     # driver-validation age — never/least-recently driver-validated
     # first, most-recently-validated last; every row gets a driver row
-    # at least every two rounds. Round 12 front block: rows whose
-    # SEMANTICS CHANGED this round (doc_dsir_against now probes a
-    # build+append-produced layout; doc_hybrid_batch_multi is new),
-    # then the 38 rows past round 11's window (brand_revenue ...
-    # cp_knn_top10, last driver-green r10; judge re-verified them
-    # r11). Round 11's window rows follow in their r11 order and
-    # return to the front in round 13.
+    # at least every two rounds. Round 13 front block: the 39 rows
+    # past round 12's window (orders_cube ... revenue_by_nation, last
+    # driver-green r11; judge re-verified the 38 oracle rows r12).
+    # Round 12's window rows follow in their r12 order and return to
+    # the front in round 14.
     return {
-        # -- changed/new this round
-        "doc_dsir_against": q_doc_dsir_against,
-        "doc_hybrid_batch_multi": q_doc_hybrid_batch_multi,
-        # -- past round 11's 50-row window (last driver-green r10)
-        "brand_revenue": q_brand_revenue,
-        "top_customer_per_nation": q_top_customer_per_nation,
-        "events_hourly": q_events_hourly,
-        "events_sessions": q_events_sessions,
-        "events_sliding": q_events_sliding,
-        "customers_without_orders": q_customers_without_orders,
-        "events_asof": q_events_asof,
-        "orders_fast_lines": q_orders_fast_lines,
-        "doc_token_stats": q_doc_token_stats,
-        "doc_lang_quality": q_doc_lang_quality,
-        "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_minhash_pairs": q_doc_minhash_pairs,
-        "doc_dup_clusters": q_doc_dup_clusters,
-        "doc_dedup_keep": q_doc_dedup_keep,
-        "doc_text_knn": q_doc_text_knn,
-        "doc_simhash_near": q_doc_simhash_near,
-        "doc_winnow_pairs": q_doc_winnow_pairs,
-        "salted_supplier_revenue": q_salted_supplier_revenue,
-        "price_quantiles": q_price_quantiles,
-        "doc_dedup_against": q_doc_dedup_against,
-        "doc_incremental_keep": q_doc_incremental_keep,
-        "doc_simhash_against": q_doc_simhash_against,
-        "doc_dedup_against_verified": q_doc_dedup_against_verified,
-        "doc_winnow_against": q_doc_winnow_against,
-        "embedding_dedup_against": q_embedding_dedup_against,
-        "events_funnel": q_events_funnel,
-        "doc_split_sample": q_doc_split_sample,
-        "doc_pack_chunks": q_doc_pack_chunks,
-        "doc_decontam": q_doc_decontam,
-        "ivfpq_knn": q_ivfpq_knn,
-        "filtered_lsh_knn": q_filtered_lsh_knn,
-        "media_dedup_keep": q_media_dedup_keep,
-        "pq_knn": q_pq_knn,
-        "filtered_knn": q_filtered_knn,
-        "lsh_recall_at_10": q_lsh_recall_at_10,
-        "lsh_precision_at_10": q_lsh_precision_at_10,
-        "hnsw_knn": q_hnsw_knn,
-        "cp_knn_top10": q_cp_knn_top10,
-        # -- round-11 window rows (driver-green r11), r11 order;
-        # they return to the front in round 13
-        "doc_hybrid_indexed": q_doc_hybrid_indexed,
-        "doc_hybrid_batch": q_doc_hybrid_batch,
-        "doc_surprisal_buckets": q_doc_surprisal_buckets,
-        "doc_source_cap": q_doc_source_cap,
-        "embedding_cluster_cap": q_embedding_cluster_cap,
-        "doc_semantic_decontam": q_doc_semantic_decontam,
-        "ivf_knn": q_ivf_knn,
-        "events_props_stats": q_events_props_stats,
-        "events_kmv_users": q_events_kmv_users,
-        "revenue_rollup": q_revenue_rollup,
+        # -- past round 12's 50-row window (last driver-green r11)
         "orders_cube": q_orders_cube,
         "nation_set_ops": q_nation_set_ops,
         "customer_strings": q_customer_strings,
@@ -4422,6 +4367,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_normalize": q_vector_normalize,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
+        # -- round-12 window rows (driver-green r12), r12 order;
+        # they return to the front in round 14
+        "doc_dsir_against": q_doc_dsir_against,
+        "doc_hybrid_batch_multi": q_doc_hybrid_batch_multi,
+        "brand_revenue": q_brand_revenue,
+        "top_customer_per_nation": q_top_customer_per_nation,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "events_sliding": q_events_sliding,
+        "customers_without_orders": q_customers_without_orders,
+        "events_asof": q_events_asof,
+        "orders_fast_lines": q_orders_fast_lines,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_lang_quality": q_doc_lang_quality,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_dedup_keep": q_doc_dedup_keep,
+        "doc_text_knn": q_doc_text_knn,
+        "doc_simhash_near": q_doc_simhash_near,
+        "doc_winnow_pairs": q_doc_winnow_pairs,
+        "salted_supplier_revenue": q_salted_supplier_revenue,
+        "price_quantiles": q_price_quantiles,
+        "doc_dedup_against": q_doc_dedup_against,
+        "doc_incremental_keep": q_doc_incremental_keep,
+        "doc_simhash_against": q_doc_simhash_against,
+        "doc_dedup_against_verified": q_doc_dedup_against_verified,
+        "doc_winnow_against": q_doc_winnow_against,
+        "embedding_dedup_against": q_embedding_dedup_against,
+        "events_funnel": q_events_funnel,
+        "doc_split_sample": q_doc_split_sample,
+        "doc_pack_chunks": q_doc_pack_chunks,
+        "doc_decontam": q_doc_decontam,
+        "ivfpq_knn": q_ivfpq_knn,
+        "filtered_lsh_knn": q_filtered_lsh_knn,
+        "media_dedup_keep": q_media_dedup_keep,
+        "pq_knn": q_pq_knn,
+        "filtered_knn": q_filtered_knn,
+        "lsh_recall_at_10": q_lsh_recall_at_10,
+        "lsh_precision_at_10": q_lsh_precision_at_10,
+        "hnsw_knn": q_hnsw_knn,
+        "cp_knn_top10": q_cp_knn_top10,
+        "doc_hybrid_indexed": q_doc_hybrid_indexed,
+        "doc_hybrid_batch": q_doc_hybrid_batch,
+        "doc_surprisal_buckets": q_doc_surprisal_buckets,
+        "doc_source_cap": q_doc_source_cap,
+        "embedding_cluster_cap": q_embedding_cluster_cap,
+        "doc_semantic_decontam": q_doc_semantic_decontam,
+        "ivf_knn": q_ivf_knn,
+        "events_props_stats": q_events_props_stats,
+        "events_kmv_users": q_events_kmv_users,
+        "revenue_rollup": q_revenue_rollup,
     }
 
 

@@ -392,9 +392,18 @@ def _semantic_decontam_arrow(
             # 0.0 here instead of crashing np.stack on ragged input
             vecs = pdf["embedding"].to_list()
             dim = EV.shape[1]
+            # a null ELEMENT inside a correct-dimension vector is
+            # degraded too: the expr engine's aggregate fold nulls the
+            # whole cosine (coalesced to 0.0), while astype would turn
+            # it into an all-NaN score row whose argmax set is empty —
+            # crashing round_half_up(-inf) instead of matching. A
+            # literal float NaN element gets the same 0.0 (the expr
+            # engine propagates NaN there — NaN input vectors are
+            # out-of-contract; 0.0 beats an executor crash)
             good = [
                 i for i, v in enumerate(vecs)
                 if v is not None and len(v) == dim
+                and not any(x is None or x != x for x in v)
             ]
             if len(good) < len(vecs):
                 out = np.zeros(len(vecs))

@@ -635,9 +635,21 @@ def build_dsir_layout(
     is the committed-layout invariant."""
     import json
 
-    from kowari_spark.fsutil import write_bytes
+    from kowari_spark.fsutil import delete, write_bytes
 
     spark = df.sparkSession
+    # rebuilding over an existing layout path: clear EVERYTHING the
+    # fresh fit does not rewrite — the prior sidecar (so a crash
+    # mid-rebuild leaves an uncommitted dir, not a committed-looking
+    # mix of old and new subdirs), stale ``_batches/`` idempotence
+    # markers (a reset checkpoint replaying batch ids 0..N would match
+    # them and silently skip every batch), and orphaned roll siblings
+    # (their sidecars would otherwise win a future swap recovery and
+    # resurrect the pre-rebuild model)
+    delete(spark, f"{path}/{_DSIR_META_NAME}")
+    delete(spark, f"{path}/_batches")
+    delete(spark, f"{path}.__roll_tmp")
+    delete(spark, f"{path}.__roll_bak")
     _dsir_hist(df, text_col, buckets, "__cr", engine).coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/raw_hist")
@@ -800,6 +812,7 @@ def _roll_dsir_layout(
     from kowari_spark.fsutil import (
         create_marker,
         delete,
+        exists,
         list_files,
         rename,
         write_bytes,
@@ -808,6 +821,16 @@ def _roll_dsir_layout(
     if which not in ("raw", "target"):
         raise ValueError(f"which must be 'raw' or 'target', got {which!r}")
     _finish_dsir_swap(spark, path)
+    if _commit_marker is not None and exists(
+        spark, f"{path}/_batches/{_commit_marker}"
+    ):
+        # the interrupted swap just finished WAS this batch's append: a
+        # crash between the two swap renames leaves no ``path`` for the
+        # streaming sink's marker check to consult, so the replayed
+        # batch reaches here — the marker committed WITH the swap, so
+        # rolling again would double-apply the histogram. Exactly-once
+        # means returning now.
+        return
     _, meta = load_dsir_layout(spark, path)
     if meta.get("version") != _DSIR_LAYOUT_VERSION:
         raise ValueError(

@@ -300,7 +300,8 @@ def test_embedding_decontaminate_degraded_rows(spark):
     from kowari_spark.operators.decontam import embedding_decontaminate
 
     emb = spark.createDataFrame(
-        [("a", [1.0, 0.0]), ("b", None), ("c", [1.0, 0.0, 5.0])],
+        [("a", [1.0, 0.0]), ("b", None), ("c", [1.0, 0.0, 5.0]),
+         ("d", [None, 1.0])],
         "id string, embedding array<double>",
     )
     ev = spark.createDataFrame([([1.0, 0.0],)], "embedding array<double>")
@@ -311,6 +312,7 @@ def test_embedding_decontaminate_degraded_rows(spark):
         assert rows["a"] == (1.0, True), eng
         assert rows["b"] == (0.0, False), eng   # NULL vector
         assert rows["c"] == (0.0, False), eng   # dim mismatch
+        assert rows["d"] == (0.0, False), eng   # null ELEMENT
 
     bad_evs = (
         spark.createDataFrame(

@@ -404,6 +404,112 @@ def test_stream_into_dsir_layout(spark, docs, tmp_path):
     assert set(os.listdir(f"{path}/_batches")) == markers
 
 
+def test_dsir_roll_replay_after_between_renames_crash(
+    spark, docs, tmp_path
+):
+    """A crash BETWEEN the append swap's two renames (path already at
+    ``.__roll_bak``, ``.__roll_tmp`` complete) followed by a sink
+    replay must apply the batch EXACTLY once: the replayed append
+    finishes the interrupted swap — which commits the batch AND its
+    marker — then must return, not union the batch histogram in a
+    second time (ADVICE r12, high)."""
+    import os
+    import shutil
+
+    from kowari_spark.operators.sampling import (
+        append_dsir_layout,
+        build_dsir_layout,
+        load_dsir_layout,
+    )
+
+    target = docs.filter(F.col("lang") == "en")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+
+    pre = str(tmp_path / "dsir_pre")
+    build_dsir_layout(even, target, pre)
+    p = str(tmp_path / "dsir_crashwin")
+    shutil.copytree(pre, p)
+    append_dsir_layout(spark, p, odd, which="raw", _commit_marker="m0")
+    want = sorted(map(tuple, load_dsir_layout(spark, p)[0].collect()))
+
+    # reconstruct the exact between-renames crash state: the original
+    # sits at bak, the COMPLETE post-append layout (marker inside) at
+    # tmp, and path itself does not exist
+    os.rename(p, f"{p}.__roll_tmp")
+    shutil.copytree(pre, f"{p}.__roll_bak")
+    assert not os.path.exists(p)
+
+    # sink replay: path absent -> the marker check cannot see m0, so
+    # the sink calls append again with the SAME batch and marker
+    from kowari_spark.fsutil import exists
+
+    assert not exists(spark, f"{p}/_batches/m0")
+    append_dsir_layout(spark, p, odd, which="raw", _commit_marker="m0")
+
+    got = sorted(map(tuple, load_dsir_layout(spark, p)[0].collect()))
+    assert got == want  # applied once, not doubled
+    assert [
+        n for n in os.listdir(f"{p}/_batches") if not n.startswith(".")
+    ] == ["m0"]
+    assert not os.path.exists(f"{p}.__roll_tmp")
+    assert not os.path.exists(f"{p}.__roll_bak")
+
+
+def test_dsir_rebuild_clears_stale_markers_and_roll_siblings(
+    spark, docs, tmp_path
+):
+    """build_dsir_layout over an existing layout path must clear stale
+    ``_batches/`` markers and orphaned roll siblings: after a rebuild
+    plus a checkpoint reset, replayed batch ids match the old markers
+    and every batch would be silently skipped (ADVICE r12, low)."""
+    import os
+    import shutil
+
+    from kowari_spark.operators.sampling import (
+        build_dsir_layout,
+        load_dsir_layout,
+    )
+    from kowari_spark.streaming.ingest import stream_into_dsir_layout
+
+    target = docs.filter(F.col("lang") == "en")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    path = str(tmp_path / "dsir_rebuild")
+    ck = str(tmp_path / "dsir_rebuild_ck")
+    build_dsir_layout(even, target, path)
+    src = str(tmp_path / "dsir_rebuild_src")
+    odd.repartition(2).write.parquet(src)
+
+    def drain():
+        q = stream_into_dsir_layout(
+            spark.readStream.schema(odd.schema).parquet(src), path, ck
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert os.listdir(f"{path}/_batches")  # markers exist pre-rebuild
+    # plant orphaned roll siblings too: their sidecars would otherwise
+    # win a future swap recovery and resurrect the pre-rebuild model
+    shutil.copytree(path, f"{path}.__roll_tmp")
+    shutil.copytree(path, f"{path}.__roll_bak")
+
+    build_dsir_layout(even, target, path)  # rebuild, same path
+    assert not os.path.exists(f"{path}/_batches")
+    assert not os.path.exists(f"{path}.__roll_tmp")
+    assert not os.path.exists(f"{path}.__roll_bak")
+
+    shutil.rmtree(ck)  # checkpoint reset: batch ids replay from 0
+    drain()  # must APPLY, not match stale markers and skip
+    refit = str(tmp_path / "dsir_rebuild_refit")
+    build_dsir_layout(
+        even.select("doc_id", "text").unionByName(odd), target, refit
+    )
+    want = sorted(map(tuple, load_dsir_layout(spark, refit)[0].collect()))
+    got = sorted(map(tuple, load_dsir_layout(spark, path)[0].collect()))
+    assert got == want
+
+
 def test_source_cap_keeps_best_per_group(spark):
     from kowari_spark.operators.sampling import source_cap
 
