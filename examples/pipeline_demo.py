@@ -176,16 +176,20 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     print("dsir stored-model batch scores (3):", [
         (r["doc_id"], r["dsir_logw"]) for r in scored.limit(3).collect()])
 
-    # ...and the crawl-loop maintenance verb: roll the scored batch's
-    # histogram INTO the stored model additively (one batch pass, no
-    # corpus re-read; bit-identical to refitting over fit ∪ batch)
-    from kowari_spark.operators.sampling import append_dsir_layout
+    # ...and the crawl-loop maintenance verbs through ONE handle: roll
+    # the scored batch's histogram INTO the stored model additively
+    # (bit-identical to refitting over fit ∪ batch), then exactly
+    # unlearn it — the model returns to its pre-append bits
+    from kowari_spark.operators.sampling import DsirLayout
 
-    append_dsir_layout(spark, dpath, batch, which="raw")
+    dlay = DsirLayout.open(spark, dpath)
+    dlay.append(batch, which="raw")
     print("dsir model after append scores (3):", [
         (r["doc_id"], r["dsir_logw"])
-        for r in dsir_score_against(spark, dpath, batch)
-        .limit(3).collect()])
+        for r in dlay.score(batch).limit(3).collect()])
+    dlay.remove(batch, which="raw")  # exact unlearn (dedup'd away)
+    print("dsir top-2 after unlearn:", [
+        r["doc_id"] for r in dlay.top(batch, 2).collect()])
 
     # persisted BM25 postings: tokenize once, probe by term bucket —
     # bit-identical scores to the scan path above
@@ -201,11 +205,21 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         (r["doc_id"], r["bm25"])
         for r in bm25_search_indexed(spark, bpath, "hash join", k=3)
         .collect()])
-    # lifecycle: a later dedup pass drops docs -> remove them from the
-    # postings AND the sidecar stats (scores stay rebuild-identical)
+    # lifecycle: a later dedup pass drops docs -> tombstone them
+    # (O(|batch|) log write; probes correct immediately — a rewrite
+    # would touch ~every tb partition), then apply at the maintenance
+    # window (scores stay rebuild-identical throughout)
+    from kowari_spark.operators.search import apply_bm25_deletes
+
     delete_from_bm25_layout(
-        spark, bpath, mixed.select("doc_id").orderBy("doc_id").limit(5))
-    print("bm25 after delete:", [
+        spark, bpath, mixed.select("doc_id").orderBy("doc_id").limit(5),
+        mode="tombstone")
+    print("bm25 after tombstone delete:", [
+        (r["doc_id"], r["bm25"])
+        for r in bm25_search_indexed(spark, bpath, "hash join", k=3)
+        .collect()])
+    apply_bm25_deletes(spark, bpath)  # physical rewrite + log clear
+    print("bm25 after apply:", [
         (r["doc_id"], r["bm25"])
         for r in bm25_search_indexed(spark, bpath, "hash join", k=3)
         .collect()])

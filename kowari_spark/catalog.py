@@ -497,6 +497,90 @@ class Collection:
             _check_lsh_meta(self.spark, path, inst._params())
         return SignatureLayout.open(self.spark, path)
 
+    def dsir_layout(
+        self,
+        target: DataFrame | None = None,
+        key: str = "text",
+        buckets: int = 10_000,
+        rebuild: bool = False,
+    ):
+        """Build-or-open the collection's persisted DSIR importance
+        model (fit over the current snapshot's ``key`` metadata text
+        against the ``target`` exemplar corpus, stored under
+        ``indexes/dsir``) and return the
+        :class:`~kowari_spark.operators.sampling.DsirLayout` facade —
+        the curation loop's selection model as a handle:
+
+        >>> lay = coll.dsir_layout(target=wiki_sample)
+        >>> picked = lay.top(crawl_batch, n=100_000)
+        >>> coll.add_df(embed(picked)); lay.append(picked)
+        >>> lay.remove(later_deduped_away)      # exact unlearn
+
+        The fit-time RAW distribution is the collection's text (read
+        from the metadata JSON field ``key`` — collections store
+        vectors; text rides in metadata); ``target`` must carry a
+        ``key`` column (it is an EXTERNAL exemplar corpus, so its text
+        is a real column, not metadata). The stored model's text
+        column is ``key``, so crawl batches score/append under their
+        natural ``text`` column. First build requires ``target`` (the
+        model can't bootstrap without the exemplar distribution) and a
+        non-empty collection; reopening ignores ``target`` and REFUSES
+        a ``buckets`` mismatch via the sidecar instead of silently
+        scoring under diverged hashing. The layout reflects the
+        snapshot it was fit from plus explicit ``append``/``remove``
+        calls — after bulk rewrites, pass ``rebuild=True`` (which
+        needs ``target`` again)."""
+        import json as _json
+
+        from kowari_spark.fsutil import exists, read_bytes
+        from kowari_spark.functions.metadata import meta_field
+        from kowari_spark.operators.sampling import (
+            _DSIR_META_NAME,
+            DsirLayout,
+            build_dsir_layout,
+        )
+
+        path = os.path.join(self.path, "indexes", "dsir")
+        meta_path = f"{path}/{_DSIR_META_NAME}"
+        if rebuild or not exists(self.spark, meta_path):
+            if target is None:
+                raise ValueError(
+                    "first build (or rebuild) of a collection DSIR "
+                    "layout needs target= — the exemplar corpus the "
+                    "importance weights point toward"
+                )
+            if key not in target.columns:
+                raise ValueError(
+                    f"target must carry a {key!r} text column; got "
+                    f"{target.columns}"
+                )
+            raw = self.df().select(
+                "id", meta_field("metadata", key).alias(key)
+            )
+            if not raw.limit(1).count():
+                raise ValueError(
+                    f"collection {self.name!r} holds no records yet — "
+                    "add data before fitting its DSIR model"
+                )
+            build_dsir_layout(
+                raw, target.select(key), path,
+                text_col=key, buckets=buckets,
+            )
+        else:
+            meta = _json.loads(
+                read_bytes(self.spark, meta_path).decode()
+            )
+            if meta.get("buckets") != buckets or meta.get("text_col") != key:
+                raise ValueError(
+                    f"collection DSIR layout at {path} was fit with "
+                    f"buckets={meta.get('buckets')}, "
+                    f"text_col={meta.get('text_col')!r}; reopening with "
+                    f"buckets={buckets}, key={key!r} would score under "
+                    "diverged featurization — pass the fit-time params "
+                    "or rebuild=True"
+                )
+        return DsirLayout.open(self.spark, path)
+
     # -- writes ----------------------------------------------------------
 
     def _validate_dims(self, df: DataFrame) -> None:

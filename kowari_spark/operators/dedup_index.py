@@ -130,12 +130,19 @@ def _minus_tombstones(spark, path: str, df: DataFrame, id_col: str):
     cost of ONE broadcast anti-join, while the physical partition
     rewrite waits for the compaction window (``apply_deletes``).
 
-    The broadcast is deliberate: the log is bounded by the maintenance
-    cadence (apply folds into ``compact()``), so it stays
-    tombstone-sized, never corpus-sized — a keep-list-complement-scale
-    delete belongs on ``mode="rewrite"``. No log dir → zero cost (one
-    existence check, no join in the plan)."""
+    The log SHOULD be maintenance-sized by cadence contract (apply
+    folds into ``compact()``; a keep-list-complement-scale delete
+    belongs on ``mode="rewrite"``) — but that contract is enforced,
+    not assumed: a bounded size probe (limit(T+1).count(), never a
+    full pass) broadcasts only logs proven under the delete-set
+    threshold and falls back to a plain shuffle anti-join for anything
+    bigger, instead of OOMing the broadcast (VERDICT r12 #3). No log
+    dir → zero cost (one existence check, no join in the plan)."""
     from kowari_spark.fsutil import exists
+    from kowari_spark.streaming.ingest import (
+        _DELETE_BROADCAST_MAX,
+        _delete_join_hint,
+    )
 
     tpath = f"{path}/{_TOMBSTONES_DIR}"
     if not exists(spark, tpath):
@@ -147,7 +154,8 @@ def _minus_tombstones(spark, path: str, df: DataFrame, id_col: str):
         )
         .distinct()
     )
-    return df.join(F.broadcast(doomed), id_col, "left_anti")
+    _b = _delete_join_hint(doomed, _DELETE_BROADCAST_MAX)
+    return df.join(_b(doomed), id_col, "left_anti")
 
 
 def load_minhash_layout(

@@ -905,6 +905,94 @@ def _roll_dsir_layout(
     delete(spark, bak)
 
 
+class DsirLayout:
+    """Facade handle over a fitted DSIR layout — the
+    ``SignatureLayout`` precedent applied to the importance model: one
+    object carrying (path, meta) with the serve verbs (``score``,
+    ``top``) and the maintenance verbs (``append``, ``remove``,
+    ``stream_into``) bound to it, so a curation loop holds ONE handle
+    instead of re-threading the path through five module functions.
+    Every verb delegates to the module function of the same contract
+    (fit/append/remove parity, swap crash-safety, sidecar-frozen
+    featurization — their docstrings); nothing here adds semantics.
+
+    >>> lay = DsirLayout.open(spark, path)   # or coll.dsir_layout(...)
+    >>> picked = lay.top(crawl_batch, n=10_000)
+    >>> lay.append(crawl_batch)              # model follows the corpus
+    >>> lay.remove(dropped_docs)             # exact unlearn
+    """
+
+    def __init__(self, spark, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+
+    @classmethod
+    def open(cls, spark, path: str) -> "DsirLayout":
+        """Open a fitted layout (validates sidecar + version; finishes
+        any interrupted append swap — ``load_dsir_layout``)."""
+        _, meta = load_dsir_layout(spark, path)
+        return cls(spark, path, meta)
+
+    def ratios(self) -> DataFrame:
+        """The dense ``(__b, __lr)`` scoring relation (live view)."""
+        return load_dsir_layout(self.spark, self.path)[0]
+
+    def score(
+        self,
+        batch: DataFrame,
+        id_col: str = "doc_id",
+        round_to: int | None = None,
+        engine: str = "auto",
+    ) -> DataFrame:
+        """(id_col, n_feats, dsir_logw) for a new batch — ONE pass
+        over the batch (:func:`dsir_score_against`)."""
+        return dsir_score_against(
+            self.spark, self.path, batch, id_col, round_to, engine
+        )
+
+    def top(
+        self,
+        batch: DataFrame,
+        n: int,
+        id_col: str = "doc_id",
+        round_to: int | None = None,
+        engine: str = "auto",
+    ) -> DataFrame:
+        """The ``n`` most target-like batch documents under the stored
+        model — deterministic selection (desc weight, ties ascending
+        id; TakeOrderedAndProject, no global sort), the layout-backed
+        twin of :func:`dsir_sample_top`."""
+        w = self.score(batch, id_col, round_to, engine)
+        return w.orderBy(F.desc("dsir_logw"), F.col(id_col)).limit(n)
+
+    def append(
+        self, batch: DataFrame, which: str = "raw", engine: str = "auto"
+    ) -> None:
+        """Roll a batch into the model additively — bit-identical to a
+        refit over the union (:func:`append_dsir_layout`)."""
+        append_dsir_layout(self.spark, self.path, batch, which, engine)
+
+    def remove(
+        self, batch: DataFrame, which: str = "raw", engine: str = "auto"
+    ) -> None:
+        """Exact unlearn of previously-rolled documents
+        (:func:`remove_from_dsir_layout`)."""
+        remove_from_dsir_layout(self.spark, self.path, batch, which, engine)
+
+    def stream_into(
+        self, stream_df: DataFrame, checkpoint_dir: str, **kw
+    ):
+        """The exactly-once streaming maintenance sink
+        (``streaming.ingest.stream_into_dsir_layout``); returns the
+        query."""
+        from kowari_spark.streaming.ingest import stream_into_dsir_layout
+
+        return stream_into_dsir_layout(
+            stream_df, self.path, checkpoint_dir, **kw
+        )
+
+
 def dsir_score_against(
     spark,
     path: str,

@@ -313,6 +313,32 @@ def bm25_search_batch(
 _BM25_META_NAME = "_bm25_meta.json"
 _BM25_LAYOUT_VERSION = "bm25-postings-v1"
 _BM25_BUCKETS = 64
+#: pending logical deletes — "_"-prefixed so the parquet reader never
+#: mixes the log into the postings relation (the signature layouts'
+#: _tombstones convention, dedup_index.py)
+_BM25_TOMBSTONES_DIR = "_tombstones"
+
+
+def _bm25_tombstones(spark, path: str):
+    """The layout's pending tombstone log as a distinct
+    ``(__tomb_id, __tomb_dl)`` relation, or ``None`` when no log
+    exists (one existence check, no job). ``dl`` rides in the log so
+    the stats correction (N −= |log|, Σdl −= Σlog.dl) is integer-exact
+    without touching the postings — the same arithmetic as the eager
+    delete's sidecar decrement."""
+    from kowari_spark.fsutil import exists
+
+    tpath = f"{path}/{_BM25_TOMBSTONES_DIR}"
+    if not exists(spark, tpath):
+        return None
+    # distinct on the PAIR: dl is read from stored postings at
+    # delete time, so (id, dl) is unique per document and a replayed
+    # delete batch collapses to the same rows
+    return (
+        spark.read.parquet(tpath)
+        .select("__tomb_id", "__tomb_dl")
+        .distinct()
+    )
 
 
 def _postings(docs, text_col, id_col, buckets):
@@ -374,10 +400,24 @@ def build_bm25_layout(
     )
 
 
-def load_bm25_layout(spark, path: str) -> tuple[DataFrame, dict]:
+def load_bm25_layout(
+    spark, path: str, _raw: bool = False
+) -> tuple[DataFrame, dict]:
     """Open a built postings layout: (postings DataFrame, meta);
     refuses sidecar-less or version-mismatched dirs — postings scored
-    under diverged tokenization silently mis-rank everything."""
+    under diverged tokenization silently mis-rank everything.
+
+    Tombstoned documents (``delete_from_bm25_layout(mode="tombstone")``)
+    are already subtracted from BOTH halves of the scoring model: their
+    postings rows via a bounded anti-join AND the sidecar stats via the
+    log's exact (count, Σdl) — so ``n_docs``/``sum_dl`` in the returned
+    meta are the LIVE corpus values and every probe scores bit-identical
+    to an eager delete (parity-tested). No log → zero cost (one
+    existence check, no join in the plan). ``_raw=True`` (internal:
+    append/repair, anything that rolls the STORED sidecar forward)
+    returns the physical relation and the stored stats — rolling a
+    log-corrected meta back into the sidecar would make probes
+    double-subtract."""
     from kowari_spark.fsutil import exists, read_bytes
 
     meta_path = f"{path}/{_BM25_META_NAME}"
@@ -394,7 +434,35 @@ def load_bm25_layout(spark, path: str) -> tuple[DataFrame, dict]:
             f"scores {_BM25_LAYOUT_VERSION!r} postings — rebuild the "
             "layout"
         )
-    return spark.read.parquet(path), meta
+    postings = spark.read.parquet(path)
+    if _raw:
+        return postings, meta
+    log = _bm25_tombstones(spark, path)
+    if log is None:
+        return postings, meta
+    from kowari_spark.streaming.ingest import (
+        _DELETE_BROADCAST_MAX,
+        _delete_join_hint,
+    )
+
+    st = log.agg(
+        F.count("*").alias("n"), F.sum("__tomb_dl").alias("s")
+    ).first()
+    meta = dict(
+        meta,
+        n_docs=meta["n_docs"] - int(st["n"]),
+        sum_dl=meta["sum_dl"] - int(st["s"] or 0),
+    )
+    id_col = meta["id_col"]
+    doomed = log.select(
+        F.col("__tomb_id").cast(postings.schema[id_col].dataType)
+        .alias(id_col)
+    )
+    # bounded size probe (VERDICT r12 #3): the log is maintenance-sized
+    # by cadence contract, but a keep-list-complement-scale tombstone
+    # set must fall back to a shuffle anti-join, not OOM the broadcast
+    _b = _delete_join_hint(doomed, _DELETE_BROADCAST_MAX)
+    return postings.join(_b(doomed), id_col, "left_anti"), meta
 
 
 def _indexed_scored(spark, path, all_terms, k1, b):
@@ -775,7 +843,10 @@ def append_bm25_layout(spark, path: str, new_docs: DataFrame) -> None:
     double-run append corrupted."""
     from kowari_spark.fsutil import write_bytes
 
-    _, meta = load_bm25_layout(spark, path)
+    # RAW stats: the roll writes the sidecar forward, and rolling a
+    # tombstone-corrected meta back in would make probes subtract the
+    # pending log twice
+    _, meta = load_bm25_layout(spark, path, _raw=True)
     _append_bm25_rows(spark, path, meta, new_docs, write_bytes)
 
 
@@ -788,6 +859,15 @@ def repair_bm25_layout(spark, path: str) -> None:
     postings — (id, dl) is unique per document, so N = distinct ids
     and Σdl = sum of per-document dl are exact — leaving the layout
     bit-identical to a clean rebuild.
+
+    Pending tombstones (``delete_from_bm25_layout(mode="tombstone")``)
+    are FOLDED IN: the doomed postings are dropped from the rewrite,
+    the recomputed stats are survivor-exact by construction, and the
+    log dir simply isn't copied into the replacement — so the apply
+    (physical delete + stats + log clear) commits atomically with the
+    swap's rename, with no window where probes could double-subtract
+    the log from an already-corrected sidecar. ``apply_bm25_deletes``
+    is this operation gated on a log existing.
 
     Crash-safe by construction: the repaired layout is built COMPLETE
     in a sibling temp dir — postings, then the streaming sink's
@@ -828,8 +908,22 @@ def repair_bm25_layout(spark, path: str) -> None:
             )
     delete(spark, tmp)  # stale half-built attempt, if any
 
-    postings, meta = load_bm25_layout(spark, path)
+    postings, meta = load_bm25_layout(spark, path, _raw=True)
     clean = postings.distinct()
+    log = _bm25_tombstones(spark, path)
+    if log is not None:
+        from kowari_spark.streaming.ingest import (
+            _DELETE_BROADCAST_MAX,
+            _delete_join_hint,
+        )
+
+        doomed = log.select(
+            F.col("__tomb_id")
+            .cast(postings.schema[meta["id_col"]].dataType)
+            .alias(meta["id_col"])
+        )
+        _b = _delete_join_hint(doomed, _DELETE_BROADCAST_MAX)
+        clean = clean.join(_b(doomed), meta["id_col"], "left_anti")
     st = (
         clean.select(meta["id_col"], "dl")
         .distinct()
@@ -849,19 +943,46 @@ def repair_bm25_layout(spark, path: str) -> None:
     delete(spark, bak)
 
 
-def delete_from_bm25_layout(spark, path: str, ids_df: DataFrame) -> None:
-    """Remove documents from a postings layout and roll the sidecar
-    stats back — the lifecycle verb between dedup and serving: a dedup
-    pass that drops documents otherwise leaves n_docs/sum_dl (and df,
-    via the dead postings) overcounting forever, silently shifting
-    every future score.
+def apply_bm25_deletes(spark, path: str) -> bool:
+    """Physically apply the pending tombstone log
+    (``delete_from_bm25_layout(mode="tombstone")``): the maintenance
+    half of the tombstone design. Implemented as
+    :func:`repair_bm25_layout` gated on a log existing — the repair's
+    sibling-dir swap is what makes the apply windowless: the doomed
+    postings, the survivor-exact sidecar stats, and the log's absence
+    all commit with ONE directory rename, so a crash anywhere leaves
+    either the original (log intact, probes still correcting) or the
+    completed apply. A partition-pruned rewrite would buy nothing
+    here: a document's terms hash across ~every ``tb`` bucket, so any
+    apply touches ~the whole layout anyway — exactly why deletes log
+    instead of rewriting eagerly. Returns whether a log was applied.
+    Run from the maintenance window (no concurrent appends) — the
+    signature families' ``apply_deletes``/``compact`` cadence."""
+    from kowari_spark.fsutil import exists
 
+    if not exists(spark, f"{path}/{_BM25_TOMBSTONES_DIR}"):
+        return False
+    repair_bm25_layout(spark, path)
+    return True
+
+
+def delete_from_bm25_layout(
+    spark, path: str, ids_df: DataFrame, mode: str = "rewrite"
+) -> None:
+    """Remove documents from a postings layout — the lifecycle verb
+    between dedup and serving: a dedup pass that drops documents
+    otherwise leaves n_docs/sum_dl (and df, via the dead postings)
+    overcounting forever, silently shifting every future score.
     ``ids_df``'s first column is the doomed id set (any name; deduped
-    here). Mechanics, in crash-ordered steps:
+    here; already-tombstoned and absent ids contribute zero, so a
+    double-run is a no-op in both modes). Deleting the entire live
+    corpus refuses — BM25 needs N > 0 (same rule as build); drop the
+    layout dir instead.
+
+    ``mode="rewrite"`` (default — the historical behavior):
 
     1. the doomed documents' exact stat mass (N, Σdl) is read from the
-       STORED postings — (id, dl) is unique per document, ids absent
-       from the layout contribute zero, so a double-run is a no-op;
+       stored postings — (id, dl) is unique per document;
     2. the partition-pruned in-place delete reuses
        ``streaming.ingest.delete_from_layout`` (tb-bucket pruning,
        compaction-lock cooperation, emptied-partition removal) — df
@@ -870,16 +991,44 @@ def delete_from_bm25_layout(spark, path: str, ids_df: DataFrame) -> None:
        bit-identical stats (and scores) to a from-scratch rebuild over
        the survivors (parity-tested).
 
-    Crash window (rows deleted, sidecar not yet rewritten):
-    ``repair_bm25_layout`` recomputes stats from the surviving
-    postings. A layout corrupted by a double-applied append should be
-    repaired BEFORE deleting (step 1 counts each doc once; the
-    inflated sidecar would stay inflated). Deleting the entire corpus
-    refuses — BM25 needs N > 0 (same rule as build); drop the layout
-    dir instead."""
+    But a document's terms hash across ~every ``tb`` bucket, so ANY
+    rewrite-mode delete rewrites ~the whole layout — cost grows with
+    the corpus, not the batch (BASELINE.md delete economics). Hence:
+
+    ``mode="tombstone"``: O(|batch|) — log the doomed documents'
+    ``(id, dl)`` pairs (dl read from stored postings, so the stats
+    correction stays integer-exact) to the layout's ``_tombstones/``
+    and return; nothing is rewritten now. Every probe subtracts the
+    log from BOTH halves of the scoring model (``load_bm25_layout``:
+    bounded anti-join on the postings, N −= |log|, Σdl −= Σlog.dl on
+    the stats — the same arithmetic as the eager decrement), so a
+    tombstoned id stops scoring IMMEDIATELY and bit-identically to the
+    eager path (parity-tested). ``apply_bm25_deletes`` — or any
+    ``repair_bm25_layout``, which folds the log into its sibling-dir
+    swap — performs the physical rewrite at the maintenance window.
+    Caveat (the signature families' rule): the log suppresses the ID
+    wholesale, so re-appending a tombstoned document id requires
+    ``apply_bm25_deletes`` first — otherwise its fresh postings are
+    invisible too.
+
+    Crash windows: rewrite mode (rows deleted, sidecar not yet
+    rewritten) → ``repair_bm25_layout`` recomputes stats from the
+    surviving postings; tombstone mode has none (the log append is the
+    only write, and replaying it is collapsed by the log's distinct
+    read). A layout corrupted by a double-applied append should be
+    repaired BEFORE deleting (the stat pass counts each doc once; the
+    inflated sidecar would stay inflated)."""
     from kowari_spark.fsutil import write_bytes
     from kowari_spark.streaming.ingest import delete_from_layout
 
+    if mode not in ("rewrite", "tombstone"):
+        raise ValueError(
+            f"mode must be 'rewrite' or 'tombstone', got {mode!r}"
+        )
+    # the LIVE view: postings minus any pending tombstones, stats
+    # log-corrected — so the stat mass below never double-counts an
+    # already-logged id and the delete-all refusal checks what probes
+    # can still see
     postings, meta = load_bm25_layout(spark, path)
     id_col = meta["id_col"]
     # PIN the id set before using it twice: the stat job below and the
@@ -890,13 +1039,16 @@ def delete_from_bm25_layout(spark, path: str, ids_df: DataFrame) -> None:
     ids = ids_df.select(
         F.col(ids_df.columns[0]).alias(id_col)
     ).distinct().localCheckpoint()
-    st = (
+    # one materialization serves the stat aggregate AND the log write
+    pairs = (
         postings.select(id_col, "dl")
         .distinct()
         .join(ids, id_col, "left_semi")
-        .agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl"))
-        .first()
+        .localCheckpoint()
     )
+    st = pairs.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
+    ).first()
     n_del, dl_del = int(st["n"]), int(st["sum_dl"] or 0)
     if n_del == 0:
         return
@@ -906,16 +1058,30 @@ def delete_from_bm25_layout(spark, path: str, ids_df: DataFrame) -> None:
             "documents: BM25 needs N > 0 (avgdl is undefined) — drop "
             "the layout directory instead"
         )
+    if mode == "tombstone":
+        (
+            pairs.select(
+                F.col(id_col).alias("__tomb_id"),
+                F.col("dl").alias("__tomb_dl"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(f"{path}/{_BM25_TOMBSTONES_DIR}")
+        )
+        return
     delete_from_layout(
         spark, path, ids, id_col=id_col, partition_cols=("tb",)
     )
-    meta = dict(
-        meta,
-        n_docs=meta["n_docs"] - n_del,
-        sum_dl=meta["sum_dl"] - dl_del,
+    # decrement the STORED sidecar, not the log-corrected view — the
+    # pending log keeps subtracting its own mass at probe time
+    _, raw_meta = load_bm25_layout(spark, path, _raw=True)
+    raw_meta = dict(
+        raw_meta,
+        n_docs=raw_meta["n_docs"] - n_del,
+        sum_dl=raw_meta["sum_dl"] - dl_del,
     )
     write_bytes(
-        spark, f"{path}/{_BM25_META_NAME}", json.dumps(meta).encode()
+        spark, f"{path}/{_BM25_META_NAME}", json.dumps(raw_meta).encode()
     )
 
 

@@ -651,7 +651,7 @@ def stream_into_bm25_layout(
         load_bm25_layout,
     )
 
-    _, meta0 = load_bm25_layout(stream_df.sparkSession, path)
+    _, meta0 = load_bm25_layout(stream_df.sparkSession, path, _raw=True)
     del meta0  # START-time validation only; stats re-read per batch
     ck_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
@@ -664,7 +664,9 @@ def stream_into_bm25_layout(
         if not batch_df.isEmpty():
             # re-load INSIDE the batch: the stats roll must see the
             # previous batch's sidecar, not the stream-start snapshot
-            _, meta = load_bm25_layout(spark, path)
+            # (_raw: the roll must never bake a pending tombstone
+            # log's correction into the stored stats)
+            _, meta = load_bm25_layout(spark, path, _raw=True)
             _append_bm25_rows(
                 spark, path, meta, batch_df, fsutil.write_bytes
             )

@@ -364,6 +364,70 @@ def test_collection_signature_layout_crawl_loop(mgr, spark):
     ] == 4
 
 
+def test_collection_dsir_layout_fit_score_append_unlearn(mgr, spark):
+    """Collection.dsir_layout wires the DSIR facade to the catalog
+    (VERDICT r12 #6): fit over metadata text vs a target corpus, score
+    and top a crawl batch through the handle, roll the batch in
+    (append), exactly unlearn it (remove) — scores return bit-identical
+    to the pre-append model. Reopen validates the sidecar; first build
+    requires target and a non-empty collection."""
+    c = mgr.create_collection("dsir", 4)
+    texts = {
+        "a1": "lazy dog sleeps here", "a2": "lazy dog sleeps again",
+        "a3": "dog sleeps lazy here", "b1": "entirely different words",
+    }
+    for i, vid in enumerate(sorted(texts)):
+        c.add([1.0, float(i), 0.0, 0.0], {"text": texts[vid]}, id=vid)
+
+    target = spark.createDataFrame(
+        [("quick brown fox runs",), ("brown fox quick again",)],
+        "text string",
+    )
+    lay = c.dsir_layout(target=target, buckets=256)
+    assert lay.meta["text_col"] == "text"
+    assert lay.meta["buckets"] == 256
+
+    # doc 1 carries target-only tokens (rare in raw, common in target:
+    # high importance ratio); doc 2 carries raw-common tokens (low)
+    batch = spark.createDataFrame(
+        [(1, "quick brown fox story"), (2, "lazy dog sleeps here")],
+        "doc_id long, text string",
+    )
+    before = sorted(map(tuple, lay.score(batch).collect()))
+    assert len(before) == 2
+    # the target-like doc outranks the raw-like one; top(1) picks it
+    w = {r["doc_id"]: r["dsir_logw"] for r in lay.score(batch).collect()}
+    assert w[1] > w[2]
+    assert [r["doc_id"] for r in lay.top(batch, 1).collect()] == [1]
+
+    # append then exact unlearn: the model returns bit-identical
+    lay.append(batch)
+    after_append = sorted(map(tuple, lay.score(batch).collect()))
+    assert after_append != before  # the roll really changed the model
+    lay.remove(batch)
+    assert sorted(map(tuple, lay.score(batch).collect())) == before
+
+    # reopen: same params reuse the stored fit (target ignored);
+    # diverged params refuse via the sidecar
+    assert c.dsir_layout(buckets=256).meta["buckets"] == 256
+    with pytest.raises(ValueError, match="diverged featurization"):
+        c.dsir_layout(buckets=512)
+    # rebuild needs target again
+    with pytest.raises(ValueError, match="needs target"):
+        c.dsir_layout(buckets=256, rebuild=True)
+    # target missing the text column refuses
+    with pytest.raises(ValueError, match="text.*column"):
+        c.dsir_layout(
+            target=target.withColumnRenamed("text", "body"),
+            buckets=256, rebuild=True,
+        )
+
+    # empty collection refuses the first fit
+    c2 = mgr.create_collection("dsir_empty", 4)
+    with pytest.raises(ValueError, match="no records"):
+        c2.dsir_layout(target=target)
+
+
 def test_collection_curation_surface(mgr, spark):
     """The r11 corpus-curation ops wired onto the Collection (VERDICT
     r11 missing #5): semantic_decontaminate over stored vectors,

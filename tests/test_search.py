@@ -485,6 +485,147 @@ def test_bm25_delete_matches_rebuild(spark, sf_dir, tmp_path):
     assert (m3["n_docs"], m3["sum_dl"]) == (gmeta["n_docs"], gmeta["sum_dl"])
 
 
+def test_bm25_tombstone_delete_matches_eager(spark, sf_dir, tmp_path):
+    """delete_from_bm25_layout(mode='tombstone'): O(|batch|) log write,
+    probes bit-identical to the eager rewrite (postings anti-joined AND
+    stats corrected at load); apply_bm25_deletes performs the physical
+    rewrite windowlessly (repair's sibling-dir swap) and clears the
+    log; double-delete and already-logged ids are no-ops; appends roll
+    the RAW sidecar so the pending log never double-subtracts."""
+    import os
+
+    from kowari_spark.operators.search import (
+        _BM25_TOMBSTONES_DIR,
+        append_bm25_layout,
+        apply_bm25_deletes,
+        bm25_batch_indexed,
+        bm25_search_indexed,
+        build_bm25_layout,
+        delete_from_bm25_layout,
+        load_bm25_layout,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doomed = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    survivors = docs.filter(F.col("doc_id") % 3 != 0)
+    q = "vector hash join batch"
+
+    tomb = str(tmp_path / "bm25_tomb")
+    build_bm25_layout(docs, tomb)
+    clean = str(tmp_path / "bm25_tomb_clean")
+    build_bm25_layout(survivors, clean)
+
+    delete_from_bm25_layout(spark, tomb, doomed, mode="tombstone")
+    assert os.path.exists(f"{tomb}/{_BM25_TOMBSTONES_DIR}")
+    # probe parity: single, batch, and the load-time live view
+    want = [tuple(r) for r in bm25_search_indexed(spark, clean, q).collect()]
+    assert [
+        tuple(r) for r in bm25_search_indexed(spark, tomb, q).collect()
+    ] == want
+    wb = sorted(map(tuple, bm25_batch_indexed(
+        spark, clean, {"a": q, "b": "graph random walk"}).collect()))
+    assert sorted(map(tuple, bm25_batch_indexed(
+        spark, tomb, {"a": q, "b": "graph random walk"}).collect())) == wb
+    live, lmeta = load_bm25_layout(spark, tomb)
+    _, wmeta = load_bm25_layout(spark, clean)
+    assert (lmeta["n_docs"], lmeta["sum_dl"]) == (
+        wmeta["n_docs"], wmeta["sum_dl"]
+    )
+    cols = ["doc_id", "dl", "t", "tf", "tb"]
+    assert sorted(map(tuple, live.select(*cols).collect())) == sorted(
+        map(tuple, spark.read.parquet(clean).select(*cols).collect())
+    )
+
+    # double tombstone-delete: the live view excludes logged ids, so
+    # nothing new is logged and stats stay exact
+    delete_from_bm25_layout(spark, tomb, doomed, mode="tombstone")
+    _, lmeta2 = load_bm25_layout(spark, tomb)
+    assert (lmeta2["n_docs"], lmeta2["sum_dl"]) == (
+        lmeta["n_docs"], lmeta["sum_dl"]
+    )
+
+    # an append while the log is pending must roll the RAW sidecar:
+    # probes then see (raw + batch) - log, not a double subtraction
+    extra = spark.createDataFrame(
+        [(990001, "vector hash join batch probe extra"),
+         (990002, "graph random walk extra")],
+        "doc_id long, text string",
+    )
+    append_bm25_layout(spark, tomb, extra)
+    clean2 = str(tmp_path / "bm25_tomb_clean2")
+    build_bm25_layout(survivors.select("doc_id", "text").unionByName(extra),
+                      clean2)
+    _, lmeta3 = load_bm25_layout(spark, tomb)
+    _, w2 = load_bm25_layout(spark, clean2)
+    assert (lmeta3["n_docs"], lmeta3["sum_dl"]) == (
+        w2["n_docs"], w2["sum_dl"]
+    )
+    assert [
+        tuple(r) for r in bm25_search_indexed(spark, tomb, q).collect()
+    ] == [tuple(r) for r in bm25_search_indexed(spark, clean2, q).collect()]
+
+    # apply: physical rewrite + survivor-exact stats + log cleared,
+    # probes unchanged; a second apply is a no-op (no log)
+    assert apply_bm25_deletes(spark, tomb) is True
+    assert not os.path.exists(f"{tomb}/{_BM25_TOMBSTONES_DIR}")
+    raw, rmeta = load_bm25_layout(spark, tomb, _raw=True)
+    assert (rmeta["n_docs"], rmeta["sum_dl"]) == (
+        w2["n_docs"], w2["sum_dl"]
+    )
+    assert sorted(map(tuple, raw.select(*cols).collect())) == sorted(
+        map(tuple, spark.read.parquet(clean2).select(*cols).collect())
+    )
+    assert [
+        tuple(r) for r in bm25_search_indexed(spark, tomb, q).collect()
+    ] == [tuple(r) for r in bm25_search_indexed(spark, clean2, q).collect()]
+    assert apply_bm25_deletes(spark, tomb) is False
+
+    # tombstoning every live document refuses, same rule as eager
+    import pytest as _pt
+    with _pt.raises(ValueError, match="remove all"):
+        delete_from_bm25_layout(
+            spark, tomb,
+            spark.read.parquet(tomb).select("doc_id"),
+            mode="tombstone",
+        )
+    with _pt.raises(ValueError, match="'rewrite' or 'tombstone'"):
+        delete_from_bm25_layout(spark, tomb, doomed, mode="logical")
+
+
+def test_bm25_tombstone_probe_shuffles_past_broadcast_bound(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """An oversized tombstone log must not reach F.broadcast: past the
+    bounded size probe's threshold the anti-join plans as a plain
+    shuffle join and still returns identical results (VERDICT r12 #3,
+    proven here for the BM25 log; _minus_tombstones shares the hint)."""
+    from kowari_spark.operators.search import (
+        bm25_search_indexed,
+        build_bm25_layout,
+        delete_from_bm25_layout,
+    )
+    from kowari_spark.streaming import ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doomed = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    path = str(tmp_path / "bm25_bigtomb")
+    build_bm25_layout(docs, path)
+    delete_from_bm25_layout(spark, path, doomed, mode="tombstone")
+    q = "vector hash join batch"
+    want = [tuple(r) for r in bm25_search_indexed(spark, path, q).collect()]
+
+    monkeypatch.setattr(ingest, "_DELETE_BROADCAST_MAX", 1)
+    plan = bm25_search_indexed(spark, path, q)
+    assert [tuple(r) for r in plan.collect()] == want
+    # the log-side anti-join must not carry a broadcast hint; AQE may
+    # still choose broadcast at runtime for tiny relations, so check
+    # the pre-AQE optimized plan for the hint we control
+    txt = plan._jdf.queryExecution().optimizedPlan().toString()
+    import re
+    antis = [ln for ln in txt.splitlines() if "LeftAnti" in ln]
+    assert antis and all("broadcast" not in ln.lower() for ln in antis)
+
+
 def test_hybrid_search_indexed_matches_scan_composition(
     spark, sf_dir, tmp_path
 ):
