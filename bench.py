@@ -510,9 +510,29 @@ def _clear_index_caches() -> None:
             shutil.rmtree(path, ignore_errors=True)
 
 
+def _cache_state() -> dict:
+    """Page-cache telemetry at suite start (MemFree/Cached/Buffers MB
+    from /proc/meminfo): round-over-round bench drift has repeatedly
+    adjudicated to cold-cache parquet reads, not code (VERDICT r12's
+    1.12x; r10's similar call) — recording the cache state makes that
+    adjudication mechanical instead of forensic. Zero query-path cost;
+    absent /proc (non-Linux) records nothing."""
+    out = {}
+    try:
+        with open("/proc/meminfo") as fh:
+            for ln in fh:
+                k, _, rest = ln.partition(":")
+                if k in ("MemFree", "Cached", "Buffers", "MemAvailable"):
+                    out[k.lower() + "_mb"] = int(rest.split()[0]) // 1024
+    except OSError:
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    cache0 = _cache_state()
     _clear_index_caches()
     spark = get_session(app="kowari_bench")
 
@@ -548,6 +568,7 @@ def main() -> None:
         "queries": timings,
         "quality": quality,
         "sf": sf,
+        "cache_at_start": cache0,
     }
     # The driver records only the LAST 2000 chars of stdout and parses
     # the JSON line out of that window (BENCH_r06 overflowed it:
@@ -570,6 +591,7 @@ def main() -> None:
         line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1900:
         payload["quality"] = "see bench_full.json"
+        payload["cache_at_start"] = "see bench_full.json"
         line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1900:
         # 1-decimal timings: keeps EVERY per-query line visible to the

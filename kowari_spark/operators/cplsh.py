@@ -180,20 +180,55 @@ class CrossPolytopeLSH:
             "seed": self.seed,
         }
 
+    def _write_meta(self, spark: SparkSession, path: str,
+                    vec_col: str = "embedding", id_col: str = "id") -> None:
+        """Stamp the params sidecar (hash version + dim/tables/seed,
+        plus family/vec_col/id_col provenance for param-free opens via
+        ``dedup_index.open_lsh_layout``) — shared by ``build`` and the
+        streaming sink's first-batch commit."""
+        import json
+
+        from kowari_spark.fsutil import write_bytes
+
+        write_bytes(
+            spark, f"{path}/{self._META_NAME}",
+            json.dumps(dict(
+                self._params(), family="crosspolytope",
+                vec_col=vec_col, id_col=id_col,
+            )).encode(),
+        )
+
+    def _check_meta(self, spark: SparkSession, path: str) -> None:
+        """Verify an existing params sidecar against THIS instance's
+        hashing (subset compare: provenance extras — family, column
+        names — don't participate in the hashing contract). No sidecar
+        → no-op (legacy layouts load unchecked; rebuild to gain the
+        check)."""
+        import json
+
+        from kowari_spark.fsutil import exists, read_bytes
+
+        meta_path = f"{path}/{self._META_NAME}"
+        if not exists(spark, meta_path):
+            return
+        saved = json.loads(read_bytes(spark, meta_path).decode())
+        want = self._params()
+        if {k: saved.get(k) for k in want} != want:
+            raise ValueError(
+                f"CP-LSH layout at {path} was built with {saved}, but "
+                f"this index hashes with {want}; rebuild the layout "
+                "or construct a matching CrossPolytopeLSH"
+            )
+
     def build(self, df: DataFrame, path: str, vec_col: str = "embedding",
               max_records_per_file: int | None = None,
               id_col: str = "id") -> None:
         """Persist the exploded (table, bucket) layout,
         partitionBy(__tbl, bucket) = 2·dim·T dirs, plus a params sidecar
-        (hash version + dim/tables/seed, and family/vec_col/id_col
-        provenance for param-free opens via
-        ``dedup_index.open_lsh_layout``) that ``load`` checks — probing
-        a layout hashed by an incompatible build must error, not lose
-        recall silently. ``max_records_per_file`` rolls big dirs into
-        several scan-parallel files."""
-        import json
-
-        from kowari_spark.fsutil import write_bytes
+        that ``load`` checks — probing a layout hashed by an
+        incompatible build must error, not lose recall silently.
+        ``max_records_per_file`` rolls big dirs into several
+        scan-parallel files."""
         from kowari_spark.operators.lsh import _refuse_empty_build
 
         _refuse_empty_build(df, "CrossPolytopeLSH.build")
@@ -203,34 +238,12 @@ class CrossPolytopeLSH:
         if max_records_per_file is not None:
             w = w.option("maxRecordsPerFile", str(max_records_per_file))
         w.partitionBy("__tbl", "bucket").parquet(path)
-        write_bytes(
-            df.sparkSession, f"{path}/{self._META_NAME}",
-            json.dumps(dict(
-                self._params(), family="crosspolytope",
-                vec_col=vec_col, id_col=id_col,
-            )).encode(),
-        )
+        self._write_meta(df.sparkSession, path, vec_col, id_col)
 
     def load(self, spark: SparkSession, path: str) -> DataFrame:
         """Open a built layout, verifying the params sidecar against
-        THIS instance's hashing when present (legacy layouts without a
-        sidecar load unchecked — rebuild them to get the check).
-        Subset compare: provenance extras (family, column names) don't
-        participate in the hashing contract."""
-        import json
-
-        from kowari_spark.fsutil import exists, read_bytes
-
-        meta_path = f"{path}/{self._META_NAME}"
-        if exists(spark, meta_path):
-            saved = json.loads(read_bytes(spark, meta_path).decode())
-            want = self._params()
-            if {k: saved.get(k) for k in want} != want:
-                raise ValueError(
-                    f"CP-LSH layout at {path} was built with {saved}, but "
-                    f"this index hashes with {want}; rebuild the layout "
-                    "or construct a matching CrossPolytopeLSH"
-                )
+        THIS instance's hashing when present (``_check_meta``)."""
+        self._check_meta(spark, path)
         return spark.read.parquet(path)
 
     # -- query -------------------------------------------------------------

@@ -1337,12 +1337,10 @@ class SignatureLayout:
             def sink(stream_df, checkpoint_dir, **kw):
                 from kowari_spark.streaming import ingest
 
-                if self.meta.get("family") not in ("sign", "multisign"):
-                    raise ValueError(
-                        "streaming maintenance exists for SignLSH / "
-                        "MultiSignLSH layouts; CrossPolytopeLSH layouts "
-                        "rebuild or batch-append"
-                    )
+                # all three embedding families stream: sign/multisign
+                # (round 12) and crosspolytope (round 13) — the sink
+                # dispatches on the instance and appends under the
+                # STORED params either way
                 kw.setdefault(
                     "vec_col", self.meta.get("vec_col", "embedding")
                 )

@@ -312,11 +312,36 @@ def bm25_search_batch(
 
 _BM25_META_NAME = "_bm25_meta.json"
 _BM25_LAYOUT_VERSION = "bm25-postings-v1"
-_BM25_BUCKETS = 64
 #: pending logical deletes — "_"-prefixed so the parquet reader never
 #: mixes the log into the postings relation (the signature layouts'
 #: _tombstones convention, dedup_index.py)
 _BM25_TOMBSTONES_DIR = "_tombstones"
+
+#: buckets="auto" sizing: target postings rows per term bucket. A probe
+#: reads at most |query terms| buckets, so FIXED bytes per bucket keeps
+#: probe cost flat as the corpus grows (the scan-bound keyword half of
+#: hybrid serving at x1000, VERDICT r12 #4) — the same rationale as IVF
+#: sizing n_lists to the corpus. 250k rows ≈ single-digit-MB parquet per
+#: bucket: small enough that a 5-term probe is a trivial read, large
+#: enough that the dir count stays filesystem-friendly.
+_BM25_AUTO_TARGET_ROWS = 250_000
+#: floor: below this the layout behaves like the historical fixed-64
+#: default (small corpora — pruning sharpness over file count); cap:
+#: past ~16k partition dirs the listing/metadata overhead outweighs
+#: sharper pruning — a corpus that saturates the cap pays growing
+#: per-bucket bytes again (the documented n/2^p-style trade; shard the
+#: corpus into multiple layouts if that matters).
+_BM25_AUTO_MIN, _BM25_AUTO_MAX = 64, 16_384
+
+
+def _auto_bm25_buckets(sum_dl: int) -> int:
+    """Resolve ``buckets="auto"`` from the fit corpus's total token
+    count (already computed for the sidecar stats — zero extra jobs).
+    Σdl upper-bounds the postings row count (every token is at most one
+    distinct (doc, term) pair), so the estimate errs toward MORE
+    buckets, i.e. sharper pruning, never oversized ones."""
+    est = max(1, int(sum_dl)) // _BM25_AUTO_TARGET_ROWS + 1
+    return max(_BM25_AUTO_MIN, min(_BM25_AUTO_MAX, est))
 
 
 def _bm25_tombstones(spark, path: str):
@@ -362,15 +387,25 @@ def build_bm25_layout(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    buckets: int = _BM25_BUCKETS,
+    buckets: int | str = "auto",
 ) -> None:
     """Tokenize the corpus ONCE into a term-bucketed postings layout
     with a versioned sidecar carrying the corpus stats (N, Σdl) the
     BM25 denominator needs. ``buckets`` trades pruning sharpness
-    against partition count — 64 means a probe for a q-term query
-    reads at most q/64 of the postings bytes."""
+    against partition count — a probe for a q-term query reads at most
+    q of the buckets. ``"auto"`` (default) sizes the count to the
+    corpus targeting ~fixed postings bytes PER bucket
+    (:func:`_auto_bm25_buckets` — the IVF ``n_lists="auto"``
+    rationale), so per-query probe bytes stay flat as the corpus
+    grows instead of scan-bound; the resolved integer is recorded in
+    the sidecar, where every probe and append reads it. Small corpora
+    resolve to the historical 64."""
     from kowari_spark.fsutil import write_bytes
 
+    if isinstance(buckets, str) and buckets != "auto":
+        raise ValueError(
+            f"buckets must be an int or 'auto', got {buckets!r}"
+        )
     # stats FIRST: an empty corpus must refuse before anything is
     # written (a postings dir without a sidecar is a half-built layout),
     # and avgdl needs n > 0
@@ -383,6 +418,8 @@ def build_bm25_layout(
             "build_bm25_layout over an empty corpus: BM25 needs N > 0 "
             "(avgdl is undefined) — build once data exists, then append"
         )
+    if buckets == "auto":
+        buckets = _auto_bm25_buckets(int(st["sum_dl"] or 0))
     _postings(docs, text_col, id_col, buckets).write.mode(
         "overwrite"
     ).partitionBy("tb").parquet(path)

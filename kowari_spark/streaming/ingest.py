@@ -88,7 +88,7 @@ def _wait_not_compacting(spark, path: str, timeout_secs: float) -> None:
 
 def stream_into_lsh_layout(
     stream_df: DataFrame,
-    lsh,  # SignLSH | MultiSignLSH (CP layouts build offline)
+    lsh,  # SignLSH | MultiSignLSH | CrossPolytopeLSH
     path: str,
     checkpoint_dir: str,
     vec_col: str = "embedding",
@@ -125,6 +125,7 @@ def stream_into_lsh_layout(
     import hashlib
 
     from kowari_spark import fsutil
+    from kowari_spark.operators.cplsh import CrossPolytopeLSH
     from kowari_spark.operators.lsh import (
         _LSH_META_NAME,
         _check_lsh_meta,
@@ -132,14 +133,30 @@ def stream_into_lsh_layout(
     )
 
     bucketed = lsh.with_buckets(stream_df, vec_col)
-    # multi-table instances (MultiSignLSH) emit the exploded
-    # (__tbl, bucket) relation — the sink appends into the same
-    # two-level partitioning their build() writes, so the high-recall
-    # OR-construction gets streaming maintenance too (round 12;
-    # CrossPolytopeLSH keeps its own sidecar format — build offline)
+    # multi-table instances (MultiSignLSH round 12, CrossPolytopeLSH
+    # round 13) emit the exploded (__tbl, bucket) relation — the sink
+    # appends into the same two-level partitioning their build()
+    # writes, so both OR-constructions get streaming maintenance. The
+    # only dispatch difference is the sidecar format: CP layouts carry
+    # _cplsh_meta.json (rotations are a pure function of the recorded
+    # dim/tables/seed, so appends hash under the STORED params)
     pcols = (
         ["__tbl", "bucket"] if "__tbl" in bucketed.columns else ["bucket"]
     )
+    if isinstance(lsh, CrossPolytopeLSH):
+        meta_name = CrossPolytopeLSH._META_NAME
+        check_meta = lambda sp: lsh._check_meta(sp, path)  # noqa: E731
+        write_meta = lambda sp: lsh._write_meta(  # noqa: E731
+            sp, path, vec_col, id_col
+        )
+    else:
+        meta_name = _LSH_META_NAME
+        check_meta = lambda sp: _check_lsh_meta(  # noqa: E731
+            sp, path, lsh._params()
+        )
+        write_meta = lambda sp: _write_lsh_meta(  # noqa: E731
+            sp, path, lsh._params(), vec_col, id_col
+        )
     # validate an EXISTING sidecar before any batch lands: a mismatched
     # stream must refuse here, not after wrong-bucketed rows appended.
     # A NEW layout's sidecar is written inside the sink AFTER the first
@@ -148,8 +165,8 @@ def stream_into_lsh_layout(
     # first probe crashes on schema inference (the sidecar's documented
     # invariant: presence implies committed data)
     spark0 = stream_df.sparkSession
-    if fsutil.exists(spark0, f"{path}/{_LSH_META_NAME}"):
-        _check_lsh_meta(spark0, path, lsh._params())
+    if fsutil.exists(spark0, f"{path}/{meta_name}"):
+        check_meta(spark0)
         preexisting_sidecar_less = False
     else:
         # Decide NOW whether this stream is allowed to stamp the params
@@ -185,9 +202,9 @@ def stream_into_lsh_layout(
         if not batch_df.isEmpty():
             batch_df.write.mode("append").partitionBy(*pcols).parquet(path)
             if not preexisting_sidecar_less and not fsutil.exists(
-                spark, f"{path}/{_LSH_META_NAME}"
+                spark, f"{path}/{meta_name}"
             ):
-                _write_lsh_meta(spark, path, lsh._params(), vec_col, id_col)
+                write_meta(spark)
         fsutil.create_marker(spark, marker)
 
     return (

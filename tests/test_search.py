@@ -485,6 +485,47 @@ def test_bm25_delete_matches_rebuild(spark, sf_dir, tmp_path):
     assert (m3["n_docs"], m3["sum_dl"]) == (gmeta["n_docs"], gmeta["sum_dl"])
 
 
+def test_bm25_auto_buckets(spark, sf_dir, tmp_path):
+    """buckets='auto' (the default) sizes term buckets to the corpus —
+    ~fixed postings rows per bucket so probe bytes stay flat with
+    corpus growth — records the resolved integer in the sidecar, and
+    scores identically to an explicit bucket count (bucketing never
+    affects scores, only pruning)."""
+    from kowari_spark.operators.search import (
+        _auto_bm25_buckets,
+        _BM25_AUTO_MAX,
+        _BM25_AUTO_MIN,
+        _BM25_AUTO_TARGET_ROWS,
+        bm25_search_indexed,
+        build_bm25_layout,
+        load_bm25_layout,
+    )
+
+    # the resolver: floor for small corpora, linear in Σdl, capped
+    assert _auto_bm25_buckets(0) == _BM25_AUTO_MIN
+    assert _auto_bm25_buckets(27_000) == _BM25_AUTO_MIN
+    assert _auto_bm25_buckets(10**9) == 10**9 // _BM25_AUTO_TARGET_ROWS + 1
+    assert _auto_bm25_buckets(10**13) == _BM25_AUTO_MAX
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    auto = str(tmp_path / "bm25_auto")
+    build_bm25_layout(docs, auto)  # default IS auto
+    _, ameta = load_bm25_layout(spark, auto)
+    assert ameta["buckets"] == _auto_bm25_buckets(ameta["sum_dl"])
+    explicit = str(tmp_path / "bm25_explicit")
+    build_bm25_layout(docs, explicit, buckets=13)
+    q = "vector hash join batch"
+    assert [
+        tuple(r) for r in bm25_search_indexed(spark, auto, q).collect()
+    ] == [
+        tuple(r) for r in bm25_search_indexed(spark, explicit, q).collect()
+    ]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="int or 'auto'"):
+        build_bm25_layout(docs, str(tmp_path / "nope"), buckets="huge")
+
+
 def test_bm25_tombstone_delete_matches_eager(spark, sf_dir, tmp_path):
     """delete_from_bm25_layout(mode='tombstone'): O(|batch|) log write,
     probes bit-identical to the eager rewrite (postings anti-joined AND

@@ -1061,3 +1061,83 @@ def test_stream_into_multi_table_lsh_layout(spark, embeddings, tmp_path):
     q3.awaitTermination(120)
     relay = SignatureLayout.open(spark, fresh)
     assert relay.meta.get("family") == "multisign"
+
+
+def test_stream_into_cplsh_layout(spark, embeddings, tmp_path):
+    """The LSH sink also maintains CrossPolytopeLSH layouts (round 13,
+    lifting the r12 build-offline refusal): streamed rows hash under
+    the STORED rotations (sidecar-validated at stream start) into the
+    same (__tbl, bucket) two-level partitioning build() writes —
+    drained layout == batch build over the union, markers gate a
+    re-drain, the sidecar stamps on a fresh stream-only layout, and
+    the facade dispatches stream_into for the crosspolytope family."""
+    from kowari_spark.operators.cplsh import CrossPolytopeLSH
+    from kowari_spark.operators.dedup_index import SignatureLayout
+    from kowari_spark.streaming.ingest import stream_into_lsh_layout
+
+    base = embeddings.select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).limit(200).cache()
+    hist = base.filter(F.col("id") % 2 == 0)
+    new = base.filter(F.col("id") % 2 == 1)
+    cp = CrossPolytopeLSH(dim=64, num_tables=3, seed=9)
+    out = str(tmp_path / "cp_stream")
+    cp.build(hist, out, vec_col="embedding", id_col="id")
+
+    src = str(tmp_path / "cp_src")
+    new.repartition(2).write.parquet(src)
+    lay = SignatureLayout.open(spark, out)  # crosspolytope family
+    q = lay.stream_into(
+        spark.readStream.schema(new.schema).parquet(src),
+        str(tmp_path / "cp_ck"),
+    )
+    q.awaitTermination(120)
+
+    rebuilt = str(tmp_path / "cp_all")
+    cp.build(base, rebuilt, vec_col="embedding", id_col="id")
+    cols = ["id", "__tbl", "bucket"]
+    got = sorted(map(tuple, spark.read.parquet(out).select(*cols).collect()))
+    want = sorted(map(tuple,
+                      spark.read.parquet(rebuilt).select(*cols).collect()))
+    assert got == want
+
+    # probe parity: the drained layout serves queries identically to
+    # the batch rebuild (same stored rotations, same candidates)
+    queries = base.limit(3).select(
+        F.col("id").alias("query_id"), "embedding"
+    )
+    ga = sorted(map(tuple, cp.query_batch(
+        cp.load(spark, out), queries, k=5, id_col="id").collect()))
+    wa = sorted(map(tuple, cp.query_batch(
+        cp.load(spark, rebuilt), queries, k=5, id_col="id").collect()))
+    assert ga == wa
+
+    # re-drain: markers gate it
+    n = len(got)
+    q2 = stream_into_lsh_layout(
+        spark.readStream.schema(new.schema).parquet(src),
+        cp, out, str(tmp_path / "cp_ck"),
+        id_col="id",
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n
+
+    # mismatched hashing refuses at stream START, before any batch
+    import pytest as _pt
+    with _pt.raises(ValueError, match="rebuild the layout"):
+        stream_into_lsh_layout(
+            spark.readStream.schema(new.schema).parquet(src),
+            CrossPolytopeLSH(dim=64, num_tables=3, seed=777),
+            out, str(tmp_path / "cp_ck3"), id_col="id",
+        )
+
+    # sidecar stamping on a FRESH layout fed only by the stream
+    fresh = str(tmp_path / "cp_fresh")
+    q3 = stream_into_lsh_layout(
+        spark.readStream.schema(new.schema).parquet(src),
+        cp, fresh, str(tmp_path / "cp_ck2"),
+        id_col="id",
+    )
+    q3.awaitTermination(120)
+    relay = SignatureLayout.open(spark, fresh)
+    assert relay.meta.get("family") == "crosspolytope"
