@@ -2943,7 +2943,14 @@ def q_doc_dsir_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_doc_dsir_against() -> str:
+def _dsir_oracle(raw_where: str, batch_where: str) -> str:
+    """Shared DuckDB replay of stored-model DSIR scoring: fit raw over
+    ``raw_where``, target over the English slice, score the
+    ``batch_where`` docs — the full pipeline (hashed uni+bigram
+    features, dense add-one-smoothed log-ratios, position-ordered
+    fold, top 50). Parameterized so one proven replay validates both
+    the append-produced layout (fit ∪ roll == one fit) and the
+    remove-produced one (fit − roll == fit over survivors)."""
     h = _SQL_HASH64.format(s="g")
     return f"""
 WITH tk AS (SELECT doc_id, lang, string_split(COALESCE(text, ''), ' ') AS t
@@ -2958,7 +2965,7 @@ bi AS (SELECT doc_id, lang, nt + generate_subscripts(bg, 1) AS pos,
        FROM bl),
 feats AS (SELECT doc_id, lang, pos, ({h}) % 10000 AS b
           FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
-rh AS (SELECT b, COUNT(*) AS cr FROM feats WHERE doc_id % 2 = 0 GROUP BY 1),
+rh AS (SELECT b, COUNT(*) AS cr FROM feats WHERE {raw_where} GROUP BY 1),
 th AS (SELECT b, COUNT(*) AS ct FROM feats WHERE lang = 'en' GROUP BY 1),
 tot AS (SELECT (SELECT COALESCE(SUM(cr), 0) FROM rh) AS totr,
                (SELECT COALESCE(SUM(ct), 0) FROM th) AS tott),
@@ -2970,7 +2977,7 @@ lr AS (SELECT d.b,
        FROM dense d LEFT JOIN rh ON d.b = rh.b LEFT JOIN th ON d.b = th.b
        CROSS JOIN tot),
 per AS (SELECT doc_id, pos, lrv FROM feats JOIN lr ON feats.b = lr.b
-        WHERE doc_id % 2 = 1),
+        WHERE {batch_where}),
 agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
                ROUND(list_reduce(
                  list_concat([0.0], list_transform(
@@ -2980,6 +2987,65 @@ agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
 SELECT doc_id, n_feats, dsir_logw FROM agg
 ORDER BY dsir_logw DESC, doc_id LIMIT 50
 """
+
+
+def _oracle_doc_dsir_against() -> str:
+    return _dsir_oracle("doc_id % 2 = 0", "doc_id % 2 = 1")
+
+
+def _dsir_unlearned_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted DSIR model over raw = the doc_id%3 != 0 two-thirds —
+    PRODUCED VIA THE EXACT-UNLEARN PATH (round 13): fit over ALL
+    documents, then ``remove_from_dsir_layout`` subtracts the
+    doc_id%3==0 third's histogram. build(all) − remove(third) is
+    bit-identical to build(survivors) (hist subtraction is exact
+    integer arithmetic + the shared dense-ratio derivation), so the
+    doc_dsir_unlearned oracle — one fit over the survivors in SQL —
+    validates the unlearned layout itself. Cache sentinel lands after
+    the remove commits (the _dsir_layout marker discipline)."""
+    from kowari_spark.operators.sampling import (
+        build_dsir_layout,
+        remove_from_dsir_layout,
+    )
+
+    def build(p):
+        import os
+
+        docs = _t(spark, sf_dir, "documents")
+        build_dsir_layout(docs, docs.filter(F.col("lang") == "en"), p)
+        remove_from_dsir_layout(
+            spark, p, docs.filter(F.col("doc_id") % 3 == 0), which="raw"
+        )
+        open(os.path.join(p, "_contract_unlearn_done"), "w").close()
+
+    return _cached_layout(
+        sf_dir, "documents", "dsir10k-unl", "dsiru",
+        "_contract_unlearn_done", build,
+    )
+
+
+def q_doc_dsir_unlearned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR exact unlearn (round 13): documents a dedup/curation pass
+    dropped must stop shaping selection, so the stored model is fit
+    over ALL docs and the doomed third is subtracted additively —
+    hist(all) − hist(third) = hist(survivors) in exact integer counts,
+    zeroed buckets drop, ratios rederive from the rolled bits. The
+    scored batch (doc_id%3==1) then ranks EXACTLY as under a model
+    that never saw the removed docs — which is what the oracle fits."""
+    from kowari_spark.operators.sampling import dsir_score_against
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 3 == 1)
+    path = _dsir_unlearned_layout(spark, sf_dir)
+    return (
+        dsir_score_against(spark, path, batch)
+        .orderBy(F.desc("dsir_logw"), F.col("doc_id"))
+        .limit(50)
+    )
+
+
+def _oracle_doc_dsir_unlearned() -> str:
+    return _dsir_oracle("doc_id % 3 <> 0", "doc_id % 3 = 1")
 
 
 def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3073,6 +3139,64 @@ def _oracle_doc_bm25_indexed() -> str:
     from kowari_spark.operators.search import bm25_oracle_sql
 
     return bm25_oracle_sql(_BM25_IDX_QUERY, k=10)
+
+
+def _bm25_tombed_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Postings layout over ALL documents with the doc_id%7==0 slice
+    TOMBSTONED (``delete_from_bm25_layout(mode="tombstone")``, round
+    13): the delete is an O(|batch|) log append of (id, dl) pairs —
+    nothing rewritten — and every probe subtracts the log from BOTH
+    halves of the scoring model at load (bounded anti-join on the
+    postings; exact integer N/Σdl decrement on the stats). Cache
+    sentinel lands only after the tombstone commits, so a crash
+    between build and delete can't poison the cache with an
+    undeleted layout."""
+    from kowari_spark.operators.search import (
+        build_bm25_layout,
+        delete_from_bm25_layout,
+    )
+
+    def build(p):
+        import os
+
+        docs = _t(spark, sf_dir, "documents")
+        build_bm25_layout(docs, p)
+        delete_from_bm25_layout(
+            spark, p,
+            docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+            mode="tombstone",
+        )
+        open(os.path.join(p, "_contract_tomb_done"), "w").close()
+
+    return _cached_layout(
+        sf_dir, "documents", "bm25tomb7", "bm25t",
+        "_contract_tomb_done", build,
+    )
+
+
+def q_doc_bm25_tombed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served over a postings layout carrying PENDING tombstones
+    (the round-13 delete design): one seventh of the corpus is
+    logically deleted — logged, not rewritten — and the probe must
+    score as if those documents never existed: their postings
+    anti-joined away, df self-healed from the surviving postings, and
+    N/avgdl corrected by the log's exact (count, Σdl). The oracle is a
+    from-scratch BM25 replay over the SURVIVING corpus, so a hash
+    match proves the probe-time correction arithmetic end to end."""
+    from kowari_spark.operators.search import bm25_search_indexed
+
+    path = _bm25_tombed_layout(spark, sf_dir)
+    return bm25_search_indexed(spark, path, _BM25_IDX_QUERY, k=10)
+
+
+def _oracle_doc_bm25_tombed() -> str:
+    from kowari_spark.operators.search import bm25_oracle_sql
+
+    return bm25_oracle_sql(
+        _BM25_IDX_QUERY,
+        table="(SELECT * FROM documents WHERE doc_id % 7 <> 0)",
+        k=10,
+    )
 
 
 def q_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4321,12 +4445,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per round (dict order = check order), so rows are ordered by
     # driver-validation age — never/least-recently driver-validated
     # first, most-recently-validated last; every row gets a driver row
-    # at least every two rounds. Round 13 front block: the 39 rows
-    # past round 12's window (orders_cube ... revenue_by_nation, last
-    # driver-green r11; judge re-verified the 38 oracle rows r12).
-    # Round 12's window rows follow in their r12 order and return to
-    # the front in round 14.
+    # at least every two rounds. Round 13 front block: rows NEW this
+    # round (doc_bm25_tombed probes a tombstone-pending postings
+    # layout; doc_dsir_unlearned scores a remove-produced DSIR model),
+    # then the 39 rows past round 12's window (orders_cube ...
+    # revenue_by_nation, last driver-green r11; judge re-verified the
+    # 38 oracle rows r12). Round 12's window rows follow in their r12
+    # order and return to the front in round 14.
     return {
+        # -- new this round
+        "doc_bm25_tombed": q_doc_bm25_tombed,
+        "doc_dsir_unlearned": q_doc_dsir_unlearned,
         # -- past round 12's 50-row window (last driver-green r11)
         "orders_cube": q_orders_cube,
         "nation_set_ops": q_nation_set_ops,
@@ -4424,6 +4553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_bm25_tombed": _oracle_doc_bm25_tombed(),
+        "doc_dsir_unlearned": _oracle_doc_dsir_unlearned(),
         "knn_cosine_top10": _oracle_knn_cosine_top10(),
         "knn_euclidean_top10": _oracle_knn_euclidean_top10(),
         "knn_batch_top5": _oracle_knn_batch_top5(),

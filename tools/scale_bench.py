@@ -472,6 +472,39 @@ def _run_suite(
                 spark, bpath, "vector hash join batch", k=10).collect()))
             rec("bm25_indexed", s, r)
 
+    if want("bm25_auto"):
+        # buckets="auto" A/B (VERDICT r12 #4): the same corpus probed
+        # through the historical fixed-64 layout and the corpus-sized
+        # one. Auto targets ~fixed postings rows PER bucket, so the
+        # probe — which reads at most |query terms| buckets — should
+        # stay FLAT with mult where the b64 line grows scan-bound
+        # (bucket bytes grow linearly once the corpus outruns 64
+        # buckets: x100 resolves to 109, x1000 to 1083).
+        from kowari_spark.operators.search import (
+            bm25_search_indexed,
+            build_bm25_layout,
+            load_bm25_layout,
+        )
+
+        n_doc4 = docs.count()
+        b64 = os.path.join(SCALE_DIR, f"x{mult}", "bm25_postings")
+        if not os.path.exists(os.path.join(b64, "_bm25_meta.json")):
+            build_bm25_layout(docs, b64, buckets=64)
+        apath = os.path.join(SCALE_DIR, f"x{mult}", "bm25_postings_auto")
+        if not os.path.exists(os.path.join(apath, "_bm25_meta.json")):
+            s, _r = timed(lambda: (build_bm25_layout(docs, apath), 1)[1])
+            rec("bm25_auto_build", s, n_doc4)
+        _, am = load_bm25_layout(spark, apath, _raw=True)
+        print(f"  x{mult:<4} auto resolved buckets={am['buckets']}",
+              flush=True)
+        qtxt = "vector hash join batch"
+        s, r = timed(lambda: len(bm25_search_indexed(
+            spark, b64, qtxt, k=10).collect()))
+        rec("bm25_indexed_b64", s, r)
+        s, r = timed(lambda: len(bm25_search_indexed(
+            spark, apath, qtxt, k=10).collect()))
+        rec("bm25_indexed_auto", s, r)
+
     if want("hybrid_serve"):
         # stored-state hybrid serving end to end (round 12, multi-table
         # capable): two keyword+vector queries share ONE pruned postings
@@ -537,6 +570,84 @@ def _run_suite(
                 spark, bpath, tpath, texts, vec_df, k=10, fetch_k=20
             ).collect()))
             rec(f"hybrid_serve_tuned_p{p_tuned}", s, r)
+
+        # BOTH halves sized to the corpus (VERDICT r12 #7): tuned
+        # planes for the vector half, auto buckets for the keyword
+        # half (run the bm25_auto op first to materialize the layout)
+        # — plus the same serve with maintenance pending (a 200-doc
+        # tombstone log on the postings), proving probes stay
+        # tens-of-seconds while deletes queue.
+        apath = os.path.join(SCALE_DIR, f"x{mult}", "bm25_postings_auto")
+        if os.path.exists(os.path.join(apath, "_bm25_meta.json")):
+            vlay = tpath if p_tuned != 6 else mpath
+            s, r = timed(lambda: len(hybrid_batch_indexed(
+                spark, apath, vlay, texts, vec_df, k=10, fetch_k=20
+            ).collect()))
+            rec("hybrid_serve_auto", s, r)
+
+            import shutil as _sh
+
+            from kowari_spark.operators.search import (
+                delete_from_bm25_layout,
+            )
+
+            work = os.path.join(
+                SCALE_DIR, f"x{mult}", "bm25_auto_tombed"
+            )
+            _sh.rmtree(work, ignore_errors=True)
+            _sh.copytree(apath, work)
+            delete_from_bm25_layout(
+                spark, work,
+                docs.select("doc_id").orderBy("doc_id").limit(200),
+                mode="tombstone",
+            )
+            s, r = timed(lambda: len(hybrid_batch_indexed(
+                spark, work, vlay, texts, vec_df, k=10, fetch_k=20
+            ).collect()))
+            rec("hybrid_serve_auto_tombed", s, r)
+            _sh.rmtree(work, ignore_errors=True)
+
+    if want("bm25_delete"):
+        # BM25 delete economics (VERDICT r12 #1): a document's terms
+        # hash across ~every tb bucket, so the eager delete is a ~full
+        # layout rewrite, O(corpus) — while the tombstone delete logs
+        # 200 (id, dl) pairs, O(batch): flat at every mult. Probes
+        # stay bit-exact throughout (probe-parity tests);
+        # apply_bm25_deletes folds the physical rewrite into the
+        # maintenance window via repair's sibling-dir swap.
+        import shutil as _sh
+
+        from kowari_spark.operators.search import (
+            apply_bm25_deletes,
+            bm25_search_indexed,
+            build_bm25_layout,
+            delete_from_bm25_layout,
+        )
+
+        src_lay = os.path.join(SCALE_DIR, f"x{mult}", "bm25_postings")
+        if not os.path.exists(os.path.join(src_lay, "_bm25_meta.json")):
+            build_bm25_layout(docs, src_lay, buckets=64)
+        doomed = docs.select("doc_id").orderBy("doc_id").limit(200)
+        qtxt = "vector hash join batch"
+        work = os.path.join(SCALE_DIR, f"x{mult}", "bm25_del_work")
+
+        _sh.rmtree(work, ignore_errors=True)
+        _sh.copytree(src_lay, work)
+        s, _r = timed(lambda: (delete_from_bm25_layout(
+            spark, work, doomed, mode="tombstone"), 200)[1])
+        rec("bm25_tomb_delete_200", s, 200)
+        s, r = timed(lambda: len(bm25_search_indexed(
+            spark, work, qtxt, k=10).collect()))
+        rec("bm25_indexed_tombed", s, r)
+        s, _r = timed(lambda: (apply_bm25_deletes(spark, work), 200)[1])
+        rec("bm25_apply_deletes", s, 200)
+
+        _sh.rmtree(work, ignore_errors=True)
+        _sh.copytree(src_lay, work)
+        s, _r = timed(lambda: (delete_from_bm25_layout(
+            spark, work, doomed), 200)[1])
+        rec("bm25_eager_delete_200", s, 200)
+        _sh.rmtree(work, ignore_errors=True)
 
     if want("doc_top_bigrams"):
         from kowari_spark.operators.quality import top_ngrams
