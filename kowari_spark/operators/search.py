@@ -420,9 +420,15 @@ def build_bm25_layout(
         )
     if buckets == "auto":
         buckets = _auto_bm25_buckets(int(st["sum_dl"] or 0))
-    _postings(docs, text_col, id_col, buckets).write.mode(
-        "overwrite"
-    ).partitionBy("tb").parquet(path)
+    # repartition on the partition key before the partitioned write
+    # (the CrossPolytopeLSH.build discipline): without it every shuffle
+    # task writes a file into every bucket dir it touches — tasks ×
+    # buckets files (×17 worse under auto-sized bucket counts, measured
+    # stalling the x1000 build) — where this writes ~one file per
+    # bucket and each task carries ~the auto target's row count
+    _postings(docs, text_col, id_col, buckets).repartition(
+        F.col("tb")
+    ).write.mode("overwrite").partitionBy("tb").parquet(path)
     meta = {
         "version": _BM25_LAYOUT_VERSION,
         "text_col": text_col,
@@ -967,7 +973,9 @@ def repair_bm25_layout(spark, path: str) -> None:
         .agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl"))
         .first()
     )
-    clean.write.mode("overwrite").partitionBy("tb").parquet(tmp)
+    clean.repartition(F.col("tb")).write.mode("overwrite").partitionBy(
+        "tb"
+    ).parquet(tmp)
     for name in list_files(spark, f"{path}/_batches"):
         create_marker(spark, f"{tmp}/_batches/{name}")
     meta = dict(meta, n_docs=int(st["n"]), sum_dl=int(st["sum_dl"] or 0))
@@ -1126,9 +1134,11 @@ def _append_bm25_rows(spark, path, meta, new_docs, write_bytes) -> None:
     """Shared append body (batch + streaming sink): postings append
     under the sidecar's params, then the additive stats roll."""
     text_col, id_col = meta["text_col"], meta["id_col"]
-    _postings(new_docs, text_col, id_col, meta["buckets"]).write.mode(
-        "append"
-    ).partitionBy("tb").parquet(path)
+    # one file per touched bucket per append (build's file-count
+    # discipline; compact_bucketed_layout bounds accumulation)
+    _postings(new_docs, text_col, id_col, meta["buckets"]).repartition(
+        F.col("tb")
+    ).write.mode("append").partitionBy("tb").parquet(path)
     st = new_docs.agg(
         F.count("*").alias("n"),
         F.sum(token_count(F.col(text_col))).alias("sum_dl"),
