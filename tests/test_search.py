@@ -585,6 +585,38 @@ def test_bm25_tombstone_delete_matches_eager(spark, sf_dir, tmp_path):
         lmeta["n_docs"], lmeta["sum_dl"]
     )
 
+    # the O(|batch|) text-carrying fast path (zero postings reads)
+    # logs the same exact (id, dl) mass as the postings-derived path
+    tomb2 = str(tmp_path / "bm25_tomb_text")
+    build_bm25_layout(docs, tomb2)
+    delete_from_bm25_layout(
+        spark, tomb2,
+        docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text"),
+        mode="tombstone",
+    )
+    _, tmeta = load_bm25_layout(spark, tomb2)
+    clean3 = str(tmp_path / "bm25_tomb_text_clean")
+    build_bm25_layout(docs.filter(F.col("doc_id") % 3 != 0), clean3)
+    _, cmeta3 = load_bm25_layout(spark, clean3)
+    assert (tmeta["n_docs"], tmeta["sum_dl"]) == (
+        cmeta3["n_docs"], cmeta3["sum_dl"]
+    )
+    assert [
+        tuple(r) for r in bm25_search_indexed(spark, tomb2, q).collect()
+    ] == [
+        tuple(r) for r in bm25_search_indexed(spark, clean3, q).collect()
+    ]
+    # replayed text-path delete collapses in the log's per-id read
+    delete_from_bm25_layout(
+        spark, tomb2,
+        docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text"),
+        mode="tombstone",
+    )
+    _, tmeta2 = load_bm25_layout(spark, tomb2)
+    assert (tmeta2["n_docs"], tmeta2["sum_dl"]) == (
+        tmeta["n_docs"], tmeta["sum_dl"]
+    )
+
     # an append while the log is pending must roll the RAW sidecar:
     # probes then see (raw + batch) - log, not a double subtraction
     extra = spark.createDataFrame(

@@ -633,9 +633,21 @@ def _run_suite(
 
         _sh.rmtree(work, ignore_errors=True)
         _sh.copytree(src_lay, work)
+        # text-carrying batch: the O(|batch|) flat path (dl computed
+        # from the batch text, zero postings reads)
+        doomed_txt = (
+            docs.select("doc_id", "text").orderBy("doc_id").limit(200)
+        )
+        s, _r = timed(lambda: (delete_from_bm25_layout(
+            spark, work, doomed_txt, mode="tombstone"), 200)[1])
+        rec("bm25_tomb_delete_200", s, 200)
+        # id-only batch: dl read from stored postings (bounded
+        # broadcast semi-join over a column-pruned scan — grows with
+        # corpus BYTES but never shuffles the corpus)
+        _sh.rmtree(f"{work}/_tombstones", ignore_errors=True)
         s, _r = timed(lambda: (delete_from_bm25_layout(
             spark, work, doomed, mode="tombstone"), 200)[1])
-        rec("bm25_tomb_delete_200", s, 200)
+        rec("bm25_tomb_delete_id_only", s, 200)
         s, r = timed(lambda: len(bm25_search_indexed(
             spark, work, qtxt, k=10).collect()))
         rec("bm25_indexed_tombed", s, r)
