@@ -752,7 +752,9 @@ def hybrid_search_indexed(
             "hybrid_search_indexed serves layouts of the probing "
             "families (SignLSH / MultiSignLSH / CrossPolytopeLSH)"
         )
-    _, bmeta = load_bm25_layout(spark, bm25_path)
+    # validation + id_col only — _raw skips the tombstone-correction
+    # jobs; the actual scoring load (bm25_*_indexed) applies them
+    _, bmeta = load_bm25_layout(spark, bm25_path, _raw=True)
     id_col = bmeta["id_col"]
     kw_list = bm25_search_indexed(spark, bm25_path, query_text, k=fk)
     id_lsh = lmeta.get("id_col", id_col)
@@ -833,7 +835,9 @@ def hybrid_batch_indexed(
             "hybrid_batch_indexed serves layouts of the batch-probing "
             "families (SignLSH / MultiSignLSH / CrossPolytopeLSH)"
         )
-    _, bmeta = load_bm25_layout(spark, bm25_path)
+    # validation + id_col only — _raw skips the tombstone-correction
+    # jobs; the actual scoring load (bm25_*_indexed) applies them
+    _, bmeta = load_bm25_layout(spark, bm25_path, _raw=True)
     id_col = bmeta["id_col"]
     vec_ids = {
         r[query_id_col]
