@@ -124,7 +124,14 @@ def list_data_files_recursive(spark: SparkSession, path: str) -> list[str]:
     while it.hasNext():
         p = it.next().getPath()
         rel = p.toUri().getPath()[len(base) + 1:]
-        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+        # mirror Spark's own hidden-path rule: "_"/"." prefixes are
+        # hidden UNLESS the segment is a partition dir (contains "=") —
+        # the multi-table layouts' __tbl= level must not vanish from
+        # file-stats walks
+        if any(
+            seg.startswith(("_", ".")) and "=" not in seg
+            for seg in rel.split("/")
+        ):
             continue
         out.append(rel)
     return out

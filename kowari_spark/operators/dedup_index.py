@@ -1589,10 +1589,19 @@ class SignatureLayout:
     }
 
     def partition_col(self) -> str:
-        """The layout's partition column. Embedding layouts: sign
-        family only (multi-table layouts partition by (__tbl, bucket)
-        — compact/maintain those with their own tooling)."""
+        """The layout's SINGLE partition column; multi-table embedding
+        layouts (which partition by (__tbl, bucket)) raise — use
+        :meth:`partition_cols`, which every family supports."""
         return self._pcol()
+
+    def partition_cols(self) -> tuple:
+        """The layout's partition column tuple — what appends fan out
+        over and what compaction rewrites: ``(band,)``-style for the
+        hist families and single-table sign layouts, ``(__tbl,
+        bucket)`` for the multi-table embedding families (resolved
+        from the data, so MultiSignLSH and CrossPolytopeLSH both
+        dispatch right)."""
+        return tuple(self._del_pcols())
 
     def file_stats(self, max_files: int = 4) -> dict:
         """Small-file health from ONE filesystem listing (no Spark
@@ -1605,19 +1614,23 @@ class SignatureLayout:
         compaction every 3-4 appends bounds it (BASELINE.md r11)."""
         from kowari_spark.fsutil import list_data_files_recursive
 
-        pcol = self.partition_col()
-        prefix = f"{pcol}="
+        pcols = self.partition_cols()
+        prefixes = [f"{c}=" for c in pcols]
         counts: dict[str, int] = {}
         for rel in list_data_files_recursive(self.spark, self.path):
-            head, _, rest = rel.partition("/")
-            if rest and head.startswith(prefix):
-                counts[head] = counts.get(head, 0) + 1
+            segs = rel.split("/")
+            # a data file directly under the full partition-dir chain
+            if len(segs) == len(pcols) + 1 and all(
+                s.startswith(p) for s, p in zip(segs, prefixes)
+            ):
+                leaf = "/".join(segs[:-1])
+                counts[leaf] = counts.get(leaf, 0) + 1
         over = sorted(d for d, c in counts.items() if c > max_files)
         from kowari_spark.fsutil import exists
 
         return {
             "kind": self.kind,
-            "partition_col": pcol,
+            "partition_col": pcols[0] if len(pcols) == 1 else list(pcols),
             "n_partitions": len(counts),
             "n_files": sum(counts.values()),
             "max_files_per_partition": max(counts.values(), default=0),
@@ -1645,7 +1658,7 @@ class SignatureLayout:
 
         applied = self.apply_deletes()
         compacted = compact_bucketed_layout(
-            self.spark, self.path, partition_col=self.partition_col(),
+            self.spark, self.path, partition_col=self.partition_cols(),
             max_files=max_files, target_files=target_files,
         )
         if "*" in applied:  # full-rewrite token subsumes every name

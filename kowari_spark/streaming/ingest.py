@@ -219,7 +219,7 @@ def stream_into_lsh_layout(
 def compact_bucketed_layout(
     spark,
     path: str,
-    partition_col: str = "bucket",
+    partition_col="bucket",
     max_files: int = 4,
     target_files: int = 1,
     _post_stage_hook=None,
@@ -228,6 +228,12 @@ def compact_bucketed_layout(
     (streaming micro-batch appends leave one small file per batch per
     touched bucket; N batches x B buckets is the classic small-file
     problem). Returns the partition names that were rewritten.
+    ``partition_col`` is a single column name or a sequence for
+    multi-level layouts (the MultiSignLSH/CrossPolytopeLSH
+    ``(__tbl, bucket)`` two-level partitioning — their streaming
+    appends accumulate small files exactly like the single-level
+    families, so they compact the same way; a leaf dir like
+    ``__tbl=0/bucket=5`` is the compaction unit).
 
     Scale shape:
     - partition file counts come from one Hadoop-FS listing (works on
@@ -301,21 +307,56 @@ def compact_bucketed_layout(
         delete(spark, lock)
 
 
+def _leaf_part_dirs(spark, path, pcols) -> list[str]:
+    """Relative leaf partition dirs (``a=1/b=2``) via one listing per
+    directory level — the compaction/health unit for single- AND
+    multi-level layouts."""
+    from kowari_spark.fsutil import list_dirs
+
+    rels = [""]
+    for c in pcols:
+        prefix = f"{c}="
+        nxt = []
+        for r in rels:
+            base = f"{path}/{r}" if r else path
+            nxt.extend(
+                f"{r}/{d}" if r else d
+                for d in list_dirs(spark, base)
+                if d.startswith(prefix)
+            )
+        rels = nxt
+    return rels
+
+
 def _compact_locked(
     spark, path, partition_col, max_files, target_files,
     _post_stage_hook, _files_of,
 ) -> list[str]:
     from pyspark.sql import functions as F
 
-    from kowari_spark.fsutil import count_data_files, delete, list_dirs
+    from kowari_spark.fsutil import count_data_files, delete
 
-    prefix = f"{partition_col}="
+    pcols = (
+        [partition_col] if isinstance(partition_col, str)
+        else list(partition_col)
+    )
+    # a row's leaf-dir name, computed from its partition VALUES — the
+    # join key between directory listings and DataFrame filters (the
+    # integer partition columns every built layout uses print
+    # identically to their dir names)
+    dir_key = F.concat_ws(
+        "/",
+        *[
+            F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+            for c in pcols
+        ],
+    )
     oversized = []
     snapshot: dict[str, frozenset] = {}
-    for d in list_dirs(spark, path):
-        if d.startswith(prefix) and count_data_files(spark, f"{path}/{d}") > max_files:
-            oversized.append(d[len(prefix):])
-            snapshot[d[len(prefix):]] = _files_of(f"{path}/{d}")
+    for rel in _leaf_part_dirs(spark, path, pcols):
+        if count_data_files(spark, f"{path}/{rel}") > max_files:
+            oversized.append(rel)
+            snapshot[rel] = _files_of(f"{path}/{rel}")
     if not oversized:
         return []
 
@@ -323,14 +364,11 @@ def _compact_locked(
     # from it races the scan against the commit's deletes. The staging
     # dir is underscore-prefixed (invisible to readers of ``path``) and
     # already repartitioned, so the final overwrite is a pure move-shaped
-    # rewrite. Values arrive as directory-name strings; cast against the
-    # layout's inferred partition type. The salt fans each bucket out to
-    # ``target_files`` tasks (a bare repartition on the partition column
-    # would hash-route every bucket to ONE task regardless of n).
+    # rewrite. The salt fans each leaf out to ``target_files`` tasks (a
+    # bare repartition on the partition columns would hash-route every
+    # leaf to ONE task regardless of n).
     staging = f"{path}/_compact_staging"
-    backlog = spark.read.parquet(path).filter(
-        F.col(partition_col).cast("string").isin(oversized)
-    )
+    backlog = spark.read.parquet(path).filter(dir_key.isin(oversized))
     tf = max(1, target_files)
     # deterministic per-row salt (content hash): safe under task retry,
     # unlike monotonically_increasing_id-style salts. Persisted into the
@@ -338,51 +376,52 @@ def _compact_locked(
     salt = F.pmod(F.hash(*[F.col(c) for c in backlog.columns]), F.lit(tf))
     (
         backlog.withColumn("__salt", salt)
-        .repartition(max(1, len(oversized) * tf), F.col(partition_col), F.col("__salt"))
+        .repartition(
+            max(1, len(oversized) * tf),
+            *[F.col(c) for c in pcols], F.col("__salt"),
+        )
         .write.mode("overwrite")
         .parquet(staging)
     )
     if _post_stage_hook is not None:
         _post_stage_hook()  # test seam: injects a concurrent append
-    # re-list each staged bucket: any bucket a writer touched since the
+    # re-list each staged leaf: any leaf a writer touched since the
     # snapshot is dropped from the swap (its staged copy is stale)
-    safe = [v for v in oversized if _files_of(f"{path}/{prefix}{v}") == snapshot[v]]
+    safe = [v for v in oversized if _files_of(f"{path}/{v}") == snapshot[v]]
     if not safe:
         delete(spark, staging)
         return []
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        # exactly ``target_files`` file(s) per rewritten bucket: one
+        # exactly ``target_files`` file(s) per rewritten leaf: one
         # union leg per salt value, each leg hash-repartitioned on the
-        # partition column alone. Within a leg every bucket's rows land
+        # partition columns alone. Within a leg every leaf's rows land
         # in ONE task (hash routing), and the union keeps each leg's
         # shuffle partitions as separate writer tasks, so each non-empty
-        # leg contributes exactly one file per bucket dir. (A single
-        # repartition on (bucket, salt) can collide two salt groups of
-        # the same bucket into one task and silently halve the fan-out;
+        # leg contributes exactly one file per leaf dir. (A single
+        # repartition on (leaf, salt) can collide two salt groups of
+        # the same leaf into one task and silently halve the fan-out;
         # range-partitioning a dense group index is sampling-dependent.)
-        staged = spark.read.parquet(staging).filter(
-            F.col(partition_col).cast("string").isin(safe)
-        )
+        staged = spark.read.parquet(staging).filter(dir_key.isin(safe))
         # the +s keeps each leg's partitioning distinct: identically
         # partitioned union children get zipped back into one task set
         # (verified against Spark 4's adaptive plan), which would merge
         # the legs' files again
         legs = [
             staged.filter(F.col("__salt") == s)
-            .repartition(max(1, len(safe)) + s, F.col(partition_col))
+            .repartition(max(1, len(safe)) + s, *[F.col(c) for c in pcols])
             .drop("__salt")
             for s in range(tf)
         ]
         final = legs[0]
         for leg in legs[1:]:
             final = final.unionByName(leg)
-        final.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        final.write.mode("overwrite").partitionBy(*pcols).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         delete(spark, staging)
-    return [f"{prefix}{v}" for v in safe]
+    return safe
 
 
 def stream_into_quantized_layout(

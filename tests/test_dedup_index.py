@@ -1487,3 +1487,59 @@ def test_tombstone_delete_all_hist_families(spark, halves, media_halves,
         stored = {r[idc] for r in
                   spark.read.parquet(p).select(idc).collect()}
         assert not stored & set(doomed), kind
+
+
+def test_facade_compact_multi_table_layouts(spark, embeddings, tmp_path):
+    """compact()/file_stats() cover the (__tbl, bucket) two-level
+    embedding layouts (round 13): their streaming/batch appends
+    accumulate small files per LEAF dir exactly like the single-level
+    families, so the generalized compactor rewrites oversized leaves
+    with NO data change — for MultiSignLSH and CrossPolytopeLSH both.
+    partition_col() keeps its single-column contract (raises);
+    partition_cols() is the every-family surface."""
+    import pytest as _pt
+
+    from kowari_spark.operators.cplsh import CrossPolytopeLSH
+    from kowari_spark.operators.dedup_index import SignatureLayout
+    from kowari_spark.operators.lsh import MultiSignLSH
+
+    base = embeddings.select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).limit(240).cache()
+    hist = base.filter(F.col("id") % 2 == 0)
+    probe_q = base.filter(F.col("id") % 2 == 1).limit(8)
+
+    insts = {
+        "mlsh": MultiSignLSH(dim=64, num_planes=2, num_tables=2, seed=5),
+        "cp": CrossPolytopeLSH(dim=64, num_tables=2, seed=5),
+    }
+    for tag, inst in insts.items():
+        path = str(tmp_path / f"compact_{tag}")
+        inst.build(hist, path, vec_col="embedding", id_col="id")
+        lay = SignatureLayout.open(spark, path)
+        assert lay.partition_cols() == ("__tbl", "bucket")
+        with _pt.raises(ValueError, match="single-table"):
+            lay.partition_col()
+        for i in range(1, 4):
+            lay.append(base.filter(F.col("id") % 8 == i))
+        st = lay.file_stats(max_files=1)
+        assert st["partition_col"] == ["__tbl", "bucket"]
+        assert st["max_files_per_partition"] > 1 and st["partitions_over"]
+        assert all("/" in d for d in st["partitions_over"])  # leaf names
+
+        before = sorted(map(tuple, inst.query_batch(
+            inst.load(spark, path),
+            probe_q.select(F.col("id").alias("query_id"), "embedding"),
+            k=5, id_col="id",
+        ).collect()))
+        rewritten = lay.compact(max_files=1)
+        assert rewritten and all("/" in d for d in rewritten)
+        st2 = lay.file_stats(max_files=1)
+        assert st2["max_files_per_partition"] <= 1
+        assert st2["n_files"] < st["n_files"]
+        after = sorted(map(tuple, inst.query_batch(
+            inst.load(spark, path),
+            probe_q.select(F.col("id").alias("query_id"), "embedding"),
+            k=5, id_col="id",
+        ).collect()))
+        assert after == before  # compaction changed no data
