@@ -581,6 +581,79 @@ class Collection:
                 )
         return DsirLayout.open(self.spark, path)
 
+    def bm25_layout(
+        self,
+        key: str = "text",
+        buckets: int | str = "auto",
+        rebuild: bool = False,
+    ):
+        """Build-or-open the collection's persisted BM25 postings
+        layout (keyword search over the metadata JSON field ``key``,
+        stored under ``indexes/bm25``) and return the
+        :class:`~kowari_spark.operators.search.Bm25Layout` facade —
+        the keyword half of serving, on the catalog surface like its
+        siblings (``signature_layout``, ``dsir_layout``):
+
+        >>> lay = coll.bm25_layout()
+        >>> hits = lay.search("vector hash join", k=10)
+        >>> lay.delete(dropped_ids)          # tombstone by default
+        >>> lay.apply_deletes()              # maintenance cadence
+
+        The postings index the collection's text as read from metadata
+        (records whose metadata lacks ``key`` index as the empty string
+        — the engine-wide NULL-text-as-'' convention, so they match no
+        real query term but still count toward N/avgdl); the stored
+        ``text_col`` is ``key``,
+        so appends/deletes of crawl batches use their natural ``text``
+        column. First build requires a non-empty collection; reopening
+        REFUSES a text-col mismatch (diverged tokenization silently
+        mis-ranks everything) and, when an integer ``buckets`` is
+        passed, a bucket-count mismatch; ``buckets="auto"`` (default)
+        accepts whatever the sidecar recorded. The layout reflects the
+        snapshot it was built from plus explicit ``append``/``delete``
+        calls — after bulk rewrites, pass ``rebuild=True``."""
+        from kowari_spark.functions.metadata import meta_field
+        from kowari_spark.operators.search import (
+            _BM25_META_NAME,
+            Bm25Layout,
+            build_bm25_layout,
+        )
+
+        path = os.path.join(self.path, "indexes", "bm25")
+        if rebuild or not os.path.exists(
+            os.path.join(path, _BM25_META_NAME)
+        ):
+            docs = self.df().select(
+                "id",
+                F.coalesce(
+                    meta_field("metadata", key), F.lit("")
+                ).alias(key),
+            )
+            if not docs.limit(1).count():
+                raise ValueError(
+                    f"collection {self.name!r} holds no records yet — "
+                    "add data before building its BM25 layout"
+                )
+            build_bm25_layout(
+                docs, path, text_col=key, id_col="id", buckets=buckets
+            )
+        lay = Bm25Layout.open(self.spark, path)
+        if lay.meta.get("text_col") != key:
+            raise ValueError(
+                f"collection BM25 layout at {path} indexes "
+                f"{lay.meta.get('text_col')!r}; reopening with "
+                f"key={key!r} would probe under diverged tokenization "
+                "— pass the build-time key or rebuild=True"
+            )
+        if isinstance(buckets, int) and lay.meta.get("buckets") != buckets:
+            raise ValueError(
+                f"collection BM25 layout at {path} was built with "
+                f"buckets={lay.meta.get('buckets')}; reopening with "
+                f"buckets={buckets} mismatches — pass 'auto' to accept "
+                "the stored geometry, or rebuild=True"
+            )
+        return lay
+
     # -- writes ----------------------------------------------------------
 
     def _validate_dims(self, df: DataFrame) -> None:

@@ -1027,6 +1027,91 @@ def apply_bm25_deletes(spark, path: str) -> bool:
     return True
 
 
+class Bm25Layout:
+    """Facade handle over a built BM25 postings layout — the
+    ``SignatureLayout``/``DsirLayout`` precedent applied to keyword
+    serving: one object carrying (path, params) with the serve verbs
+    (``search``, ``search_batch``) and the lifecycle verbs (``append``,
+    ``delete``, ``apply_deletes``, ``repair``, ``stream_into``,
+    ``stats``) bound to it. Every verb delegates to the module function
+    of the same contract (bit-parity with the scan path, tombstone
+    probe-time correction, sibling-swap crash safety — their
+    docstrings); nothing here adds semantics.
+
+    >>> lay = Bm25Layout.open(spark, path)   # or coll.bm25_layout()
+    >>> hits = lay.search("vector hash join", k=10)
+    >>> lay.append(new_crawl_docs)
+    >>> lay.delete(deduped_away)             # tombstone by default
+    >>> lay.apply_deletes()                  # at maintenance cadence
+    """
+
+    def __init__(self, spark, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        #: the layout's frozen params (version/text_col/id_col/buckets)
+        #: — live corpus stats come from :meth:`stats`, which reads the
+        #: tombstone-corrected view per call instead of going stale
+        self.meta = meta
+
+    @classmethod
+    def open(cls, spark, path: str) -> "Bm25Layout":
+        """Open a built layout (validates sidecar + version)."""
+        _, meta = load_bm25_layout(spark, path, _raw=True)
+        return cls(spark, path, meta)
+
+    def stats(self) -> dict:
+        """The LIVE corpus stats probes score under: (n_docs, sum_dl)
+        with any pending tombstone log already subtracted."""
+        _, m = load_bm25_layout(self.spark, self.path)
+        return {"n_docs": m["n_docs"], "sum_dl": m["sum_dl"]}
+
+    def search(self, query: str, k: int = 10, **kw) -> DataFrame:
+        """Top-``k`` for one query from the stored postings
+        (:func:`bm25_search_indexed` — bit-identical to the scan
+        path)."""
+        return bm25_search_indexed(self.spark, self.path, query, k, **kw)
+
+    def search_batch(self, queries: dict, k: int = 10, **kw) -> DataFrame:
+        """Per-query top-``k`` for a batch — ONE pruned postings scan
+        (:func:`bm25_batch_indexed`)."""
+        return bm25_batch_indexed(self.spark, self.path, queries, k, **kw)
+
+    def append(self, new_docs: DataFrame) -> None:
+        """Tokenize under the stored params, append postings, roll the
+        sidecar stats additively (:func:`append_bm25_layout`)."""
+        append_bm25_layout(self.spark, self.path, new_docs)
+
+    def delete(self, ids_df: DataFrame, mode: str = "tombstone") -> None:
+        """Remove documents (:func:`delete_from_bm25_layout`). Default
+        ``mode="tombstone"`` — deliberately NOT the module default: the
+        facade is the curation-loop surface, and for BM25 there is no
+        cheap pruned-rewrite case to prefer (a document's terms hash
+        across ~every bucket, so ANY rewrite is O(layout) — BASELINE
+        r13 delete economics). Pass the layout's text column in
+        ``ids_df`` for the O(|batch|) flat path."""
+        delete_from_bm25_layout(self.spark, self.path, ids_df, mode)
+
+    def apply_deletes(self) -> bool:
+        """Physically apply the pending tombstone log
+        (:func:`apply_bm25_deletes` — windowless sibling swap)."""
+        return apply_bm25_deletes(self.spark, self.path)
+
+    def repair(self) -> None:
+        """Restore after an unclean sink shutdown
+        (:func:`repair_bm25_layout`, dedup pass included)."""
+        repair_bm25_layout(self.spark, self.path)
+
+    def stream_into(self, stream_df: DataFrame, checkpoint_dir: str, **kw):
+        """The marker-gated streaming append sink
+        (``streaming.ingest.stream_into_bm25_layout``); returns the
+        query."""
+        from kowari_spark.streaming.ingest import stream_into_bm25_layout
+
+        return stream_into_bm25_layout(
+            stream_df, self.path, checkpoint_dir, **kw
+        )
+
+
 def delete_from_bm25_layout(
     spark, path: str, ids_df: DataFrame, mode: str = "rewrite"
 ) -> None:

@@ -428,6 +428,66 @@ def test_collection_dsir_layout_fit_score_append_unlearn(mgr, spark):
         c2.dsir_layout(target=target)
 
 
+def test_collection_bm25_layout_lifecycle(mgr, spark):
+    """Collection.bm25_layout wires keyword serving to the catalog
+    (round 13, the signature_layout/dsir_layout precedent): build over
+    metadata text, search/search_batch through the handle, append a
+    crawl batch, tombstone-delete + apply — scores track a from-scratch
+    view of the surviving corpus throughout. Reopen validates the
+    sidecar; empty collections refuse."""
+    from kowari_spark.operators.search import bm25_search
+
+    c = mgr.create_collection("kw", 4)
+    texts = {
+        "a1": "vector hash join batch", "a2": "vector hash probe",
+        "a3": "lazy dog sleeps here", "b1": "entirely different words",
+        "b2": "hash join again",
+    }
+    for i, vid in enumerate(sorted(texts)):
+        c.add([1.0, float(i), 0.0, 0.0], {"text": texts[vid]}, id=vid)
+    c.add([0.0, 1.0, 0.0, 0.0], None, id="nometa")  # NULL metadata
+
+    lay = c.bm25_layout()
+    assert lay.meta["text_col"] == "text" and lay.meta["id_col"] == "id"
+    st = lay.stats()
+    assert st["n_docs"] == 6  # nometa indexes as '' but counts
+
+    # handle search == scan-path bm25 over the same projected corpus
+    corpus = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()] + [("nometa", "")],
+        "id string, text string",
+    )
+    q = "hash join"
+    want = [tuple(r) for r in bm25_search(corpus, q, id_col="id").collect()]
+    assert [tuple(r) for r in lay.search(q).collect()] == want
+    got_b = lay.search_batch({"q1": q, "q2": "vector"}).collect()
+    assert {r["query_id"] for r in got_b} == {"q1", "q2"}
+
+    # crawl append then tombstone delete + apply: scores track a
+    # from-scratch view of the survivors at every step
+    extra = spark.createDataFrame(
+        [("c1", "hash join everywhere")], "id string, text string"
+    )
+    lay.append(extra)
+    assert lay.stats()["n_docs"] == 7
+    lay.delete(extra)  # id-only frame -> postings-derived dl
+    assert lay.stats()["n_docs"] == 6
+    assert [tuple(r) for r in lay.search(q).collect()] == want
+    assert lay.apply_deletes() is True
+    assert [tuple(r) for r in lay.search(q).collect()] == want
+
+    # reopen: stored geometry accepted under 'auto'; mismatches refuse
+    assert c.bm25_layout().meta["buckets"] == lay.meta["buckets"]
+    with pytest.raises(ValueError, match="diverged tokenization"):
+        c.bm25_layout(key="body")
+    with pytest.raises(ValueError, match="buckets="):
+        c.bm25_layout(buckets=lay.meta["buckets"] + 1)
+
+    c2 = mgr.create_collection("kw_empty", 4)
+    with pytest.raises(ValueError, match="no records"):
+        c2.bm25_layout()
+
+
 def test_collection_curation_surface(mgr, spark):
     """The r11 corpus-curation ops wired onto the Collection (VERDICT
     r11 missing #5): semantic_decontaminate over stored vectors,
