@@ -654,6 +654,42 @@ class Collection:
             )
         return lay
 
+    def hybrid_search(
+        self,
+        query_text: str,
+        query_vec,
+        k: int = 10,
+        key: str = "text",
+        fetch_k: int | None = None,
+        k0: int = 60,
+        weights=None,
+        round_to: int | None = 6,
+    ) -> DataFrame:
+        """One hybrid (keyword + vector) query served ENTIRELY from
+        the collection's stored layouts — the serving composition the
+        two facades exist for: the keyword list probes
+        ``bm25_layout(key=key)``'s postings (built on first use), the
+        vector list probes ``signature_layout()``'s sign-LSH buckets
+        over the stored embeddings, fused by reciprocal-rank fusion
+        (``search.hybrid_search_indexed`` — its pruning, fallback, and
+        fusion contracts). Returns (id, rrf_score, n_lists) top-``k``.
+
+        >>> coll.hybrid_search("vector hash join", qvec, k=10)
+
+        Both layouts reflect the snapshots they were built from plus
+        explicit appends — after bulk rewrites, rebuild them
+        (``bm25_layout(rebuild=True)`` /
+        ``signature_layout(rebuild=True)``)."""
+        from kowari_spark.operators.search import hybrid_search_indexed
+
+        bm25 = self.bm25_layout(key=key)
+        sig = self.signature_layout()
+        return hybrid_search_indexed(
+            self.spark, bm25.path, sig.path, query_text, query_vec,
+            k=k, fetch_k=fetch_k, k0=k0, weights=weights,
+            round_to=round_to,
+        )
+
     # -- writes ----------------------------------------------------------
 
     def _validate_dims(self, df: DataFrame) -> None:

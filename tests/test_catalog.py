@@ -487,6 +487,23 @@ def test_collection_bm25_layout_lifecycle(mgr, spark):
     with pytest.raises(ValueError, match="no records"):
         c2.bm25_layout()
 
+    # hybrid serving from the collection's two stored layouts: equal
+    # to hand-composing hybrid_search_indexed over the same paths
+    import os as _os
+
+    from kowari_spark.operators.search import hybrid_search_indexed
+
+    qvec = [1.0, 0.0, 0.0, 0.0]
+    got = [tuple(r) for r in c.hybrid_search(q, qvec, k=3).collect()]
+    want_h = [tuple(r) for r in hybrid_search_indexed(
+        spark,
+        _os.path.join(c.path, "indexes", "bm25"),
+        _os.path.join(c.path, "indexes", "lsh"),
+        q, qvec, k=3,
+    ).collect()]
+    assert got == want_h and len(got) > 0
+    assert {r[0] for r in got} <= set(texts) | {"nometa"}
+
 
 def test_collection_curation_surface(mgr, spark):
     """The r11 corpus-curation ops wired onto the Collection (VERDICT
