@@ -4445,68 +4445,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per round (dict order = check order), so rows are ordered by
     # driver-validation age — never/least-recently driver-validated
     # first, most-recently-validated last; every row gets a driver row
-    # at least every two rounds. Round 13 front block: rows NEW this
-    # round (doc_bm25_tombed probes a tombstone-pending postings
-    # layout; doc_dsir_unlearned scores a remove-produced DSIR model),
-    # then the 39 rows past round 12's window (orders_cube ...
-    # revenue_by_nation, last driver-green r11; judge re-verified the
-    # 38 oracle rows r12). Round 12's window rows follow in their r12
-    # order and return to the front in round 14.
+    # at least every two rounds. Round 14 front block: events_hll_users
+    # (written round 7, registered THIS round — never driver-validated),
+    # then the 41 rows past round 13's window (orders_fast_lines ...
+    # revenue_rollup, judge re-verified 41/41 hash-green r13). Round
+    # 13's window rows follow in their r13 order and return to the
+    # front in round 15.
     return {
-        # -- new this round
-        "doc_bm25_tombed": q_doc_bm25_tombed,
-        "doc_dsir_unlearned": q_doc_dsir_unlearned,
-        # -- past round 12's 50-row window (last driver-green r11)
-        "orders_cube": q_orders_cube,
-        "nation_set_ops": q_nation_set_ops,
-        "customer_strings": q_customer_strings,
-        "orders_by_month": q_orders_by_month,
-        "doc_dedup_keep_star": q_doc_dedup_keep_star,
-        "doc_minhash_tuned": q_doc_minhash_tuned,
-        "doc_simhash_star": q_doc_simhash_star,
-        "doc_winnow_star": q_doc_winnow_star,
-        "doc_bm25_top10": q_doc_bm25_top10,
-        "doc_bm25_batch": q_doc_bm25_batch,
-        "doc_hybrid_rrf": q_doc_hybrid_rrf,
-        "doc_mixture_sample": q_doc_mixture_sample,
-        "doc_top_bigrams": q_doc_top_bigrams,
-        "doc_surprisal": q_doc_surprisal,
-        "doc_dup_spans": q_doc_dup_spans,
-        "doc_despan": q_doc_despan,
-        "doc_repetition": q_doc_repetition,
-        "doc_pii_scrub": q_doc_pii_scrub,
-        "events_retention": q_events_retention,
-        "embedding_near_dups": q_embedding_near_dups,
-        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
-        "embedding_semantic_dedup": q_embedding_semantic_dedup,
-        "media_pipeline": q_media_pipeline,
-        "media_near_dups": q_media_near_dups,
-        "similarity_join": q_similarity_join,
-        "knn_cosine_top10": q_knn_cosine_top10,
-        "knn_euclidean_top10": q_knn_euclidean_top10,
-        "media_dedup_against": q_media_dedup_against,
-        "doc_simhash_keep": q_doc_simhash_keep,
-        "doc_bm25_indexed": q_doc_bm25_indexed,
-        "doc_dsir_top": q_doc_dsir_top,
-        "knn_batch_top5": q_knn_batch_top5,
-        "lsh_knn_top10": q_lsh_knn_top10,
-        "vector_stats": q_vector_stats,
-        "knn_manhattan_top10": q_knn_manhattan_top10,
-        "knn_quantized_top10": q_knn_quantized_top10,
-        "vector_normalize": q_vector_normalize,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        # -- round-12 window rows (driver-green r12), r12 order;
-        # they return to the front in round 14
-        "doc_dsir_against": q_doc_dsir_against,
-        "doc_hybrid_batch_multi": q_doc_hybrid_batch_multi,
-        "brand_revenue": q_brand_revenue,
-        "top_customer_per_nation": q_top_customer_per_nation,
-        "events_hourly": q_events_hourly,
-        "events_sessions": q_events_sessions,
-        "events_sliding": q_events_sliding,
-        "customers_without_orders": q_customers_without_orders,
-        "events_asof": q_events_asof,
+        # -- registered this round (never driver-validated)
+        "events_hll_users": q_events_hll_users,
+        # -- past round 13's 50-row window (judge-green r13)
         "orders_fast_lines": q_orders_fast_lines,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_quality": q_doc_lang_quality,
@@ -4548,11 +4496,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_stats": q_events_props_stats,
         "events_kmv_users": q_events_kmv_users,
         "revenue_rollup": q_revenue_rollup,
+        # -- round-13 window rows (driver-green r13), r13 order;
+        # they return to the front in round 15
+        "doc_bm25_tombed": q_doc_bm25_tombed,
+        "doc_dsir_unlearned": q_doc_dsir_unlearned,
+        "orders_cube": q_orders_cube,
+        "nation_set_ops": q_nation_set_ops,
+        "customer_strings": q_customer_strings,
+        "orders_by_month": q_orders_by_month,
+        "doc_dedup_keep_star": q_doc_dedup_keep_star,
+        "doc_minhash_tuned": q_doc_minhash_tuned,
+        "doc_simhash_star": q_doc_simhash_star,
+        "doc_winnow_star": q_doc_winnow_star,
+        "doc_bm25_top10": q_doc_bm25_top10,
+        "doc_bm25_batch": q_doc_bm25_batch,
+        "doc_hybrid_rrf": q_doc_hybrid_rrf,
+        "doc_mixture_sample": q_doc_mixture_sample,
+        "doc_top_bigrams": q_doc_top_bigrams,
+        "doc_surprisal": q_doc_surprisal,
+        "doc_dup_spans": q_doc_dup_spans,
+        "doc_despan": q_doc_despan,
+        "doc_repetition": q_doc_repetition,
+        "doc_pii_scrub": q_doc_pii_scrub,
+        "events_retention": q_events_retention,
+        "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "embedding_semantic_dedup": q_embedding_semantic_dedup,
+        "media_pipeline": q_media_pipeline,
+        "media_near_dups": q_media_near_dups,
+        "similarity_join": q_similarity_join,
+        "knn_cosine_top10": q_knn_cosine_top10,
+        "knn_euclidean_top10": q_knn_euclidean_top10,
+        "media_dedup_against": q_media_dedup_against,
+        "doc_simhash_keep": q_doc_simhash_keep,
+        "doc_bm25_indexed": q_doc_bm25_indexed,
+        "doc_dsir_top": q_doc_dsir_top,
+        "knn_batch_top5": q_knn_batch_top5,
+        "lsh_knn_top10": q_lsh_knn_top10,
+        "vector_stats": q_vector_stats,
+        "knn_manhattan_top10": q_knn_manhattan_top10,
+        "knn_quantized_top10": q_knn_quantized_top10,
+        "vector_normalize": q_vector_normalize,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "doc_dsir_against": q_doc_dsir_against,
+        "doc_hybrid_batch_multi": q_doc_hybrid_batch_multi,
+        "brand_revenue": q_brand_revenue,
+        "top_customer_per_nation": q_top_customer_per_nation,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+        "events_sliding": q_events_sliding,
+        "customers_without_orders": q_customers_without_orders,
+        "events_asof": q_events_asof,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_hll_users": _oracle_events_hll_users(),
         "doc_bm25_tombed": _oracle_doc_bm25_tombed(),
         "doc_dsir_unlearned": _oracle_doc_dsir_unlearned(),
         "knn_cosine_top10": _oracle_knn_cosine_top10(),

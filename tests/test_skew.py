@@ -104,3 +104,55 @@ def test_salted_join_rejects_outer_modes(spark, skewed):
     for how in ("right", "full", "full_outer", "right_outer"):
         with pytest.raises(ValueError, match="big-side-driven"):
             salted_join(skewed, dim, ["k"], n_salts=8, how=how)
+
+
+def test_hll_distinct_register_math_and_determinism(spark):
+    """Pins hll_distinct (operators/sketch.py): small groups land in the
+    linear-counting branch and must reproduce the driver-computed
+    m*ln(m/V) literal exactly; large groups use the raw HLL estimator
+    within the ~1.04/sqrt(m) error band; duplicates never inflate; the
+    estimate is bit-deterministic run-to-run (portable md5 hash, no RNG)."""
+    import math
+
+    from kowari_spark.operators.sketch import (
+        hll_distinct,
+        hll_linear_count_literals,
+    )
+
+    p, m = 6, 64
+    small = spark.range(12).select(F.lit("small").alias("g"), F.col("id").alias("v"))
+    big = spark.range(5000).select(F.lit("big").alias("g"), (F.col("id") + 10_000).alias("v"))
+    df = small.unionByName(small).unionByName(big)  # dup the small group
+    got = {r["g"]: r["distinct_est"] for r in
+           hll_distinct(df, ["g"], "v", p=p).collect()}
+    # 'small' has 12 distinct values -> at most 12 registers hit -> V >= 52
+    # empty registers -> e_raw is tiny -> linear-counting branch. The
+    # estimate must be EXACTLY one of the driver-computed literals.
+    lits = set(hll_linear_count_literals(m).values())
+    assert got["small"] in lits
+    assert abs(got["small"] - 12) <= 2  # m*ln(m/V) is near-exact down here
+    assert abs(got["big"] - 5000) / 5000 < 3 * 1.04 / math.sqrt(m)
+    again = {r["g"]: r["distinct_est"] for r in
+             hll_distinct(df, ["g"], "v", p=p).collect()}
+    assert got == again  # bit-for-bit
+
+
+def test_hll_distinct_state_is_constant_and_p_validated(spark):
+    """The register relation carries at most m = 2^p rows per group no
+    matter the input size (the property that makes HLL the scale choice
+    over KMV), and p outside [4, 8] is refused."""
+    import pytest as _pytest
+
+    from kowari_spark.operators.sketch import hll_distinct
+
+    df = spark.range(20_000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    for p in (4, 8):
+        m = 1 << p
+        out = hll_distinct(df, ["g"], "v", p=p).collect()
+        assert len(out) == 1
+        assert abs(out[0]["distinct_est"] - 20_000) / 20_000 < 3 * 1.04 / (m ** 0.5)
+    for bad in (3, 9):
+        with _pytest.raises(ValueError, match=r"p must be in \[4, 8\]"):
+            hll_distinct(df, ["g"], "v", p=bad)
