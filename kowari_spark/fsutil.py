@@ -160,3 +160,48 @@ def count_data_files(spark: SparkSession, path: str) -> int:
         if st.isFile() and not name.startswith(("_", ".")):
             n += 1
     return n
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    """``mkdir -p``. Hadoop mkdirs is idempotent (true/exists)."""
+    fs, jpath = _fs_path(spark, path)
+    fs.mkdirs(jpath)
+
+
+def publish_exclusive(spark: SparkSession, path: str, data: bytes) -> bool:
+    """Atomically publish a small file at ``path`` with put-if-absent
+    semantics: write the full content to a hidden temp sibling, then
+    rename. Returns False iff ``path`` already existed (the rename
+    refused) — the transaction-log commit race. Strictly stronger than
+    create-exclusive-then-write: a reader can never observe a
+    partially-written file, because the content lands whole under the
+    temp name and the rename is atomic.
+
+    Semantics by filesystem: exact on HDFS and local (rename onto an
+    existing destination refuses — probed empirically on the local FS,
+    HADOOP-9805 behavior) and on ABFS/GCS (metadata rename). On S3A,
+    rename is client-side copy+delete — neither atomic nor reliably
+    exclusive — so concurrent WRITERS to the same log need an external
+    coordination layer there (the same caveat as Delta Lake on S3
+    before its commit service; single-writer S3 pipelines are fine)."""
+    import uuid as _uuid
+
+    fs, jdst = _fs_path(spark, path)
+    parent = jdst.getParent()
+    jvm = spark.sparkContext._jvm
+    jtmp = jvm.org.apache.hadoop.fs.Path(
+        parent, f".{jdst.getName()}.{_uuid.uuid4().hex[:12]}.tmp"
+    )
+    out = fs.create(jtmp, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+    if fs.rename(jtmp, jdst):
+        return True
+    # rename refused: dst existed (loser of the race) or something is
+    # broken — in both cases the temp must not linger
+    fs.delete(jtmp, False)
+    if fs.exists(jdst):
+        return False
+    raise OSError(f"publish of {path} refused by the filesystem")
