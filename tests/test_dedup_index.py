@@ -1197,7 +1197,7 @@ def test_signature_layout_delete(spark, halves, tmp_path):
     assert before
     doomed = sorted({r["hist_id"] for r in before})[: max(1, len(before) // 4)]
     ids = spark.createDataFrame([(i,) for i in doomed], "doc_id long")
-    parts = lay.delete(ids)
+    parts = lay.delete(ids, mode="rewrite")
     assert parts  # something was rewritten
     stored = {r["doc_id"] for r in
               spark.read.parquet(path).select("doc_id").collect()}
@@ -1216,7 +1216,8 @@ def test_signature_layout_delete(spark, halves, tmp_path):
     assert again.kind == "minhash" and again.meta == lay.meta
     # deleting nothing is a no-op
     assert lay.delete(
-        spark.createDataFrame([(-(10**9),)], "doc_id long")) == []
+        spark.createDataFrame([(-(10**9),)], "doc_id long"),
+        mode="rewrite") == []
 
 
 def test_signature_layout_tombstone_delete(spark, halves, tmp_path):
@@ -1266,7 +1267,7 @@ def test_signature_layout_tombstone_delete(spark, halves, tmp_path):
 
     # probe results identical to the physically-rewritten twin —
     # through the facade AND the public loader path
-    ref.delete(ids)
+    ref.delete(ids, mode="rewrite")
     want = pairs(ref.dedup_against)
     assert pairs(lay.dedup_against) == want
     assert pairs(
@@ -1389,7 +1390,8 @@ def test_signature_layout_delete_all_families(spark, halves, media_halves,
                          spark.read.parquet(p).select(idc).collect()})
         doomed = stored[: max(1, len(stored) // 5)]
         parts = lay.delete(
-            spark.createDataFrame([(i,) for i in doomed], f"{idc} long"))
+            spark.createDataFrame([(i,) for i in doomed], f"{idc} long"),
+            mode="rewrite")
         assert parts, kind
         left = {r[idc] for r in
                 spark.read.parquet(p).select(idc).collect()}
@@ -1470,7 +1472,7 @@ def test_tombstone_delete_all_hist_families(spark, halves, media_halves,
         doomed = sorted({r["hist_id"] for r in before})[:3]
         ids = spark.createDataFrame([(i,) for i in doomed], f"{idc} long")
         assert lay.delete(ids, mode="tombstone") == [], kind
-        ref.delete(ids)
+        ref.delete(ids, mode="rewrite")
 
         def pairs(layout):
             return sorted(
@@ -1543,3 +1545,44 @@ def test_facade_compact_multi_table_layouts(spark, embeddings, tmp_path):
             k=5, id_col="id",
         ).collect()))
         assert after == before  # compaction changed no data
+
+
+def test_facade_delete_default_is_tombstone(spark, halves, embeddings, tmp_path):
+    """Round-14 unification (VERDICT r13 ask #7): the facade default
+    for `SignatureLayout.delete` matches `Bm25Layout.delete` —
+    tombstone for the every-id-in-every-partition signature families
+    (nothing rewritten now, log pending), resolving to the cheap
+    bucket-pruned rewrite for embedding layouts (which refuse
+    tombstones). Module-level delete_from_layout keeps its historical
+    eager-rewrite contract."""
+    from kowari_spark.operators.dedup_index import (
+        SignatureLayout,
+        build_minhash_layout,
+    )
+    from kowari_spark.operators.lsh import SignLSH
+
+    hist, _ = halves
+    path = str(tmp_path / "dflt_mh")
+    build_minhash_layout(hist, path)
+    lay = SignatureLayout.open(spark, path)
+    stored = sorted({r["doc_id"] for r in
+                     spark.read.parquet(path).select("doc_id").collect()})
+    ids = spark.createDataFrame([(stored[0],)], "doc_id long")
+    assert lay.delete(ids) == []  # default = tombstone: no rewrite
+    assert lay.file_stats()["has_pending_tombstones"]
+    # physical row still present until apply
+    raw = {r["doc_id"] for r in
+           spark.read.parquet(path).select("doc_id").collect()}
+    assert stored[0] in raw
+
+    base = embeddings.select(
+        F.col("vec_id").alias("id"), "embedding"
+    ).limit(120)
+    epath = str(tmp_path / "dflt_emb")
+    SignLSH(dim=64, num_planes=4, seed=7).build(base, epath)
+    elay = SignatureLayout.open(spark, epath)
+    eids = spark.createDataFrame([(0,)], "id long")
+    assert elay.delete(eids)  # default resolves to rewrite: parts back
+    left = {r["id"] for r in
+            spark.read.parquet(epath).select("id").collect()}
+    assert 0 not in left
