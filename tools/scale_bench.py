@@ -505,6 +505,100 @@ def _run_suite(
             spark, apath, qtxt, k=10).collect()))
         rec("bm25_indexed_auto", s, r)
 
+    if want("bm25_sharded"):
+        # VERDICT r13 #5: the >bucket-cap regime, reached locally by
+        # EMULATING the cap at 400 (the real 16,384-bucket cap needs
+        # ~4.1B tokens; the mechanism is cap-relative, so the geometry
+        # and the measurement transfer). single_capped = what a capped
+        # auto produces (per-bucket bytes grow past the cap); sharded =
+        # S children, each back at the flat ~250k-rows-per-bucket
+        # target. Scores are parity-checked against the capped single
+        # layout every run.
+        from kowari_spark.functions.text import token_count
+        from kowari_spark.operators.search import (
+            _BM25_AUTO_TARGET_ROWS,
+            _read_sharded_meta,
+            bm25_search_indexed,
+            build_bm25_layout,
+            build_bm25_sharded,
+        )
+
+        EMU_CAP = 400
+        sum_dl = int(docs.agg(
+            F.sum(token_count(F.col("text")))).first()[0] or 0)
+        needed = sum_dl // _BM25_AUTO_TARGET_ROWS + 1
+        S = max(1, (needed + EMU_CAP - 1) // EMU_CAP)
+        capped = min(needed, EMU_CAP)
+        cpath = os.path.join(SCALE_DIR, f"x{mult}", "bm25_capped")
+        if not os.path.exists(os.path.join(cpath, "_bm25_meta.json")):
+            s0, _ = timed(lambda: (
+                build_bm25_layout(docs, cpath, buckets=capped), 1)[1])
+            rec("bm25_capped_build", s0, docs.count())
+        spath = os.path.join(SCALE_DIR, f"x{mult}", "bm25_sharded")
+        if not os.path.exists(
+            os.path.join(spath, "_bm25_sharded_meta.json")
+        ):
+            s0, _ = timed(lambda: (
+                build_bm25_sharded(docs, spath, shards=S), 1)[1])
+            rec("bm25_sharded_build", s0, docs.count())
+        sm = _read_sharded_meta(spark, spath)
+        print(f"  x{mult:<4} emu_cap={EMU_CAP} needed={needed} "
+              f"capped_buckets={capped} shards={sm['shards']} "
+              f"per_shard_buckets={sm['buckets']}", flush=True)
+        qtxt = "vector hash join batch"
+        sC, rC = timed(lambda: len(bm25_search_indexed(
+            spark, cpath, qtxt, k=10).collect()))
+        rec("bm25_capped_probe", sC, rC)
+        sS, rS = timed(lambda: len(bm25_search_indexed(
+            spark, spath, qtxt, k=10).collect()))
+        rec("bm25_sharded_probe", sS, rS)
+        a = [tuple(r) for r in bm25_search_indexed(
+            spark, cpath, qtxt, k=10).collect()]
+        b = [tuple(r) for r in bm25_search_indexed(
+            spark, spath, qtxt, k=10).collect()]
+        assert a == b, "sharded probe diverged from the single layout"
+
+    if want("bm25_tomb_curve"):
+        # VERDICT r13 #6: probe wall vs PENDING tombstone-log size —
+        # the shuffle fallback past _DELETE_BROADCAST_MAX is
+        # functionally pinned (tests) but was never measured; this
+        # curve gives the apply-at-cadence guidance its crossover
+        # number. Logs are planted with the O(|batch|) text path,
+        # probed, then cleared (the layout other ops read stays
+        # pristine).
+        from kowari_spark import fsutil
+        from kowari_spark.operators.search import (
+            bm25_search_indexed,
+            build_bm25_layout,
+            delete_from_bm25_layout,
+        )
+        from kowari_spark.streaming.ingest import _DELETE_BROADCAST_MAX
+
+        tpath = os.path.join(SCALE_DIR, f"x{mult}", "bm25_postings_auto")
+        if not os.path.exists(os.path.join(tpath, "_bm25_meta.json")):
+            build_bm25_layout(docs, tpath)
+        n_docs = docs.count()
+        fsutil.delete(spark, f"{tpath}/_tombstones")
+        qtxt = "vector hash join batch"
+        s0, r0 = timed(lambda: len(bm25_search_indexed(
+            spark, tpath, qtxt, k=10).collect()))
+        rec("bm25_probe_log0", s0, r0)
+        sizes = [z for z in (1_000, 100_000, 1_500_000)
+                 if z < n_docs]  # delete-all refusal guard
+        for z in sizes:
+            delete_from_bm25_layout(
+                spark, tpath,
+                docs.filter(F.col("doc_id") < z).select("doc_id", "text"),
+                mode="tombstone",
+            )
+            tag = f"{z // 1000}k"
+            if z > _DELETE_BROADCAST_MAX:
+                tag += "_shuffle"  # past the broadcast bound
+            sz, rz = timed(lambda: len(bm25_search_indexed(
+                spark, tpath, qtxt, k=10).collect()))
+            rec(f"bm25_probe_log{tag}", sz, rz)
+            fsutil.delete(spark, f"{tpath}/_tombstones")
+
     if want("hybrid_serve"):
         # stored-state hybrid serving end to end (round 12, multi-table
         # capable): two keyword+vector queries share ONE pruned postings
