@@ -743,7 +743,10 @@ class Collection:
         the collection's stored layouts — the serving composition the
         two facades exist for: the keyword list probes
         ``bm25_layout(key=key)``'s postings (built on first use), the
-        vector list probes ``signature_layout()``'s sign-LSH buckets
+        vector list probes ``signature_layout()``'s stored geometry —
+        the SignLSH default, or whatever family the collection built
+        (``signature_layout(index=MultiSignLSH(...))`` for the
+        measured 0.87-recall OR-construction; round 14) —
         over the stored embeddings, fused by reciprocal-rank fusion
         (``search.hybrid_search_indexed`` — its pruning, fallback, and
         fusion contracts). Returns (id, rrf_score, n_lists) top-``k``.
