@@ -1375,8 +1375,10 @@ class Bm25Layout:
     ``SignatureLayout``/``DsirLayout`` precedent applied to keyword
     serving: one object carrying (path, params) with the serve verbs
     (``search``, ``search_batch``) and the lifecycle verbs (``append``,
-    ``delete``, ``apply_deletes``, ``repair``, ``stream_into``,
-    ``stats``) bound to it. Every verb delegates to the module function
+    ``delete``, ``apply_deletes``, ``repair``, ``compact``,
+    ``stream_into``, ``stats``) bound to it — over single-layout AND
+    sharded (``build_bm25_sharded``) directories, dispatched on the
+    sidecar ``open`` finds. Every verb delegates to the module function
     of the same contract (bit-parity with the scan path, tombstone
     probe-time correction, sibling-swap crash safety — their
     docstrings); nothing here adds semantics.
@@ -1481,20 +1483,43 @@ class Bm25Layout:
         """The marker-gated streaming append sink
         (``streaming.ingest.stream_into_bm25_layout``); returns the
         query."""
-        from kowari_spark.streaming.ingest import stream_into_bm25_layout
+        from kowari_spark.streaming.ingest import (
+            stream_into_bm25_layout,
+            stream_into_bm25_sharded,
+        )
 
         if self._is_sharded():
-            raise ValueError(
-                "streaming appends into a SHARDED BM25 layout are not "
-                "wired yet — run one stream_into_bm25_layout sink per "
-                "shard over a stream pre-filtered by "
-                "pmod(xxhash64(cast(id as string)), shards) == i (the "
-                "build's routing), or drain batches through "
-                "append_bm25_sharded"
+            return stream_into_bm25_sharded(
+                stream_df, self.path, checkpoint_dir, **kw
             )
         return stream_into_bm25_layout(
             stream_df, self.path, checkpoint_dir, **kw
         )
+
+    def compact(self, max_files: int = 4, target_files: int = 1) -> list:
+        """Compact term buckets that accumulated small append files
+        (``streaming.ingest.compact_bucketed_layout`` over ``tb``;
+        per shard on a sharded handle — returned names are prefixed
+        ``shard-<i>/``). Run from the maintenance window, like the
+        signature facades' ``compact``."""
+        from kowari_spark.streaming.ingest import compact_bucketed_layout
+
+        if not self._is_sharded():
+            return compact_bucketed_layout(
+                self.spark, self.path, partition_col="tb",
+                max_files=max_files, target_files=target_files,
+            )
+        meta = _read_sharded_meta(self.spark, self.path)
+        out = []
+        for i, sp in enumerate(_shard_paths(self.path, meta["shards"])):
+            out.extend(
+                f"shard-{i}/{p}"
+                for p in compact_bucketed_layout(
+                    self.spark, sp, partition_col="tb",
+                    max_files=max_files, target_files=target_files,
+                )
+            )
+        return out
 
 
 def delete_from_bm25_layout(

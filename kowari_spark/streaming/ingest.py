@@ -737,6 +737,61 @@ def stream_into_bm25_layout(
     )
 
 
+def stream_into_bm25_sharded(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    compaction_wait_secs: float = 60.0,
+):
+    """Maintain a SHARDED BM25 postings layout
+    (operators/search.build_bm25_sharded) from a document stream: each
+    micro-batch routes to its shards by the build's id hash and runs
+    the single-layout append per touched shard
+    (``append_bm25_sharded`` — same postings math, same additive
+    per-shard stats roll), gated by ONE top-level idempotence marker
+    per batch. Waits on every shard's ``_compacting`` marker before
+    appending (per-shard compaction holds its own layout's marker).
+
+    CRASH WINDOW (the single sink's, widened by routing): a driver
+    death after SOME shards' appends but before the marker lands makes
+    the restart replay the whole batch — duplicated postings /
+    double-rolled stats on the already-appended shards.
+    ``operators.search.repair_bm25_sharded`` restores every shard
+    exactly; run it after any unclean sink shutdown."""
+    import hashlib
+
+    from kowari_spark import fsutil
+    from kowari_spark.operators.search import (
+        _read_sharded_meta,
+        _shard_paths,
+        append_bm25_sharded,
+    )
+
+    meta0 = _read_sharded_meta(stream_df.sparkSession, path)
+    shard_dirs = _shard_paths(path, meta0["shards"])
+    ck_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = f"{path}/_batches/{ck_tag}-{batch_id}"
+        if fsutil.exists(spark, marker):
+            return
+        for sp in shard_dirs:
+            _wait_not_compacting(spark, sp, compaction_wait_secs)
+        if not batch_df.isEmpty():
+            append_bm25_sharded(spark, path, batch_df)
+        fsutil.create_marker(spark, marker)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=trigger_available_now)
+        .start()
+    )
+
+
 def stream_into_dsir_layout(
     stream_df: DataFrame,
     path: str,

@@ -1028,9 +1028,18 @@ def test_bm25_sharded_parity_and_lifecycle(spark, sf_dir, tmp_path):
     assert tl.stats()["n_docs"] == 2
     assert len(tl.search("the data", k=5).collect()) >= 0
 
-    # streaming refuses on sharded handles, with the routing hint
-    with pytest.raises(ValueError, match="per\\s+shard|routing"):
-        lay.stream_into(None, "unused")
+    # compact per shard: plant small-file backlog via two tiny appends
+    extra = docs.filter(F.col("doc_id") % 11 == 3).select("doc_id", "text")
+    append_bm25_sharded(
+        spark, sharded, extra.withColumn("doc_id", F.col("doc_id") + 10**6)
+    )
+    append_bm25_sharded(
+        spark, sharded, extra.withColumn("doc_id", F.col("doc_id") + 2 * 10**6)
+    )
+    before_stats = lay.stats()
+    compacted = lay.compact(max_files=1)
+    assert compacted and all(c.startswith("shard-") for c in compacted)
+    assert lay.stats() == before_stats  # metadata untouched by compact
 
     # shards='auto' resolution: flat 1 below the cap regime, growing
     # past it so each child stays under the bucket cap
@@ -1075,3 +1084,45 @@ def test_hybrid_indexed_over_sharded_bm25(spark, sf_dir, tmp_path):
     b = [tuple(r) for r in hybrid_search_indexed(
         spark, sharded, lpath, "vector hash join", qvec, k=5).collect()]
     assert a == b and a
+
+
+def test_bm25_sharded_streaming_sink(spark, sf_dir, tmp_path):
+    """stream_into_bm25_sharded (facade `stream_into` on a sharded
+    handle): drained shards == a sharded rebuild over the union
+    (per-shard postings AND stats), and a re-drain of the same
+    checkpoint is a no-op (top-level marker gate)."""
+    from kowari_spark.operators.search import (
+        Bm25Layout,
+        bm25_search_indexed,
+        build_bm25_sharded,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    path = str(tmp_path / "bm25s_stream")
+    build_bm25_sharded(hist, path, shards=2, buckets=8)
+    src = str(tmp_path / "bm25s_src")
+    new.repartition(2).write.parquet(src)
+    lay = Bm25Layout.open(spark, path)
+
+    def drain():
+        q = lay.stream_into(
+            spark.readStream.schema(new.schema).parquet(src),
+            str(tmp_path / "bm25s_ck"),
+        )
+        q.awaitTermination(120)
+
+    drain()
+    rebuilt = str(tmp_path / "bm25s_all")
+    build_bm25_sharded(docs, rebuilt, shards=2, buckets=8)
+    q = "vector hash join batch"
+    want = [tuple(r)
+            for r in bm25_search_indexed(spark, rebuilt, q, 10).collect()]
+    assert [tuple(r)
+            for r in bm25_search_indexed(spark, path, q, 10).collect()] \
+        == want and want
+    assert lay.stats() == Bm25Layout.open(spark, rebuilt).stats()
+    stats = lay.stats()
+    drain()  # replay: the top-level marker gates every shard append
+    assert lay.stats() == stats
