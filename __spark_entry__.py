@@ -1254,6 +1254,55 @@ FROM g ORDER BY event_type
 """
 
 
+def _hll_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once stored HLL sketch layout over events (round 14,
+    operators/sketch.py): built from two-thirds of the corpus, the
+    last third APPENDED (max-merged) — so the contract row's oracle
+    hash proves build(a) + append(b) == sketch(a ∪ b) end to end."""
+    from kowari_spark.operators.sketch import (
+        append_hll_layout,
+        build_hll_layout,
+    )
+
+    def build(p):
+        import os
+
+        ev = _events(spark, sf_dir)
+        build_hll_layout(
+            ev.filter(F.col("event_id") % 3 != 0), p,
+            ["event_type"], "user_id", p=6,
+        )
+        append_hll_layout(spark, p, ev.filter(F.col("event_id") % 3 == 0))
+        open(os.path.join(p, "_contract_hll_done"), "w").close()
+
+    return _cached_layout(
+        sf_dir, "events", "hll_p6_v1", "hll", "_contract_hll_done", build
+    )
+
+
+def q_events_hll_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimates served from the STORED register layout
+    (sketch.hll_layout_estimate): no events scan at probe time — the
+    state read is ≤ 64 rows per event_type, kept current by max-merge
+    appends (replay-safe by algebra). The layout was built from 2/3 of
+    the corpus with the last third appended, and the oracle replays
+    one-shot HLL over ALL events — a hash match proves the stored
+    registers equal the union sketch bit-for-bit."""
+    from kowari_spark.operators.sketch import hll_layout_estimate
+
+    path = _hll_layout(spark, sf_dir)
+    return (
+        hll_layout_estimate(spark, path)
+        .select(
+            "event_type",
+            (F.round(F.col("distinct_est"), 6) + F.lit(0.0)).alias(
+                "distinct_est"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-less JSON metadata access (F8): extract props.k, typed
     aggregation per event_type."""
@@ -4493,6 +4542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new / first-registered this round (never driver-validated)
         "doc_bm25_sharded": q_doc_bm25_sharded,
+        "events_hll_layout": q_events_hll_layout,
         "events_hll_users": q_events_hll_users,
         # -- past round 13's 50-row window (judge-green r13)
         "orders_fast_lines": q_orders_fast_lines,
@@ -4594,6 +4644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_bm25_sharded": _oracle_doc_bm25_sharded(),
+        "events_hll_layout": _oracle_events_hll_users(),
         "events_hll_users": _oracle_events_hll_users(),
         "doc_bm25_tombed": _oracle_doc_bm25_tombed(),
         "doc_dsir_unlearned": _oracle_doc_dsir_unlearned(),

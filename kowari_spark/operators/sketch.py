@@ -108,6 +108,19 @@ def hll_distinct(
     above 8 the driver-side correction CASE (2^p literals) stops being
     reasonable — at p=8 the error is already ~6.5%.
     """
+    regs = hll_registers(df, group_cols, value_col, p)
+    return hll_estimate(regs, group_cols, p, est_col)
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str, p: int
+) -> DataFrame:
+    """The per-group HLL register relation (group_cols..., __reg int,
+    __M int) — the sketch STATE: at most m = 2^p rows per group, and
+    MERGEABLE by per-register max (the Flajolet property that makes
+    the sketch a layout: union of corpora == max-merge of registers,
+    and re-merging the same rows is a no-op, so replays are benign by
+    algebra, not by markers)."""
     if not 4 <= p <= 8:
         raise ValueError(f"p must be in [4, 8], got {p}")
     m = 1 << p
@@ -117,15 +130,28 @@ def hll_distinct(
     rho = F.when(w > 0, F.lit(wbits + 1) - F.length(F.bin(w))).otherwise(
         wbits + 1
     )
-    regs = (
+    return (
         df.select(
             *group_cols,
-            h.bitwiseAND(F.lit(m - 1)).alias("__reg"),
-            rho.alias("__rho"),
+            h.bitwiseAND(F.lit(m - 1)).cast("int").alias("__reg"),
+            rho.cast("int").alias("__rho"),
         )
         .groupBy(*group_cols, "__reg")
         .agg(F.max("__rho").alias("__M"))
     )
+
+
+def hll_estimate(
+    regs: DataFrame,
+    group_cols: list[str],
+    p: int,
+    est_col: str = "distinct_est",
+) -> DataFrame:
+    """Fold a register relation (:func:`hll_registers`) into per-group
+    estimates — the probe half of the sketch, shared by the one-shot
+    :func:`hll_distinct` and the stored layout so their documented
+    bit-parity cannot drift."""
+    m = 1 << p
     # Exact scaled-integer register sum: 2^(-M) * 2^61 is an int64 for
     # every legal M (1..61); decimal(38,0) holds the per-group total.
     term = F.expr("shiftleft(CAST(1 AS BIGINT), 61 - __M)").cast(
@@ -146,3 +172,142 @@ def hll_distinct(
         (e_raw <= F.lit(2.5 * m)) & (v > 0), F.element_at(lc_map, v.cast("int"))
     ).otherwise(e_raw)
     return g.select(*group_cols, est.alias(est_col))
+
+
+# -- stored HLL sketch layout ----------------------------------------------
+#
+# The build-offline/probe-online pattern (ANN, signature, BM25, DSIR
+# layouts) applied to cardinality tracking: a pipeline that wants
+# "distinct users per event_type, kept current as batches land" should
+# not re-scan history per question. The persisted state is the register
+# relation itself — at most m = 2^p rows PER GROUP regardless of corpus
+# size — and the merge is per-register max, which is idempotent and
+# commutative: append(batch) twice == once, build(a)+append(b) ==
+# build(a ∪ b), BIT-identically. So unlike the BM25 sink (whose stats
+# roll has a documented replay hazard), a replayed HLL append is
+# harmless by algebra. DELETES are refused: sketches are not
+# subtractable (a register max cannot be un-raised) — rebuild over the
+# survivors, which costs one scan of them.
+
+_HLL_META_NAME = "_hll_meta.json"
+_HLL_LAYOUT_VERSION = "hll-registers-v1"
+
+
+def _hll_recover(spark, path: str) -> None:
+    """Finish an append's interrupted sibling swap: a sidecar-complete
+    ``.__hll_tmp`` IS the merged layout (promote it); otherwise a
+    lingering ``.__hll_bak`` is the pre-append original (restore it).
+    No-op when ``path`` exists."""
+    from kowari_spark.fsutil import delete, exists, rename
+
+    if exists(spark, path):
+        return
+    tmp, bak = f"{path}.__hll_tmp", f"{path}.__hll_bak"
+    if exists(spark, f"{tmp}/{_HLL_META_NAME}"):
+        rename(spark, tmp, path)
+        delete(spark, bak)
+    elif exists(spark, bak):
+        rename(spark, bak, path)
+
+
+def _hll_meta(spark, path: str) -> dict:
+    import json
+
+    from kowari_spark.fsutil import exists, read_bytes
+
+    _hll_recover(spark, path)
+    meta_path = f"{path}/{_HLL_META_NAME}"
+    if not exists(spark, meta_path):
+        raise ValueError(
+            f"no {_HLL_META_NAME} sidecar at {path}: not an HLL sketch "
+            "layout built by build_hll_layout()"
+        )
+    meta = json.loads(read_bytes(spark, meta_path).decode())
+    if meta.get("version") != _HLL_LAYOUT_VERSION:
+        raise ValueError(
+            f"HLL layout at {path} was built by {meta.get('version')!r}; "
+            f"this code reads {_HLL_LAYOUT_VERSION!r} — rebuild"
+        )
+    return meta
+
+
+def build_hll_layout(
+    df: DataFrame,
+    path: str,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 6,
+) -> None:
+    """Sketch the corpus ONCE into a persisted register layout with a
+    versioned params sidecar. State is tiny (≤ 2^p rows per group), so
+    the write is O(groups), never O(corpus)."""
+    import json
+
+    from kowari_spark.fsutil import write_bytes
+
+    regs = hll_registers(df, list(group_cols), value_col, p)
+    regs.repartition(1).write.mode("overwrite").parquet(path)
+    write_bytes(
+        df.sparkSession,
+        f"{path}/{_HLL_META_NAME}",
+        json.dumps({
+            "version": _HLL_LAYOUT_VERSION,
+            "group_cols": list(group_cols),
+            "value_col": value_col,
+            "p": p,
+        }).encode(),
+    )
+
+
+def append_hll_layout(spark, path: str, new_df: DataFrame) -> None:
+    """Merge a new batch into the stored registers under the sidecar's
+    params: union + per-(group, register) max, rewritten via a sibling
+    temp dir + two renames (probes racing the swap read either the old
+    or the new COMPLETE state; the sidecar is never touched). Cost is
+    one pass over the BATCH plus the register-scale stored state.
+    build(a) + append(b) == build(a ∪ b) bit-for-bit, and a replayed
+    append is a no-op (max-merge idempotence) — parity-tested."""
+    from kowari_spark.fsutil import delete, exists, rename
+
+    meta = _hll_meta(spark, path)
+    gcols = meta["group_cols"]
+    batch = hll_registers(new_df, gcols, meta["value_col"], meta["p"])
+    stored = spark.read.parquet(path)
+    merged = (
+        stored.unionByName(batch)
+        .groupBy(*gcols, "__reg")
+        .agg(F.max("__M").alias("__M"))
+    )
+    tmp, bak = f"{path}.__hll_tmp", f"{path}.__hll_bak"
+    delete(spark, tmp)
+    merged.repartition(1).write.parquet(tmp)
+    # the replacement must be COMPLETE before the swap: sidecar and
+    # the streaming sink's _batches markers ride inside path, so both
+    # are copied into tmp (the repair_bm25_layout discipline)
+    from kowari_spark.fsutil import (
+        create_marker,
+        list_files,
+        read_bytes,
+        write_bytes,
+    )
+
+    write_bytes(spark, f"{tmp}/{_HLL_META_NAME}",
+                read_bytes(spark, f"{path}/{_HLL_META_NAME}"))
+    for name in list_files(spark, f"{path}/_batches"):
+        create_marker(spark, f"{tmp}/_batches/{name}")
+    delete(spark, bak)
+    rename(spark, path, bak)
+    rename(spark, tmp, path)
+    delete(spark, bak)
+
+
+def hll_layout_estimate(
+    spark, path: str, est_col: str = "distinct_est"
+) -> DataFrame:
+    """Per-group estimates from the STORED registers — no corpus scan,
+    bit-identical to :func:`hll_distinct` over everything the layout
+    has seen (the shared :func:`hll_estimate` fold; parity-tested)."""
+    meta = _hll_meta(spark, path)
+    return hll_estimate(
+        spark.read.parquet(path), meta["group_cols"], meta["p"], est_col
+    )

@@ -792,6 +792,44 @@ def stream_into_bm25_sharded(
     )
 
 
+def stream_into_hll_layout(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Keep a stored HLL sketch layout (operators/sketch.py) current
+    from a stream: each micro-batch max-merges into the registers
+    (``append_hll_layout``'s sibling-swap). NO crash window at all —
+    the merge is idempotent by algebra (re-merging the same batch
+    cannot raise any register further), so a replayed batch lands
+    bit-identically; the marker only skips the wasted work."""
+    import hashlib
+
+    from kowari_spark import fsutil
+    from kowari_spark.operators.sketch import _hll_meta, append_hll_layout
+
+    _hll_meta(stream_df.sparkSession, path)  # START-time validation
+    ck_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = f"{path}/_batches/{ck_tag}-{batch_id}"
+        if fsutil.exists(spark, marker):
+            return
+        if not batch_df.isEmpty():
+            append_hll_layout(spark, path, batch_df)
+        fsutil.create_marker(spark, marker)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=trigger_available_now)
+        .start()
+    )
+
+
 def stream_into_dsir_layout(
     stream_df: DataFrame,
     path: str,

@@ -156,3 +156,95 @@ def test_hll_distinct_state_is_constant_and_p_validated(spark):
     for bad in (3, 9):
         with _pytest.raises(ValueError, match=r"p must be in \[4, 8\]"):
             hll_distinct(df, ["g"], "v", p=bad)
+
+
+def test_hll_layout_build_append_estimate_parity(spark, tmp_path):
+    """Stored HLL sketch layout (round 14): build(a) + append(b) ==
+    build(a ∪ b) bit-for-bit (register relation AND estimates);
+    estimates from the store == one-shot hll_distinct over the union;
+    a REPLAYED append is a no-op by max-merge algebra (not markers);
+    deletes don't exist (sketches aren't subtractable) and param
+    mismatches refuse via the sidecar."""
+    from kowari_spark.operators.sketch import (
+        append_hll_layout,
+        build_hll_layout,
+        hll_distinct,
+        hll_layout_estimate,
+    )
+
+    base = spark.range(8000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 2500).alias("v"),
+    )
+    a = base.filter(F.col("id") % 5 != 0)
+    b = base.filter(F.col("id") % 5 == 0)
+    path = str(tmp_path / "hll_lay")
+    build_hll_layout(a, path, ["g"], "v", p=6)
+    append_hll_layout(spark, path, b)
+
+    def regs(p):
+        return sorted(map(tuple, spark.read.parquet(p).collect()))
+
+    union_path = str(tmp_path / "hll_union")
+    build_hll_layout(base, union_path, ["g"], "v", p=6)
+    assert regs(path) == regs(union_path)
+
+    got = {r["g"]: r["distinct_est"]
+           for r in hll_layout_estimate(spark, path).collect()}
+    want = {r["g"]: r["distinct_est"]
+            for r in hll_distinct(base, ["g"], "v", p=6).collect()}
+    assert got == want
+
+    append_hll_layout(spark, path, b)  # replay: bit-identical state
+    assert regs(path) == regs(union_path)
+
+    # sidecar refusals: not-a-layout and version drift
+    import json
+
+    from kowari_spark import fsutil
+    from kowari_spark.operators.sketch import _HLL_META_NAME
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not an HLL sketch layout"):
+        hll_layout_estimate(spark, str(tmp_path / "nope"))
+    meta = json.loads(fsutil.read_bytes(spark, f"{path}/{_HLL_META_NAME}"))
+    meta["version"] = "hll-registers-v0"
+    fsutil.write_bytes(
+        spark, f"{path}/{_HLL_META_NAME}", json.dumps(meta).encode()
+    )
+    with _pytest.raises(ValueError, match="rebuild"):
+        hll_layout_estimate(spark, path)
+
+
+def test_hll_layout_append_swap_crash_recovery(spark, tmp_path):
+    """A crash between the append's two renames leaves no ``path`` —
+    the next touch finishes the swap (sidecar-complete tmp promoted;
+    otherwise the backup restores) and estimates are the merged ones."""
+    from kowari_spark import fsutil
+    from kowari_spark.operators.sketch import (
+        _HLL_META_NAME,
+        append_hll_layout,
+        build_hll_layout,
+        hll_distinct,
+        hll_layout_estimate,
+    )
+
+    base = spark.range(2000).select(
+        F.lit("g").alias("g"), (F.col("id") % 900).alias("v")
+    )
+    a = base.filter(F.col("id") % 2 == 0)
+    b = base.filter(F.col("id") % 2 == 1)
+    path = str(tmp_path / "hll_crash")
+    build_hll_layout(a, path, ["g"], "v", p=5)
+    append_hll_layout(spark, path, b)
+    # simulate the between-renames crash state: merged tmp complete,
+    # original moved to bak, path missing
+    fsutil.rename(spark, path, f"{path}.__hll_tmp")
+    fsutil.write_bytes(spark, f"{path}.__hll_bak/stale", b"x")
+    got = {r["g"]: r["distinct_est"]
+           for r in hll_layout_estimate(spark, path).collect()}
+    want = {r["g"]: r["distinct_est"]
+            for r in hll_distinct(base, ["g"], "v", p=5).collect()}
+    assert got == want
+    assert not fsutil.exists(spark, f"{path}.__hll_tmp")
+    assert not fsutil.exists(spark, f"{path}.__hll_bak")

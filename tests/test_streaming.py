@@ -1141,3 +1141,54 @@ def test_stream_into_cplsh_layout(spark, embeddings, tmp_path):
     q3.awaitTermination(120)
     relay = SignatureLayout.open(spark, fresh)
     assert relay.meta.get("family") == "crosspolytope"
+
+
+def test_stream_into_hll_layout(spark, tmp_path):
+    """HLL sketch sink: drained registers == a batch build over the
+    union, and a re-drain is bit-identical — idempotent by max-merge
+    ALGEBRA (the marker only skips work; delete it and the replay
+    still lands identically)."""
+    from pyspark.sql import functions as F
+
+    from kowari_spark import fsutil
+    from kowari_spark.operators.sketch import (
+        build_hll_layout,
+        hll_layout_estimate,
+    )
+    from kowari_spark.streaming.ingest import stream_into_hll_layout
+
+    base = spark.range(6000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") % 1700).alias("v"),
+    )
+    hist = base.filter(F.col("id") % 3 != 0)
+    new = base.filter(F.col("id") % 3 == 0)
+    path = str(tmp_path / "hll_sink")
+    build_hll_layout(hist, path, ["g"], "v", p=6)
+    src = str(tmp_path / "hll_src")
+    new.repartition(2).write.parquet(src)
+
+    def drain():
+        q = stream_into_hll_layout(
+            spark.readStream.schema(new.schema).parquet(src),
+            path, str(tmp_path / "hll_ck"),
+        )
+        q.awaitTermination(120)
+
+    drain()
+    union_path = str(tmp_path / "hll_sink_union")
+    build_hll_layout(base, union_path, ["g"], "v", p=6)
+    def regs(p):
+        return sorted(map(tuple, spark.read.parquet(p).collect()))
+    assert regs(path) == regs(union_path)
+    est = sorted(map(tuple, hll_layout_estimate(spark, path).collect()))
+
+    # replay with markers REMOVED: still bit-identical (algebra)
+    fsutil.delete(spark, f"{path}/_batches")
+    q = stream_into_hll_layout(
+        spark.readStream.schema(new.schema).parquet(src),
+        path, str(tmp_path / "hll_ck2"),
+    )
+    q.awaitTermination(120)
+    assert regs(path) == regs(union_path)
+    assert sorted(map(tuple, hll_layout_estimate(spark, path).collect())) == est
