@@ -1303,6 +1303,52 @@ def q_events_hll_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once stored KMV minima layout over events (round 14,
+    operators/sketch.py): 2/3 built, last third appended (union +
+    keep-k-smallest merge), so the oracle hash proves the merge."""
+    from kowari_spark.operators.sketch import (
+        append_kmv_layout,
+        build_kmv_layout,
+    )
+
+    def build(p):
+        import os
+
+        ev = _events(spark, sf_dir)
+        build_kmv_layout(
+            ev.filter(F.col("event_id") % 3 != 0), p,
+            ["event_type"], "user_id", k=64,
+        )
+        append_kmv_layout(spark, p, ev.filter(F.col("event_id") % 3 == 0))
+        open(os.path.join(p, "_contract_kmv_done"), "w").close()
+
+    return _cached_layout(
+        sf_dir, "events", "kmv_k64_v1", "kmv", "_contract_kmv_done", build
+    )
+
+
+def q_events_kmv_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimates from the STORED KMV minima layout
+    (sketch.kmv_layout_estimate — ≤ k rows per group read at probe
+    time, exact below k). Built from 2/3 of events with the last third
+    max-merged in; the oracle replays one-shot KMV over ALL events, so
+    a hash match proves build+append == union sketch bit-for-bit."""
+    from kowari_spark.operators.sketch import kmv_layout_estimate
+
+    path = _kmv_layout(spark, sf_dir)
+    return (
+        kmv_layout_estimate(spark, path)
+        .select(
+            "event_type",
+            (F.round(F.col("distinct_est"), 6) + F.lit(0.0)).alias(
+                "distinct_est"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-less JSON metadata access (F8): extract props.k, typed
     aggregation per event_type."""
@@ -4543,6 +4589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new / first-registered this round (never driver-validated)
         "doc_bm25_sharded": q_doc_bm25_sharded,
         "events_hll_layout": q_events_hll_layout,
+        "events_kmv_layout": q_events_kmv_layout,
         "events_hll_users": q_events_hll_users,
         # -- past round 13's 50-row window (judge-green r13)
         "orders_fast_lines": q_orders_fast_lines,
@@ -4645,6 +4692,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "doc_bm25_sharded": _oracle_doc_bm25_sharded(),
         "events_hll_layout": _oracle_events_hll_users(),
+        "events_kmv_layout": _oracle_events_kmv_users(),
         "events_hll_users": _oracle_events_hll_users(),
         "doc_bm25_tombed": _oracle_doc_bm25_tombed(),
         "doc_dsir_unlearned": _oracle_doc_dsir_unlearned(),

@@ -193,21 +193,49 @@ _HLL_META_NAME = "_hll_meta.json"
 _HLL_LAYOUT_VERSION = "hll-registers-v1"
 
 
-def _hll_recover(spark, path: str) -> None:
+def _sketch_recover(spark, path: str, meta_name: str) -> None:
     """Finish an append's interrupted sibling swap: a sidecar-complete
-    ``.__hll_tmp`` IS the merged layout (promote it); otherwise a
-    lingering ``.__hll_bak`` is the pre-append original (restore it).
-    No-op when ``path`` exists."""
+    ``.__sk_tmp`` IS the merged layout (promote it); otherwise a
+    lingering ``.__sk_bak`` is the pre-append original (restore it).
+    No-op when ``path`` exists. Shared by the HLL and KMV layouts."""
     from kowari_spark.fsutil import delete, exists, rename
 
     if exists(spark, path):
         return
-    tmp, bak = f"{path}.__hll_tmp", f"{path}.__hll_bak"
-    if exists(spark, f"{tmp}/{_HLL_META_NAME}"):
+    tmp, bak = f"{path}.__sk_tmp", f"{path}.__sk_bak"
+    if exists(spark, f"{tmp}/{meta_name}"):
         rename(spark, tmp, path)
         delete(spark, bak)
     elif exists(spark, bak):
         rename(spark, bak, path)
+
+
+def _sketch_swap(spark, path: str, merged: DataFrame, meta_name: str) -> None:
+    """Publish a merged sketch state via sibling temp dir + two
+    renames: the replacement is COMPLETE (data, sidecar copy, the
+    streaming sink's ``_batches`` markers) before the original moves,
+    so probes racing the swap read either old or new whole state and
+    a crash anywhere is finished by :func:`_sketch_recover`."""
+    from kowari_spark.fsutil import (
+        create_marker,
+        delete,
+        list_files,
+        read_bytes,
+        rename,
+        write_bytes,
+    )
+
+    tmp, bak = f"{path}.__sk_tmp", f"{path}.__sk_bak"
+    delete(spark, tmp)
+    merged.repartition(1).write.parquet(tmp)
+    write_bytes(spark, f"{tmp}/{meta_name}",
+                read_bytes(spark, f"{path}/{meta_name}"))
+    for name in list_files(spark, f"{path}/_batches"):
+        create_marker(spark, f"{tmp}/_batches/{name}")
+    delete(spark, bak)
+    rename(spark, path, bak)
+    rename(spark, tmp, path)
+    delete(spark, bak)
 
 
 def _hll_meta(spark, path: str) -> dict:
@@ -215,7 +243,7 @@ def _hll_meta(spark, path: str) -> dict:
 
     from kowari_spark.fsutil import exists, read_bytes
 
-    _hll_recover(spark, path)
+    _sketch_recover(spark, path, _HLL_META_NAME)
     meta_path = f"{path}/{_HLL_META_NAME}"
     if not exists(spark, meta_path):
         raise ValueError(
@@ -267,8 +295,6 @@ def append_hll_layout(spark, path: str, new_df: DataFrame) -> None:
     one pass over the BATCH plus the register-scale stored state.
     build(a) + append(b) == build(a ∪ b) bit-for-bit, and a replayed
     append is a no-op (max-merge idempotence) — parity-tested."""
-    from kowari_spark.fsutil import delete, exists, rename
-
     meta = _hll_meta(spark, path)
     gcols = meta["group_cols"]
     batch = hll_registers(new_df, gcols, meta["value_col"], meta["p"])
@@ -278,27 +304,7 @@ def append_hll_layout(spark, path: str, new_df: DataFrame) -> None:
         .groupBy(*gcols, "__reg")
         .agg(F.max("__M").alias("__M"))
     )
-    tmp, bak = f"{path}.__hll_tmp", f"{path}.__hll_bak"
-    delete(spark, tmp)
-    merged.repartition(1).write.parquet(tmp)
-    # the replacement must be COMPLETE before the swap: sidecar and
-    # the streaming sink's _batches markers ride inside path, so both
-    # are copied into tmp (the repair_bm25_layout discipline)
-    from kowari_spark.fsutil import (
-        create_marker,
-        list_files,
-        read_bytes,
-        write_bytes,
-    )
-
-    write_bytes(spark, f"{tmp}/{_HLL_META_NAME}",
-                read_bytes(spark, f"{path}/{_HLL_META_NAME}"))
-    for name in list_files(spark, f"{path}/_batches"):
-        create_marker(spark, f"{tmp}/_batches/{name}")
-    delete(spark, bak)
-    rename(spark, path, bak)
-    rename(spark, tmp, path)
-    delete(spark, bak)
+    _sketch_swap(spark, path, merged, _HLL_META_NAME)
 
 
 def hll_layout_estimate(
@@ -310,4 +316,144 @@ def hll_layout_estimate(
     meta = _hll_meta(spark, path)
     return hll_estimate(
         spark.read.parquet(path), meta["group_cols"], meta["p"], est_col
+    )
+
+
+# -- stored KMV sketch layout ----------------------------------------------
+#
+# KMV's state is the k smallest value-hashes per group — mergeable by
+# union + keep-k-smallest, which like the HLL max-merge is idempotent
+# (re-merging the same hashes changes nothing) and commutative, so the
+# same layout pattern applies. Trade vs HLL (why both exist): KMV
+# state is k rows per group with EXACT counts below k (the layout can
+# answer "exactly how many distinct labels" for small groups), HLL is
+# m rows with ~1.04/sqrt(m) error everywhere; KMV's merge shuffles at
+# most k rows per group, HLL at most m.
+
+_KMV_META_NAME = "_kmv_meta.json"
+_KMV_LAYOUT_VERSION = "kmv-minima-v1"
+
+
+def _kmv_meta(spark, path: str) -> dict:
+    import json
+
+    from kowari_spark.fsutil import exists, read_bytes
+
+    _sketch_recover(spark, path, _KMV_META_NAME)
+    meta_path = f"{path}/{_KMV_META_NAME}"
+    if not exists(spark, meta_path):
+        raise ValueError(
+            f"no {_KMV_META_NAME} sidecar at {path}: not a KMV sketch "
+            "layout built by build_kmv_layout()"
+        )
+    meta = json.loads(read_bytes(spark, meta_path).decode())
+    if meta.get("version") != _KMV_LAYOUT_VERSION:
+        raise ValueError(
+            f"KMV layout at {path} was built by {meta.get('version')!r}; "
+            f"this code reads {_KMV_LAYOUT_VERSION!r} — rebuild"
+        )
+    return meta
+
+
+def kmv_minima(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int
+) -> DataFrame:
+    """The per-group KMV state (group_cols..., __u double): the k
+    smallest distinct value-hashes. The distinct is map-side partial,
+    so the shuffle carries one row per distinct value at most — and
+    the kept state is ≤ k rows per group."""
+    hashed = df.select(
+        *group_cols,
+        (
+            base_hash64(F.col(value_col).cast("string")).cast("double")
+            / _HASH_SPACE
+        ).alias("__u"),
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__u").asc())
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(
+    minima: DataFrame,
+    group_cols: list[str],
+    k: int,
+    est_col: str = "distinct_est",
+) -> DataFrame:
+    """Fold a minima relation into per-group estimates — exact below
+    k, (k-1)/u_(k) above; shared by :func:`kmv_distinct` and the
+    stored layout (bit-parity by construction)."""
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__u").asc())
+    kept = minima.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    est = F.when(
+        F.max("__rn") < k, F.max("__rn").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.max("__u"))
+    return kept.groupBy(*group_cols).agg(est.alias(est_col))
+
+
+def build_kmv_layout(
+    df: DataFrame,
+    path: str,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> None:
+    """Sketch the corpus once into a persisted minima layout (≤ k rows
+    per group) with a versioned params sidecar."""
+    import json
+
+    from kowari_spark.fsutil import write_bytes
+
+    kmv_minima(df, list(group_cols), value_col, k).repartition(
+        1
+    ).write.mode("overwrite").parquet(path)
+    write_bytes(
+        df.sparkSession,
+        f"{path}/{_KMV_META_NAME}",
+        json.dumps({
+            "version": _KMV_LAYOUT_VERSION,
+            "group_cols": list(group_cols),
+            "value_col": value_col,
+            "k": k,
+        }).encode(),
+    )
+
+
+def append_kmv_layout(spark, path: str, new_df: DataFrame) -> None:
+    """Merge a batch into the stored minima: union + keep-k-smallest
+    per group, rewritten via the sketch sibling swap. build(a) +
+    append(b) == build(a ∪ b) bit-for-bit; replays are no-ops by
+    algebra (parity-tested). Deletes are refused by absence: minima
+    are not subtractable — rebuild over survivors."""
+    meta = _kmv_meta(spark, path)
+    gcols, k = meta["group_cols"], meta["k"]
+    batch = kmv_minima(new_df, gcols, meta["value_col"], k)
+    merged = (
+        spark.read.parquet(path)
+        .unionByName(batch)
+        .distinct()  # the same hash arriving twice is one sample
+    )
+    w = Window.partitionBy(*gcols).orderBy(F.col("__u").asc())
+    merged = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    _sketch_swap(spark, path, merged, _KMV_META_NAME)
+
+
+def kmv_layout_estimate(
+    spark, path: str, est_col: str = "distinct_est"
+) -> DataFrame:
+    """Per-group estimates from the stored minima — no corpus scan,
+    bit-identical to :func:`kmv_distinct` over everything the layout
+    has seen."""
+    meta = _kmv_meta(spark, path)
+    return kmv_estimate(
+        spark.read.parquet(path), meta["group_cols"], meta["k"], est_col
     )

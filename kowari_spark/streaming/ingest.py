@@ -830,6 +830,42 @@ def stream_into_hll_layout(
     )
 
 
+def stream_into_kmv_layout(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """KMV twin of :func:`stream_into_hll_layout`: each micro-batch
+    merges into the stored minima (union + keep-k-smallest — also
+    idempotent by algebra, so replays land bit-identically; the
+    marker only skips wasted work)."""
+    import hashlib
+
+    from kowari_spark import fsutil
+    from kowari_spark.operators.sketch import _kmv_meta, append_kmv_layout
+
+    _kmv_meta(stream_df.sparkSession, path)  # START-time validation
+    ck_tag = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = f"{path}/_batches/{ck_tag}-{batch_id}"
+        if fsutil.exists(spark, marker):
+            return
+        if not batch_df.isEmpty():
+            append_kmv_layout(spark, path, batch_df)
+        fsutil.create_marker(spark, marker)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=trigger_available_now)
+        .start()
+    )
+
+
 def stream_into_dsir_layout(
     stream_df: DataFrame,
     path: str,

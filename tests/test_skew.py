@@ -239,12 +239,58 @@ def test_hll_layout_append_swap_crash_recovery(spark, tmp_path):
     append_hll_layout(spark, path, b)
     # simulate the between-renames crash state: merged tmp complete,
     # original moved to bak, path missing
-    fsutil.rename(spark, path, f"{path}.__hll_tmp")
-    fsutil.write_bytes(spark, f"{path}.__hll_bak/stale", b"x")
+    fsutil.rename(spark, path, f"{path}.__sk_tmp")
+    fsutil.write_bytes(spark, f"{path}.__sk_bak/stale", b"x")
     got = {r["g"]: r["distinct_est"]
            for r in hll_layout_estimate(spark, path).collect()}
     want = {r["g"]: r["distinct_est"]
             for r in hll_distinct(base, ["g"], "v", p=5).collect()}
     assert got == want
-    assert not fsutil.exists(spark, f"{path}.__hll_tmp")
-    assert not fsutil.exists(spark, f"{path}.__hll_bak")
+    assert not fsutil.exists(spark, f"{path}.__sk_tmp")
+    assert not fsutil.exists(spark, f"{path}.__sk_bak")
+
+
+def test_kmv_layout_build_append_estimate_parity(spark, tmp_path):
+    """Stored KMV minima layout (round 14, the HLL layout's twin):
+    build(a) + append(b) == build(a ∪ b) bit-for-bit; estimates from
+    the store == one-shot kmv_distinct over the union (EXACT below k);
+    replayed appends are no-ops by keep-k-smallest algebra; param
+    drift refuses via the sidecar."""
+    from kowari_spark.operators.sketch import (
+        append_kmv_layout,
+        build_kmv_layout,
+        kmv_distinct,
+        kmv_layout_estimate,
+    )
+
+    small = spark.range(30).select(
+        F.lit("small").alias("g"), F.col("id").alias("v"))
+    big = spark.range(5000).select(
+        F.lit("big").alias("g"), (F.col("id") + 1000).alias("v"))
+    base = small.unionByName(big)
+    a = base.filter(F.col("v") % 2 == 0)
+    b = base.filter(F.col("v") % 2 == 1)
+    path = str(tmp_path / "kmv_lay")
+    build_kmv_layout(a, path, ["g"], "v", k=64)
+    append_kmv_layout(spark, path, b)
+
+    def minima(p):
+        return sorted(map(tuple, spark.read.parquet(p).collect()))
+
+    union_path = str(tmp_path / "kmv_union")
+    build_kmv_layout(base, union_path, ["g"], "v", k=64)
+    assert minima(path) == minima(union_path)
+
+    got = {r["g"]: r["distinct_est"]
+           for r in kmv_layout_estimate(spark, path).collect()}
+    want = {r["g"]: r["distinct_est"]
+            for r in kmv_distinct(base, ["g"], "v", k=64).collect()}
+    assert got == want and got["small"] == 30.0  # exact below k
+
+    append_kmv_layout(spark, path, b)  # replay: bit-identical
+    assert minima(path) == minima(union_path)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a KMV sketch layout"):
+        kmv_layout_estimate(spark, str(tmp_path / "nope"))

@@ -1192,3 +1192,47 @@ def test_stream_into_hll_layout(spark, tmp_path):
     q.awaitTermination(120)
     assert regs(path) == regs(union_path)
     assert sorted(map(tuple, hll_layout_estimate(spark, path).collect())) == est
+
+
+def test_stream_into_kmv_layout(spark, tmp_path):
+    """KMV sketch sink: drained minima == batch build over the union;
+    re-drain with markers removed is still bit-identical (algebra)."""
+    from pyspark.sql import functions as F
+
+    from kowari_spark import fsutil
+    from kowari_spark.operators.sketch import (
+        build_kmv_layout,
+        kmv_layout_estimate,
+    )
+    from kowari_spark.streaming.ingest import stream_into_kmv_layout
+
+    base = spark.range(4000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 1300).alias("v"),
+    )
+    hist = base.filter(F.col("id") % 3 != 0)
+    new = base.filter(F.col("id") % 3 == 0)
+    path = str(tmp_path / "kmv_sink")
+    build_kmv_layout(hist, path, ["g"], "v", k=64)
+    src = str(tmp_path / "kmv_src")
+    new.repartition(2).write.parquet(src)
+
+    q = stream_into_kmv_layout(
+        spark.readStream.schema(new.schema).parquet(src),
+        path, str(tmp_path / "kmv_ck"),
+    )
+    q.awaitTermination(120)
+    union_path = str(tmp_path / "kmv_sink_union")
+    build_kmv_layout(base, union_path, ["g"], "v", k=64)
+    def minima(p):
+        return sorted(map(tuple, spark.read.parquet(p).collect()))
+    assert minima(path) == minima(union_path)
+
+    fsutil.delete(spark, f"{path}/_batches")
+    q = stream_into_kmv_layout(
+        spark.readStream.schema(new.schema).parquet(src),
+        path, str(tmp_path / "kmv_ck2"),
+    )
+    q.awaitTermination(120)
+    assert minima(path) == minima(union_path)
+    assert kmv_layout_estimate(spark, path).count() == 2
