@@ -599,6 +599,37 @@ def _run_suite(
             rec(f"bm25_probe_log{tag}", sz, rz)
             fsutil.delete(spark, f"{tpath}/_tombstones")
 
+    if want("sketch_layouts"):
+        # round 14: stored-sketch economics — build is one corpus
+        # scan, but append and estimate are STATE-scale (<= m or k
+        # rows per group), so both should stay ~flat with mult while
+        # build grows linearly. Parity vs the one-shot sketch is
+        # asserted every run (same registers by construction).
+        from kowari_spark.operators.sketch import (
+            append_hll_layout,
+            build_hll_layout,
+            hll_distinct,
+            hll_layout_estimate,
+        )
+
+        hpath = os.path.join(SCALE_DIR, f"x{mult}", "hll_lang")
+        hist4 = docs.filter(F.col("doc_id") % 10 != 0)
+        batch4 = docs.filter(F.col("doc_id") % 10 == 0)
+        if not os.path.exists(os.path.join(hpath, "_hll_meta.json")):
+            s0, _ = timed(lambda: (build_hll_layout(
+                hist4, hpath, ["lang"], "text", p=6), 1)[1])
+            rec("hll_layout_build", s0, docs.count())
+            s0, _ = timed(lambda: (append_hll_layout(
+                spark, hpath, batch4), 1)[1])
+            rec("hll_layout_append", s0, batch4.count())
+        s0, r0 = timed(lambda: len(
+            hll_layout_estimate(spark, hpath).collect()))
+        rec("hll_layout_estimate", s0, r0)
+        got = sorted(map(tuple, hll_layout_estimate(spark, hpath).collect()))
+        want_ = sorted(map(tuple, hll_distinct(
+            docs, ["lang"], "text", p=6).collect()))
+        assert got == want_, "stored-sketch estimate diverged from one-shot"
+
     if want("hybrid_serve"):
         # stored-state hybrid serving end to end (round 12, multi-table
         # capable): two keyword+vector queries share ONE pruned postings
