@@ -210,7 +210,10 @@ def _sketch_recover(spark, path: str, meta_name: str) -> None:
         rename(spark, bak, path)
 
 
-def _sketch_swap(spark, path: str, merged: DataFrame, meta_name: str) -> None:
+def _sketch_swap(
+    spark, path: str, merged: DataFrame, meta_name: str,
+    target_files: int = 1,
+) -> None:
     """Publish a merged sketch state via sibling temp dir + two
     renames: the replacement is COMPLETE (data, sidecar copy, the
     streaming sink's ``_batches`` markers) before the original moves,
@@ -227,7 +230,7 @@ def _sketch_swap(spark, path: str, merged: DataFrame, meta_name: str) -> None:
 
     tmp, bak = f"{path}.__sk_tmp", f"{path}.__sk_bak"
     delete(spark, tmp)
-    merged.repartition(1).write.parquet(tmp)
+    merged.repartition(target_files).write.parquet(tmp)
     write_bytes(spark, f"{tmp}/{meta_name}",
                 read_bytes(spark, f"{path}/{meta_name}"))
     for name in list_files(spark, f"{path}/_batches"):
@@ -265,16 +268,20 @@ def build_hll_layout(
     group_cols: list[str],
     value_col: str,
     p: int = 6,
+    target_files: int = 1,
 ) -> None:
     """Sketch the corpus ONCE into a persisted register layout with a
-    versioned params sidecar. State is tiny (≤ 2^p rows per group), so
-    the write is O(groups), never O(corpus)."""
+    versioned params sidecar. State is ≤ 2^p rows PER GROUP, so the
+    write is O(groups), never O(corpus); the default single output
+    file fits the telemetry-dimension group counts sketches are for —
+    raise ``target_files`` for group-heavy sketches (millions of
+    groups) so the state write parallelizes."""
     import json
 
     from kowari_spark.fsutil import write_bytes
 
     regs = hll_registers(df, list(group_cols), value_col, p)
-    regs.repartition(1).write.mode("overwrite").parquet(path)
+    regs.repartition(target_files).write.mode("overwrite").parquet(path)
     write_bytes(
         df.sparkSession,
         f"{path}/{_HLL_META_NAME}",
@@ -287,7 +294,9 @@ def build_hll_layout(
     )
 
 
-def append_hll_layout(spark, path: str, new_df: DataFrame) -> None:
+def append_hll_layout(
+    spark, path: str, new_df: DataFrame, target_files: int = 1
+) -> None:
     """Merge a new batch into the stored registers under the sidecar's
     params: union + per-(group, register) max, rewritten via a sibling
     temp dir + two renames (probes racing the swap read either the old
@@ -304,7 +313,7 @@ def append_hll_layout(spark, path: str, new_df: DataFrame) -> None:
         .groupBy(*gcols, "__reg")
         .agg(F.max("__M").alias("__M"))
     )
-    _sketch_swap(spark, path, merged, _HLL_META_NAME)
+    _sketch_swap(spark, path, merged, _HLL_META_NAME, target_files)
 
 
 def hll_layout_estimate(
@@ -402,15 +411,17 @@ def build_kmv_layout(
     group_cols: list[str],
     value_col: str,
     k: int = 64,
+    target_files: int = 1,
 ) -> None:
     """Sketch the corpus once into a persisted minima layout (≤ k rows
-    per group) with a versioned params sidecar."""
+    per group) with a versioned params sidecar (``target_files`` as in
+    :func:`build_hll_layout` — raise it for group-heavy sketches)."""
     import json
 
     from kowari_spark.fsutil import write_bytes
 
     kmv_minima(df, list(group_cols), value_col, k).repartition(
-        1
+        target_files
     ).write.mode("overwrite").parquet(path)
     write_bytes(
         df.sparkSession,
@@ -424,7 +435,9 @@ def build_kmv_layout(
     )
 
 
-def append_kmv_layout(spark, path: str, new_df: DataFrame) -> None:
+def append_kmv_layout(
+    spark, path: str, new_df: DataFrame, target_files: int = 1
+) -> None:
     """Merge a batch into the stored minima: union + keep-k-smallest
     per group, rewritten via the sketch sibling swap. build(a) +
     append(b) == build(a ∪ b) bit-for-bit; replays are no-ops by
@@ -444,7 +457,7 @@ def append_kmv_layout(spark, path: str, new_df: DataFrame) -> None:
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
-    _sketch_swap(spark, path, merged, _KMV_META_NAME)
+    _sketch_swap(spark, path, merged, _KMV_META_NAME, target_files)
 
 
 def kmv_layout_estimate(
