@@ -767,6 +767,38 @@ class Collection:
             round_to=round_to,
         )
 
+    def hybrid_search_batch(
+        self,
+        queries_text: dict,
+        queries_vec: DataFrame,
+        k: int = 10,
+        key: str = "text",
+        fetch_k: int | None = None,
+        k0: int = 60,
+        weights=None,
+        round_to: int | None = 6,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Batched :meth:`hybrid_search` (round 14): ONE pruned
+        postings scan scores every keyword list and ONE bucket
+        equi-join probes every vector list against the stored layouts
+        (``search.hybrid_batch_indexed`` — per-query results identical
+        to serving one query at a time, its parity contract).
+        ``queries_text`` maps query_id → keyword string;
+        ``queries_vec`` carries (query_id_col, query_vec_col) for the
+        SAME ids. Returns (query_id, id, rrf_score, n_lists, rank)."""
+        from kowari_spark.operators.search import hybrid_batch_indexed
+
+        bm25 = self.bm25_layout(key=key)
+        sig = self.signature_layout()
+        return hybrid_batch_indexed(
+            self.spark, bm25.path, sig.path, queries_text, queries_vec,
+            k=k, fetch_k=fetch_k, k0=k0, weights=weights,
+            round_to=round_to, query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+
     # -- writes ----------------------------------------------------------
 
     def _validate_dims(self, df: DataFrame) -> None:

@@ -685,3 +685,43 @@ def test_collection_signature_layout_multi_table_geometry(mgr, spark):
     with pytest.raises(DimensionMismatchError):
         c.signature_layout(index=MultiSignLSH(
             dim=dim * 2, num_planes=4, num_tables=3, seed=11))
+
+
+def test_collection_hybrid_batch_and_cp_geometry(mgr, spark):
+    """Round 14 additions to the serving surface: (1)
+    Collection.hybrid_search_batch == per-query hybrid_search over the
+    same stored layouts (the module parity contract, through the
+    facade); (2) CrossPolytopeLSH is accepted as the stored geometry
+    (the third probing family) and bare reopen follows it."""
+    from kowari_spark.operators.cplsh import CrossPolytopeLSH
+    from kowari_spark.schema import vector_df, vector_row
+
+    dim = 8
+    c = mgr.create_collection("hybatch", dim)
+    rows = []
+    for i in range(30):
+        v = [0.0] * dim
+        v[i % dim] = 1.0
+        v[(i + 2) % dim] = 0.4
+        rows.append(vector_row(
+            v, {"text": f"doc {i} spark hybrid serving term{i % 5}"},
+            f"d{i}",
+        ))
+    c.add_df(vector_df(spark, rows))
+
+    cp = CrossPolytopeLSH(dim=dim, num_tables=3, seed=5)
+    lay = c.signature_layout(index=cp)
+    assert lay.kind == "embedding"
+    assert c.signature_layout().meta["num_tables"] == 3  # bare reopen
+
+    q1 = [1.0, 0.0, 0.4, 0.0, 0.0, 0.0, 0.0, 0.0]
+    q2 = [0.0, 1.0, 0.0, 0.4, 0.0, 0.0, 0.0, 0.0]
+    qtexts = {0: "spark term0", 1: "hybrid term1"}
+    qvecs = spark.createDataFrame(
+        [(0, q1), (1, q2)], "query_id long, embedding array<double>"
+    )
+    batch = c.hybrid_search_batch(qtexts, qvecs, k=4).collect()
+    for qid, qtext, qvec in ((0, "spark term0", q1), (1, "hybrid term1", q2)):
+        single = [tuple(r) for r in c.hybrid_search(qtext, qvec, k=4).collect()]
+        got = [tuple(r)[1:] for r in batch if r["query_id"] == qid]
+        assert got == single, qid
