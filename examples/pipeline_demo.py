@@ -106,6 +106,24 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
           f"{vfresh.count()} not near-duplicating stored history")
     vlayout.append(vfresh)  # hashed under the STORED params
 
+    # -- pipeline telemetry: stored cardinality sketches -----------------
+    # distinct documents per language, kept current as crawl batches
+    # land: the persisted state is <= 2^p rows PER GROUP (never the
+    # corpus), merges are idempotent (a replayed batch lands
+    # bit-identically), and estimates read only the registers
+    from kowari_spark.operators.sketch import (
+        append_hll_layout,
+        build_hll_layout,
+        hll_layout_estimate,
+    )
+
+    skpath = tempfile.mkdtemp(prefix="kowari_demo_hll_")
+    build_hll_layout(history, skpath, ["lang"], "text", p=6)
+    append_hll_layout(spark, skpath, batch)  # max-merge, O(batch+state)
+    print("distinct docs per lang (stored HLL):", sorted(
+        (r["lang"], round(r["distinct_est"]))
+        for r in hll_layout_estimate(spark, skpath).collect()))
+
     # -- curation: decontaminate, quality-filter, scrub, re-mix, pack ----
     from kowari_spark.operators.decontam import (
         ngram_decontaminate,
