@@ -2533,6 +2533,41 @@ ORDER BY split
 """
 
 
+def q_doc_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced language resampling (round 14,
+    operators/sampling.temperature_sample — the mC4/XLM-R n^alpha
+    staple): keep fraction (n_min/n_g)^(1-alpha) of every language,
+    membership a pure function of the id hash (mode="hash": one count
+    aggregate + a broadcast join + a codegen filter — ZERO corpus
+    shuffle). Fractions round to 9 decimals in-plan (the idf
+    precedent), so the oracle reproduces the exact survivor set:
+    counts, pow, threshold, and hash arithmetic all replayed in SQL."""
+    from kowari_spark.operators.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        temperature_sample(docs, alpha=0.5, by="lang", id_col="doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_doc_temperature_sample() -> str:
+    alpha = 0.5
+    h = _SQL_HASH64.format(s="CAST(doc_id AS VARCHAR) || '#42'")
+    space = float(1 << 60)
+    return f"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT MIN(pow(n, {1.0 - alpha!r})) AS C FROM c),
+f AS (SELECT lang, ROUND(C * pow(n, {alpha - 1.0!r}), 9) AS frac
+      FROM c, m)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN f USING (lang)
+WHERE CAST({h} AS DOUBLE) / {space!r} < f.frac
+ORDER BY d.doc_id
+"""
+
+
 def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (operators/pack.py): every
     document's (stream, token span, chunk range) under 512-token chunks
@@ -4590,6 +4625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_sharded": q_doc_bm25_sharded,
         "events_hll_layout": q_events_hll_layout,
         "events_kmv_layout": q_events_kmv_layout,
+        "doc_temperature_sample": q_doc_temperature_sample,
         "events_hll_users": q_events_hll_users,
         # -- past round 13's 50-row window (judge-green r13)
         "orders_fast_lines": q_orders_fast_lines,
@@ -4693,6 +4729,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bm25_sharded": _oracle_doc_bm25_sharded(),
         "events_hll_layout": _oracle_events_hll_users(),
         "events_kmv_layout": _oracle_events_kmv_users(),
+        "doc_temperature_sample": _oracle_doc_temperature_sample(),
         "events_hll_users": _oracle_events_hll_users(),
         "doc_bm25_tombed": _oracle_doc_bm25_tombed(),
         "doc_dsir_unlearned": _oracle_doc_dsir_unlearned(),

@@ -224,6 +224,82 @@ def source_cap(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    alpha: float,
+    by: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    mode: str = "hash",
+    order_by: Column | list | None = None,
+) -> DataFrame:
+    """Temperature-balanced group resampling — the multilingual
+    pretraining staple (mC4 / XLM-R: sample language g proportionally
+    to n_g^alpha): over-represented groups are downsampled toward the
+    tempered distribution, rare groups kept whole, nothing is ever
+    upsampled (no replacement, no duplicated rows). Per-group keep
+    fraction: frac_g = C · n_g^(alpha-1) with C = min_h n_h^(1-alpha),
+    the largest scale at which no group exceeds its own size —
+    alpha=1 keeps everything, alpha=0 levels every group down to the
+    smallest's count. Fractions are rounded to 9 decimals in-plan (the
+    idf precedent: cross-engine pow() agrees well inside 1e-9, so the
+    membership threshold is bit-identical in an oracle).
+
+    ``mode="hash"`` (default, the 100 TB shape): membership is a pure
+    function of the id hash — ZERO shuffle of the corpus (one
+    count aggregate + a broadcast join + a filter), reproducible
+    across engines/partitionings/re-ingests, counts binomial around
+    the target. ``mode="exact"``: exact per-group counts
+    (round(frac·n)) via one window shuffle on ``by``, keeping
+    best-first under ``order_by`` (id-hash order when None — an
+    unbiased deterministic sample; pass e.g. ``F.desc("quality")`` to
+    keep the best instead). Output: surviving rows, original columns.
+    """
+    from pyspark.sql.window import Window
+
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if mode not in ("hash", "exact"):
+        raise ValueError(f"mode must be 'hash' or 'exact', got {mode!r}")
+    counts = df.groupBy(by).agg(F.count("*").alias("__n"))
+    cmin = counts.agg(
+        F.min(F.pow(F.col("__n").cast("double"), F.lit(1.0 - alpha))).alias(
+            "__C"
+        )
+    )
+    fr = counts.crossJoin(F.broadcast(cmin)).select(
+        by,
+        "__n",
+        F.round(
+            F.col("__C")
+            * F.pow(F.col("__n").cast("double"), F.lit(alpha - 1.0)),
+            9,
+        ).alias("__frac"),
+    )
+    if mode == "hash":
+        return (
+            df.join(F.broadcast(fr), by)
+            .filter(hash_uniform(id_col, seed=seed) < F.col("__frac"))
+            .drop("__n", "__frac")
+        )
+    order = list(order_by) if isinstance(order_by, (list, tuple)) else (
+        [order_by] if order_by is not None else []
+    )
+    w = Window.partitionBy(by).orderBy(
+        *order, hash_uniform(id_col, seed=seed).asc(), F.col(id_col).asc()
+    )
+    target = F.greatest(
+        F.lit(1).cast("long"),
+        F.round(F.col("__frac") * F.col("__n"), 0).cast("long"),
+    )
+    return (
+        df.join(F.broadcast(fr), by)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= target)
+        .drop("__rk", "__n", "__frac")
+    )
+
+
 def cluster_cap(
     df: DataFrame,
     cap: int,

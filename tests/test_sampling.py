@@ -647,3 +647,62 @@ def test_dsir_remove_bit_identical_to_never_added(spark, docs, tmp_path):
     build_dsir_layout(a, target.unionByName(t_extra), t_full)
     remove_from_dsir_layout(spark, t_full, t_extra, which="target")
     assert snap(t_full) == snap(t_ref)
+
+
+def test_temperature_sample_hash_and_exact(spark):
+    """temperature_sample (round 14): alpha=1 keeps everything; alpha=0
+    levels every group to ~the smallest's count (EXACTLY in exact
+    mode); hash mode is deterministic and a subset of the input;
+    exact mode hits round(frac*n) per group; best-first order_by keeps
+    the top-quality rows; bad args refuse."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from kowari_spark.operators.sampling import temperature_sample
+
+    df = (
+        spark.range(1300)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 1000, "big")
+            .when(F.col("id") < 1250, "mid")
+            .otherwise("small")
+            .alias("lang"),
+            (F.col("id") % 97).cast("double").alias("quality"),
+        )
+        .cache()
+    )
+    # alpha=1: identity (frac_g == 1.0 for every group)
+    assert temperature_sample(df, 1.0, by="lang").count() == 1300
+
+    # alpha=0 exact: every group levels to n_min (=50) exactly
+    lev = temperature_sample(df, 0.0, by="lang", mode="exact")
+    got = {r["lang"]: r["n"] for r in
+           lev.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {"big": 50, "mid": 50, "small": 50}
+
+    # hash mode: deterministic, a subset, counts near the target
+    s1 = temperature_sample(df, 0.5, by="lang")
+    s2 = temperature_sample(df, 0.5, by="lang")
+    ids1 = {r["doc_id"] for r in s1.select("doc_id").collect()}
+    assert ids1 == {r["doc_id"] for r in s2.select("doc_id").collect()}
+    assert ids1 <= set(range(1300))
+    import math
+    cnt = {r["lang"]: r["n"] for r in
+           s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for g, n in (("big", 1000), ("mid", 250), ("small", 50)):
+        target = n * math.sqrt(50 / n)
+        assert abs(cnt[g] - target) < 4 * math.sqrt(target) + 2, (g, cnt)
+
+    # exact mode with order_by: the highest-quality rows survive
+    ex = temperature_sample(
+        df, 0.0, by="lang", mode="exact", order_by=F.desc("quality")
+    )
+    big_kept = [r["quality"] for r in
+                ex.filter(F.col("lang") == "big").collect()]
+    assert len(big_kept) == 50 and min(big_kept) >= 92.0
+
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_sample(df, -0.1, by="lang")
+    with _pytest.raises(ValueError, match="mode"):
+        temperature_sample(df, 0.5, by="lang", mode="rng")
