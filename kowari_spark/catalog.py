@@ -903,6 +903,56 @@ class Collection:
         )
         self._touch()
 
+    def delete_df(
+        self,
+        ids_df: DataFrame,
+        mode: str | None = None,
+        txn_id: str | None = None,
+    ) -> int:
+        """Batched delete (round 14) — the keep-list integration verb:
+        a dedup/curation pass that drops N vectors costs ONE rewrite
+        and ONE committed version here, where N calls to
+        :meth:`delete` would write N versions (each a full-table
+        rewrite — the r14 curation-loop gap). ``ids_df``'s first
+        column is the doomed id set (any name; deduped and cast to
+        string here). strict mode (the collection default) raises
+        ``MissingIdError`` if ANY id is absent and deletes nothing —
+        the reference's per-id contract, batch-atomically; upsert mode
+        ignores absences. ``txn_id`` gives streaming-replay
+        idempotence (the add_df token contract). Returns the number
+        of rows removed."""
+        mode = mode or self.mode
+        if txn_id is not None and txn_id in self.log.txns():
+            return 0
+        version, _ = self.log.snapshot()
+        existing = self.df(version)
+        ids = (
+            ids_df.select(
+                F.col(ids_df.columns[0]).cast("string").alias("id")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        n_ids = ids.count()
+        matched = existing.join(F.broadcast(ids), "id", "left_semi").count()
+        if mode == "strict" and matched != n_ids:
+            missing = ids.join(existing, "id", "left_anti").limit(1).collect()
+            raise MissingIdError(
+                f"vector with ID {missing[0]['id']} not found "
+                f"({n_ids - matched} of {n_ids} batch ids absent; "
+                "strict delete_df removes nothing)"
+            )
+        if matched == 0:
+            return 0
+        self._commit_rewrite(
+            existing.join(F.broadcast(ids), "id", "left_anti"),
+            "delete",
+            base_version=version,
+            txn=txn_id,
+        )
+        self._touch()
+        return matched
+
     def clear(self) -> None:
         """Truncate (S6): an empty manifest — no data is written or
         deleted (old versions stay readable until vacuum)."""

@@ -725,3 +725,41 @@ def test_collection_hybrid_batch_and_cp_geometry(mgr, spark):
         single = [tuple(r) for r in c.hybrid_search(qtext, qvec, k=4).collect()]
         got = [tuple(r)[1:] for r in batch if r["query_id"] == qid]
         assert got == single, qid
+
+
+def test_collection_delete_df_batch(mgr, spark):
+    """Collection.delete_df (round 14): N ids -> ONE rewrite + ONE
+    version (vs N versions via per-id delete); strict raises on any
+    absent id and removes NOTHING (batch-atomic); upsert ignores
+    absences; txn_id makes a replay a no-op; empty-match returns 0."""
+    from kowari_spark.schema import vector_df, vector_row
+
+    c = mgr.create_collection("batchdel", 4)
+    c.add_df(vector_df(spark, [
+        vector_row([float(i), 0.0, 0.0, 0.0], None, f"v{i}") for i in range(10)
+    ]))
+    v0 = len(c.versions())
+
+    ids = spark.createDataFrame([(f"v{i}",) for i in (1, 3, 5)], "id string")
+    assert c.delete_df(ids, txn_id="batch-1") == 3
+    assert c.count() == 7
+    assert len(c.versions()) == v0 + 1  # ONE version for the batch
+    assert c.get("v1") is None and c.get("v2") is not None
+    # replay: token makes it a no-op (no version burned)
+    assert c.delete_df(ids, txn_id="batch-1") == 0
+    assert len(c.versions()) == v0 + 1
+
+    # strict: any absent id -> raises, nothing removed
+    bad = spark.createDataFrame([("v2",), ("nope",)], "id string")
+    with pytest.raises(MissingIdError, match="nope"):
+        c.delete_df(bad)
+    assert c.count() == 7
+    # upsert mode: absences ignored, present ids removed
+    assert c.delete_df(bad, mode="upsert") == 1
+    assert c.count() == 6 and c.get("v2") is None
+    # nothing matched -> 0, no version
+    nv = len(c.versions())
+    assert c.delete_df(
+        spark.createDataFrame([("ghost",)], "id string"), mode="upsert"
+    ) == 0
+    assert len(c.versions()) == nv
