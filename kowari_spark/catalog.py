@@ -435,6 +435,24 @@ class Collection:
         )
         return capped.drop("__src")
 
+    def temperature_sample(
+        self, alpha: float, key: str = "lang", mode: str = "hash",
+        order_by=None,
+    ) -> DataFrame:
+        """Temperature-balanced rebalancing over the collection
+        (operators/sampling.temperature_sample — the n^alpha
+        multilingual staple), grouped by a METADATA JSON field.
+        Records lacking the key form one NULL group. Returns
+        survivors with the collection's own columns."""
+        from kowari_spark.functions.metadata import meta_field
+        from kowari_spark.operators.sampling import temperature_sample
+
+        out = temperature_sample(
+            self.df().withColumn("__grp", meta_field("metadata", key)),
+            alpha, by="__grp", id_col="id", mode=mode, order_by=order_by,
+        )
+        return out.drop("__grp")
+
     def surprisal_buckets(
         self,
         key: str = "text",

@@ -763,3 +763,20 @@ def test_collection_delete_df_batch(mgr, spark):
         spark.createDataFrame([("ghost",)], "id string"), mode="upsert"
     ) == 0
     assert len(c.versions()) == nv
+
+
+def test_collection_temperature_sample(mgr, spark):
+    """Collection.temperature_sample rebalances by a metadata field:
+    alpha=0 exact levels every group to the smallest's count; alpha=1
+    keeps everything; survivors carry the collection's own columns."""
+    from kowari_spark.schema import vector_df, vector_row
+
+    c = mgr.create_collection("tempsamp", 4)
+    rows = [vector_row([float(i), 0.0, 0.0, 0.0],
+                       {"lang": "en" if i < 40 else "de"}, f"v{i}")
+            for i in range(50)]
+    c.add_df(vector_df(spark, rows))
+    assert c.temperature_sample(1.0).count() == 50
+    lev = c.temperature_sample(0.0, mode="exact")
+    assert lev.count() == 20 and set(lev.columns) == {
+        "id", "embedding", "metadata"}
