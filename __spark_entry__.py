@@ -4613,9 +4613,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per round (dict order = check order), so rows are ordered by
     # driver-validation age — never/least-recently driver-validated
     # first, most-recently-validated last; every row gets a driver row
-    # at least every two rounds. Round 14 front block: doc_bm25_sharded
-    # (NEW — sharded postings serving) and events_hll_users (written
-    # round 7, registered THIS round — never driver-validated),
+    # at least every two rounds. Round 14 front block: the five rows
+    # never driver-validated — doc_bm25_sharded (sharded postings
+    # serving), events_hll_layout / events_kmv_layout (stored sketch
+    # layouts, build+append == union proven by the one-shot oracles),
+    # doc_temperature_sample (n^alpha rebalancing), events_hll_users
+    # (written round 7, registered THIS round) —
     # then the 41 rows past round 13's window (orders_fast_lines ...
     # revenue_rollup, judge re-verified 41/41 hash-green r13). Round
     # 13's window rows follow in their r13 order and return to the
