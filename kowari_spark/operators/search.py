@@ -1304,6 +1304,8 @@ def append_bm25_sharded(spark, path: str, new_docs: DataFrame) -> None:
     shards so empty slices cost zero jobs."""
     from kowari_spark.fsutil import write_bytes
 
+    from kowari_spark.fsutil import read_bytes
+
     meta = _read_sharded_meta(spark, path)
     sh = _bm25_shard_expr(meta["id_col"], meta["shards"])
     touched = sorted(
@@ -1312,7 +1314,15 @@ def append_bm25_sharded(spark, path: str, new_docs: DataFrame) -> None:
     )
     for i in touched:
         sp = _shard_paths(path, meta["shards"])[i]
-        _, raw = load_bm25_layout(spark, sp, _raw=True)
+        # sidecar read, NOT load_bm25_layout: a previously-empty child
+        # (sidecar-only, n_docs=0 — tiny-corpus builds) has no parquet
+        # to infer a schema from, and the roll only needs the stats
+        raw = json.loads(read_bytes(spark, f"{sp}/{_BM25_META_NAME}"))
+        if raw.get("version") != _BM25_LAYOUT_VERSION:
+            raise ValueError(
+                f"BM25 shard at {sp} was built by {raw.get('version')!r};"
+                f" this code appends {_BM25_LAYOUT_VERSION!r} — rebuild"
+            )
         _append_bm25_rows(
             spark, sp, raw, new_docs.filter(sh == i), write_bytes
         )
@@ -1329,6 +1339,8 @@ def delete_from_bm25_sharded(
     entire shard refuses even when other shards survive (an emptied
     child is unreadable) — apply pending deletes and rebuild the
     layout when a curation pass removes that much."""
+    from kowari_spark.fsutil import read_bytes
+
     meta = _read_sharded_meta(spark, path)
     idc = ids_df.columns[0]
     sh = F.pmod(
@@ -1339,12 +1351,11 @@ def delete_from_bm25_sharded(
         for r in ids_df.select(sh.alias("__shard")).distinct().collect()
     )
     for i in touched:
-        delete_from_bm25_layout(
-            spark,
-            _shard_paths(path, meta["shards"])[i],
-            ids_df.filter(sh == i),
-            mode,
-        )
+        sp = _shard_paths(path, meta["shards"])[i]
+        raw = json.loads(read_bytes(spark, f"{sp}/{_BM25_META_NAME}"))
+        if raw["n_docs"] <= 0:
+            continue  # empty child holds nothing these ids could match
+        delete_from_bm25_layout(spark, sp, ids_df.filter(sh == i), mode)
 
 
 def apply_bm25_sharded_deletes(spark, path: str) -> bool:

@@ -1027,6 +1027,16 @@ def test_bm25_sharded_parity_and_lifecycle(spark, sf_dir, tmp_path):
     tl = Bm25Layout.open(spark, tiny)
     assert tl.stats()["n_docs"] == 2
     assert len(tl.search("the data", k=5).collect()) >= 0
+    # append/delete INTO a previously-empty child must work: the roll
+    # reads the sidecar, never a data-less parquet dir (round-14
+    # self-review fix) — afterwards every doc is findable and stats sum
+    tl.append(docs.filter(
+        (F.col("doc_id") >= 2) & (F.col("doc_id") < 30)
+    ).select("doc_id", "text"))
+    assert tl.stats()["n_docs"] == 30
+    assert tl.search("the data", k=5).count() > 0
+    tl.delete(docs.filter(F.col("doc_id") == 5).select("doc_id", "text"))
+    assert tl.stats()["n_docs"] == 29
 
     # compact per shard: plant small-file backlog via two tiny appends
     extra = docs.filter(F.col("doc_id") % 11 == 3).select("doc_id", "text")
