@@ -277,10 +277,19 @@ def temperature_sample(
         ).alias("__frac"),
     )
     if mode == "hash":
+        # null-safe join: a NULL group (rows lacking the key) is a real
+        # group with a real count — a plain equi-join would silently
+        # drop it (exact mode's window keeps it, and the two modes must
+        # agree on membership semantics)
+        fr_h = fr.select(
+            F.col(by).alias("__tsgrp"), F.col("__frac")
+        )
         return (
-            df.join(F.broadcast(fr), by)
+            df.join(
+                F.broadcast(fr_h), F.col(by).eqNullSafe(F.col("__tsgrp"))
+            )
             .filter(hash_uniform(id_col, seed=seed) < F.col("__frac"))
-            .drop("__n", "__frac")
+            .drop("__tsgrp", "__frac")
         )
     order = list(order_by) if isinstance(order_by, (list, tuple)) else (
         [order_by] if order_by is not None else []
@@ -292,11 +301,14 @@ def temperature_sample(
         F.lit(1).cast("long"),
         F.round(F.col("__frac") * F.col("__n"), 0).cast("long"),
     )
+    fr_e = fr.select(
+        F.col(by).alias("__tsgrp"), F.col("__n"), F.col("__frac")
+    )
     return (
-        df.join(F.broadcast(fr), by)
+        df.join(F.broadcast(fr_e), F.col(by).eqNullSafe(F.col("__tsgrp")))
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= target)
-        .drop("__rk", "__n", "__frac")
+        .drop("__rk", "__tsgrp", "__n", "__frac")
     )
 
 

@@ -702,6 +702,17 @@ def test_temperature_sample_hash_and_exact(spark):
                 ex.filter(F.col("lang") == "big").collect()]
     assert len(big_kept) == 50 and min(big_kept) >= 92.0
 
+    # NULL group: rows lacking the key are a real group in BOTH modes
+    # (hash mode joins null-safe; a plain equi-join would drop them)
+    withnull = df.withColumn(
+        "lang", F.when(F.col("doc_id") < 25, None).otherwise(F.col("lang"))
+    )
+    hs = temperature_sample(withnull, 1.0, by="lang")
+    assert hs.count() == 1300  # alpha=1 keeps every row, null group too
+    assert hs.filter(F.col("lang").isNull()).count() == 25
+    ex0 = temperature_sample(withnull, 0.0, by="lang", mode="exact")
+    assert ex0.filter(F.col("lang").isNull()).count() == 25  # n_min group
+
     with _pytest.raises(ValueError, match="alpha"):
         temperature_sample(df, -0.1, by="lang")
     with _pytest.raises(ValueError, match="mode"):
