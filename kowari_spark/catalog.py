@@ -944,6 +944,11 @@ class Collection:
             return 0
         version, _ = self.log.snapshot()
         existing = self.df(version)
+        from kowari_spark.streaming.ingest import (
+            _DELETE_BROADCAST_MAX,
+            _delete_join_hint,
+        )
+
         ids = (
             ids_df.select(
                 F.col(ids_df.columns[0]).cast("string").alias("id")
@@ -952,7 +957,11 @@ class Collection:
             .localCheckpoint()
         )
         n_ids = ids.count()
-        matched = existing.join(F.broadcast(ids), "id", "left_semi").count()
+        # size-probed broadcast (the engine-wide _delete_join_hint
+        # rule): a keep-list-complement-scale batch falls back to a
+        # shuffle join instead of OOMing the broadcast
+        _b = _delete_join_hint(ids, _DELETE_BROADCAST_MAX)
+        matched = existing.join(_b(ids), "id", "left_semi").count()
         if mode == "strict" and matched != n_ids:
             missing = ids.join(existing, "id", "left_anti").limit(1).collect()
             raise MissingIdError(
@@ -963,7 +972,7 @@ class Collection:
         if matched == 0:
             return 0
         self._commit_rewrite(
-            existing.join(F.broadcast(ids), "id", "left_anti"),
+            existing.join(_b(ids), "id", "left_anti"),
             "delete",
             base_version=version,
             txn=txn_id,
