@@ -2533,6 +2533,36 @@ ORDER BY split
 """
 
 
+def q_doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary statistics (round 14,
+    operators/quality.vocab_stats): token count, type count, hapax
+    fraction, and type-token ratio — the tokenizer-sizing / corpus
+    drift telemetry. The heavy shuffle carries one row per DISTINCT
+    (lang, token) (map-side partial agg), never per occurrence; ratios
+    are one IEEE divide over integer counts rounded to 9 (oracle-
+    exact)."""
+    from kowari_spark.operators.quality import vocab_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_stats(docs, by="lang").orderBy("lang")
+
+
+_ORACLE_DOC_VOCAB_STATS = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+), per AS (
+  SELECT lang, t, COUNT(*) AS c FROM tok GROUP BY lang, t
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 9)
+         + 0.0 AS hapax_frac,
+       ROUND(COUNT(*)::DOUBLE / SUM(c), 9) + 0.0 AS ttr
+FROM per GROUP BY lang ORDER BY lang
+"""
+
+
 def q_doc_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-balanced language resampling (round 14,
     operators/sampling.temperature_sample — the mC4/XLM-R n^alpha
@@ -4617,7 +4647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # never driver-validated — doc_bm25_sharded (sharded postings
     # serving), events_hll_layout / events_kmv_layout (stored sketch
     # layouts, build+append == union proven by the one-shot oracles),
-    # doc_temperature_sample (n^alpha rebalancing), events_hll_users
+    # doc_temperature_sample (n^alpha rebalancing), doc_vocab_stats
+    # (corpus vocabulary telemetry), events_hll_users
     # (written round 7, registered THIS round) —
     # then the 41 rows past round 13's window (orders_fast_lines ...
     # revenue_rollup, judge re-verified 41/41 hash-green r13). Round
@@ -4629,6 +4660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_layout": q_events_hll_layout,
         "events_kmv_layout": q_events_kmv_layout,
         "doc_temperature_sample": q_doc_temperature_sample,
+        "doc_vocab_stats": q_doc_vocab_stats,
         "events_hll_users": q_events_hll_users,
         # -- past round 13's 50-row window (judge-green r13)
         "orders_fast_lines": q_orders_fast_lines,
@@ -4733,6 +4765,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hll_layout": _oracle_events_hll_users(),
         "events_kmv_layout": _oracle_events_kmv_users(),
         "doc_temperature_sample": _oracle_doc_temperature_sample(),
+        "doc_vocab_stats": _ORACLE_DOC_VOCAB_STATS,
         "events_hll_users": _oracle_events_hll_users(),
         "doc_bm25_tombed": _oracle_doc_bm25_tombed(),
         "doc_dsir_unlearned": _oracle_doc_dsir_unlearned(),

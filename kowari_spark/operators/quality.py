@@ -40,6 +40,51 @@ def word_ngrams(text, n: int) -> Column:
     )
 
 
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    by: str | None = None,
+) -> DataFrame:
+    """Corpus vocabulary statistics — the tokenizer-sizing / drift
+    telemetry view: per corpus (or per ``by`` group) token count, type
+    (distinct-token) count, hapax fraction (types occurring once — the
+    long-tail mass a BPE vocabulary cap truncates), and type-token
+    ratio. A drifting hapax_frac between crawl snapshots is the
+    classic early signal of a source-mix or boilerplate change.
+
+    Shape: one explode into (group?, token) then a two-level
+    aggregation — per-token counts first (the shuffle carries one row
+    per DISTINCT (group, token) after map-side partial aggregation,
+    never per occurrence), then the group fold. Ratios round to 9
+    decimals (oracle-exact: counts are integers, one IEEE divide).
+    Output: (by?..., n_tokens, n_types, hapax_frac, ttr)."""
+    gcols = [by] if by else []
+    tok = df.select(
+        *gcols, F.explode(tokens(F.col(text_col))).alias("__t")
+    )
+    per_tok = tok.groupBy(*gcols, "__t").agg(F.count("*").alias("__c"))
+    agg = per_tok.groupBy(*gcols).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).alias("__hapax"),
+    )
+    return agg.select(
+        *gcols,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        (
+            F.round(
+                F.col("__hapax").cast("double") / F.col("n_types"), 9
+            ) + F.lit(0.0)
+        ).alias("hapax_frac"),
+        (
+            F.round(
+                F.col("n_types").cast("double") / F.col("n_tokens"), 9
+            ) + F.lit(0.0)
+        ).alias("ttr"),
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     n: int = 2,

@@ -218,3 +218,29 @@ def test_surprisal_buckets_null_strata_and_no_strata(spark):
         flat = surprisal_buckets(docs, mode=mode).collect()
         assert {r["doc_id"] for r in flat} == ids, mode
         assert "lang" not in flat[0].asDict()
+
+
+def test_vocab_stats_hand_computed(spark):
+    """vocab_stats (round 14): counts/types/hapax/ttr pinned on a
+    hand-computable corpus, per-group and corpus-wide."""
+    from kowari_spark.operators.quality import vocab_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b b c", "g1"),   # tokens: a,b,b,c
+            (1, "c d", "g1"),       # g1: 6 tokens, types {a,b,c,d},
+            #                          hapax {a,d} -> 0.5, ttr 4/6
+            (2, "x x", "g2"),       # g2: 2 tokens, 1 type, 0 hapax
+        ],
+        "doc_id long, text string, g string",
+    )
+    per = {r["g"]: r for r in vocab_stats(df, by="g").collect()}
+    assert per["g1"]["n_tokens"] == 6 and per["g1"]["n_types"] == 4
+    assert per["g1"]["hapax_frac"] == 0.5
+    assert per["g1"]["ttr"] == round(4 / 6, 9)
+    assert per["g2"]["n_tokens"] == 2 and per["g2"]["n_types"] == 1
+    assert per["g2"]["hapax_frac"] == 0.0 and per["g2"]["ttr"] == 0.5
+    whole = vocab_stats(df).collect()[0]
+    # corpus-wide: 8 tokens, types {a,b,c,d,x}=5, hapax {a,d}=2
+    assert whole["n_tokens"] == 8 and whole["n_types"] == 5
+    assert whole["hapax_frac"] == 0.4 and whole["ttr"] == round(5 / 8, 9)
