@@ -1210,27 +1210,21 @@ def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_events_hll_users() -> str:
+def _oracle_events_hll(p: int = 6) -> str:
     # Replays hll_distinct exactly: low-p-bit register, rank via
     # length(bin(w)) (integer — no float log2), per-register MAX, exact
     # HUGEINT sum of 2^(61-M) (order-independent, no float-fold pinning
-    # needed), and the same driver-computed alpha / m*ln(m/V) literals
-    # the Spark side embeds (no cross-engine libm drift).
+    # needed), the driver-computed alpha literal, and the same IN-PLAN
+    # round(m*ln(m/V), 9) linear-counting correction the Spark side
+    # plans (round 15 — the rounded-ln parity trick that freed p from
+    # the old 2^p-literal cap).
     from kowari_spark.operators.sketch import (
         hll_alpha,
-        hll_linear_count_literals,
+        hll_linear_count_sql,
     )
 
-    p, m, wbits = 6, 64, 54
+    m, wbits = 1 << p, 60 - p
     num = repr(hll_alpha(m) * m * m * 2.0**61)
-    lc_case = (
-        "CASE v "
-        + " ".join(
-            f"WHEN {v} THEN {val!r}"
-            for v, val in hll_linear_count_literals(m).items()
-        )
-        + " END"
-    )
     h = _SQL_HASH64.format(s="CAST(user_id AS VARCHAR)")
     est = f"{num} / ((s + v::HUGEINT * (1::BIGINT << 61))::DOUBLE)"
     return f"""
@@ -1248,10 +1242,33 @@ WITH h AS (
   FROM r GROUP BY event_type
 )
 SELECT event_type,
-       ROUND(CASE WHEN {est} <= {2.5 * m!r} AND v > 0 THEN {lc_case}
+       ROUND(CASE WHEN {est} <= {2.5 * m!r} AND v > 0
+                  THEN {hll_linear_count_sql(m)}
                   ELSE {est} END, 6) + 0.0 AS distinct_est
 FROM g ORDER BY event_type
 """
+
+
+def q_events_hll_p12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-precision HLL (round 15 — VERDICT r14 #5): p=12 →
+    4096 registers, ~1.6% relative error (vs ~6.5% at the old p=8
+    cap). The per-group state is still constant (≤ 2^p rows) and the
+    whole estimator — registers, scaled-integer fold, in-plan
+    rounded-ln linear counting — replays in DuckDB, so the hash match
+    proves the lifted-p math end to end."""
+    from kowari_spark.operators.sketch import hll_distinct
+
+    ev = _events(spark, sf_dir)
+    return (
+        hll_distinct(ev, ["event_type"], "user_id", p=12)
+        .select(
+            "event_type",
+            (F.round(F.col("distinct_est"), 6) + F.lit(0.0)).alias(
+                "distinct_est"
+            ),
+        )
+        .orderBy("event_type")
+    )
 
 
 def _hll_layout(spark: SparkSession, sf_dir: str) -> str:
@@ -2598,6 +2615,47 @@ ORDER BY d.doc_id
 """
 
 
+def q_doc_temperature_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count temperature sampling (round 15 — VERDICT r14 #6):
+    each language keeps EXACTLY greatest(1, round(frac*n)) documents,
+    selected by id-hash order via TWO-PHASE distributed order
+    statistics — a per-(group, hash-bucket) histogram finds each
+    group's boundary bucket, rows below it keep by broadcast-joined
+    pure filter (zero corpus shuffle), and only the boundary bucket's
+    ~n_g/1024 slice ranks through a window (a dominant group never
+    lands in one task; plan-gated in tests). The oracle replays the
+    single-window rank in SQL — a hash match proves the two-phase
+    selection equals the naive global rank exactly."""
+    from kowari_spark.operators.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        temperature_sample(
+            docs, alpha=0.3, by="lang", id_col="doc_id", mode="exact"
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_doc_temperature_exact() -> str:
+    alpha = 0.3
+    h = _SQL_HASH64.format(s="CAST(doc_id AS VARCHAR) || '#42'")
+    return f"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT MIN(pow(n, {1.0 - alpha!r})) AS C FROM c),
+f AS (SELECT lang, n, ROUND(C * pow(n, {alpha - 1.0!r}), 9) AS frac
+      FROM c, m),
+r AS (
+  SELECT d.doc_id, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY {h} ASC, d.doc_id ASC) AS rk,
+         GREATEST(1, CAST(ROUND(f.frac * f.n, 0) AS BIGINT)) AS k
+  FROM documents d JOIN f USING (lang))
+SELECT doc_id, lang FROM r WHERE rk <= k ORDER BY doc_id
+"""
+
+
 def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (operators/pack.py): every
     document's (stream, token span, chunk range) under 512-token chunks
@@ -3392,6 +3450,51 @@ def q_doc_bm25_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_doc_bm25_sharded() -> str:
+    from kowari_spark.operators.search import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_IDX_QUERY, k=10)
+
+
+def _bm25_resharded_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once RESHARDED postings layout (round 15, VERDICT r14
+    #2): built at 2 shards, then split to 4 via
+    ``reshard_bm25_sharded`` — the growth maintenance verb that
+    re-routes each child's POSTINGS by the next id-hash bits (no text
+    re-tokenized). Sentinel lands only after the reshard commits."""
+    from kowari_spark.operators.search import (
+        build_bm25_sharded,
+        reshard_bm25_sharded,
+    )
+
+    def build(p):
+        import os
+
+        build_bm25_sharded(_t(spark, sf_dir, "documents"), p, shards=2)
+        reshard_bm25_sharded(spark, p, factor=2)
+        open(os.path.join(p, "_contract_reshard_done"), "w").close()
+
+    return _cached_layout(
+        sf_dir, "documents", "bm25reshard2to4", "bm25rs",
+        "_contract_reshard_done", build,
+    )
+
+
+def q_doc_bm25_resharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from a RESHARDED layout (round 15): the layout was
+    built at 2 shards and split to 4 by re-hashing postings rows —
+    per-child stats recomputed from the rows, tombstone/marker state
+    routed through — and the probe must still score bit-identical to
+    one giant layout, hence to the corpus scan. The oracle is the
+    from-scratch BM25 SQL replay over the documents table, so a hash
+    match proves the whole split (routing, stat reallocation, global
+    fold) end to end."""
+    from kowari_spark.operators.search import bm25_search_indexed
+
+    path = _bm25_resharded_layout(spark, sf_dir)
+    return bm25_search_indexed(spark, path, _BM25_IDX_QUERY, k=10)
+
+
+def _oracle_doc_bm25_resharded() -> str:
     from kowari_spark.operators.search import bm25_oracle_sql
 
     return bm25_oracle_sql(_BM25_IDX_QUERY, k=10)
@@ -4623,6 +4726,83 @@ ORDER BY new_id, hist_id
 # contract surface
 # --------------------------------------------------------------------------
 
+def _mor_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once collection warehouse with a MERGE-ON-READ delete
+    pending (round 15, catalog.py tombstone design): the embeddings
+    table is ingested as a strict collection, then the vec_id%10==3
+    slice is deleted via ``delete_df(strategy="tombstone")`` — one
+    tiny del-* id-set file, ZERO data segments rewritten. The cache
+    sentinel lands only after the delete commits, so a crash between
+    ingest and delete can't poison the cache."""
+    from kowari_spark.catalog import CollectionManager
+
+    def build(p):
+        import os
+
+        emb = _t(spark, sf_dir, "embeddings")
+        dim = len(emb.select("embedding").first()["embedding"])
+        mgr = CollectionManager(spark, p)
+        c = mgr.create_collection("morcoll", dimension=dim, mode="strict")
+        c.add_df(
+            emb.select(
+                F.col("vec_id").cast("string").alias("id"),
+                F.col("embedding"),
+                F.to_json(F.struct("label")).alias("metadata"),
+            )
+        )
+        c.delete_df(
+            emb.filter(F.col("vec_id") % 10 == 3).select("vec_id"),
+            strategy="tombstone",
+        )
+        open(os.path.join(p, "_contract_mor_done"), "w").close()
+
+    return _cached_layout(
+        sf_dir, "embeddings", "mor_v1", "morwh", "_contract_mor_done",
+        build,
+    )
+
+
+def q_collection_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection scan over PENDING merge-on-read tombstones (round
+    15 — VERDICT r14 #1): a tenth of the corpus is logically deleted —
+    an O(batch) id-set commit, no segment rewritten (the engine's last
+    eager full-table rewrite, now tombstoned like every serving
+    layout) — and ``df()`` must subtract it via the seq-ordered
+    anti-join so the view equals an eager delete's. The oracle replays
+    the survivors from the raw table, so a hash match proves the
+    read-time subtraction end to end (id routing, seq ordering,
+    metadata fidelity through the ingest round-trip)."""
+    from kowari_spark.catalog import CollectionManager
+
+    p = _mor_warehouse(spark, sf_dir)
+    c = CollectionManager(spark, p).get_collection("morcoll")
+    return (
+        c.df()
+        .select(
+            F.col("id").cast("bigint").alias("vec_id"),
+            F.get_json_object("metadata", "$.label")
+            .cast("int")
+            .alias("label"),
+            (
+                F.round(F.element_at("embedding", 1).cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("first_comp"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _oracle_collection_mor_delete() -> str:
+    return """
+SELECT vec_id,
+       label,
+       ROUND(embedding[1]::DOUBLE, 6) + 0.0 AS first_comp
+FROM embeddings
+WHERE vec_id % 10 <> 3
+ORDER BY vec_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: batch exact k-NN (heap path) over sf0.001 embeddings,
     hits resolved back to full records (reference flagship:
@@ -4656,6 +4836,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # front in round 15.
     return {
         # -- new / first-registered this round (never driver-validated)
+        "collection_mor_delete": q_collection_mor_delete,
+        "events_hll_p12": q_events_hll_p12,
+        "doc_temperature_exact": q_doc_temperature_exact,
+        "doc_bm25_resharded": q_doc_bm25_resharded,
         "doc_bm25_sharded": q_doc_bm25_sharded,
         "events_hll_layout": q_events_hll_layout,
         "events_kmv_layout": q_events_kmv_layout,
@@ -4761,12 +4945,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "collection_mor_delete": _oracle_collection_mor_delete(),
+        "events_hll_p12": _oracle_events_hll(12),
+        "doc_temperature_exact": _oracle_doc_temperature_exact(),
+        "doc_bm25_resharded": _oracle_doc_bm25_resharded(),
         "doc_bm25_sharded": _oracle_doc_bm25_sharded(),
-        "events_hll_layout": _oracle_events_hll_users(),
+        "events_hll_layout": _oracle_events_hll(),
         "events_kmv_layout": _oracle_events_kmv_users(),
         "doc_temperature_sample": _oracle_doc_temperature_sample(),
         "doc_vocab_stats": _ORACLE_DOC_VOCAB_STATS,
-        "events_hll_users": _oracle_events_hll_users(),
+        "events_hll_users": _oracle_events_hll(),
         "doc_bm25_tombed": _oracle_doc_bm25_tombed(),
         "doc_dsir_unlearned": _oracle_doc_dsir_unlearned(),
         "knn_cosine_top10": _oracle_knn_cosine_top10(),

@@ -228,24 +228,22 @@ def quality_gates(spark, sf_dir) -> dict:
     )
     lists16.unpersist()
     lists.unpersist()
-    # Collection-surface serving default (round 14, VERDICT r13 #3):
-    # a bare coll.signature_layout() builds SignLSH(p=8, seed=42) and
-    # hybrid_search's vector list probes the STORED layout — measured
-    # here through an actual stored layout (the exact facade path),
-    # not an in-memory shortcut. The surface can now store the
-    # multi-table OR-construction instead (signature_layout(index=
-    # MultiSignLSH(...))), whose recall is recall_lsh_at_10 above.
+    # Collection-surface serving default (round 15, VERDICT r14 #3):
+    # a bare coll.signature_layout() now builds the measured-good
+    # MultiSignLSH(num_planes=4, num_tables=12, seed=42)
+    # OR-construction (previously SignLSH(p=8) at ~0.40 recall) —
+    # measured here through an actual stored layout (the exact facade
+    # build/probe path), not an in-memory shortcut. The ×12 storage
+    # trade is the documented cost of the recall.
     import shutil as _sh
     import tempfile as _tf
 
-    from kowari_spark.operators.lsh import SignLSH
-
     _cd = _tf.mkdtemp(prefix="bench_coll_lsh_")
     try:
-        _s8 = SignLSH(dim=64, num_planes=8, seed=42)
-        _s8.build(base, f"{_cd}/lsh", vec_col="embedding", id_col="vec_id")
-        _sres = _s8.query_batch(
-            _s8.load(spark, f"{_cd}/lsh"), queries, 10,
+        _md = MultiSignLSH(dim=64, num_planes=4, num_tables=12, seed=42)
+        _md.build(base, f"{_cd}/lsh", vec_col="embedding", id_col="vec_id")
+        _sres = _md.query_batch(
+            _md.load(spark, f"{_cd}/lsh"), queries, 10,
             id_col="vec_id", round_to=6,
         )
         out["recall_collection_default_at_10"] = round(
@@ -579,12 +577,21 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     scratch = tempfile.mkdtemp(prefix="kowari_bench_")
+    auto_warmup = False
     try:
-        if os.environ.get("SPARK_GRAFT_BENCH_WARMUP") == "1":
-            # opt-in warm-up: one untimed pass of the whole suite, so
-            # the timed pass below runs against a warmed JVM/page
-            # cache whatever the ambient state was (the back-to-back
-            # capture rule; doubles wall time, hence opt-in)
+        warm_env = os.environ.get("SPARK_GRAFT_BENCH_WARMUP")
+        # Round 15 (VERDICT r14 #7): the warm-up pass runs
+        # AUTOMATICALLY when the ambient page cache is cold, not just
+        # under the opt-in env var — two rounds of driver captures
+        # moved 1.7-2x on untouched code purely from ambient cache
+        # state, costing a forensic adjudication each time. One
+        # untimed pass of the whole suite makes every capture
+        # warm-by-construction (back-to-back rule) at the cost of
+        # ~1.7x wall time on a cold box. SPARK_GRAFT_BENCH_WARMUP=0
+        # opts out (timing the cold path on purpose); =1 forces the
+        # pass even on a warm box (the historical opt-in).
+        if warm_env == "1" or (warm_env != "0" and conditions == "cold"):
+            auto_warmup = warm_env != "1"
             wscratch = tempfile.mkdtemp(prefix="kowari_bench_warm_")
             try:
                 for fn in bench_queries(spark, sf_dir, wscratch).values():
@@ -622,6 +629,7 @@ def main() -> None:
         "sf": sf,
         "cache_at_start": cache0,
         "bench_conditions": conditions,
+        "auto_warmup": auto_warmup,
     }
     # The driver records only the LAST 2000 chars of stdout and parses
     # the JSON line out of that window (BENCH_r06 overflowed it:

@@ -48,6 +48,33 @@ _META = "_meta.json"
 _DATA = "data"
 _VERSIONS = "_versions"
 
+#: warehouses already warned about this process — the S3 caveat is per
+#: log location, not per TransactionLog construction
+_S3_WARNED: set[str] = set()
+
+
+def _warn_if_s3_log(table_path: str) -> None:
+    """Surface the documented S3 concurrency caveat at construction
+    instead of letting it be tripped silently (VERDICT r14 #8): on
+    ``s3a://``/``s3n://``/``s3://`` rename is client-side copy+delete —
+    neither atomic nor exclusive — so two writers racing to the same
+    version can BOTH believe they committed. Single-writer pipelines
+    are fine; concurrent writers need an external coordination layer
+    (the Delta-on-S3 caveat). One warning per warehouse per process."""
+    scheme = table_path.split("://", 1)[0].lower() if "://" in table_path else ""
+    if scheme in ("s3", "s3a", "s3n") and table_path not in _S3_WARNED:
+        import warnings
+
+        _S3_WARNED.add(table_path)
+        warnings.warn(
+            f"transaction log at {table_path}: S3 rename is copy+delete, "
+            "so commit exclusivity is NOT guaranteed under concurrent "
+            "writers — coordinate writers externally (single-writer "
+            "pipelines are safe)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
 
 class TransactionLog:
     """Versioned-manifest commit log: the transactional core the plain
@@ -56,9 +83,17 @@ class TransactionLog:
     limitation closed here).
 
     Layout: data lives in immutable SEGMENT directories
-    (``data/seg-<uuid>/``, written once, never mutated); each table
-    version is a manifest ``_versions/v<N>.json`` listing the segments
-    visible at that version. Properties:
+    (``data/seg-<uuid>/``, written once, never mutated) plus immutable
+    TOMBSTONE id-set files (``data/del-<uuid>/``, a tiny parquet of
+    doomed ids — the merge-on-read delete design, round 15); each
+    table version is a manifest ``_versions/v<N>.json`` listing the
+    segments and tombstones visible at that version. Every entry
+    carries a ``seq`` (the version that introduced it): a tombstone
+    deletes only rows from segments with ``seq`` strictly below its
+    own, so an id deleted and later re-added survives, and an upsert
+    commits (tombstone of the incoming ids + new segment) at the SAME
+    seq — the new rows outrank the tombstone by construction.
+    Properties:
 
     - **atomic commit**: a version exists iff its manifest file does;
       the manifest is published whole via temp-write + atomic rename
@@ -91,6 +126,7 @@ class TransactionLog:
     def __init__(self, spark: SparkSession, table_path: str):
         self.spark = spark
         self.dir = os.path.join(table_path, _VERSIONS)
+        _warn_if_s3_log(table_path)
         fsutil.mkdirs(spark, self.dir)
 
     def _manifest_path(self, version: int) -> str:
@@ -112,29 +148,69 @@ class TransactionLog:
             fsutil.read_bytes(self.spark, self._manifest_path(version))
         )
 
+    @staticmethod
+    def _norm(entries, version: int) -> list[dict]:
+        """Normalize manifest entries: plain names (legacy manifests,
+        or NEW files being committed) become ``{"name", "seq":
+        version}``; dicts (entries carried forward from an earlier
+        snapshot) keep their original seq. Legacy-as-this-version is
+        safe: seq only orders entries against tombstones committed
+        LATER, and no legacy log holds tombstones."""
+        out = []
+        for e in entries or []:
+            if isinstance(e, str):
+                out.append({"name": e, "seq": version})
+            else:
+                d = {"name": e["name"], "seq": int(e["seq"])}
+                if "rows" in e:
+                    d["rows"] = e["rows"]
+                out.append(d)
+        return out
+
     def snapshot(self, version: int | None = None) -> tuple[int, list[str]]:
         """(version, segment names) of the requested or latest version;
-        (0, []) for an empty log."""
+        (0, []) for an empty log. Name-only view — callers that must
+        see seqs/tombstones use :meth:`snapshot_full`."""
+        v, segs, _ = self.snapshot_full(version)
+        return v, [s["name"] for s in segs]
+
+    def snapshot_full(
+        self, version: int | None = None
+    ) -> tuple[int, list[dict], list[dict]]:
+        """(version, segment entries, tombstone entries) — each entry a
+        ``{"name", "seq"[, "rows"]}`` dict; (0, [], []) for an empty
+        log."""
         v = self.latest_version() if version is None else version
         if v == 0:
-            return 0, []
-        return v, self.read(v)["segments"]
+            return 0, [], []
+        m = self.read(v)
+        mv = int(m["version"])
+        return (
+            v,
+            self._norm(m["segments"], mv),
+            self._norm(m.get("tombstones"), mv),
+        )
 
     def commit(
         self,
         base_version: int,
-        segments: list[str],
+        segments: list,
         op: str,
         txn: str | None = None,
+        tombstones: list | None = None,
     ) -> int:
-        """Atomically publish ``segments`` as version base+1. Raises
+        """Atomically publish ``segments`` (+ ``tombstones``) as
+        version base+1. Entries may be plain names (NEW files — they
+        get ``seq = base+1``) or dicts carried forward from
+        :meth:`snapshot_full` (original seq preserved). Raises
         CommitConflictError when someone else already took that slot.
         ``txn`` stamps the manifest with an idempotence token (see
         ``txns()``) — the Delta-style streaming-sink pattern."""
         version = base_version + 1
         manifest = {
             "version": version,
-            "segments": segments,
+            "segments": self._norm(segments, version),
+            "tombstones": self._norm(tombstones, version),
             "op": op,
             "ts": int(time.time()),
         }
@@ -235,12 +311,69 @@ class Collection:
         returned (lazy) DataFrame scans only that version's immutable
         segment files — a concurrent writer committing mid-query can
         never change this query's input. ``version`` time-travels to any
-        retained version."""
-        _, segments = self.log.snapshot(version)
-        if not segments:
+        retained version.
+
+        MERGE-ON-READ (round 15 — VERDICT r14 #1): tombstone entries
+        are subtracted here with an anti-join — a tombstone at seq T
+        kills rows whose segment seq < T, so rows re-added after a
+        delete (and an upsert's own replacement rows, committed at the
+        tombstone's seq) survive. The tombstone side broadcasts when
+        the manifest's recorded row counts prove it maintenance-sized
+        (no probe job needed); past ``_DELETE_BROADCAST_MAX`` it falls
+        back to a shuffle anti-join — the engine-wide
+        ``_delete_join_hint`` rule. A log with no tombstones (fresh
+        table, or just optimized) plans the plain multi-path scan with
+        no join at all."""
+        _, segs, tombs = self.log.snapshot_full(version)
+        if not segs:
             return self.spark.createDataFrame([], VECTOR_SCHEMA)
-        paths = [os.path.join(self._data_path(), s) for s in segments]
-        return self.spark.read.schema(VECTOR_SCHEMA).parquet(*paths)
+        data = self._data_path()
+        if not tombs:
+            paths = [os.path.join(data, s["name"]) for s in segs]
+            return self.spark.read.schema(VECTOR_SCHEMA).parquet(*paths)
+        from functools import reduce
+
+        # one scan per distinct commit seq (usually: one big optimized
+        # segment + a few appends), each stamped with its seq literal
+        parts = []
+        for seq in sorted({s["seq"] for s in segs}):
+            paths = [
+                os.path.join(data, s["name"]) for s in segs
+                if s["seq"] == seq
+            ]
+            parts.append(
+                self.spark.read.schema(VECTOR_SCHEMA)
+                .parquet(*paths)
+                .withColumn("__seq", F.lit(int(seq)))
+            )
+        rows = reduce(lambda a, b: a.unionByName(b), parts)
+        tomb_parts = [
+            self.spark.read.schema("id string")
+            .parquet(os.path.join(data, t["name"]))
+            .select(
+                F.col("id").alias("__tomb_id"),
+                F.lit(int(t["seq"])).alias("__tseq"),
+            )
+            for t in tombs
+        ]
+        tomb = (
+            reduce(lambda a, b: a.unionByName(b), tomb_parts)
+            .groupBy("__tomb_id")
+            .agg(F.max("__tseq").alias("__tseq"))
+        )
+        # broadcast decision from manifest metadata (zero jobs): rows
+        # recorded at commit; entries missing it count as unbounded
+        from kowari_spark.streaming.ingest import _DELETE_BROADCAST_MAX
+
+        known = [t.get("rows") for t in tombs]
+        if all(r is not None for r in known) and (
+            sum(known) <= _DELETE_BROADCAST_MAX
+        ):
+            tomb = F.broadcast(tomb)
+        cond = (F.col("id") == F.col("__tomb_id")) & (
+            F.col("__seq") < F.col("__tseq")
+        )
+        return rows.join(tomb, cond, "left_anti").drop("__seq")
 
     def versions(self) -> list[dict]:
         """Commit history (newest last): version, op, segment count."""
@@ -505,8 +638,7 @@ class Collection:
         The GEOMETRY is pluggable (round 14 — VERDICT r13 missing #2):
         pass ``index=`` any of the probing families —
         ``SignLSH`` (single-table, cheapest),
-        ``MultiSignLSH`` (OR-construction over T tables — the measured
-        0.87-recall serving config vs single-table's ~0.40), or
+        ``MultiSignLSH`` (OR-construction over T tables), or
         ``CrossPolytopeLSH`` — and the build, the sidecar, every
         facade probe, and :meth:`hybrid_search` serve that geometry:
 
@@ -515,13 +647,23 @@ class Collection:
         ...                        num_tables=4, seed=42))
 
         With NO arguments the call OPENS whatever geometry is stored
-        (reconstructed from the params sidecar), building the default
-        ``SignLSH(num_planes=8, seed=42)`` only when nothing exists
-        yet — so serving paths follow the stored config instead of
-        fighting it. Passing EXPLICIT ``num_planes``/``seed``/
-        ``index=`` against a differently-parameterized stored layout
-        REFUSES via the sidecar (a differently-hashed prober silently
-        misses every duplicate) — pass ``rebuild=True`` to replace.
+        (reconstructed from the params sidecar). A FIRST build with no
+        arguments gets the measured-good serving default (round 15 —
+        VERDICT r14 #3): ``MultiSignLSH(num_planes=4, num_tables=12,
+        seed=42)``, the bench-measured ~0.87-recall@10 OR-construction
+        — at ×12 storage (each vector's id lands in 12 bucket tables).
+        One-call users previously got ``SignLSH(num_planes=8)``
+        (recall ~0.40) silently; pass ``index=SignLSH(...)`` (or
+        ``num_planes=``) explicitly if the cheap single-table config
+        is genuinely wanted. ``rebuild=True`` with no geometry args
+        rebuilds UNDER THE STORED GEOMETRY (reconstructed from the
+        sidecar — ADVICE r14: a bare rebuild must not silently
+        downgrade a tuned config), falling back to the default only
+        when nothing is stored yet. Passing EXPLICIT ``num_planes``/
+        ``seed``/``index=`` against a differently-parameterized stored
+        layout REFUSES via the sidecar (a differently-hashed prober
+        silently misses every duplicate) — pass ``rebuild=True`` to
+        replace.
 
         Collections store vectors (VECTOR_SCHEMA), so the family is
         ``embedding``; text/media corpora live outside the catalog and
@@ -535,7 +677,11 @@ class Collection:
             open_lsh_layout,
         )
         from kowari_spark.operators.cplsh import CrossPolytopeLSH
-        from kowari_spark.operators.lsh import _LSH_META_NAME, SignLSH
+        from kowari_spark.operators.lsh import (
+            _LSH_META_NAME,
+            MultiSignLSH,
+            SignLSH,
+        )
 
         explicit = (
             index is not None or num_planes is not None or seed is not None
@@ -545,23 +691,33 @@ class Collection:
                 "pass either index= (a configured LSH instance) or "
                 "num_planes/seed (the SignLSH shorthand), not both"
             )
-        inst = index or SignLSH(
-            dim=self.dimension,
-            num_planes=8 if num_planes is None else num_planes,
-            seed=42 if seed is None else seed,
-        )
-        if getattr(inst, "dim", None) != self.dimension:
-            raise DimensionMismatchError(
-                f"index hashes dim={getattr(inst, 'dim', None)} but "
-                f"collection {self.name!r} stores dimension "
-                f"{self.dimension}"
-            )
         path = os.path.join(self.path, "indexes", "lsh")
         has_sidecar = fsutil.exists(
             self.spark, os.path.join(path, _LSH_META_NAME)
         ) or fsutil.exists(
             self.spark, os.path.join(path, CrossPolytopeLSH._META_NAME)
         )
+        if explicit:
+            inst = index or SignLSH(
+                dim=self.dimension,
+                num_planes=8 if num_planes is None else num_planes,
+                seed=42 if seed is None else seed,
+            )
+        elif rebuild and has_sidecar:
+            # bare rebuild follows the STORED geometry (ADVICE r14) —
+            # rebuilding a tuned MultiSignLSH/CP layout as the default
+            # would silently downgrade its recall
+            inst, _ = open_lsh_layout(self.spark, path)
+        else:
+            inst = MultiSignLSH(
+                dim=self.dimension, num_planes=4, num_tables=12, seed=42
+            )
+        if getattr(inst, "dim", None) != self.dimension:
+            raise DimensionMismatchError(
+                f"index hashes dim={getattr(inst, 'dim', None)} but "
+                f"collection {self.name!r} stores dimension "
+                f"{self.dimension}"
+            )
         if rebuild or not has_sidecar:
             snap = self.df().select("id", "embedding")
             # an empty build would write a data-less dir whose sidecar
@@ -858,7 +1014,7 @@ class Collection:
             # re-validating against the winner's snapshot each time
             seg = None
             for _ in range(5):
-                version, segments = self.log.snapshot()
+                version, segments, tombs = self.log.snapshot_full()
                 if txn_id is not None and txn_id in self.log.txns():
                     # a racing replay of the same batch already landed
                     if seg is not None:
@@ -878,7 +1034,13 @@ class Collection:
                 if seg is None:
                     seg = self._write_segment(df)
                 try:
-                    self.log.commit(version, segments + [seg], "append", txn=txn_id)
+                    # tombstones carry forward: they still apply to the
+                    # older segments; the new segment's seq (this
+                    # version) outranks every one of them
+                    self.log.commit(
+                        version, segments + [seg], "append", txn=txn_id,
+                        tombstones=tombs,
+                    )
                     break
                 except CommitConflictError:
                     continue
@@ -887,15 +1049,44 @@ class Collection:
                     "append lost the commit race 5 times; retry the operation"
                 )
         elif mode == "upsert":
-            version, segments = self.log.snapshot()
+            # MERGE-ON-READ upsert (round 15): ONE commit carrying a
+            # tombstone of the incoming ids (kills any older rows with
+            # those ids) + the new segment at the SAME seq (so the
+            # replacements outrank the tombstone). O(batch) write —
+            # the previous implementation rewrote the whole table.
+            version, segments, tombs = self.log.snapshot_full()
             if not segments:
                 seg = self._write_segment(df)
                 self.log.commit(version, [seg], "append", txn=txn_id)
             else:
-                merged = self.df().join(df, "id", "left_anti").unionByName(df)
-                self._commit_rewrite(
-                    merged, "upsert", base_version=version, txn=txn_id
-                )
+                ids = df.select("id").distinct().localCheckpoint()
+                n_ids = ids.count()
+                seg = self._write_segment(df)
+                tomb = self._write_tombstone(ids)
+                for _ in range(5):
+                    if txn_id is not None and txn_id in self.log.txns():
+                        for name in (seg, tomb):
+                            fsutil.delete(
+                                self.spark,
+                                os.path.join(self._data_path(), name),
+                            )
+                        return
+                    try:
+                        self.log.commit(
+                            version, segments + [seg], "upsert",
+                            txn=txn_id,
+                            tombstones=tombs
+                            + [{"name": tomb, "seq": version + 1,
+                                "rows": n_ids}],
+                        )
+                        break
+                    except CommitConflictError:
+                        version, segments, tombs = self.log.snapshot_full()
+                else:
+                    raise CommitConflictError(
+                        "upsert lost the commit race 5 times; retry the "
+                        "operation"
+                    )
         else:
             raise ValueError(f"unknown ingest mode {mode!r}")
         self._touch()
@@ -906,19 +1097,36 @@ class Collection:
         self.add_df(self.spark.createDataFrame([row], VECTOR_SCHEMA))
         return row[0]
 
-    def delete(self, id: str, mode: str | None = None) -> None:
+    def delete(
+        self, id: str, mode: str | None = None, strategy: str = "tombstone"
+    ) -> None:
         """Delete by id (S3/C7). strict: missing id -> MissingIdError
         (src/storage.rs:42-47); upsert mode ignores missing ids
-        (vector_db/src/storage.rs:39-42)."""
+        (vector_db/src/storage.rs:39-42).
+
+        ``strategy="tombstone"`` (default, round 15 — VERDICT r14 #1):
+        the commit writes ONE tiny id-set file and a manifest — O(1)
+        bytes, never O(table); ``df()`` subtracts it at read and
+        ``optimize()`` physically applies. ``strategy="eager"`` is the
+        historical full-table rewrite (one segment holding only the
+        survivors) — same visible result, parity-tested."""
         mode = mode or self.mode
+        if strategy not in ("tombstone", "eager"):
+            raise ValueError(
+                f"strategy must be 'tombstone' or 'eager', got {strategy!r}"
+            )
         version, _ = self.log.snapshot()
-        existing = self.df(version)
         if mode == "strict":
             if self.get(id) is None:
                 raise MissingIdError(f"vector with ID {id} not found")
-        self._commit_rewrite(
-            existing.filter(F.col("id") != id), "delete", base_version=version
-        )
+        if strategy == "eager":
+            self._commit_rewrite(
+                self.df(version).filter(F.col("id") != id), "delete",
+                base_version=version,
+            )
+        else:
+            ids = self.spark.createDataFrame([(str(id),)], "id string")
+            self._commit_tombstone(ids, n_rows=1)
         self._touch()
 
     def delete_df(
@@ -926,20 +1134,34 @@ class Collection:
         ids_df: DataFrame,
         mode: str | None = None,
         txn_id: str | None = None,
+        strategy: str = "tombstone",
     ) -> int:
         """Batched delete (round 14) — the keep-list integration verb:
-        a dedup/curation pass that drops N vectors costs ONE rewrite
+        a dedup/curation pass that drops N vectors costs ONE commit
         and ONE committed version here, where N calls to
-        :meth:`delete` would write N versions (each a full-table
-        rewrite — the r14 curation-loop gap). ``ids_df``'s first
+        :meth:`delete` would write N versions. ``ids_df``'s first
         column is the doomed id set (any name; deduped and cast to
         string here). strict mode (the collection default) raises
         ``MissingIdError`` if ANY id is absent and deletes nothing —
         the reference's per-id contract, batch-atomically; upsert mode
         ignores absences. ``txn_id`` gives streaming-replay
         idempotence (the add_df token contract). Returns the number
-        of rows removed."""
+        of rows removed.
+
+        ``strategy="tombstone"`` (default, round 15): the commit
+        writes the id set as ONE small ``del-*`` file — O(batch)
+        bytes, no data segment touched — and every read subtracts it
+        via the size-probed anti-join until ``optimize()`` physically
+        applies (the BM25/signature-layout delete design, now on the
+        base store: its own r13 numbers showed tombstones ~9× cheaper
+        than eager rewrites at 5M docs, and at 100 TB an eager 5%
+        keep-list apply would rewrite ~the whole table).
+        ``strategy="eager"`` is the historical rewrite."""
         mode = mode or self.mode
+        if strategy not in ("tombstone", "eager"):
+            raise ValueError(
+                f"strategy must be 'tombstone' or 'eager', got {strategy!r}"
+            )
         if txn_id is not None and txn_id in self.log.txns():
             return 0
         version, _ = self.log.snapshot()
@@ -971,14 +1193,57 @@ class Collection:
             )
         if matched == 0:
             return 0
-        self._commit_rewrite(
-            existing.join(_b(ids), "id", "left_anti"),
-            "delete",
-            base_version=version,
-            txn=txn_id,
-        )
+        if strategy == "eager":
+            self._commit_rewrite(
+                existing.join(_b(ids), "id", "left_anti"),
+                "delete",
+                base_version=version,
+                txn=txn_id,
+            )
+        else:
+            self._commit_tombstone(ids, n_rows=n_ids, txn=txn_id)
         self._touch()
         return matched
+
+    def _write_tombstone(self, ids: DataFrame) -> str:
+        """Write one immutable tombstone id-set file (``del-<uuid>``,
+        single ``id string`` column, one parquet file — the set is
+        batch-scale by contract); returns its name."""
+        name = f"del-{uuid.uuid4().hex[:12]}"
+        ids.select(F.col("id").cast("string")).coalesce(1).write.parquet(
+            os.path.join(self._data_path(), name)
+        )
+        return name
+
+    def _commit_tombstone(
+        self, ids: DataFrame, n_rows: int, txn: str | None = None
+    ) -> None:
+        """Commit a delete as manifest metadata + one id-set file: the
+        segments carry forward untouched, the new tombstone entry
+        records its row count (so ``df()`` decides broadcast vs
+        shuffle without a probe job). Retries the commit race like
+        appends — the file's content doesn't depend on the base
+        snapshot."""
+        name = self._write_tombstone(ids)
+        for _ in range(5):
+            version, segs, tombs = self.log.snapshot_full()
+            if txn is not None and txn in self.log.txns():
+                fsutil.delete(
+                    self.spark, os.path.join(self._data_path(), name)
+                )
+                return
+            try:
+                self.log.commit(
+                    version, segs, "delete", txn=txn,
+                    tombstones=tombs
+                    + [{"name": name, "seq": version + 1, "rows": n_rows}],
+                )
+                return
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            "delete lost the commit race 5 times; retry the operation"
+        )
 
     def clear(self) -> None:
         """Truncate (S6): an empty manifest — no data is written or
@@ -988,32 +1253,41 @@ class Collection:
         self._touch()
 
     def optimize(self, target_partitions: int | None = None) -> None:
-        """Compaction (S14/C9): rewrite into right-sized files in ONE new
-        segment. The reference rewrites its `.kwi` dropping dead records
-        (binary_index.rs:239-257); here deletes already rewrote, so this
-        is file-count/size hygiene — and, being just another committed
-        version, it is safe under concurrent readers."""
+        """Compaction (S14/C9): rewrite into right-sized files in ONE
+        new segment. The reference rewrites its `.kwi` dropping dead
+        records (binary_index.rs:239-257); here this is where pending
+        TOMBSTONES are physically applied (``self.df()`` is already the
+        tombstone-subtracted view, and the new manifest carries none) —
+        the merge-on-read design's apply half, same cadence contract as
+        ``Bm25Layout.apply_deletes`` — plus file-count/size hygiene.
+        Being just another committed version, it is safe under
+        concurrent readers."""
         df = self.df()
         n = target_partitions or max(1, df.count() // 500_000)
         self._commit_rewrite(df.repartition(n), "optimize")
         self._touch()
 
     def vacuum(self, keep_last: int = 1) -> int:
-        """Physically delete segments referenced ONLY by versions older
-        than the ``keep_last`` most recent, plus their manifests; returns
-        the number of segments removed. The one operation that destroys
-        time-travel history — everything else is append-only metadata."""
+        """Physically delete segments AND tombstone files referenced
+        ONLY by versions older than the ``keep_last`` most recent, plus
+        their manifests; returns the number of files removed. The one
+        operation that destroys time-travel history — everything else
+        is append-only metadata."""
         versions = self.log.versions()
         if not versions:
             return 0
         keep = set(versions[-max(1, keep_last):])
         live: set[str] = set()
         for v in keep:
-            live.update(self.log.read(v)["segments"])
+            m = self.log.read(v)
+            live.update(
+                e["name"] if isinstance(e, dict) else e
+                for e in m["segments"] + m.get("tombstones", [])
+            )
         removed = 0
         data = self._data_path()
         for seg in fsutil.list_dirs(self.spark, data):
-            if seg.startswith("seg-") and seg not in live:
+            if seg.startswith(("seg-", "del-")) and seg not in live:
                 fsutil.delete(self.spark, os.path.join(data, seg))
                 removed += 1
         for v in versions:
@@ -1036,11 +1310,15 @@ class Collection:
         base_version: int | None = None,
         txn: str | None = None,
     ) -> None:
-        """Full-table rewrite as one new segment + manifest swap. A
-        concurrent commit between snapshot and publish surfaces as
-        CommitConflictError (optimistic concurrency — the caller saw a
-        snapshot that is no longer latest, so silently winning could
-        drop the other writer's rows)."""
+        """Full-table rewrite as one new segment + manifest swap —
+        ONLY the opt-in ``strategy="eager"`` delete path and
+        ``optimize()`` (the tombstone APPLY, run at maintenance
+        cadence) reach this; the hot delete/upsert paths commit
+        O(batch) tombstones instead (round 15). A concurrent commit
+        between snapshot and publish surfaces as CommitConflictError
+        (optimistic concurrency — the caller saw a snapshot that is no
+        longer latest, so silently winning could drop the other
+        writer's rows)."""
         if base_version is None:
             base_version, _ = self.log.snapshot()
         seg = self._write_segment(df)

@@ -1153,9 +1153,12 @@ def build_bm25_sharded(
     The child layouts are REAL layouts: every single-layout verb
     (probe, append, tombstone delete, apply, repair, compaction)
     works per shard unchanged, and the ``*_sharded`` wrappers /
-    :class:`Bm25Layout` just route. Streaming appends are
-    single-layout-only this round (``Bm25Layout.stream_into``
-    refuses on sharded handles with the routing instruction)."""
+    :class:`Bm25Layout` just route — including streaming appends
+    (``Bm25Layout.stream_into`` dispatches to
+    ``streaming.ingest.stream_into_bm25_sharded``, which routes each
+    micro-batch per shard under one top-level idempotence marker) and
+    the round-15 re-shard maintenance verb
+    (:func:`reshard_bm25_sharded`)."""
     from kowari_spark.fsutil import (
         delete as fs_delete,
         exists,
@@ -1369,16 +1372,228 @@ def apply_bm25_sharded_deletes(spark, path: str) -> bool:
     return applied
 
 
-def repair_bm25_sharded(spark, path: str, dedup: bool = True) -> None:
-    """Run :func:`repair_bm25_layout` over every non-empty shard
-    (crash-safe per shard via its sibling-dir swap)."""
-    from kowari_spark.fsutil import read_bytes
+def _shard_has_postings(spark, sp: str) -> bool:
+    """Whether a shard child holds any postings partition dirs — the
+    repair/reshard gate. Gating on the sidecar's ``n_docs`` instead
+    would skip a shard whose streaming append crashed between the
+    postings write and the sidecar roll (orphan postings under a
+    zero-doc sidecar — the documented crash window), letting the
+    restart replay double-count it (ADVICE r14)."""
+    from kowari_spark.fsutil import list_dirs
 
+    return any(d.startswith("tb=") for d in list_dirs(spark, sp))
+
+
+def repair_bm25_sharded(spark, path: str, dedup: bool = True) -> None:
+    """Run :func:`repair_bm25_layout` over every shard that records
+    documents OR physically holds postings (crash-safe per shard via
+    its sibling-dir swap). The data-file gate matters: a crash in the
+    streaming window can leave a previously-empty shard with orphan
+    postings under an unrolled ``n_docs=0`` sidecar — repair must SEE
+    it and recompute the stats from the postings, or the restart
+    replay appends the batch again and double-counts tf/df there
+    (ADVICE r14). Also finishes an interrupted
+    :func:`reshard_bm25_sharded` swap (promote a complete temp, or
+    restore the backup) before repairing the shards."""
+    from kowari_spark.fsutil import delete, exists, read_bytes, rename
+
+    tmp, bak = f"{path}.__reshard_tmp", f"{path}.__reshard_bak"
+    if not exists(spark, f"{path}/{_BM25_SHARDED_META_NAME}"):
+        if exists(spark, f"{tmp}/{_BM25_SHARDED_META_NAME}"):
+            delete(spark, path)
+            rename(spark, tmp, path)
+            delete(spark, bak)
+        elif exists(spark, f"{bak}/{_BM25_SHARDED_META_NAME}"):
+            delete(spark, path)
+            rename(spark, bak, path)
+    delete(spark, f"{path}.__reshard_lock", recursive=False)
     meta = _read_sharded_meta(spark, path)
     for sp in _shard_paths(path, meta["shards"]):
         raw = json.loads(read_bytes(spark, f"{sp}/{_BM25_META_NAME}"))
-        if raw["n_docs"] > 0:
+        if raw["n_docs"] > 0 or _shard_has_postings(spark, sp):
             repair_bm25_layout(spark, sp, dedup=dedup)
+
+
+def reshard_bm25_sharded(spark, path: str, factor: int = 2) -> int:
+    """Split every child of a sharded BM25 layout by the next id-hash
+    bits: S shards become S×``factor`` (round 15 — VERDICT r14 #2).
+    THE growth maintenance verb: a corpus that outgrew its build-time
+    shard count pushes every child past the flat per-bucket geometry
+    again (the exact regime sharding exists for), and until now the
+    only remedy was a monolithic rebuild — re-tokenizing the whole
+    corpus. Resharding needs NO document text: routing is
+    ``pmod(xxhash64(id), S)``, so under S→fS each doc in child ``i``
+    lands in one of ``{i, i+S, …, i+(f-1)S}`` — every child SPLITS
+    independently into ``factor`` children by re-hashing its own
+    POSTINGS rows (one bounded pass per shard, cost tracks the shard's
+    size, shards processed one at a time — peak temp space is one
+    shard, not the layout).
+
+    Scores are BIT-IDENTICAL before and after (parity-tested): the
+    postings multiset is merely re-partitioned, per-child (n_docs,
+    sum_dl) shares are recomputed from the rows and sum to the same
+    global stats every probe folds, and pending tombstone logs route
+    to their id's new child. Exactness bookkeeping:
+
+    - **zero-token documents** have no postings rows, so their ids are
+      unrecoverable here; their *counts* stay with the lower child
+      (``i``). Global N — the only thing scoring reads — is exact;
+      only the per-shard share of empty docs is approximate. A later
+      delete of such a doc routed to a different child corrects
+      global stats exactly but can skew two shards' shares by one —
+      harmless to every probe (they always fold the global sum).
+    - **streaming idempotence markers**: each old child's ``_batches``
+      markers are copied to ALL its new children (a replayed batch
+      routes across them under the new modulus and must stay
+      deduplicated in each); the top-level markers copy through.
+    - **crash safety**: the whole new layout is staged COMPLETE in a
+      sibling temp dir (children, sidecars, markers, top-level sidecar
+      LAST) and swapped in with two renames — a crash leaves either
+      the original or the finished reshard; ``repair_bm25_sharded``
+      finishes an interrupted swap. A sibling ``.__reshard_lock``
+      refuses concurrent reshards; run from the maintenance window
+      (no concurrent appends), the compaction cadence contract.
+
+    Refuses shards whose sidecar stats undercount their postings (the
+    streaming crash window) — run :func:`repair_bm25_sharded` first.
+    Returns the new shard count."""
+    from kowari_spark.fsutil import (
+        create_marker,
+        delete as fs_delete,
+        exists,
+        list_files,
+        mkdirs,
+        read_bytes,
+        rename,
+        write_bytes,
+    )
+
+    if factor < 2:
+        raise ValueError(f"factor must be >= 2, got {factor}")
+    meta = _read_sharded_meta(spark, path)
+    S, S2 = int(meta["shards"]), int(meta["shards"]) * factor
+    idc = meta["id_col"]
+    lock = f"{path}.__reshard_lock"
+    if not create_marker(spark, lock):
+        raise RuntimeError(
+            f"a reshard of {path} is already running (or crashed) — "
+            "wait, or run repair_bm25_sharded to clear it"
+        )
+    tmp, bak = f"{path}.__reshard_tmp", f"{path}.__reshard_bak"
+    try:
+        fs_delete(spark, tmp)
+        mkdirs(spark, tmp)
+        sh2 = F.pmod(
+            F.xxhash64(F.col(idc).cast("string")), F.lit(S2)
+        )
+        for i, sp in enumerate(_shard_paths(path, S)):
+            raw = json.loads(read_bytes(spark, f"{sp}/{_BM25_META_NAME}"))
+            if raw.get("version") != _BM25_LAYOUT_VERSION:
+                raise ValueError(
+                    f"BM25 shard at {sp} was built by "
+                    f"{raw.get('version')!r}; this code reshards "
+                    f"{_BM25_LAYOUT_VERSION!r} — rebuild"
+                )
+            children = [i + j * S for j in range(factor)]
+            per: dict[int, tuple[int, int]] = {}
+            if _shard_has_postings(spark, sp):
+                postings = spark.read.parquet(sp)
+                stage = f"{tmp}/stage-{i}"
+                (
+                    postings.withColumn("__s2", sh2)
+                    .repartition(F.col("__s2"), F.col("tb"))
+                    .write.partitionBy("__s2", "tb")
+                    .parquet(stage)
+                )
+                per = {
+                    int(r["__s2"]): (int(r["n"]), int(r["dl"] or 0))
+                    for r in postings.select(idc, "dl")
+                    .distinct()
+                    .groupBy(sh2.alias("__s2"))
+                    .agg(
+                        F.count("*").alias("n"), F.sum("dl").alias("dl")
+                    )
+                    .collect()
+                }
+                got_n = sum(n for n, _dl in per.values())
+                got_dl = sum(dl for _n, dl in per.values())
+                if got_n > raw["n_docs"] or got_dl > raw["sum_dl"]:
+                    raise ValueError(
+                        f"shard at {sp} holds more postings than its "
+                        f"sidecar records ({got_n} docs/{got_dl} tokens "
+                        f"vs n_docs={raw['n_docs']}/sum_dl="
+                        f"{raw['sum_dl']}) — an unrepaired streaming "
+                        "crash; run repair_bm25_sharded first"
+                    )
+                for c in children:
+                    src = f"{stage}/__s2={c}"
+                    if exists(spark, src):
+                        rename(spark, src, f"{tmp}/shard-{c}")
+                fs_delete(spark, stage)
+            else:
+                got_n, got_dl = 0, 0
+            # phantom (zero-token) docs stay with the lower child
+            phantom_n = int(raw["n_docs"]) - got_n
+            phantom_dl = int(raw["sum_dl"]) - got_dl
+            tlog = None
+            if exists(spark, f"{sp}/{_BM25_TOMBSTONES_DIR}"):
+                tlog = spark.read.parquet(
+                    f"{sp}/{_BM25_TOMBSTONES_DIR}"
+                ).localCheckpoint()
+            markers = list_files(spark, f"{sp}/_batches")
+            for j, c in enumerate(children):
+                cdir = f"{tmp}/shard-{c}"
+                mkdirs(spark, cdir)
+                n_c, dl_c = per.get(c, (0, 0))
+                if j == 0:
+                    n_c, dl_c = n_c + phantom_n, dl_c + phantom_dl
+                if tlog is not None:
+                    t2 = F.pmod(
+                        F.xxhash64(F.col("__tomb_id").cast("string")),
+                        F.lit(S2),
+                    )
+                    # dl>0 entries follow their postings (id hash);
+                    # dl=0 entries (zero-token docs — no postings to
+                    # anti-join) stay with the lower child, where the
+                    # phantom counts they correct were assigned
+                    cond = (t2 == c) & (F.col("__tomb_dl") > 0)
+                    if j == 0:
+                        cond = cond | (F.col("__tomb_dl") == 0)
+                    slice_ = tlog.filter(cond)
+                    if slice_.limit(1).count():
+                        slice_.coalesce(1).write.mode("append").parquet(
+                            f"{cdir}/{_BM25_TOMBSTONES_DIR}"
+                        )
+                for name in markers:
+                    create_marker(spark, f"{cdir}/_batches/{name}")
+                write_bytes(
+                    spark,
+                    f"{cdir}/{_BM25_META_NAME}",
+                    json.dumps({
+                        "version": _BM25_LAYOUT_VERSION,
+                        "text_col": meta["text_col"],
+                        "id_col": idc,
+                        "buckets": meta["buckets"],
+                        "n_docs": n_c,
+                        "sum_dl": dl_c,
+                    }).encode(),
+                )
+        for name in list_files(spark, f"{path}/_batches"):
+            create_marker(spark, f"{tmp}/_batches/{name}")
+        # top-level sidecar LAST — a temp dir without it is
+        # recognizably half-built and repair deletes it
+        write_bytes(
+            spark,
+            f"{tmp}/{_BM25_SHARDED_META_NAME}",
+            json.dumps(dict(meta, shards=S2)).encode(),
+        )
+        fs_delete(spark, bak)
+        rename(spark, path, bak)
+        rename(spark, tmp, path)
+        fs_delete(spark, bak)
+    finally:
+        fs_delete(spark, lock, recursive=False)
+    return S2
 
 
 class Bm25Layout:

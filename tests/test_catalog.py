@@ -221,12 +221,14 @@ def test_strict_append_retries_past_conflict(spark, tmp_path):
     orig_commit = TransactionLog.commit
     stolen = {"done": False}
 
-    def racing_commit(self, base_version, segments, op, txn=None):
+    def racing_commit(self, base_version, segments, op, txn=None,
+                      tombstones=None):
         if not stolen["done"] and op == "append" and base_version >= 1:
             stolen["done"] = True
             # competitor publishes its own (unrelated) version first
             orig_commit(self, base_version, segments[:-1], "steal")
-        return orig_commit(self, base_version, segments, op, txn=txn)
+        return orig_commit(self, base_version, segments, op, txn=txn,
+                           tombstones=tombstones)
 
     TransactionLog.commit = racing_commit
     try:
@@ -246,9 +248,12 @@ def test_vacuum_drops_old_segments_keeps_latest(spark, tmp_path):
     c.add([0.0, 1.0], id="b")
     c.optimize(target_partitions=1)
     data = os.path.join(c.path, "data")
-    before = {d for d in os.listdir(data) if d.startswith("seg-")}
+    # segments AND tombstone id-set files are vacuum-managed (round 15)
+    before = {d for d in os.listdir(data)
+              if d.startswith(("seg-", "del-"))}
     removed = c.vacuum(keep_last=1)
-    after = {d for d in os.listdir(data) if d.startswith("seg-")}
+    after = {d for d in os.listdir(data)
+             if d.startswith(("seg-", "del-"))}
     assert removed == len(before) - len(after) and len(after) == 1
     assert sorted(r["id"] for r in c.df().collect()) == ["a", "b"]
     assert [v["op"] for v in c.versions()] == ["optimize"]
@@ -605,11 +610,18 @@ def test_catalog_on_hadoop_fs_uri(spark, tmp_path):
     again = CollectionManager(spark, base).get_collection("uri_coll")
     assert again.dimension == 4 and again.count() == 1
 
-    # vacuum physically deletes through the Hadoop FS
-    assert again.vacuum(keep_last=1) == 1
+    # vacuum physically deletes through the Hadoop FS. The delete was
+    # a merge-on-read tombstone (round 15): the latest version still
+    # references the original segment AND the id-set file, so nothing
+    # is removable until optimize() physically applies
+    assert again.vacuum(keep_last=1) == 0
     assert again.count() == 1
     with pytest.raises(FileNotFoundError):
         again.df(version=1).count()
+    again.optimize()
+    # now the pre-apply segment and the tombstone file both retire
+    assert again.vacuum(keep_last=1) == 2
+    assert again.count() == 1
 
     mgr.delete_collection("uri_coll")
     with pytest.raises(CollectionNotFoundError):
@@ -780,3 +792,30 @@ def test_collection_temperature_sample(mgr, spark):
     lev = c.temperature_sample(0.0, mode="exact")
     assert lev.count() == 20 and set(lev.columns) == {
         "id", "embedding", "metadata"}
+
+
+def test_signature_layout_default_and_bare_rebuild_geometry(mgr, spark):
+    """Round 15: (1) a FIRST bare signature_layout() builds the
+    measured-good serving default — MultiSignLSH(4 planes, 12 tables)
+    — not the low-recall single-table config (VERDICT r14 #3);
+    (2) rebuild=True with NO geometry args rebuilds UNDER THE STORED
+    geometry instead of silently downgrading to the default
+    (ADVICE r14)."""
+    from kowari_spark.operators.lsh import SignLSH
+    from kowari_spark.schema import vector_df, vector_row
+
+    c = mgr.create_collection("defgeo", 4)
+    c.add_df(vector_df(spark, [
+        vector_row([float(i % 3), 1.0, 0.0, 0.0], None, f"v{i}")
+        for i in range(12)
+    ]))
+    lay = c.signature_layout()
+    assert lay.meta["family"] == "multisign"
+    assert lay.meta["num_planes"] == 4 and lay.meta["num_tables"] == 12
+
+    # a tuned explicit geometry, then a BARE rebuild: geometry sticks
+    c.signature_layout(index=SignLSH(dim=4, num_planes=6, seed=7),
+                       rebuild=True)
+    relay = c.signature_layout(rebuild=True)
+    assert relay.meta["family"] == "sign"
+    assert relay.meta["num_planes"] == 6 and relay.meta["seed"] == 7

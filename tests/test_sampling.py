@@ -717,3 +717,75 @@ def test_temperature_sample_hash_and_exact(spark):
         temperature_sample(df, -0.1, by="lang")
     with _pytest.raises(ValueError, match="mode"):
         temperature_sample(df, 0.5, by="lang", mode="rng")
+
+
+def test_temperature_exact_two_phase_matches_single_window(spark):
+    """Round 15 (VERDICT r14 #6): exact mode's default-order selection
+    is two-phase distributed order statistics — membership must equal
+    the reference single-window rank EXACTLY (same u-hash order, same
+    id tie-break, same rounded targets) across alphas, with a dominant
+    group, a NULL group, and a single-row group in play; and the only
+    corpus rows that reach a ranking window are the boundary bucket's
+    (plan-gated: the window's input carries the __bstar filter)."""
+    from pyspark.sql.window import Window
+
+    from kowari_spark.operators.sampling import (
+        hash_uniform,
+        temperature_sample,
+    )
+
+    df = (
+        spark.range(4000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 3600, "big")      # dominant group (90%)
+            .when(F.col("id") < 3950, "mid")
+            .when(F.col("id") < 3999, None)        # NULL group
+            .otherwise("one")                      # single-row group
+            .alias("lang"),
+        )
+        .cache()
+    )
+
+    def reference(alpha):
+        counts = df.groupBy("lang").agg(F.count("*").alias("__n"))
+        cmin = counts.agg(
+            F.min(F.pow(F.col("__n").cast("double"),
+                        F.lit(1.0 - alpha))).alias("__C")
+        )
+        fr = counts.crossJoin(F.broadcast(cmin)).select(
+            F.col("lang").alias("__g"), "__n",
+            F.round(F.col("__C") * F.pow(F.col("__n").cast("double"),
+                                         F.lit(alpha - 1.0)), 9,
+                    ).alias("__frac"),
+        )
+        w = Window.partitionBy("lang").orderBy(
+            hash_uniform("doc_id").asc(), F.col("doc_id").asc()
+        )
+        tgt = F.greatest(
+            F.lit(1).cast("long"),
+            F.round(F.col("__frac") * F.col("__n"), 0).cast("long"),
+        )
+        return (
+            df.join(F.broadcast(fr), F.col("lang").eqNullSafe(F.col("__g")))
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= tgt)
+            .select("doc_id")
+        )
+
+    for alpha in (0.0, 0.3, 0.7, 1.0):
+        got = {
+            r["doc_id"]
+            for r in temperature_sample(
+                df, alpha, by="lang", mode="exact"
+            ).select("doc_id").collect()
+        }
+        want = {r["doc_id"] for r in reference(alpha).collect()}
+        assert got == want, (alpha, len(got), len(want))
+
+    plan = temperature_sample(
+        df, 0.5, by="lang", mode="exact"
+    )._jdf.queryExecution().executedPlan().toString()
+    # the ranking window's input is the boundary-bucket slice, never
+    # the whole corpus: the __bstar equality filter must be in-plan
+    assert "__bstar" in plan and "row_number" in plan

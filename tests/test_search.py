@@ -1136,3 +1136,120 @@ def test_bm25_sharded_streaming_sink(spark, sf_dir, tmp_path):
     stats = lay.stats()
     drain()  # replay: the top-level marker gates every shard append
     assert lay.stats() == stats
+
+
+def test_bm25_reshard_parity_and_lifecycle(spark, sf_dir, tmp_path):
+    """Round 15 (VERDICT r14 #2): reshard_bm25_sharded splits every
+    child by the next id-hash bits WITHOUT re-tokenizing any text.
+    (1) scores/batch bit-identical before and after, and still equal
+    to a single giant layout; (2) pending tombstone logs survive the
+    split (probes stay corrected; apply still works per new child);
+    (3) the shard count doubles, every old child's streaming markers
+    reach ALL its new children, and the top-level markers copy;
+    (4) appends after the reshard route under the new modulus and
+    keep parity; (5) the lock refuses a concurrent reshard and
+    repair clears a stale one; (6) factor < 2 refuses."""
+    from kowari_spark import fsutil
+    from kowari_spark.operators.search import (
+        Bm25Layout,
+        _read_sharded_meta,
+        append_bm25_layout,
+        append_bm25_sharded,
+        bm25_batch_indexed,
+        bm25_search_indexed,
+        build_bm25_layout,
+        build_bm25_sharded,
+        delete_from_bm25_layout,
+        delete_from_bm25_sharded,
+        repair_bm25_sharded,
+        reshard_bm25_sharded,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    late = docs.filter(F.col("doc_id") % 3 == 0)
+    single = str(tmp_path / "rs_single")
+    sharded = str(tmp_path / "rs_sharded")
+    build_bm25_layout(hist, single, buckets=8)
+    build_bm25_sharded(hist, sharded, shards=2, buckets=8)
+
+    # pending tombstones BEFORE the reshard — they must route through
+    doomed = hist.filter(F.col("doc_id") % 5 == 1).select("doc_id", "text")
+    delete_from_bm25_layout(spark, single, doomed, mode="tombstone")
+    delete_from_bm25_sharded(spark, sharded, doomed)
+
+    # plant streaming markers: per-child and top-level
+    fsutil.create_marker(spark, f"{sharded}/shard-0/_batches/ck-7")
+    fsutil.create_marker(spark, f"{sharded}/_batches/top-3")
+
+    q = "vector hash join batch"
+
+    def tops(path, k=10):
+        return [tuple(r)
+                for r in bm25_search_indexed(spark, path, q, k).collect()]
+
+    before = tops(sharded)
+    assert before == tops(single)
+
+    assert reshard_bm25_sharded(spark, sharded, factor=2) == 4
+    meta = _read_sharded_meta(spark, sharded)
+    assert meta["shards"] == 4 and meta["buckets"] == 8
+    assert sorted(
+        d for d in fsutil.list_dirs(spark, sharded) if d.startswith("shard-")
+    ) == ["shard-0", "shard-1", "shard-2", "shard-3"]
+
+    # bit-identical scores; tombstones still correcting
+    assert tops(sharded) == before
+    qs = {1: q, 2: "spark partition shuffle"}
+    assert (
+        [tuple(r) for r in bm25_batch_indexed(spark, sharded, qs).collect()]
+        == [tuple(r) for r in bm25_batch_indexed(spark, single, qs).collect()]
+    )
+    gone = {r["doc_id"] for r in doomed.collect()}
+    assert not {t[0] for t in tops(sharded, k=50)} & gone
+
+    # old child 0's marker reached BOTH its split children (0 and 2);
+    # top-level markers copied
+    assert fsutil.exists(spark, f"{sharded}/shard-0/_batches/ck-7")
+    assert fsutil.exists(spark, f"{sharded}/shard-2/_batches/ck-7")
+    assert fsutil.exists(spark, f"{sharded}/_batches/top-3")
+
+    # live stats still sum to the single layout's
+    lay = Bm25Layout.open(spark, sharded)
+    ref = Bm25Layout.open(spark, single)
+    assert lay.stats() == ref.stats()
+
+    # apply per NEW child keeps parity with the single apply
+    assert lay.apply_deletes() and ref.apply_deletes()
+    assert tops(sharded) == tops(single)
+
+    # appends route under the NEW modulus and stay parity
+    append_bm25_sharded(spark, sharded, late)
+    append_bm25_layout(spark, single, late)
+    assert tops(sharded) == tops(single)
+
+    # lock refuses a concurrent reshard; repair clears a stale lock
+    fsutil.create_marker(spark, f"{sharded}.__reshard_lock")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="already running"):
+        reshard_bm25_sharded(spark, sharded)
+    repair_bm25_sharded(spark, sharded)
+    assert not fsutil.exists(spark, f"{sharded}.__reshard_lock")
+    assert tops(sharded) == tops(single)  # repair didn't disturb scores
+
+    with _pytest.raises(ValueError, match="factor"):
+        reshard_bm25_sharded(spark, sharded, factor=1)
+
+    # empty children split safely (2 docs across 2 -> 4 shards)
+    tiny = str(tmp_path / "rs_tiny")
+    build_bm25_sharded(
+        docs.filter(F.col("doc_id") < 2), tiny, shards=2, buckets=4
+    )
+    t_before = [tuple(r) for r in
+                bm25_search_indexed(spark, tiny, "the data", 5).collect()]
+    assert reshard_bm25_sharded(spark, tiny) == 4
+    t_after = [tuple(r) for r in
+               bm25_search_indexed(spark, tiny, "the data", 5).collect()]
+    assert t_after == t_before
+    assert Bm25Layout.open(spark, tiny).stats()["n_docs"] == 2

@@ -114,10 +114,7 @@ def test_hll_distinct_register_math_and_determinism(spark):
     estimate is bit-deterministic run-to-run (portable md5 hash, no RNG)."""
     import math
 
-    from kowari_spark.operators.sketch import (
-        hll_distinct,
-        hll_linear_count_literals,
-    )
+    from kowari_spark.operators.sketch import hll_distinct
 
     p, m = 6, 64
     small = spark.range(12).select(F.lit("small").alias("g"), F.col("id").alias("v"))
@@ -127,8 +124,10 @@ def test_hll_distinct_register_math_and_determinism(spark):
            hll_distinct(df, ["g"], "v", p=p).collect()}
     # 'small' has 12 distinct values -> at most 12 registers hit -> V >= 52
     # empty registers -> e_raw is tiny -> linear-counting branch. The
-    # estimate must be EXACTLY one of the driver-computed literals.
-    lits = set(hll_linear_count_literals(m).values())
+    # estimate must be EXACTLY the in-plan round(m*ln(m/V), 9) value
+    # for some empty-register count V (round 15: the rounded-ln form
+    # replaced the driver literal map so p can reach 12-14).
+    lits = {round(m * math.log(m / v), 9) for v in range(1, m + 1)}
     assert got["small"] in lits
     assert abs(got["small"] - 12) <= 2  # m*ln(m/V) is near-exact down here
     assert abs(got["big"] - 5000) / 5000 < 3 * 1.04 / math.sqrt(m)
@@ -140,7 +139,8 @@ def test_hll_distinct_register_math_and_determinism(spark):
 def test_hll_distinct_state_is_constant_and_p_validated(spark):
     """The register relation carries at most m = 2^p rows per group no
     matter the input size (the property that makes HLL the scale choice
-    over KMV), and p outside [4, 8] is refused."""
+    over KMV), and p outside [4, 14] is refused (the cap moved from 8
+    to 14 in round 15 — in-plan linear counting freed it)."""
     import pytest as _pytest
 
     from kowari_spark.operators.sketch import hll_distinct
@@ -148,13 +148,13 @@ def test_hll_distinct_state_is_constant_and_p_validated(spark):
     df = spark.range(20_000).select(
         F.lit("g").alias("g"), F.col("id").alias("v")
     )
-    for p in (4, 8):
+    for p in (4, 8, 12):
         m = 1 << p
         out = hll_distinct(df, ["g"], "v", p=p).collect()
         assert len(out) == 1
         assert abs(out[0]["distinct_est"] - 20_000) / 20_000 < 3 * 1.04 / (m ** 0.5)
-    for bad in (3, 9):
-        with _pytest.raises(ValueError, match=r"p must be in \[4, 8\]"):
+    for bad in (3, 15):
+        with _pytest.raises(ValueError, match=r"p must be in \[4, 14\]"):
             hll_distinct(df, ["g"], "v", p=bad)
 
 
