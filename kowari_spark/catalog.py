@@ -1252,6 +1252,20 @@ class Collection:
         self.log.commit(version, [], "clear")
         self._touch()
 
+    def restore(self, version: int) -> None:
+        """Roll the table back to a retained ``version`` as a NEW
+        commit (the Delta RESTORE verb): the old manifest's segment
+        and tombstone entries are re-published verbatim under the next
+        version — metadata-only, zero data movement, and the history
+        BETWEEN then and now stays readable (restore of a restore
+        works). Fails with FileNotFoundError if the manifest was
+        vacuumed away; the restored entries' files are still present
+        whenever the target version itself is readable."""
+        _, segs, tombs = self.log.snapshot_full(version)
+        latest, _ = self.log.snapshot()
+        self.log.commit(latest, segs, "restore", tombstones=tombs)
+        self._touch()
+
     def optimize(self, target_partitions: int | None = None) -> None:
         """Compaction (S14/C9): rewrite into right-sized files in ONE
         new segment. The reference rewrites its `.kwi` dropping dead

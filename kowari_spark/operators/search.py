@@ -1747,6 +1747,26 @@ class Bm25Layout:
             )
         return out
 
+    def reshard(self, factor: int = 2) -> int:
+        """Split every shard by the next id-hash bits
+        (:func:`reshard_bm25_sharded` — scores bit-identical, no text
+        re-tokenized); returns the new shard count and refreshes this
+        handle's meta. Sharded handles only: a single layout that
+        needs sharding carries no routing sidecar to split under —
+        rebuild it with ``build_bm25_sharded``. Run from the
+        maintenance window, like ``compact``."""
+        if not self._is_sharded():
+            raise ValueError(
+                f"layout at {self.path} is a single postings layout — "
+                "reshard splits an existing sharded layout; build one "
+                "with build_bm25_sharded(shards=...) first"
+            )
+        new_s = reshard_bm25_sharded(self.spark, self.path, factor)
+        self.meta = dict(
+            _read_sharded_meta(self.spark, self.path), sharded=True
+        )
+        return new_s
+
 
 def delete_from_bm25_layout(
     spark, path: str, ids_df: DataFrame, mode: str = "rewrite"

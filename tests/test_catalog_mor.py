@@ -257,3 +257,28 @@ def test_s3_log_warns_once(spark, monkeypatch):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         cat.TransactionLog(spark, "/tmp/notwarned_wh")
+
+
+def test_restore_rolls_back_metadata_only(mgr, spark):
+    """Collection.restore(v): the Delta RESTORE verb — re-publish an
+    old version's segment+tombstone entries as a new commit. No data
+    moves; deletes made after v are undone; restore-of-restore works;
+    intermediate history stays readable."""
+    c = mgr.create_collection("rst", 2)
+    c.add([1.0, 0.0], id="a")
+    c.add([0.0, 1.0], id="b")
+    v_full = c.log.latest_version()
+    c.delete("a")
+    assert sorted(r["id"] for r in c.df().collect()) == ["b"]
+    segs_before = _seg_dirs(c)
+
+    c.restore(v_full)
+    assert sorted(r["id"] for r in c.df().collect()) == ["a", "b"]
+    assert _seg_dirs(c) == segs_before  # metadata-only
+    assert [v["op"] for v in c.versions()][-1] == "restore"
+    # the deleted state is still retrievable between the two
+    v_del = v_full + 1
+    assert sorted(r["id"] for r in c.df(version=v_del).collect()) == ["b"]
+    # restore of the deleted state (restore-of-history incl. tombstones)
+    c.restore(v_del)
+    assert sorted(r["id"] for r in c.df().collect()) == ["b"]

@@ -1252,4 +1252,12 @@ def test_bm25_reshard_parity_and_lifecycle(spark, sf_dir, tmp_path):
     t_after = [tuple(r) for r in
                bm25_search_indexed(spark, tiny, "the data", 5).collect()]
     assert t_after == t_before
-    assert Bm25Layout.open(spark, tiny).stats()["n_docs"] == 2
+    tl = Bm25Layout.open(spark, tiny)
+    assert tl.stats()["n_docs"] == 2
+    # facade verb: reshard refreshes the handle's meta; single layouts
+    # refuse (no routing sidecar to split under)
+    assert tl.reshard() == 8 and tl.meta["shards"] == 8
+    assert [tuple(r) for r in tl.search("the data", k=5).collect()] \
+        == t_before
+    with _pytest.raises(ValueError, match="single postings layout"):
+        Bm25Layout.open(spark, single).reshard()
