@@ -834,6 +834,7 @@ class Collection:
         key: str = "text",
         buckets: int | str = "auto",
         rebuild: bool = False,
+        shards: int | str | None = None,
     ):
         """Build-or-open the collection's persisted BM25 postings
         layout (keyword search over the metadata JSON field ``key``,
@@ -859,18 +860,31 @@ class Collection:
         passed, a bucket-count mismatch; ``buckets="auto"`` (default)
         accepts whatever the sidecar recorded. The layout reflects the
         snapshot it was built from plus explicit ``append``/``delete``
-        calls — after bulk rewrites, pass ``rebuild=True``."""
+        calls — after bulk rewrites, pass ``rebuild=True``.
+
+        ``shards`` (round 15): a first build (or rebuild) with
+        ``shards=`` an int or ``"auto"`` lays the postings down
+        SHARDED (``build_bm25_sharded`` — the past-bucket-cap
+        geometry); the returned facade detects and serves the sharded
+        dir transparently, and ``Bm25Layout.reshard()`` handles later
+        growth. Opening an existing layout ignores ``shards`` (the
+        stored geometry wins, like ``buckets="auto"``)."""
         from kowari_spark.functions.metadata import meta_field
         from kowari_spark.operators.search import (
             _BM25_META_NAME,
+            _BM25_SHARDED_META_NAME,
             Bm25Layout,
             build_bm25_layout,
+            build_bm25_sharded,
         )
 
         path = os.path.join(self.path, "indexes", "bm25")
-        if rebuild or not fsutil.exists(
+        has_layout = fsutil.exists(
             self.spark, os.path.join(path, _BM25_META_NAME)
-        ):
+        ) or fsutil.exists(
+            self.spark, os.path.join(path, _BM25_SHARDED_META_NAME)
+        )
+        if rebuild or not has_layout:
             docs = self.df().select(
                 "id",
                 F.coalesce(
@@ -882,9 +896,17 @@ class Collection:
                     f"collection {self.name!r} holds no records yet — "
                     "add data before building its BM25 layout"
                 )
-            build_bm25_layout(
-                docs, path, text_col=key, id_col="id", buckets=buckets
-            )
+            if rebuild:
+                fsutil.delete(self.spark, path)
+            if shards is not None:
+                build_bm25_sharded(
+                    docs, path, text_col=key, id_col="id",
+                    shards=shards, buckets=buckets,
+                )
+            else:
+                build_bm25_layout(
+                    docs, path, text_col=key, id_col="id", buckets=buckets
+                )
         lay = Bm25Layout.open(self.spark, path)
         if lay.meta.get("text_col") != key:
             raise ValueError(

@@ -1406,6 +1406,12 @@ def repair_bm25_sharded(spark, path: str, dedup: bool = True) -> None:
         elif exists(spark, f"{bak}/{_BM25_SHARDED_META_NAME}"):
             delete(spark, path)
             rename(spark, bak, path)
+    else:
+        # path is healthy: anything left beside it is a stale staged
+        # attempt (crash before the swap) or a swapped-out backup
+        # (crash after the swap's final rename) — clear both
+        delete(spark, tmp)
+        delete(spark, bak)
     delete(spark, f"{path}.__reshard_lock", recursive=False)
     meta = _read_sharded_meta(spark, path)
     for sp in _shard_paths(path, meta["shards"]):

@@ -819,3 +819,45 @@ def test_signature_layout_default_and_bare_rebuild_geometry(mgr, spark):
     relay = c.signature_layout(rebuild=True)
     assert relay.meta["family"] == "sign"
     assert relay.meta["num_planes"] == 6 and relay.meta["seed"] == 7
+
+
+def test_collection_bm25_layout_sharded(mgr, spark):
+    """Round 15: Collection.bm25_layout(shards=N) lays the postings
+    down sharded; the returned facade serves it transparently and
+    scores match the single-layout build over the same collection;
+    reopening ignores shards (stored geometry wins); rebuild
+    transitions single <-> sharded cleanly."""
+    from kowari_spark.schema import vector_df, vector_row
+
+    c = mgr.create_collection("bmsh", 4)
+    rows = [
+        vector_row(
+            [float(i % 5), 1.0, 0.0, 0.0],
+            {"text": f"spark vector engine doc {i} term{i % 7}"},
+            f"d{i}",
+        )
+        for i in range(30)
+    ]
+    c.add_df(vector_df(spark, rows))
+
+    single = c.bm25_layout()
+    want = [tuple(r) for r in single.search("spark term0", k=5).collect()]
+    assert not single.meta.get("sharded")
+
+    sharded = c.bm25_layout(shards=3, rebuild=True)
+    assert sharded.meta.get("sharded") and sharded.meta["shards"] == 3
+    got = [tuple(r) for r in sharded.search("spark term0", k=5).collect()]
+    assert got == want and got
+
+    # reopen without shards: the stored sharded geometry wins
+    again = c.bm25_layout()
+    assert again.meta.get("sharded")
+    # facade growth verb works on the collection surface
+    assert again.reshard() == 6
+    assert [tuple(r) for r in again.search("spark term0", k=5).collect()] \
+        == want
+    # rebuild back to a single layout
+    back = c.bm25_layout(rebuild=True)
+    assert not back.meta.get("sharded")
+    assert [tuple(r) for r in back.search("spark term0", k=5).collect()] \
+        == want
