@@ -66,8 +66,17 @@ def bench_queries(spark, sf_dir, scratch):
     out["dsir_fit_build"] = lambda: entrymod._dsir_layout(spark, sf_dir)
     out["text_lsh_build"] = lambda: entrymod._text_lsh_layout(spark, sf_dir)
     out["text_mlsh_build"] = lambda: entrymod._text_mlsh_layout(spark, sf_dir)
-    for name, fn in entrymod.queries().items():
-        out[name] = (lambda f=fn: f(spark, sf_dir).toPandas())
+    # FIXED alphabetical order, deliberately decoupled from queries()'
+    # dict order: the contract dict rotates every round (driver
+    # validation window), and per-line wall times in one long-lived
+    # JVM are position-sensitive (a line running after 40 heavy rows
+    # reads up to ~3x its isolated cost — measured r15). Sorting by
+    # name pins every line's suite position across rounds, so the
+    # driver's round-over-round per-line comparison stops seeing
+    # rotation-induced position noise.
+    contract = entrymod.queries()
+    for name in sorted(contract):
+        out[name] = (lambda f=contract[name]: f(spark, sf_dir).toPandas())
 
     def knn_batch_100():
         base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
