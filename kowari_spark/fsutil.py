@@ -205,3 +205,47 @@ def publish_exclusive(spark: SparkSession, path: str, data: bytes) -> bool:
     if fs.exists(jdst):
         return False
     raise OSError(f"publish of {path} refused by the filesystem")
+
+
+def write_parallelism(df) -> int:
+    """Explicit shuffle-partition count for key-repartitioned
+    partitioned-layout writes (``repartition(n, cols)`` instead of
+    ``repartition(cols)``).
+
+    A column-only repartition is AQE-coalescible BY BYTES, but a
+    ``partitionBy`` layout write is bound by per-FILE creation cost
+    (dirs × open/footer/commit), which byte-sizing wildly
+    underestimates for many-directory layouts — measured at sf0.1 the
+    T=40 cross-polytope build's write stage coalesced 32 → 10 tasks
+    and spent ~90% of task time blocked on file I/O (26 s line → 13 s
+    with the explicit count). The count does NOT change the layout:
+    every partition-column key hashes to exactly one task either way,
+    so each dir still receives one file per (task, append); only the
+    number of concurrent writers moves. Scale-adaptive by deferring to
+    ``spark.sql.shuffle.partitions`` — the session default tracks the
+    core count locally and the operator-configured value on a cluster.
+    """
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
+def scan_parallelism(df, min_parts: int | None = None):
+    """Spread heavy per-row map work that follows a FEW-SPLIT scan.
+
+    A parquet file smaller than ``spark.sql.files.maxPartitionBytes``
+    (or with one row group) arrives as ONE scan partition, and every
+    map-side expression downstream — per-token md5 hashing, n-gram
+    explodes, GEMM batches — runs in one task while the rest of the
+    cluster idles (guide §2.5 "input skew: one huge unsplittable
+    file"; measured at sf0.1: doc_top_bigrams spent 3.7 s in a single
+    task, 32 cores idle). When the scan already yields at least the
+    session's default parallelism — ANY at-scale input — this returns
+    ``df`` unchanged, so no shuffle is ever added where data is big;
+    when it fires, the payload being shuffled is by construction
+    smaller than one scan split. Round-robin repartition keeps
+    deterministic row placement under retries (sort-before-repartition
+    is on by default, SPARK-23207)."""
+    sess = df.sparkSession
+    want = min_parts or sess.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)

@@ -207,6 +207,11 @@ def hashed_embeddings(
     md5 dim× per token and blows up codegen. Output: (id_col, out_col
     array<double>), L2-normalized.
     """
+    from kowari_spark.fsutil import scan_parallelism
+
+    # few-split scans serialize the per-token md5 pass (guide §2.5);
+    # no-op whenever the input is already as parallel as the session
+    df = scan_parallelism(df.select(F.col(id_col), F.col(text_col)))
     exploded = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
     ).select(id_col, (base_hash64(F.col("__t")) % dim).alias("__b"))

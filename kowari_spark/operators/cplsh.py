@@ -231,9 +231,11 @@ class CrossPolytopeLSH:
         scan-parallel files."""
         from kowari_spark.operators.lsh import _refuse_empty_build
 
+        from kowari_spark.fsutil import write_parallelism
+
         _refuse_empty_build(df, "CrossPolytopeLSH.build")
         w = self.with_buckets(df, vec_col).repartition(
-            F.col("__tbl"), F.col("bucket")
+            write_parallelism(df), F.col("__tbl"), F.col("bucket")
         ).write.mode("overwrite")
         if max_records_per_file is not None:
             w = w.option("maxRecordsPerFile", str(max_records_per_file))

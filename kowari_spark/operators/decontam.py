@@ -163,7 +163,9 @@ def ngram_decontaminate(
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
 
-    doc_grams = docs.select(
+    from kowari_spark.fsutil import scan_parallelism
+
+    doc_grams = scan_parallelism(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(
             F.array_distinct(contamination_grams(F.col(text_col), n))

@@ -763,12 +763,14 @@ def append_lsh_layout(
     bucket per append (the build's file-count discipline);
     ``streaming.ingest.compact_bucketed_layout`` bounds accumulation
     across appends."""
+    from kowari_spark.fsutil import write_parallelism
+
     inst, meta = open_lsh_layout(spark, path)
     bucketed = inst.with_buckets(new_df, meta.get("vec_col", "embedding"))
     cols = ["__tbl", "bucket"] if "__tbl" in bucketed.columns else ["bucket"]
-    bucketed.repartition(*[F.col(c) for c in cols]).write.mode(
-        "append"
-    ).partitionBy(*cols).parquet(path)
+    bucketed.repartition(
+        write_parallelism(bucketed), *[F.col(c) for c in cols]
+    ).write.mode("append").partitionBy(*cols).parquet(path)
 
 
 # -- winnowing variant ---------------------------------------------------

@@ -251,9 +251,11 @@ class SignLSH:
         scan-parallel files instead of one monolith (file count stays
         proportional to data, not tasks x buckets)."""
         _refuse_empty_build(df, "SignLSH.build")
-        w = self.with_buckets(df, vec_col).repartition(F.col("bucket")).write.mode(
-            "overwrite"
-        )
+        from kowari_spark.fsutil import write_parallelism
+
+        w = self.with_buckets(df, vec_col).repartition(
+            write_parallelism(df), F.col("bucket")
+        ).write.mode("overwrite")
         if max_records_per_file is not None:
             w = w.option("maxRecordsPerFile", str(max_records_per_file))
         w.partitionBy("bucket").parquet(path)
@@ -501,8 +503,10 @@ class MultiSignLSH:
         rolls big (table, bucket) dirs into several scan-parallel
         files."""
         _refuse_empty_build(df, "MultiSignLSH.build")
+        from kowari_spark.fsutil import write_parallelism
+
         w = self.with_buckets(df, vec_col).repartition(
-            F.col("__tbl"), F.col("bucket")
+            write_parallelism(df), F.col("__tbl"), F.col("bucket")
         ).write.mode("overwrite")
         if max_records_per_file is not None:
             w = w.option("maxRecordsPerFile", str(max_records_per_file))

@@ -58,8 +58,11 @@ def vocab_stats(
     never per occurrence), then the group fold. Ratios round to 9
     decimals (oracle-exact: counts are integers, one IEEE divide).
     Output: (by?..., n_tokens, n_types, hapax_frac, ttr)."""
+    from kowari_spark.fsutil import scan_parallelism
+
     gcols = [by] if by else []
-    tok = df.select(
+    # few-split scans serialize the token explode (guide §2.5)
+    tok = scan_parallelism(df.select(*gcols, text_col)).select(
         *gcols, F.explode(tokens(F.col(text_col))).alias("__t")
     )
     per_tok = tok.groupBy(*gcols, "__t").agg(F.count("*").alias("__c"))
@@ -103,7 +106,9 @@ def top_ngrams(
     row per (gram, doc), not per occurrence — then
     orderBy(...).limit(k) = TakeOrderedAndProject, never a global sort.
     Ties break on the gram string, so the result is total-ordered."""
-    occ = df.select(
+    from kowari_spark.fsutil import scan_parallelism
+
+    occ = scan_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("__d"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
     )
@@ -207,6 +212,9 @@ def repetition_stats(
         raise ValueError(f"need 0 < top_n < dup_n, got {top_n}, {dup_n}")
     from kowari_spark.engines import resolve_engine
 
+    from kowari_spark.fsutil import scan_parallelism
+
+    df = scan_parallelism(df.select(id_col, text_col))
     if resolve_engine(engine, df) == "arrow":
         return _repetition_arrow(df, text_col, id_col, top_n, dup_n)
 
@@ -276,6 +284,9 @@ def unigram_surprisal(
     float addition order is part of the plan, so the operator has an
     exact SQL oracle. Documents whose text is NULL have no tokens and
     produce no row."""
+    from kowari_spark.fsutil import scan_parallelism
+
+    df = scan_parallelism(df.select(F.col(id_col), _c(text_col)))
     tok = df.select(
         F.col(id_col),
         F.posexplode(tokens(_c(text_col))).alias("__pos", "__t"),

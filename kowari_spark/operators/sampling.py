@@ -496,7 +496,9 @@ def _hashed_bucket_stream(df, text_col, buckets):
     nothing but ``text_col``, so a text-only frame (no id column) is a
     valid target under every engine — the target histogram never needs
     document identity or position."""
-    return df.select(
+    from kowari_spark.fsutil import scan_parallelism
+
+    return scan_parallelism(df).select(
         F.explode(_hashed_grams(text_col)).alias("__g")
     ).select((base_hash64(F.col("__g")) % F.lit(buckets)).alias("__b"))
 

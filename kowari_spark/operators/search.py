@@ -39,6 +39,8 @@ import json
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kowari_spark.fsutil import write_parallelism
+
 from kowari_spark.functions.text import token_count, tokens
 
 
@@ -456,7 +458,7 @@ def build_bm25_layout(
     # stalling the x1000 build) — where this writes ~one file per
     # bucket and each task carries ~the auto target's row count
     _postings(docs, text_col, id_col, buckets).repartition(
-        F.col("tb")
+        write_parallelism(docs), F.col("tb")
     ).write.mode("overwrite").partitionBy("tb").parquet(path)
     meta = {
         "version": _BM25_LAYOUT_VERSION,
@@ -1046,9 +1048,9 @@ def repair_bm25_layout(spark, path: str, dedup: bool = True) -> None:
         .agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl"))
         .first()
     )
-    clean.repartition(F.col("tb")).write.mode("overwrite").partitionBy(
-        "tb"
-    ).parquet(tmp)
+    clean.repartition(write_parallelism(clean), F.col("tb")).write.mode(
+        "overwrite"
+    ).partitionBy("tb").parquet(tmp)
     for name in list_files(spark, f"{path}/_batches"):
         create_marker(spark, f"{tmp}/_batches/{name}")
     meta = dict(meta, n_docs=int(st["n"]), sum_dl=int(st["sum_dl"] or 0))
@@ -1204,7 +1206,7 @@ def build_bm25_sharded(
     (
         _postings(docs, text_col, id_col, buckets)
         .withColumn("__shard", sh)
-        .repartition(F.col("__shard"), F.col("tb"))
+        .repartition(write_parallelism(docs), F.col("__shard"), F.col("tb"))
         .write.mode("overwrite")
         .partitionBy("__shard", "tb")
         .parquet(tmp)
@@ -1507,7 +1509,10 @@ def reshard_bm25_sharded(spark, path: str, factor: int = 2) -> int:
                 stage = f"{tmp}/stage-{i}"
                 (
                     postings.withColumn("__s2", sh2)
-                    .repartition(F.col("__s2"), F.col("tb"))
+                    .repartition(
+                        write_parallelism(postings),
+                        F.col("__s2"), F.col("tb"),
+                    )
                     .write.partitionBy("__s2", "tb")
                     .parquet(stage)
                 )
@@ -1931,7 +1936,7 @@ def _append_bm25_rows(spark, path, meta, new_docs, write_bytes) -> None:
     # one file per touched bucket per append (build's file-count
     # discipline; compact_bucketed_layout bounds accumulation)
     _postings(new_docs, text_col, id_col, meta["buckets"]).repartition(
-        F.col("tb")
+        write_parallelism(new_docs), F.col("tb")
     ).write.mode("append").partitionBy("tb").parquet(path)
     st = new_docs.agg(
         F.count("*").alias("n"),

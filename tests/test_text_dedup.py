@@ -291,6 +291,48 @@ def test_dedup_clusters_long_chain_sublinear_rounds(spark):
         assert got == {i: 0 for i in range(64)}, algorithm
 
 
+def test_cc_unionfind_small_graph_exact_and_single_job(spark):
+    """The r15 small-graph CC route (_cc_unionfind): one bounded
+    collect + driver union-find replaces the O(diameter) propagation
+    loop. Exactness on the shapes that stressed the old loop — a long
+    chain (diameter 99), a clique, a self-pair isolate — plus string
+    ids (Python min must agree with Spark's UTF-8 ordering) and the
+    job-count bound (the collect is the ONLY job the labeling runs)."""
+    from pyspark.sql import functions as F
+
+    from kowari_spark.operators.dedup import _cc_unionfind
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)]
+        + [(200, 201), (201, 202), (200, 202)]
+        + [(300, 300)],
+        "id_a long, id_b long",
+    )
+    canon0 = pairs.select(
+        F.greatest("id_a", "id_b").alias("hi"),
+        F.least("id_a", "id_b").alias("lo"),
+    ).distinct().localCheckpoint()
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    labels = _cc_unionfind(canon0)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after - before <= 1, "union-find labeling must be one collect"
+    got = {r["id"]: r["cluster_id"] for r in labels.collect()}
+    exp = {i: 0 for i in range(100)}
+    exp.update({200: 200, 201: 200, 202: 200, 300: 300})
+    assert got == exp
+
+    spairs = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("z", "z")], "id_a string, id_b string"
+    )
+    scanon = spairs.select(
+        F.greatest("id_a", "id_b").alias("hi"),
+        F.least("id_a", "id_b").alias("lo"),
+    ).distinct().localCheckpoint()
+    sgot = {r["id"]: r["cluster_id"] for r in _cc_unionfind(scanon).collect()}
+    assert sgot == {"a": "a", "b": "a", "c": "a", "z": "z"}
+
+
 def test_dedup_clusters_self_pairs_and_empty(spark):
     from kowari_spark.operators.dedup import dedup_clusters
 
