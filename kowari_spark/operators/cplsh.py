@@ -155,8 +155,13 @@ class CrossPolytopeLSH:
         return _probes
 
     def with_buckets(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-        """Exploded (one row per table) bucketed relation."""
-        return df.select(
+        """Exploded (one row per table) bucketed relation. The GEMM
+        hash is the heavy map work here — spread a few-split scan
+        across the cluster first (guide §2.5; no-op at scale, where
+        the scan already has more splits than cores)."""
+        from kowari_spark.fsutil import scan_parallelism
+
+        return scan_parallelism(df).select(
             "*",
             F.posexplode(self.buckets_udf(df.sparkSession)(F.col(vec_col))).alias(
                 "__tbl", "bucket"
@@ -285,10 +290,15 @@ class CrossPolytopeLSH:
 
         spark = df.sparkSession
         prebuilt = "__tbl" in df.columns
+        # raw input: the corpus GEMM hash pass is the heavy map work —
+        # project to the two needed columns, then spread a few-split
+        # scan across the cluster (guide §2.3/§2.5; no-op at scale)
+        from kowari_spark.fsutil import scan_parallelism
+
         bucketed = (
             df.select(F.col(id_col), "__tbl", "bucket")
             if prebuilt
-            else df.select(
+            else scan_parallelism(df.select(F.col(id_col), F.col(vec_col))).select(
                 F.col(id_col),
                 F.posexplode(self.buckets_udf(spark)(F.col(vec_col))).alias(
                     "__tbl", "bucket"

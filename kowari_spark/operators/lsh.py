@@ -324,14 +324,29 @@ class SignLSH:
         reference semantics). ``probes > 1`` widens each query to a
         query-directed multi-probe bucket sequence (probe_buckets_expr) —
         the recall knob that costs probes/2^p of the table instead of a
-        rebuild. Bucket sizes are counted on a probe-pruned scan (the
-        distinct probed buckets broadcast into the join lets dynamic
-        partition pruning skip every unprobed partition of a ``build``
-        layout), never a full-table groupBy."""
+        rebuild.
+
+        Scale shape (round 15): on a ``build`` layout the batch's
+        probed buckets are collected once (bounded by Q·probes — the
+        query side, small by premise) and compiled into a LITERAL
+        ``bucket IN (...)`` filter, the MultiSignLSH/bm25 static-
+        pruning discipline — the previous broadcast-join-only shape
+        relied on dynamic partition pruning that does NOT fire inside
+        the fallback-sizing broadcast subquery (measured: the sizing
+        scan read the ENTIRE layout, 5000/5000 rows, while the probe
+        scan read 742). Candidate counts for the <k fallback now
+        derive from the SAME pruned candidate join (per-query row
+        counts equal the old per-bucket-size sums: one table, each id
+        in exactly one bucket, a query's probed buckets distinct), so
+        one pruned scan feeds sizing, scoring and the starved
+        anti-join instead of a second full-table pass."""
         from pyspark.sql.window import Window
 
         prebuilt = "bucket" in df.columns
         base = df if prebuilt else self.with_buckets(df, vec_col)
+        # the <k fallback must rank the FULL table (reference
+        # semantics) — keep it before any probe pruning below
+        full = base
         q = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).alias("__qvec"),
@@ -344,28 +359,15 @@ class SignLSH:
         )
 
         if prebuilt:
-            # broadcast the distinct probed buckets into the count so
-            # dynamic partition pruning skips every unprobed partition
-            # of the build layout
-            bucket_sizes = (
-                base.join(F.broadcast(qp.select("bucket").distinct()), "bucket")
-                .groupBy("bucket")
-                .agg(F.count("*").alias("__bn"))
+            probed_buckets = sorted(
+                {
+                    r["bucket"]
+                    for r in qp.select("bucket").distinct().collect()
+                    if r["bucket"] is not None
+                }
             )
-        else:
-            # raw input: buckets are computed on the fly, nothing can be
-            # pruned — a plain one-pass groupBy beats the extra
-            # broadcast/join stages
-            bucket_sizes = base.groupBy("bucket").agg(F.count("*").alias("__bn"))
-        q_sizes = (
-            qp.join(F.broadcast(bucket_sizes), "bucket", "left")
-            .groupBy("query_id")
-            .agg(F.sum(F.coalesce(F.col("__bn"), F.lit(0))).alias("__n"))
-        )
-        ok_ids = q_sizes.filter(F.col("__n") >= k).select("query_id")
-        q_fallback = q_sizes.filter(F.col("__n") < k).select("query_id").join(
-            q, "query_id"
-        )
+            if len(probed_buckets) <= _BUCKET_ISIN_MAX and probed_buckets:
+                base = base.filter(F.col("bucket").isin(probed_buckets))
 
         from kowari_spark.operators.topk import (
             _rounded,
@@ -373,9 +375,18 @@ class SignLSH:
             brute_force_fallback,
         )
 
-        qp_ok = qp.join(F.broadcast(ok_ids), "query_id")
+        # ONE candidate join feeds the fallback sizing, the scoring and
+        # (via ok_ids) the starved anti-join; the vector rides the
+        # candidate rows so scoring needs no second corpus join
+        cand = base.join(F.broadcast(qp), "bucket").select(
+            "query_id", F.col(id_col), F.col(vec_col), F.col("__qvec")
+        )
+        sizes = cand.groupBy("query_id").agg(F.count("*").alias("__n"))
+        ok_ids = sizes.filter(F.col("__n") >= k).select("query_id")
+        q_fallback = q.join(F.broadcast(ok_ids), "query_id", "left_anti")
+
         probed = (
-            base.join(F.broadcast(qp_ok), "bucket")
+            cand.join(F.broadcast(ok_ids), "query_id")
             .select(
                 "query_id",
                 F.col(id_col),
@@ -391,7 +402,7 @@ class SignLSH:
 
         # single-table layout: one row per id, so no dedup needed
         fb = brute_force_fallback(
-            base.drop("bucket"), q_fallback, k, metric, id_col, vec_col,
+            full.drop("bucket"), q_fallback, k, metric, id_col, vec_col,
             round_to,
         )
         return probed_topk.unionByName(fb)

@@ -540,17 +540,19 @@ def load_bm25_layout(
 
 
 def _term_buckets(spark, all_terms, buckets) -> list:
-    """The distinct term buckets of ``all_terms`` — one tiny
-    local-relation job (|terms| rows, no table scan) so the bucket
-    list becomes a LITERAL IN filter the parquet source can prune
-    partitions with."""
-    return sorted(
-        r["tb"]
-        for r in spark.createDataFrame([(t,) for t in all_terms], "t string")
-        .select(F.pmod(F.xxhash64(F.col("t")), F.lit(buckets)).alias("tb"))
-        .distinct()
-        .collect()
-    )
+    """The distinct term buckets of ``all_terms``, hashed IN-PROCESS
+    with the bit-exact Python port of Spark's xxhash64
+    (``numerics_xxh``, parity property-tested) so the bucket list
+    becomes a LITERAL IN filter the parquet source can prune
+    partitions with. Previously a createDataFrame → distinct →
+    collect round-trip: one whole Spark job (plus an Exchange) per
+    indexed probe just to hash ≤ dozens of short strings — a fixed
+    serving-latency cost every bm25/hybrid call paid (guide §1.2:
+    remove work, then tune it). ``spark`` is kept in the signature
+    for call-site stability."""
+    from kowari_spark.numerics_xxh import pmod_xxh64
+
+    return sorted({pmod_xxh64(t, int(buckets)) for t in all_terms})
 
 
 def _score_pruned(pruned, n, sum_dl, id_col, k1, b):

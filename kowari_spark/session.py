@@ -60,6 +60,21 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("KOWARI_DRIVER_MEM", "8g"))
+        # Long-lived sessions (serving, bench suites) accumulate
+        # out-of-scope lazy-localCheckpoint RDD blocks and broadcast
+        # pieces whose cleanup waits on a DRIVER GC (ContextCleaner
+        # holds weak refs); the Spark default only forces one every
+        # 30 min, longer than a whole suite, so storage fills and
+        # late queries run against a pressured heap. 90 s keeps the
+        # reclaim cadence well under block-accumulation rates at any
+        # scale — the measured r15 suite effect was minutes of
+        # late-suite inflation on untouched queries (e.g. a 0.6 s
+        # normalize line reading 3.7 s after 100 lines).
+        # KOWARI_PERIODIC_GC overrides (Spark duration string).
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("KOWARI_PERIODIC_GC", "90s"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # runtime row-level filtering: build a bloom filter from the

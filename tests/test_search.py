@@ -1261,3 +1261,44 @@ def test_bm25_reshard_parity_and_lifecycle(spark, sf_dir, tmp_path):
         == t_before
     with _pytest.raises(ValueError, match="single postings layout"):
         Bm25Layout.open(spark, single).reshard()
+
+
+def test_term_buckets_python_hash_parity(spark):
+    """_term_buckets now hashes terms driver-side (numerics_xxh) —
+    this property test pins bit-parity with Spark's own
+    pmod(xxhash64(t), m) on unicode / long / random terms, so a Spark
+    hash or seed change fails loudly instead of silently mis-pruning
+    every probe."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from kowari_spark.numerics_xxh import pmod_xxh64, xxh64_signed
+    from kowari_spark.operators.search import _term_buckets
+
+    rng = random.Random(11)
+    terms = [
+        "", "a", "the", "zeppelin", "ünïcödé-ω", "日本語テスト",
+        "x" * 33, "y" * 100, "0", "-1", "with space", "tab\tsep",
+    ] + [
+        "".join(rng.choices(string.ascii_letters + string.digits + "çüñ中",
+                            k=rng.randint(1, 60)))
+        for _ in range(120)
+    ]
+    got = (
+        spark.createDataFrame([(t,) for t in terms], "t string")
+        .select(
+            "t",
+            F.xxhash64(F.col("t")).alias("h"),
+            F.pmod(F.xxhash64(F.col("t")), F.lit(64)).alias("tb"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert xxh64_signed(r["t"]) == r["h"], r["t"]
+        assert pmod_xxh64(r["t"], 64) == r["tb"], r["t"]
+    # the helper's contract shape: sorted distinct buckets
+    nonempty = [t for t in terms if t]
+    want = sorted({r["tb"] for r in got if r["t"]})
+    assert _term_buckets(spark, nonempty, 64) == want
