@@ -2247,6 +2247,22 @@ FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b
 """
 
 
+def _doc_qvecs(spark: SparkSession, sf_dir: str, ids) -> dict:
+    """Query-vector fetch: hashed embeddings of ONLY the requested docs.
+
+    Each doc's feature-hashed embedding depends solely on its own text
+    (explode tokens -> hash -> per-doc aggregate), so filtering the
+    documents FIRST is value-identical to embedding the whole corpus
+    and filtering after — while turning a 32-task spread + full-table
+    aggregation into one pruned parquet scan (PushedFilters on doc_id)
+    with a couple of tasks. ``spread=False`` skips the few-split scan
+    spread that exists for corpus-sized inputs (guide §2.3: project and
+    filter before the expensive work, not after)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id").isin(list(ids)))
+    emb = T.hashed_embeddings(docs, "text", "doc_id", 32, spread=False)
+    return {r["doc_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+
+
 def q_doc_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full text->vector->search pipeline: feature-hashed document
     embeddings (functions/text.hashed_embedding, model-free) ranked by
@@ -2254,9 +2270,9 @@ def q_doc_text_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn operator as the embeddings table."""
     docs = _t(spark, sf_dir, "documents")
     embedded = T.hashed_embeddings(docs, "text", "doc_id", 32)
-    qrow = embedded.filter(F.col("doc_id") == 0).first()
+    qvec = _doc_qvecs(spark, sf_dir, [0])[0]
     return knn(
-        embedded, [float(x) for x in qrow["embedding"]], 10,
+        embedded, qvec, 10,
         metric="cosine", id_col="doc_id", round_to=6,
     )
 
@@ -2895,7 +2911,10 @@ def q_embedding_cluster_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kowari_spark.operators.sampling import source_cap
 
     ivf, lists = _ivf_index(spark, sf_dir)
-    cents = spark.createDataFrame(
+    from kowari_spark.fsutil import local_df
+
+    cents = local_df(
+        spark,
         [(int(i), [float(x) for x in c]) for i, c in enumerate(ivf.centroids)],
         "list_id int, cvec array<double>",
     )
@@ -3516,9 +3535,9 @@ def q_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     kw = bm25_search(docs, _BM25_QUERY, k=20)
     embedded = T.hashed_embeddings(docs, "text", "doc_id", 32)
-    qrow = embedded.filter(F.col("doc_id") == 0).first()
+    qvec = _doc_qvecs(spark, sf_dir, [0])[0]
     vec = knn(
-        embedded, [float(x) for x in qrow["embedding"]], 20,
+        embedded, qvec, 20,
         metric="cosine", id_col="doc_id", round_to=6,
     )
     fused = rrf_fuse([(kw, "bm25"), (vec, "score")], id_col="doc_id", k0=60)
@@ -3608,15 +3627,13 @@ def q_doc_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth ~25 of already-proven subqueries plus the probe CASE."""
     from kowari_spark.operators.search import hybrid_search_indexed
 
-    docs = _t(spark, sf_dir, "documents")
-    emb = T.hashed_embeddings(docs, "text", "doc_id", 32)
-    qrow = emb.filter(F.col("doc_id") == 0).first()
+    qvec = _doc_qvecs(spark, sf_dir, [0])[0]
     return hybrid_search_indexed(
         spark,
         _bm25_layout(spark, sf_dir),
         _text_lsh_layout(spark, sf_dir),
         _BM25_QUERY,
-        [float(x) for x in qrow["embedding"]],
+        qvec,
         k=10,
         fetch_k=20,
     )
@@ -3639,15 +3656,12 @@ def q_doc_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     its query_id and unioned."""
     from kowari_spark.operators.search import hybrid_batch_indexed
 
-    docs = _t(spark, sf_dir, "documents")
-    emb = T.hashed_embeddings(docs, "text", "doc_id", 32)
-    want = [d for _, _, d in _HYB_BATCH]
-    rows = {
-        r["doc_id"]: r["embedding"]
-        for r in emb.filter(F.col("doc_id").isin(want)).collect()
-    }
-    vec_df = spark.createDataFrame(
-        [(qid, [float(x) for x in rows[d]]) for qid, _, d in _HYB_BATCH],
+    rows = _doc_qvecs(spark, sf_dir, [d for _, _, d in _HYB_BATCH])
+    from kowari_spark.fsutil import local_df
+
+    vec_df = local_df(
+        spark,
+        [(qid, rows[d]) for qid, _, d in _HYB_BATCH],
         "query_id string, embedding array<double>",
     )
     return hybrid_batch_indexed(
@@ -3721,15 +3735,12 @@ def q_doc_hybrid_batch_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate, the CASE fallback, and the fusion, per query."""
     from kowari_spark.operators.search import hybrid_batch_indexed
 
-    docs = _t(spark, sf_dir, "documents")
-    emb = T.hashed_embeddings(docs, "text", "doc_id", 32)
-    want = [d for _, _, d in _HYB_BATCH]
-    rows = {
-        r["doc_id"]: r["embedding"]
-        for r in emb.filter(F.col("doc_id").isin(want)).collect()
-    }
-    vec_df = spark.createDataFrame(
-        [(qid, [float(x) for x in rows[d]]) for qid, _, d in _HYB_BATCH],
+    rows = _doc_qvecs(spark, sf_dir, [d for _, _, d in _HYB_BATCH])
+    from kowari_spark.fsutil import local_df
+
+    vec_df = local_df(
+        spark,
+        [(qid, rows[d]) for qid, _, d in _HYB_BATCH],
         "query_id string, embedding array<double>",
     )
     return hybrid_batch_indexed(

@@ -478,7 +478,10 @@ def _clustered_quality(spark) -> dict:
     pts = np.repeat(centers, per, axis=0) + 0.05 * rng.standard_normal(
         (k_clusters * per, dim)
     )
-    base = spark.createDataFrame(
+    from kowari_spark.fsutil import local_df
+
+    base = local_df(
+        spark,
         [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
         "vec_id long, embedding array<double>",
     ).cache()

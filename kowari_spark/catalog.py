@@ -326,7 +326,9 @@ class Collection:
         no join at all."""
         _, segs, tombs = self.log.snapshot_full(version)
         if not segs:
-            return self.spark.createDataFrame([], VECTOR_SCHEMA)
+            from kowari_spark.fsutil import local_df
+
+            return local_df(self.spark, [], VECTOR_SCHEMA)
         data = self._data_path()
         if not tombs:
             paths = [os.path.join(data, s["name"]) for s in segs]
@@ -422,7 +424,10 @@ class Collection:
         else:
             src = self.df()
         if index is not None:
-            qdf = self.spark.createDataFrame(
+            from kowari_spark.fsutil import local_df
+
+            qdf = local_df(
+                self.spark,
                 [("__q0", [float(x) for x in query])],
                 "query_id string, embedding array<double>",
             )
@@ -1116,7 +1121,9 @@ class Collection:
     def add(self, embedding, metadata=None, id: str | None = None) -> str:
         """Single-vector add (C5). Returns the id."""
         row = vector_row(embedding, metadata, id)
-        self.add_df(self.spark.createDataFrame([row], VECTOR_SCHEMA))
+        from kowari_spark.fsutil import local_df
+
+        self.add_df(local_df(self.spark, [row], VECTOR_SCHEMA))
         return row[0]
 
     def delete(
@@ -1147,7 +1154,9 @@ class Collection:
                 base_version=version,
             )
         else:
-            ids = self.spark.createDataFrame([(str(id),)], "id string")
+            from kowari_spark.fsutil import local_df
+
+            ids = local_df(self.spark, [(str(id),)], "id string")
             self._commit_tombstone(ids, n_rows=1)
         self._touch()
 
@@ -1439,4 +1448,6 @@ class CollectionManager:
     def add_vectors(self, name: str, rows: Iterable[tuple]) -> None:
         """Bulk validated ingest into a named collection."""
         coll = self.get_collection(name)
-        coll.add_df(self.spark.createDataFrame(list(rows), VECTOR_SCHEMA))
+        from kowari_spark.fsutil import local_df
+
+        coll.add_df(local_df(self.spark, list(rows), VECTOR_SCHEMA))

@@ -199,34 +199,52 @@ def hashed_embedding(text, dim: int = 32, normalize: bool = True) -> Column:
 
 def hashed_embeddings(
     df, text_col: str = "text", id_col: str = "doc_id", dim: int = 32,
-    normalize: bool = True, out_col: str = "embedding",
+    normalize: bool = True, out_col: str = "embedding", spread: bool = True,
 ):
     """Whole-table feature-hashed embeddings in the shape that scales:
     explode tokens, hash each ONCE, then ``dim`` conditional-count
     aggregates (map-side partial sums) — the Column form above recomputes
     md5 dim× per token and blows up codegen. Output: (id_col, out_col
-    array<double>), L2-normalized.
+    array<double>), L2-normalized. Each row's embedding depends only on
+    its own text, so callers that need a handful of query vectors should
+    filter the input FIRST and pass ``spread=False``: spreading a
+    few-row fetch adds a 32-task shuffle stage for work one task
+    finishes instantly.
     """
     from kowari_spark.fsutil import scan_parallelism
 
-    # few-split scans serialize the per-token md5 pass (guide §2.5);
-    # no-op whenever the input is already as parallel as the session
-    df = scan_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    df = df.select(F.col(id_col), F.col(text_col))
+    if spread:
+        # few-split scans serialize the per-token md5 pass (guide §2.5);
+        # no-op whenever the input is already as parallel as the session
+        df = scan_parallelism(df)
     exploded = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
     ).select(id_col, (base_hash64(F.col("__t")) % dim).alias("__b"))
+    # SQL-string form: the Column-object builders cost one py4j
+    # roundtrip per node (~3 ms each on the measured driver) — for a
+    # 32-dim embedding the agg list + array + normalize tail alone was
+    # ~0.5 s of construction wall per call. Each F.expr parses in the
+    # JVM in one call to the IDENTICAL Catalyst tree (same CASE WHEN /
+    # sum / cast / lambda shapes the oracle replays).
     aggs = [
-        F.sum(F.when(F.col("__b") == j, 1).otherwise(0)).cast("double").alias(f"c{j}")
+        F.expr(
+            f"CAST(sum(CASE WHEN __b = {j} THEN 1 ELSE 0 END) AS DOUBLE)"
+            f" AS c{j}"
+        )
         for j in range(dim)
     ]
     per = exploded.groupBy(id_col).agg(*aggs)
-    counts = F.array(*[F.col(f"c{j}") for j in range(dim)])
+    arr = "array(" + ",".join(f"c{j}" for j in range(dim)) + ")"
     if normalize:
-        norm = F.sqrt(F.aggregate(counts, F.lit(0.0), lambda acc, x: acc + x * x))
-        counts = F.when(norm == 0.0, counts).otherwise(
-            F.transform(counts, lambda x: x / norm)
+        norm = f"sqrt(aggregate({arr}, 0.0D, (acc, x) -> acc + x * x))"
+        out = (
+            f"CASE WHEN {norm} = 0.0D THEN {arr} "
+            f"ELSE transform({arr}, x -> x / {norm}) END"
         )
-    return per.select(F.col(id_col), counts.alias(out_col))
+    else:
+        out = arr
+    return per.select(F.col(id_col), F.expr(out).alias(out_col))
 
 
 # -- language ID + quality ---------------------------------------------------

@@ -31,6 +31,20 @@ def _c(col: ColumnOrName) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def lit_vec(values) -> Column:
+    """array<double> literal in ONE py4j call.
+
+    ``F.lit(list)`` expands to ``array(lit(x) for x)`` — 65 py4j
+    roundtrips for a 64-dim vector, ~3 ms each on the measured driver
+    (a quarter of some probe constructions was literal building alone).
+    A float64 ndarray takes py4j's NumpyArrayConverter path: one call,
+    binary-exact doubles, the same array<double> Literal after constant
+    folding."""
+    import numpy as np
+
+    return F.lit(np.asarray(list(values), dtype=np.float64))
+
+
 def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Dot product of two array columns, accumulated in float64."""
     return F.aggregate(

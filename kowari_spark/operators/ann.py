@@ -294,8 +294,10 @@ class IVFIndex(AnnIndex):
             (r[0], p) for r in qrows for p in self.ivf._probes_of(r[1])
         ]
         qtype = queries.schema[query_id_col].dataType.simpleString()
-        probe_df = spark.createDataFrame(
-            pairs, f"query_id {qtype}, list_id int"
+        from kowari_spark.fsutil import local_df
+
+        probe_df = local_df(
+            spark, pairs, f"query_id {qtype}, list_id int"
         )
         probed = sorted({p for _, p in pairs})
         return (

@@ -286,9 +286,13 @@ class IVF:
                 f"need >= {self.n_lists} vectors to fit {self.n_lists} lists"
             )
         pts = [(r[id_col], [float(x) for x in r[vec_col]]) for r in rows]
-        # free lower bound on |df| (no extra scan): resolves the
-        # assign_engine="auto" choice for the Lloyd passes below
-        self._seen_rows = len(rows)
+        # |df| knowledge for the engine choice: a PARTIAL sample is the
+        # exact row count; a FULL sample is only a lower bound — record
+        # None then, so fit() sizes the engine with its own bounded
+        # probe instead of under-reporting (seed_sample=512 made a
+        # 5000-row fit pick the interpreted expr engine: the sample
+        # size is not the table size)
+        self._seen_rows = len(rows) if len(rows) < sample else None
         from kowari_spark.operators.quantizer import gonzalez_maxmin
 
         return np.asarray(gonzalez_maxmin(pts, self.n_lists), dtype=np.float64)
@@ -300,11 +304,11 @@ class IVF:
         # the 100 TB design point (ADVICE r5)
         self.centroids = self._seed_farthest_first(df, id_col, vec_col)
 
-        # resolve assign_engine="auto" ONCE for the whole fit: the seed
-        # collect's row count is a free |df| lower bound — a full sample
-        # (>= threshold rows seen) proves the table is big enough for
-        # the arrow path; the exact-traversal path (seed_sample=None)
-        # already scanned the table k times, so one count is noise there
+        # resolve assign_engine="auto" ONCE for the whole fit: a
+        # PARTIAL seed sample is the exact row count (free, no scan);
+        # a FULL sample says nothing about n, so size with the bounded
+        # limit-count probe on the persisted projection — engines are
+        # parity-tested bit-identical, the choice is pure performance
         engine = self.assign_engine
         if engine == "auto":
             from kowari_spark.engines import AUTO_ARROW_MIN_ROWS
@@ -509,7 +513,10 @@ class IVF:
             for p in self._probes_of(r[1])
         ]
         spark = df.sparkSession
-        probe_df = spark.createDataFrame(
+        from kowari_spark.fsutil import local_df
+
+        probe_df = local_df(
+            spark,
             pairs, f"query_id {queries.schema[query_id_col].dataType.simpleString()}, "
                    f"__qvec array<double>, list_id int"
         )

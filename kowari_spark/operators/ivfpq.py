@@ -207,8 +207,10 @@ class IVFPQ:
         ]
         spark = coded.sparkSession
         qtype = queries.schema[query_id_col].dataType.simpleString()
-        probe_df = spark.createDataFrame(
-            flat, f"query_id {qtype}, list_id int, __dt array<double>"
+        from kowari_spark.fsutil import local_df
+
+        probe_df = local_df(
+            spark, flat, f"query_id {qtype}, list_id int, __dt array<double>"
         )
         probed = sorted({p for _, p, _ in flat})
         acc = None

@@ -24,7 +24,9 @@ def _bucket_expr(col: Column, cuts: list[float]) -> Column:
     """Quantile-rank a column into [0, len(cuts)]: count of cut points
     <= value, as a native expression over a literal cut array (monotone,
     so adjacent values share buckets and ranges stay contiguous)."""
-    arr = F.lit([float(c) for c in cuts])
+    from kowari_spark.functions.vector import lit_vec
+
+    arr = lit_vec(cuts)
     v = col.cast("double")
     return F.aggregate(
         arr,

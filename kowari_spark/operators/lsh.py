@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kowari_spark.functions.vector import dot as dot_expr
+from kowari_spark.functions.vector import lit_vec
 from kowari_spark.operators.topk import knn
 
 _LSH_META_NAME = "_lsh_meta.json"
@@ -130,7 +131,7 @@ class SignLSH:
         col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
         acc = F.lit(0).cast("long")
         for i, plane in enumerate(self.planes):
-            d = dot_expr(col, F.lit([float(x) for x in plane]))
+            d = dot_expr(col, lit_vec(plane))
             acc = acc + F.when(d >= 0.0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         return acc
 
@@ -185,7 +186,7 @@ class SignLSH:
             return F.array(base_bucket)
         fp = min(self.num_planes, self._FLIP)
         dots = [
-            dot_expr(col, F.lit([float(x) for x in plane]))
+            dot_expr(col, lit_vec(plane))
             for plane in self.planes
         ]
         margins = F.array_sort(

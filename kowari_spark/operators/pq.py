@@ -447,8 +447,10 @@ class PQ:
         ]
         spark = codes_df.sparkSession
         qtype = queries.schema[query_id_col].dataType.simpleString()
-        dt_df = spark.createDataFrame(
-            flat, f"query_id {qtype}, __dt array<double>"
+        from kowari_spark.fsutil import local_df
+
+        dt_df = local_df(
+            spark, flat, f"query_id {qtype}, __dt array<double>"
         )
         acc = None
         for j in range(self.m):

@@ -433,7 +433,10 @@ def cluster_cap(
         ivf = IVF(n_lists=n_lists)
     if ivf.centroids is None:
         ivf.fit(df, id_col=id_col, vec_col=vec_col)
-    cents = df.sparkSession.createDataFrame(
+    from kowari_spark.fsutil import local_df
+
+    cents = local_df(
+        df.sparkSession,
         [
             (int(i), [float(x) for x in c])
             for i, c in enumerate(ivf.centroids)

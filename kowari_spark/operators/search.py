@@ -281,7 +281,10 @@ def bm25_search_batch(
     # let Spark infer it from the dict keys instead of hardcoding string
     # (int keys used to die inside createDataFrame with an opaque type
     # error); the term column stays explicitly string.
-    qt = docs.sparkSession.createDataFrame(
+    from kowari_spark.fsutil import local_df
+
+    qt = local_df(
+        docs.sparkSession,
         [{"query_id": qid, "__t": t} for qid, ts in per_q.items() for t in ts],
     ).select("query_id", F.col("__t").cast("string").alias("__t"))
     scored = (
@@ -640,7 +643,10 @@ def bm25_batch_indexed(
         raise ValueError("a query has no terms")
     all_terms = sorted({t for ts in per_q.values() for t in ts})
     scored, meta = _indexed_scored(spark, path, all_terms, k1, b)
-    qt = spark.createDataFrame(
+    from kowari_spark.fsutil import local_df
+
+    qt = local_df(
+        spark,
         [{"query_id": qid, "__t": t} for qid, ts in per_q.items() for t in ts],
     ).select("query_id", F.col("__t").cast("string").alias("__t"))
     scored = scored.join(F.broadcast(qt), "__t").select(
@@ -830,7 +836,10 @@ def hybrid_search_indexed(
         )
     else:
         # multi-table families batch-probe only: one-row query relation
-        q1 = spark.createDataFrame(
+        from kowari_spark.fsutil import local_df
+
+        q1 = local_df(
+            spark,
             [(0, [float(x) for x in query_vec])],
             "query_id long, __qv array<double>",
         )

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from kowari_spark.functions.vector import similarity_expr
+from kowari_spark.functions.vector import lit_vec, similarity_expr
 
 
 def _score(metric: str, vec_col: Column | str, query: Column) -> Column:
@@ -64,7 +64,7 @@ def knn(
     the shape that survives 100 TB: work is embarrassingly parallel and
     the merged state is k rows.
     """
-    qlit = F.lit([float(x) for x in query])
+    qlit = lit_vec(query)
     score = _rounded(_score(metric, F.col(vec_col), qlit), round_to)
     cols = [F.col(id_col), score.alias("score"), *[F.col(c) for c in keep_cols]]
     return (
@@ -299,7 +299,7 @@ def knn_two_stage(
         F.col(vec_col),
         dequantize("q_codes", "q_min", "q_scale").alias("__approx"),
     )
-    qlit = F.lit([float(x) for x in query])
+    qlit = lit_vec(query)
     stage1 = (
         deq.select(
             id_col,

@@ -42,4 +42,6 @@ def vector_row(
 
 def vector_df(spark: SparkSession, rows: Iterable[tuple]) -> DataFrame:
     """Build a vectors DataFrame with the canonical schema."""
-    return spark.createDataFrame(list(rows), schema=VECTOR_SCHEMA)
+    from kowari_spark.fsutil import local_df
+
+    return local_df(spark, list(rows), VECTOR_SCHEMA)

@@ -76,6 +76,19 @@ def get_session(
             os.environ.get("KOWARI_PERIODIC_GC", "90s"),
         )
         .config("spark.ui.enabled", "false")
+        # PySpark wraps EVERY DataFrame-level API call in call-site
+        # capture when spark.python.sql.dataFrameDebugging.enabled
+        # (default true): a conf read + origin set + clear = 3 extra
+        # py4j roundtrips plus an inspect-stack walk PER CALL. Complex
+        # probe constructions make hundreds of API calls — measured
+        # ~25% of doc_hybrid_batch's construction wall (3.4 s -> 2.6 s
+        # off). Cost of turning it off: error messages lose the
+        # "called from file:line" DataFrame context, nothing else.
+        # KOWARI_DF_DEBUGGING=true restores it for debugging sessions.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            _env_bool("KOWARI_DF_DEBUGGING", default=False),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # runtime row-level filtering: build a bloom filter from the
         # selective side of a big join and push it into the other side's

@@ -217,10 +217,12 @@ def test_fit_engines_agree_and_auto_fit_uses_arrow(spark):
             assign_engine="expr").fit(big, id_col="id")
     b = IVF(n_lists=8, n_probe=2, max_iter=3, seed=42, round_centroids=6,
             assign_engine="arrow").fit(big, id_col="id")
-    # auto resolves from the seed-collect size (a free |df| lower
-    # bound): n_lists=16 -> sample 1024 >= threshold -> arrow Lloyd
-    # passes; n_lists=8's 512-row sample under-bounds n and safely
-    # resolves to expr (8 folds/row is cheap anyway)
+    # auto sizing: a FULL seed sample (1024 rows for n_lists=16 on a
+    # 1500-row frame) is only a lower bound on n, so fit records
+    # _seen_rows=None and sizes the engine with the bounded
+    # limit-count probe on the persisted projection — which resolves
+    # to arrow here (1500 >= threshold). A PARTIAL sample is the exact
+    # n and skips the probe.
     c = IVF(n_lists=16, n_probe=2, max_iter=3, seed=42, round_centroids=6).fit(
         big, id_col="id"
     )
@@ -228,7 +230,11 @@ def test_fit_engines_agree_and_auto_fit_uses_arrow(spark):
             assign_engine="expr").fit(big, id_col="id")
     assert np.array_equal(a.centroids, b.centroids)
     assert np.array_equal(c.centroids, d.centroids)
-    assert c.assign_engine == "auto" and c._seen_rows >= 1000
+    assert c.assign_engine == "auto" and c._seen_rows is None
+    # partial sample: sample (512) > n (300) -> exact count recorded
+    e = IVF(n_lists=8, n_probe=2, max_iter=1, seed=42, round_centroids=6)
+    e.fit(big.limit(300), id_col="id")
+    assert e._seen_rows == 300
 
 
 def test_gonzalez_vectorized_matches_scalar():
