@@ -244,6 +244,12 @@ def scan_parallelism(df, min_parts: int | None = None):
     smaller than one scan split. Round-robin repartition keeps
     deterministic row placement under retries (sort-before-repartition
     is on by default, SPARK-23207)."""
+    # streaming frames: no .rdd to probe, and micro-batch partitioning
+    # is the source's to decide — pass through untouched (the CP-LSH
+    # streaming sink reaches the same hash pass this helper wraps;
+    # regression caught by test_stream_into_cplsh_layout)
+    if df.isStreaming:
+        return df
     sess = df.sparkSession
     want = min_parts or sess.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= want:

@@ -116,7 +116,15 @@ def _decontam_arrow(
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(score, schema)
+    from kowari_spark.fsutil import scan_parallelism
+
+    # few-split scans serialize the whole scoring pass in one task
+    # (guide §2.5; measured: the sf0.1 corpus is ONE parquet split, so
+    # the contract line ran single-task with 31 cores idle). No-op
+    # whenever the scan is already as parallel as the session.
+    return scan_parallelism(docs.select(id_col, text_col)).mapInPandas(
+        score, schema
+    )
 
 
 def ngram_decontaminate(
