@@ -244,17 +244,63 @@ def scan_parallelism(df, min_parts: int | None = None):
     smaller than one scan split. Round-robin repartition keeps
     deterministic row placement under retries (sort-before-repartition
     is on by default, SPARK-23207)."""
-    # streaming frames: no .rdd to probe, and micro-batch partitioning
-    # is the source's to decide — pass through untouched (the CP-LSH
-    # streaming sink reaches the same hash pass this helper wraps;
-    # regression caught by test_stream_into_cplsh_layout)
+    # streaming frames: no partitioning to probe, and micro-batch
+    # partitioning is the source's to decide — pass through untouched
+    # (the CP-LSH streaming sink reaches the same hash pass this
+    # helper wraps; regression caught by test_stream_into_cplsh_layout)
     if df.isStreaming:
         return df
     sess = df.sparkSession
     want = min_parts or sess.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= want:
+    # METADATA-ONLY probe: ``df.rdd.getNumPartitions()`` finalizes the
+    # AQE plan, which EXECUTES upstream stages on derived frames (a
+    # cached limit() input cost a whole Spark job at plan time —
+    # caught by test_near_dup_dim_param_skips_inference_job). Instead
+    # count the scan's input files and, only when there are fewer than
+    # ``want``, stat those few for their split count — no job, ≤
+    # ``want`` driver-side file stats, works identically on object
+    # stores. Non-file inputs (local relations, test frames) pass
+    # through: their partitioning is the caller's.
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
         return df
+    if len(files) >= want:
+        return df
+    mpb = _size_conf(sess, "spark.sql.files.maxPartitionBytes",
+                     128 * 1024 * 1024)
+    est = 0
+    for f in files:
+        try:
+            fs, p = _fs_path(sess, f)
+            est += max(1, int(fs.getFileStatus(p).getLen() // mpb))
+        except Exception:
+            est += 1
+        if est >= want:
+            return df
     return df.repartition(want)
+
+
+def _size_conf(sess, key: str, default: int) -> int:
+    """Byte value of a Spark size conf ('128m', '134217728b', ...)."""
+    try:
+        raw = str(sess.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("b", 1)):
+        if raw.endswith(suf):
+            raw = raw[: -len(suf)]
+            mult = m
+            break
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return default
 
 
 def local_df(spark: SparkSession, rows, schema=None):

@@ -276,7 +276,15 @@ class HNSW:
                     {"level": [], "src": [], "dst": [], "__s": []}
                 )
             level = int(pdf["level"].iloc[0])
+            # id-ascending row order: the vectorized stable argsort
+            # below then breaks exact score ties by POSITION = by id —
+            # the same (-score, id) ordering the scalar selection used.
+            # Scores are position-independent (same vectors, same BLAS
+            # reduction), so this only fixes the tie-break frame.
+            pdf = pdf.sort_values("__vid", kind="mergesort")
             ids = list(pdf["__vid"])
+            ids_arr = np.empty(n, dtype=object)
+            ids_arr[:] = ids
             V = np.asarray(list(pdf["__v"]), dtype=np.float64)  # (b, d)
             if metric == "cosine":
                 norms = np.linalg.norm(V, axis=1, keepdims=True)
@@ -310,18 +318,22 @@ class HNSW:
                     S = -np.sqrt(np.maximum(d2, 0.0))
                 else:  # manhattan
                     S = -np.abs(V[lo:hi, None, :] - V[None, :, :]).sum(axis=2)
-                for i in range(lo, hi):
-                    srow = S[i - lo].copy()
-                    srow[i] = -np.inf  # never self
-                    if n - 1 > k:
-                        kth = np.partition(-srow, k - 1)[k - 1]
-                        cand = np.nonzero(-srow <= kth)[0]
-                    else:
-                        cand = np.nonzero(np.isfinite(srow))[0]
-                    order = sorted(cand, key=lambda j: (-srow[j], ids[j]))[:k]
-                    out_src.extend([ids[i]] * len(order))
-                    out_dst.extend(ids[j] for j in order)
-                    out_s.extend(float(srow[j]) for j in order)
+                # vectorized top-k selection (the per-row Python
+                # sorted() loop was the task bottleneck for big
+                # buckets): self-score -> -inf, stable argsort over
+                # id-ordered columns == (-score, id) ranking, then drop
+                # non-finite picks (self, NaN-poisoned) exactly as the
+                # scalar path's isfinite/kth filters did
+                rows = np.arange(lo, hi)
+                S[rows - lo, rows] = -np.inf
+                order = np.argsort(-S, axis=1, kind="stable")[:, :k]
+                picked = S[np.arange(hi - lo)[:, None], order]
+                finite = np.isfinite(picked)
+                for i in range(hi - lo):
+                    sel = order[i][finite[i]]
+                    out_src.extend([ids[lo + i]] * len(sel))
+                    out_dst.extend(ids_arr[sel])
+                    out_s.extend(float(x) for x in picked[i][finite[i]])
             return pd.DataFrame(
                 {"level": level, "src": out_src, "dst": out_dst, "__s": out_s}
             )
@@ -338,6 +350,19 @@ class HNSW:
         constraint of this scorer."""
         fn, out_schema = self._group_topm_fn(
             metric, bucketed.schema["__vid"].dataType.simpleString()
+        )
+        # explicit partition count: AQE coalesces the pre-applyInPandas
+        # exchange by BYTES, but group cost here is GEMM compute —
+        # measured: the sf0.1 bucket-scoring stage coalesced to 4 tasks
+        # (~1.8 s serial) for 100+ groups. repartition(n, keys) hashes
+        # each group to exactly one task at any n, satisfies the
+        # grouping distribution (no second exchange), and
+        # REPARTITION_BY_NUM is exempt from AQE coalescing — the
+        # write_parallelism rule applied to compute (guide §2.2/§2.5).
+        from kowari_spark.fsutil import write_parallelism
+
+        bucketed = bucketed.repartition(
+            write_parallelism(bucketed), "level", "__tbl", "__bkt"
         )
         return bucketed.groupBy("level", "__tbl", "__bkt").applyInPandas(
             fn, out_schema
@@ -395,6 +420,13 @@ class HNSW:
         )
         fn, out_schema = self._group_topm_fn(
             metric, edges.schema["src"].dataType.simpleString()
+        )
+        # same explicit-count rule as _bucket_topm_gemm: GEMM group
+        # cost is invisible to AQE's byte-based coalescing
+        from kowari_spark.fsutil import write_parallelism
+
+        members = members.repartition(
+            write_parallelism(members), "level", "__mid"
         )
         grouped = members.groupBy("level", "__mid").applyInPandas(fn, out_schema)
         edge_scored = (

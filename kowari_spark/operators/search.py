@@ -75,6 +75,14 @@ def _bm25_core(docs, qterms, text_col, id_col, k1, b):
     contribution expression. The single and batch paths differ ONLY in
     how contributions fold per document, so their documented bit-parity
     cannot drift."""
+    from kowari_spark.fsutil import scan_parallelism
+
+    # few-split corpus scans serialize the tokenize+filter projection
+    # (guide §2.5); value-safe here because every aggregate downstream
+    # is integer-exact (tf/df counts, long token-count sums) before any
+    # float cast, so partition order cannot move a result. No-op once
+    # the scan has session-parallel splits.
+    docs = scan_parallelism(docs.select(id_col, text_col))
     toks = tokens(F.col(text_col))
     qarr = F.array(*[F.lit(t) for t in qterms])
     matches = docs.select(
