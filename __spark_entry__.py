@@ -277,8 +277,15 @@ def q_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 normalize: unit-norm invariant + first component, per vector
     (scalars, not arrays, so the cross-engine hash is dtype-stable)."""
     from kowari_spark.functions.vector import magnitude, normalize
+    from kowari_spark.fsutil import scan_parallelism
 
-    base = _t(spark, sf_dir, "embeddings")
+    # interpreted higher-order folds re-evaluate the norm subexpression
+    # per element (O(d^2)/row); a one-split scan ran the whole table's
+    # evaluation in a single ~3 s task (guide §2.5) — spread is a no-op
+    # once the scan has session-parallel splits
+    base = scan_parallelism(
+        _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     normed = normalize(F.col("embedding"))
     return base.select(
         "vec_id",
@@ -529,7 +536,9 @@ def _hnsw_index(spark: SparkSession, sf_dir: str):
     ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"kowari_hnsw_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        h.build(base, id_col="vec_id").write.mode("overwrite").partitionBy(
+        # dim is the fixtures' fixed 64 (every knn row pins it): skips
+        # the per-build first() inference job (ADVICE r5 pattern)
+        h.build(base, id_col="vec_id", dim=64).write.mode("overwrite").partitionBy(
             "level"
         ).parquet(path)
     return h, base, spark.read.parquet(path)
