@@ -28,7 +28,75 @@ ColumnOrName = Column | str
 
 
 def _c(col: ColumnOrName) -> Column:
-    return F.col(col) if isinstance(col, str) else col
+    if isinstance(col, str):
+        # SQL snippets (array literals from lit_vec_sql, nested calls)
+        # parse; plain names resolve as columns
+        return F.expr(col) if "(" in col else F.col(col)
+    return col
+
+
+def _sql_name(col: str) -> str:
+    """Column NAME -> SQL identifier. Plain identifiers (``embedding``,
+    ``__qvec``) are backquoted; dotted names stay qualified exactly as
+    ``F.col`` treats them; strings already shaped as SQL snippets (from
+    the *_sql builders below) pass through verbatim."""
+    if col.startswith("`") or "(" in col or "." in col:
+        return col
+    return f"`{col}`"
+
+
+# -- SQL-string twins ------------------------------------------------------
+# Each *_sql builder emits the SQL whose parsed tree constant-folds to the
+# IDENTICAL expression the Column builders below produce (same zip_with/
+# aggregate fold order, same casts, same guards — value parity pinned by
+# tests/test_functions.py). Rationale: the Column builders cost ~10 py4j
+# roundtrips per higher-order function (lambda registration), ~3-7 ms
+# each on the measured driver; probe-shaped query lines are CONSTRUCTION
+# bound once their plans are lean, and one F.expr parse replaces dozens
+# of roundtrips (guide §7.3 — driver-side single-threaded work).
+
+
+def dot_sql(a_sql: str, b_sql: str) -> str:
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def magnitude_sql(v_sql: str) -> str:
+    return f"sqrt({dot_sql(v_sql, v_sql)})"
+
+
+def cosine_sql(a_sql: str, b_sql: str) -> str:
+    na, nb = magnitude_sql(a_sql), magnitude_sql(b_sql)
+    return (
+        f"CASE WHEN ({na} = 0.0D) OR ({nb} = 0.0D) THEN 0.0D "
+        f"ELSE {dot_sql(a_sql, b_sql)} / ({na} * {nb}) END"
+    )
+
+
+def euclidean_sql(a_sql: str, b_sql: str) -> str:
+    return (
+        f"sqrt(aggregate(zip_with({a_sql}, {b_sql}, "
+        "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) "
+        "* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "0.0D, (acc, x) -> acc + x))"
+    )
+
+
+def manhattan_sql(a_sql: str, b_sql: str) -> str:
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        "(x, y) -> abs(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def lit_vec_sql(values) -> str:
+    """array<double> literal as SQL — bit-exact doubles (repr round-trips
+    IEEE 754; the D suffix keeps exponent forms double-typed)."""
+    return "array(" + ",".join(repr(float(v)) + "D" for v in values) + ")"
 
 
 def lit_vec(values) -> Column:
@@ -47,6 +115,8 @@ def lit_vec(values) -> Column:
 
 def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Dot product of two array columns, accumulated in float64."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_sql(_sql_name(a), _sql_name(b)))
     return F.aggregate(
         F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -56,6 +126,8 @@ def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
 
 def magnitude(v: ColumnOrName) -> Column:
     """L2 norm (reference: vector.rs:41-43)."""
+    if isinstance(v, str):
+        return F.expr(magnitude_sql(_sql_name(v)))
     return F.sqrt(dot(v, v))
 
 
@@ -69,6 +141,8 @@ def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
 
     Zero-norm guard per reference utils.rs:9-13.
     """
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(cosine_sql(_sql_name(a), _sql_name(b)))
     na, nb = magnitude(a), magnitude(b)
     return F.when((na == F.lit(0.0)) | (nb == F.lit(0.0)), F.lit(0.0)).otherwise(
         dot(a, b) / (na * nb)
@@ -77,6 +151,8 @@ def cosine_similarity(a: ColumnOrName, b: ColumnOrName) -> Column:
 
 def euclidean_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
     """L2 distance (reference: utils.rs:16-19)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(euclidean_sql(_sql_name(a), _sql_name(b)))
     return F.sqrt(
         F.aggregate(
             F.zip_with(
@@ -93,6 +169,8 @@ def euclidean_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
 
 def manhattan_distance(a: ColumnOrName, b: ColumnOrName) -> Column:
     """L1 distance (reference: utils.rs:21-24)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(manhattan_sql(_sql_name(a), _sql_name(b)))
     return F.aggregate(
         F.zip_with(_c(a), _c(b), lambda x, y: F.abs(x.cast("double") - y.cast("double"))),
         F.lit(0.0),
@@ -127,17 +205,26 @@ _METRICS = {
 }
 
 
+_BUILTIN_METRICS = frozenset(_METRICS)
+
+
 def similarity_expr(metric: str, a: ColumnOrName, b: ColumnOrName) -> Column:
     """Similarity score for a metric name — higher is always better.
 
     This is the engine's distance-metric registry (the reference's
     extension point is the ``Index`` trait + ``use_cosine`` flag,
     src/index.rs:25-48; ours is an open metric->expression map).
+
+    Built-in metrics accept column names / SQL snippets (the one-parse
+    construction path); custom registered metrics are handed Columns, the
+    contract they were written against.
     """
     try:
         fn = _METRICS[metric]
     except KeyError:
         raise ValueError(f"unknown metric {metric!r}; one of {sorted(_METRICS)}") from None
+    if metric not in _BUILTIN_METRICS:
+        a, b = _c(a), _c(b)
     return fn(a, b)
 
 

@@ -649,11 +649,11 @@ def embedding_near_dups_against(
             *bucket_cols, F.col(id_col).alias("hist_id"),
             F.col(vec_col).alias("vb"),
         )
-    hside = hside.withColumn("nb", magnitude(F.col("vb")))
+    hside = hside.withColumn("nb", magnitude("vb"))
     nn = bn.select(
         *bucket_cols, F.col(id_col).alias("new_id"),
         F.col(vec_col).alias("va"),
-        magnitude(F.col(vec_col)).alias("na"),
+        magnitude(vec_col).alias("na"),
     )
     cos = _pair_cosine()
     if round_to is not None:

@@ -241,7 +241,7 @@ class HNSW:
             .filter(F.col("src") != F.col("dst"))
             .select(
                 "level", "__tbl", "__bkt", "src", "dst",
-                _score(metric, F.col("__dv"), F.col("__sv")).alias("__s"),
+                _score(metric, "__dv", "__sv").alias("__s"),
             )
         )
         wb = Window.partitionBy("level", "__tbl", "__bkt", "src").orderBy(
@@ -378,7 +378,7 @@ class HNSW:
                               F.col("__v").alias("__dv")), "dst")
             .select(
                 "level", "src", "dst",
-                _score(metric, F.col("__dv"), F.col("__sv")).alias("__s"),
+                _score(metric, "__dv", "__sv").alias("__s"),
             )
         )
         w = Window.partitionBy("level", "src").orderBy(F.desc("__s"), F.asc("dst"))
@@ -436,7 +436,7 @@ class HNSW:
                               F.col("__v").alias("__dv")), "dst")
             .select(
                 "level", "src", "dst",
-                _score(metric, F.col("__dv"), F.col("__sv")).alias("__s"),
+                _score(metric, "__dv", "__sv").alias("__s"),
             )
         )
         deduped = grouped.unionByName(edge_scored).groupBy(
@@ -688,7 +688,7 @@ class HNSW:
                     "query_id",
                     F.col(id_col),
                     _rounded(
-                        _score(metric, F.col(vec_col), F.col("__qvec")), round_to
+                        _score(metric, vec_col, "__qvec"), round_to
                     ).alias("score"),
                 )
             )
@@ -732,7 +732,7 @@ class HNSW:
                 "query_id",
                 F.col(id_col),
                 _rounded(
-                    _score(metric, F.col(vec_col), F.col("__qvec")), round_to
+                    _score(metric, vec_col, "__qvec"), round_to
                 ).alias("score"),
             )
             .withColumn("rn", F.row_number().over(w))

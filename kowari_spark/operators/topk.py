@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from kowari_spark.functions.vector import lit_vec, similarity_expr
+from kowari_spark.functions.vector import lit_vec_sql, similarity_expr
 
 
 def _score(metric: str, vec_col: Column | str, query: Column) -> Column:
@@ -64,8 +64,10 @@ def knn(
     the shape that survives 100 TB: work is embarrassingly parallel and
     the merged state is k rows.
     """
-    qlit = lit_vec(query)
-    score = _rounded(_score(metric, F.col(vec_col), qlit), round_to)
+    # name + SQL-literal strings take the one-parse F.expr path in
+    # similarity_expr (construction cost; values identical — see
+    # functions/vector.py SQL twins)
+    score = _rounded(_score(metric, vec_col, lit_vec_sql(query)), round_to)
     cols = [F.col(id_col), score.alias("score"), *[F.col(c) for c in keep_cols]]
     return (
         df.select(*cols)
@@ -118,7 +120,7 @@ def _knn_batch_window(
     scored = df.crossJoin(F.broadcast(q)).select(
         "query_id",
         F.col(id_col),
-        _rounded(_score(metric, F.col(vec_col), F.col("__qvec")), round_to).alias("score"),
+        _rounded(_score(metric, vec_col, "__qvec"), round_to).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
     return (
@@ -266,7 +268,7 @@ def brute_force_fallback(
             "query_id",
             F.col(id_col),
             _rounded(
-                _score(metric, F.col(vec_col), F.col(qvec_col)), round_to
+                _score(metric, vec_col, qvec_col), round_to
             ).alias("score"),
         )
         .withColumn("rank", F.row_number().over(w))
@@ -299,12 +301,11 @@ def knn_two_stage(
         F.col(vec_col),
         dequantize("q_codes", "q_min", "q_scale").alias("__approx"),
     )
-    qlit = lit_vec(query)
     stage1 = (
         deq.select(
             id_col,
             F.col(vec_col),
-            _score(metric, F.col("__approx"), qlit).alias("__ascore"),
+            _score(metric, "__approx", lit_vec_sql(query)).alias("__ascore"),
         )
         .orderBy(F.desc("__ascore"), F.asc(id_col))
         .limit(c)

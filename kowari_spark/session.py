@@ -90,6 +90,19 @@ def get_session(
             _env_bool("KOWARI_DF_DEBUGGING", default=False),
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Path-based reads of partitioned layouts (2^p-bucket LSH/BM25
+        # trees) re-list their partition dirs per open; above this many
+        # paths Spark LAUNCHES A JOB to list (default 32) — a full
+        # job round trip (~60-90 ms + task dispatch) to stat a few
+        # dozen directories. Driver-side threaded listing is strictly
+        # cheaper below a few hundred paths on any store; big tables
+        # (thousands of partitions) still take the distributed path.
+        # Measured: 2 listing jobs (~0.25 s) inside every
+        # hybrid-over-MultiSignLSH probe construction.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("KOWARI_LIST_JOB_THRESHOLD", "256"),
+        )
         # runtime row-level filtering: build a bloom filter from the
         # selective side of a big join and push it into the other side's
         # scan — at 100 TB this prunes shuffle input the way DPP prunes

@@ -85,6 +85,46 @@ def test_normalize(spark):
     assert row["nb"] == pytest.approx([0.0, 0.0, 0.0])  # zero vec unchanged
 
 
+def test_sql_twin_parity_with_column_builders(spark, embeddings):
+    """String inputs route the metric builders through ONE F.expr parse
+    (the construction-cost fix); Column inputs keep the legacy per-op
+    py4j builder. Both paths must be VALUE-identical (bit-exact doubles,
+    "%r" round-trips) on real vectors, zero vectors and a literal query
+    — the plans the knn/lsh probe rows now build."""
+    from kowari_spark.functions.vector import lit_vec, lit_vec_sql, similarity_expr
+
+    base = embeddings.select(
+        F.col("embedding").alias("a"),
+        F.reverse(F.col("embedding")).alias("b"),
+    ).limit(64)
+    zero = spark.createDataFrame(
+        [([0.0] * 64, [1.0] * 64)], "a array<float>, b array<float>"
+    )
+    df = base.unionByName(zero)
+    q = [0.25 * i - 3.0 for i in range(64)]
+    pairs = [
+        (dot("a", "b"), dot(F.col("a"), F.col("b"))),
+        (magnitude("a"), magnitude(F.col("a"))),
+        (cosine_similarity("a", "b"), cosine_similarity(F.col("a"), F.col("b"))),
+        (euclidean_distance("a", "b"), euclidean_distance(F.col("a"), F.col("b"))),
+        (manhattan_distance("a", "b"), manhattan_distance(F.col("a"), F.col("b"))),
+        (
+            similarity_expr("cosine", "a", lit_vec_sql(q)),
+            similarity_expr("cosine", F.col("a"), lit_vec(q)),
+        ),
+        (
+            similarity_expr("euclidean", "a", lit_vec_sql(q)),
+            similarity_expr("euclidean", F.col("a"), lit_vec(q)),
+        ),
+    ]
+    sel = []
+    for i, (fast, legacy) in enumerate(pairs):
+        sel += [fast.alias(f"f{i}"), legacy.alias(f"l{i}")]
+    for row in df.select(*sel).collect():
+        for i in range(len(pairs)):
+            assert repr(row[f"f{i}"]) == repr(row[f"l{i}"]), f"pair {i}: {row}"
+
+
 def test_cosine_symmetry_property(spark, embeddings):
     """cos(a,b) == cos(b,a) on real data."""
     df = embeddings.limit(20).alias("x").crossJoin(embeddings.limit(20).alias("y"))

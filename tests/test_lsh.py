@@ -32,6 +32,27 @@ def test_bucket_expr_matches_driver_side(base, lsh):
         assert r["bucket"] == lsh.bucket_of(r["embedding"])
 
 
+def test_bucket_sql_parity_with_column_builder(base, lsh):
+    """The SQL-string bucket builder (one F.expr parse — the
+    construction-cost fix) must be VALUE-identical to the legacy
+    per-plane Column builder on every row, for both the single-table
+    bucket and the multi-table array (a Column input takes the legacy
+    path, a string input the SQL path — same rows, exact equality)."""
+    from kowari_spark.operators.lsh import MultiSignLSH
+
+    fast = [r["b"] for r in base.select(lsh.bucket_expr("embedding").alias("b")).collect()]
+    legacy = [
+        r["b"] for r in base.select(lsh.bucket_expr(F.col("embedding")).alias("b")).collect()
+    ]
+    assert fast == legacy
+    ml = MultiSignLSH(dim=lsh.dim, num_planes=4, num_tables=5, seed=7)
+    fast_m = [r["b"] for r in base.select(ml.buckets_expr("embedding").alias("b")).collect()]
+    legacy_m = [
+        r["b"] for r in base.select(ml.buckets_expr(F.col("embedding")).alias("b")).collect()
+    ]
+    assert fast_m == legacy_m
+
+
 def test_self_query_rank1(base, lsh):
     row = base.first()
     res = lsh.query(base, row["embedding"], 3, round_to=6).collect()
