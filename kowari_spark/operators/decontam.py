@@ -43,9 +43,16 @@ def contamination_grams(text, n: int) -> Column:
 
 
 def _eval_gram_hashes(eval_df: DataFrame, eval_text: str, n: int) -> DataFrame:
-    """Distinct portable 64-bit hashes of the eval set's grams."""
+    """Distinct portable 64-bit hashes of the eval set's grams. The
+    interpreted gram explode runs behind a scan spread (guide §2.5) —
+    an eval slice of a few-split corpus otherwise gram-hashes in ONE
+    task (measured 1.7 s of doc_decontam's construction); distinct
+    hashes are partition-independent."""
+    from kowari_spark.fsutil import scan_parallelism
+
     return (
-        eval_df.select(
+        scan_parallelism(eval_df.select(eval_text))
+        .select(
             F.explode(contamination_grams(F.col(eval_text), n)).alias("__g")
         )
         .select(base_hash64(F.col("__g")).alias("__h"))

@@ -585,8 +585,13 @@ def _dsir_hist_arrow(frame, text_col, buckets, count_alias):
                 {"__b": list(c.keys()), "__c": list(c.values())}
             )
 
+    # spread a few-split scan before the per-row featurize pass (guide
+    # §2.5; the expr engine's _hashed_bucket_stream already does) —
+    # value-safe: integer partials, order-independent groupBy sum
+    from kowari_spark.fsutil import scan_parallelism
+
     return (
-        frame.select(text_col)
+        scan_parallelism(frame.select(text_col))
         .mapInPandas(part, "__b long, __c long")
         .groupBy("__b")
         .agg(F.sum("__c").alias(count_alias))
@@ -642,7 +647,11 @@ def _dsir_score_rows_arrow(df, lrs, text_col, id_col, buckets, round_to):
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(weigh, schema)
+    # row-local scoring: spreading the few-split scan cannot change any
+    # row's value or membership (guide §2.5)
+    from kowari_spark.fsutil import scan_parallelism
+
+    return scan_parallelism(df.select(id_col, text_col)).mapInPandas(weigh, schema)
 
 
 def _dsir_logweights_arrow(

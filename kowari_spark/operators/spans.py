@@ -69,7 +69,11 @@ def _gram_hashes_arrow(
                     hs.append(py_hash64(g))
             yield pd.DataFrame({id_col: ids, "__pos": poss, "__h": hs})
 
-    return df.select(id_col, text_col).mapInPandas(gen, schema)
+    # spread a few-split scan before the per-gram hash pass (guide
+    # §2.5) — value-safe: per-row generation, downstream keyed on __h
+    from kowari_spark.fsutil import scan_parallelism
+
+    return scan_parallelism(df.select(id_col, text_col)).mapInPandas(gen, schema)
 
 
 def _dup_gram_positions(
@@ -191,8 +195,13 @@ def remove_duplicate_spans(
     kept = F.filter(
         toks, lambda t, i: ~F.array_contains(F.col("__rm"), i)
     )
+    # the rebuild (interpreted filter-by-index over token arrays) is
+    # ROW-LOCAL — spread a few-split source so it doesn't run in one
+    # task (guide §2.5); the skinny __rm side broadcasts either way
+    from kowari_spark.fsutil import scan_parallelism
+
     return (
-        df.join(rm_per_doc, id_col, "left")
+        scan_parallelism(df).join(rm_per_doc, id_col, "left")
         .select(
             F.col(id_col),
             F.when(F.col("__rm").isNull(), F.col(text_col))
