@@ -532,19 +532,30 @@ def _clustered_quality(spark) -> dict:
 
 
 def _clear_index_caches() -> None:
-    """Remove the prebuilt-index caches so the ``*_build`` lines time a
-    COLD build every run (round 3's numbers silently measured cache
+    """Remove ALL prebuilt-layout caches so every ``*_build`` line times
+    a COLD build every run (round 3's numbers silently measured cache
     loads); the contract queries that follow still exercise the
     build-once/probe-many split against the indexes built this run.
+
+    Round 16 (VERDICT r15 "what's wrong" #1): the old five-prefix list
+    (lsh/ivf/hnsw/pq/ivfpq) missed every ``_cached_layout`` family the
+    entry grew since (bm25*, *sig, dsir*, hll/kmv, morwh, ...), so after
+    the auto-warmup pass nine ``*_build`` lines timed a cache-stat hit
+    (0.0 s), and the caches even survived ACROSS runs (keyed on the
+    testdata stamp). Clearing ``kowari_*`` wholesale — minus the bench's
+    own ``kowari_bench*`` scratch dirs — covers every present and future
+    cache family by construction.
+
     Set KOWARI_BENCH_WARM=1 to keep caches (for probe-only profiling)."""
     import glob
 
     if os.environ.get("KOWARI_BENCH_WARM", "").strip() in ("1", "true"):
         return
     tmp = tempfile.gettempdir()
-    for kind in ("lsh", "ivf", "hnsw", "pq", "ivfpq"):
-        for path in glob.glob(os.path.join(tmp, f"kowari_{kind}_*")):
-            shutil.rmtree(path, ignore_errors=True)
+    for path in glob.glob(os.path.join(tmp, "kowari_*")):
+        if os.path.basename(path).startswith("kowari_bench"):
+            continue  # the bench's own scratch/warm-up dirs
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def _cache_state() -> dict:
@@ -564,6 +575,75 @@ def _cache_state() -> dict:
     except OSError:
         pass
     return out
+
+
+# Every query line the round-15 driver capture carried on stdout. These
+# stay INDIVIDUALLY visible in every future stdout line regardless of
+# how fast they get — the driver's round-over-round comparison treats a
+# key that disappears as a dropped line (adding keys is allowed,
+# removing one reads as a regression). Lines outside this set are
+# emitted individually while the 1900-char stdout budget holds
+# (largest-first), and only the remainder folds into
+# __small_queries_total.
+_PINNED_STDOUT = frozenset({
+    "ivf_build_16", "hnsw_build", "pq_build", "ivfpq_build",
+    "cp_knn_top10", "doc_bm25_batch", "doc_bm25_resharded",
+    "doc_bm25_top10", "doc_decontam", "doc_dedup_against",
+    "doc_dedup_against_verified", "doc_dedup_keep", "doc_dedup_keep_star",
+    "doc_despan", "doc_dsir_against", "doc_dsir_top", "doc_dsir_unlearned",
+    "doc_dup_clusters", "doc_dup_spans", "doc_hybrid_batch",
+    "doc_hybrid_batch_multi", "doc_hybrid_indexed", "doc_hybrid_rrf",
+    "doc_incremental_keep", "doc_lang_quality", "doc_minhash_pairs",
+    "doc_minhash_tuned", "doc_semantic_decontam", "doc_simhash_against",
+    "doc_simhash_keep", "doc_simhash_near", "doc_simhash_star",
+    "doc_surprisal", "doc_surprisal_buckets", "doc_text_knn",
+    "doc_winnow_against", "doc_winnow_pairs", "doc_winnow_star",
+    "embedding_dedup_against", "embedding_near_dups_lsh",
+    "embedding_semantic_dedup", "events_sessions", "filtered_lsh_knn",
+    "hnsw_knn", "ivf_knn", "lsh_precision_at_10", "lsh_recall_at_10",
+    "media_dedup_keep", "media_pipeline", "price_quantiles",
+    "pricing_summary", "revenue_by_nation", "revenue_rollup",
+    "salted_supplier_revenue", "similarity_join", "cp_build_40",
+    "hnsw_build_full", "ingest_validated_10k",
+})
+
+# The driver records only the LAST 2000 chars of stdout and parses the
+# JSON line out of that window (BENCH_r06 overflowed it: parsed=null,
+# 17 lines lost). 120 full query names are ~2830 chars even at 1
+# decimal — they can never all fit — so the stdout line maximizes
+# per-line visibility instead: quality/cache telemetry live ONLY in
+# bench_full.json, timings are 1-decimal (0.1 s granularity is inside
+# the documented environment noise; full precision is in the file), and
+# lines are folded smallest-last only once the budget is exhausted.
+_STDOUT_BUDGET = 1900
+
+
+def _fit_stdout_line(payload: dict, timings: dict) -> str:
+    """Largest possible stdout JSON line under ``_STDOUT_BUDGET``.
+
+    Every ``_PINNED_STDOUT`` line is always individually present; the
+    other lines are added largest-value-first while the rendered line
+    still fits; whatever stays hidden is summed into
+    ``__small_queries_total`` (full per-line detail is in
+    bench_full.json either way)."""
+
+    def render(shown: set) -> str:
+        q = {k: round(v, 1) for k, v in timings.items() if k in shown}
+        hidden = [v for k, v in timings.items() if k not in shown]
+        if hidden or "__small_queries_total" not in q:
+            q["__small_queries_total"] = round(sum(hidden), 1)
+        payload["queries"] = q
+        return json.dumps(payload, separators=(",", ":"))
+
+    shown = {k for k in timings if k in _PINNED_STDOUT}
+    line = render(shown)
+    for k in sorted((k for k in timings if k not in shown),
+                    key=lambda k: (-timings[k], k)):
+        trial = render(shown | {k})
+        if len(trial) <= _STDOUT_BUDGET:
+            shown.add(k)
+            line = trial
+    return line
 
 
 # Below this much page cache the box is in the ambient state that made
@@ -643,12 +723,8 @@ def main() -> None:
         "bench_conditions": conditions,
         "auto_warmup": auto_warmup,
     }
-    # The driver records only the LAST 2000 chars of stdout and parses
-    # the JSON line out of that window (BENCH_r06 overflowed it:
-    # parsed=null, 17 lines lost). Keep the full-precision payload in a
-    # file beside the repo, and shrink the stdout line until it fits:
-    # compact separators -> 2-decimal timings -> drop the quality block
-    # (it lives in the file either way).
+    # Full-precision payload (every line, quality, cache telemetry) in a
+    # file beside the repo; the stdout line is the driver-facing window.
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -658,31 +734,9 @@ def main() -> None:
             fh.write("\n")
     except OSError:
         pass
-    line = json.dumps(payload, separators=(",", ":"))
-    if len(line) > 1900:
-        payload["queries"] = {k: round(v, 2) for k, v in timings.items()}
-        line = json.dumps(payload, separators=(",", ":"))
-    if len(line) > 1900:
-        payload["quality"] = "see bench_full.json"
-        payload["cache_at_start"] = "see bench_full.json"
-        line = json.dumps(payload, separators=(",", ":"))
-    if len(line) > 1900:
-        # 1-decimal timings: keeps EVERY per-query line visible to the
-        # driver's shared-line comparison (0.1 s granularity is inside
-        # the documented ±10-50% environment noise; full precision is
-        # in bench_full.json)
-        payload["queries"] = {k: round(v, 1) for k, v in timings.items()}
-        line = json.dumps(payload, separators=(",", ":"))
-    if len(line) > 1900:
-        # final stage: fold the fastest sub-second lines into one
-        # aggregate key, keeping every line >= 1s individually visible
-        # (the full per-query detail is in bench_full.json regardless)
-        big = {k: round(v, 2) for k, v in timings.items() if v >= 1.0}
-        small = round(sum(v for v in timings.values() if v < 1.0), 2)
-        big["__small_queries_total"] = small
-        payload["queries"] = big
-        line = json.dumps(payload, separators=(",", ":"))
-    print(line)
+    payload["quality"] = "see bench_full.json"
+    payload["cache_at_start"] = "see bench_full.json"
+    print(_fit_stdout_line(payload, timings))
 
 
 if __name__ == "__main__":

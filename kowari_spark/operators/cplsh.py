@@ -45,6 +45,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, IntegerType
 
+#: literal-pruning cap for a prebuilt-layout probe: above this many
+#: (table, bucket) pairs (Q·T·probes) the compiled IN-predicate would
+#: dominate planning — the batch keeps the broadcast-join-only shape
+_PROBE_PAIRS_MAX = 32768
+
 
 class CrossPolytopeLSH:
     """Multi-table cross-polytope LSH (2·dim buckets per table).
@@ -186,11 +191,13 @@ class CrossPolytopeLSH:
         }
 
     def _write_meta(self, spark: SparkSession, path: str,
-                    vec_col: str = "embedding", id_col: str = "id") -> None:
+                    vec_col: str = "embedding", id_col: str = "id",
+                    layout: str = "dirs") -> None:
         """Stamp the params sidecar (hash version + dim/tables/seed,
         plus family/vec_col/id_col provenance for param-free opens via
-        ``dedup_index.open_lsh_layout``) — shared by ``build`` and the
-        streaming sink's first-batch commit."""
+        ``dedup_index.open_lsh_layout``, plus the physical ``layout``
+        format) — shared by ``build`` and the streaming sink's
+        first-batch commit (the sink always stamps ``dirs``)."""
         import json
 
         from kowari_spark.fsutil import write_bytes
@@ -199,9 +206,24 @@ class CrossPolytopeLSH:
             spark, f"{path}/{self._META_NAME}",
             json.dumps(dict(
                 self._params(), family="crosspolytope",
-                vec_col=vec_col, id_col=id_col,
+                vec_col=vec_col, id_col=id_col, layout=layout,
             )).encode(),
         )
+
+    def layout_format(self, spark: SparkSession, path: str) -> str:
+        """Physical format of a stored layout: ``"sorted"`` (bucket-
+        sorted plain parquet, round 16) or ``"dirs"`` (the historical
+        partitionBy(__tbl, bucket) tree; also any layout whose sidecar
+        predates the field)."""
+        import json
+
+        from kowari_spark.fsutil import exists, read_bytes
+
+        meta_path = f"{path}/{self._META_NAME}"
+        if not exists(spark, meta_path):
+            return "dirs"
+        saved = json.loads(read_bytes(spark, meta_path).decode())
+        return saved.get("layout", "dirs")
 
     def _check_meta(self, spark: SparkSession, path: str) -> None:
         """Verify an existing params sidecar against THIS instance's
@@ -227,25 +249,51 @@ class CrossPolytopeLSH:
 
     def build(self, df: DataFrame, path: str, vec_col: str = "embedding",
               max_records_per_file: int | None = None,
-              id_col: str = "id") -> None:
-        """Persist the exploded (table, bucket) layout,
-        partitionBy(__tbl, bucket) = 2·dim·T dirs, plus a params sidecar
-        that ``load`` checks — probing a layout hashed by an
+              id_col: str = "id", layout: str = "sorted") -> None:
+        """Persist the exploded (table, bucket) layout plus a params
+        sidecar that ``load`` checks — probing a layout hashed by an
         incompatible build must error, not lose recall silently.
-        ``max_records_per_file`` rolls big dirs into several
-        scan-parallel files."""
+
+        ``layout="sorted"`` (round-16 default, VERDICT r15 ask #5):
+        plain parquet hash-repartitioned by (__tbl, bucket) and SORTED
+        within each task by (__tbl, bucket) — every (table, bucket)
+        group lands whole and contiguous inside one file, so parquet
+        row-group min/max stats carry the probe's literal
+        ``(__tbl, bucket)`` predicate (``query_batch`` compiles one per
+        batch). Rationale: the historical partitionBy tree creates
+        2·dim·T directories+files (5120 at d=64, T=40 — the measured
+        build wall was per-file creation, guide §6 "small files hurt
+        twice"); the sorted form writes ``write_parallelism`` files
+        total and prunes by row-group stats instead of directory
+        listing. Same rows, same schema, same probe results (pinned by
+        tests/test_cplsh.py sorted/dirs parity).
+
+        ``layout="dirs"`` keeps the partitionBy(__tbl, bucket) tree —
+        required for streaming micro-batch appends and partition-pruned
+        MOR deletes (``delete_from_layout``), which work on directory
+        geometry.
+
+        ``max_records_per_file`` rolls big files/dirs into several
+        scan-parallel pieces (either format)."""
         from kowari_spark.operators.lsh import _refuse_empty_build
 
         from kowari_spark.fsutil import write_parallelism
 
+        if layout not in ("sorted", "dirs"):
+            raise ValueError(f"layout must be sorted|dirs, got {layout!r}")
         _refuse_empty_build(df, "CrossPolytopeLSH.build")
-        w = self.with_buckets(df, vec_col).repartition(
+        bucketed = self.with_buckets(df, vec_col).repartition(
             write_parallelism(df), F.col("__tbl"), F.col("bucket")
-        ).write.mode("overwrite")
+        )
+        if layout == "sorted":
+            bucketed = bucketed.sortWithinPartitions("__tbl", "bucket")
+        w = bucketed.write.mode("overwrite")
         if max_records_per_file is not None:
             w = w.option("maxRecordsPerFile", str(max_records_per_file))
-        w.partitionBy("__tbl", "bucket").parquet(path)
-        self._write_meta(df.sparkSession, path, vec_col, id_col)
+        if layout == "dirs":
+            w = w.partitionBy("__tbl", "bucket")
+        w.parquet(path)
+        self._write_meta(df.sparkSession, path, vec_col, id_col, layout)
 
     def load(self, spark: SparkSession, path: str) -> DataFrame:
         """Open a built layout, verifying the params sidecar against
@@ -274,12 +322,19 @@ class CrossPolytopeLSH:
         queries with < k distinct candidates fall back to the exact scan
         (the reference's fallback semantic).
 
-        The whole search is ONE declarative plan — no driver action
-        fires inside this call (tested). The fallback is built
-        unconditionally from the left-anti starved lineage; when no
-        query is starved its broadcast side materializes empty at
-        runtime and AQE's empty-relation propagation collapses the
-        subtree before the exact scan runs."""
+        On a raw (non-prebuilt) input the whole search is ONE
+        declarative plan — no driver action fires inside this call
+        (tested). On a PREBUILT layout the batch's probed
+        (table, bucket) pairs are collected once (bounded by
+        Q·T·probes — query-side scale, the SignLSH round-15
+        discipline) and compiled into a literal pushdown predicate, so
+        the layout scan prunes at the source: partition pruning on the
+        dirs format, row-group stats pruning on the sorted format. The
+        fallback is built unconditionally from the left-anti starved
+        lineage; when no query is starved its broadcast side
+        materializes empty at runtime and AQE's empty-relation
+        propagation collapses the subtree before the exact scan
+        runs."""
         from pyspark.sql.window import Window
 
         from kowari_spark.operators.topk import (
@@ -337,6 +392,47 @@ class CrossPolytopeLSH:
                 )
                 .select("query_id", "__tbl", F.explode("__pb").alias("bucket"))
             )
+        if prebuilt:
+            # static literal pruning (the SignLSH/bm25 round-15
+            # discipline): collect the batch's probed (table, bucket)
+            # pairs ONCE — bounded by Q·T·probes, the query side — and
+            # compile them into a pushable predicate, so the layout
+            # scan reads only the probed groups (partition pruning on
+            # the dirs format, row-group stats pruning on the sorted
+            # format) instead of relying on join-side pruning that
+            # does not reach the parquet reader. The pairs are
+            # EXECUTOR-computed by the same UDF that hashed the stored
+            # rows (no driver-side re-hash → no cross-engine ULP
+            # risk); the collected rows then REPLACE qb as a local
+            # relation, so the probe UDF runs exactly once per batch.
+            rows = qb.limit(_PROBE_PAIRS_MAX + 1).collect()
+            if rows and len(rows) <= _PROBE_PAIRS_MAX:
+                from pyspark.sql import types as T
+
+                from kowari_spark.fsutil import local_df
+
+                by_tbl: dict = {}
+                for r in rows:
+                    by_tbl.setdefault(r["__tbl"], set()).add(r["bucket"])
+                pred = None
+                for t in sorted(by_tbl):
+                    term = (F.col("__tbl") == int(t)) & F.col(
+                        "bucket"
+                    ).isin(sorted(by_tbl[t]))
+                    pred = term if pred is None else (pred | term)
+                bucketed = bucketed.filter(pred)
+                qb = local_df(
+                    spark,
+                    [(r["query_id"], r["__tbl"], r["bucket"]) for r in rows],
+                    T.StructType([
+                        T.StructField(
+                            "query_id",
+                            queries.schema[query_id_col].dataType,
+                        ),
+                        T.StructField("__tbl", T.IntegerType()),
+                        T.StructField("bucket", T.IntegerType()),
+                    ]),
+                )
         # the candidate set feeds three consumers (starvation sizes, the
         # exact re-score, the fallback anti-join). No checkpoint: the
         # expensive subtree (scan -> GEMM hash -> bucket join -> partial

@@ -557,6 +557,240 @@ class HNSW:
         )
         return row[id_col], row["node_level"]
 
+    #: driver-beam routing bounds (env-overridable): graphs whose node /
+    #: edge / query counts all fit under these run the EXACT same search
+    #: as a bounded driver-side fold instead of ~25-30 tiny AQE
+    #: materialization jobs (the per-job floor, not the plan, was the
+    #: measured cost — VERDICT r15 ask #4). The collect is bounded the
+    #: same way the CC union-find bounds its edge collect; any larger
+    #: graph takes the distributed path unchanged.
+    BEAM_MAX_NODES = 65536
+    BEAM_MAX_EDGES = 1 << 20
+
+    def _beam_bounds(self) -> tuple[int, int]:
+        import os
+
+        try:
+            mn = int(os.environ.get("KOWARI_HNSW_BEAM_NODES",
+                                    str(self.BEAM_MAX_NODES)))
+        except ValueError:
+            mn = self.BEAM_MAX_NODES
+        try:
+            me = int(os.environ.get("KOWARI_HNSW_BEAM_EDGES",
+                                    str(self.BEAM_MAX_EDGES)))
+        except ValueError:
+            me = self.BEAM_MAX_EDGES
+        return mn, me
+
+    def _try_driver_beam(
+        self, base, edges, queries, k, metric, id_col, vec_col,
+        query_id_col, query_vec_col, hops, round_to, entry_budget,
+        max_batch,
+    ):
+        """Bounded driver-side replica of ``query_batch``'s search.
+
+        Returns None (caller falls through to the distributed plan)
+        unless the graph, edge set and query batch ALL fit the beam
+        bounds AND the scoring is the rounded numpy-vectorizable kind —
+        the same discipline as ``topk._knn_batch_heap`` (numpy float64
+        scores under ``round_to`` rounding, re-rounded through
+        ``F.round`` on emit) and ``dedup._cc_unionfind`` (bounded
+        collect, exact fold). Exact-order parity with the distributed
+        search is pinned by tests/test_hnsw.py::
+        test_query_batch_driver_beam_parity — every step below mirrors
+        one statement of the distributed plan, in order."""
+        import hashlib
+        import math
+        import warnings
+
+        import numpy as np
+
+        if round_to is None or metric not in self._GEMM_METRICS:
+            return None
+        max_nodes, max_edges = self._beam_bounds()
+        if max_nodes <= 0:
+            return None
+        q_bound = max_batch or 8192
+        q_rows = (
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_vec_col).alias("__qvec"),
+            )
+            .limit(q_bound + 1)
+            .collect()
+        )
+        if not q_rows or len(q_rows) > q_bound:
+            return None
+        qids = [r["query_id"] for r in q_rows]
+        if len(set(qids)) != len(qids):
+            # duplicated query ids share one window partition in the
+            # distributed plan; the beam keys per id — don't replicate
+            return None
+        lev_rows = (
+            assign_levels(
+                base.select(F.col(id_col), F.col(vec_col)), id_col,
+                self.seed, self.max_level,
+            )
+            .limit(max_nodes + 1)
+            .collect()
+        )
+        if not lev_rows or len(lev_rows) > max_nodes:
+            return None
+        e_rows = (
+            edges.select("src", "dst", "level").limit(max_edges + 1).collect()
+        )
+        if len(e_rows) > max_edges:
+            return None
+
+        spark = base.sparkSession
+        n = len(lev_rows)
+        top_level = max(r["node_level"] for r in lev_rows)
+        ids = [r[id_col] for r in lev_rows]
+        idx = {i: j for j, i in enumerate(ids)}
+        V = np.asarray([r[vec_col] for r in lev_rows], dtype=np.float64)
+        levels = np.asarray([r["node_level"] for r in lev_rows])
+        Q = np.asarray([r["__qvec"] for r in q_rows], dtype=np.float64)
+        nq = len(qids)
+        if V.ndim != 2 or Q.ndim != 2 or V.shape[1] != Q.shape[1]:
+            return None  # ragged dims: the distributed fold's zip_with
+            # semantics (shorter-array truncation) aren't replicated here
+        if not (np.isfinite(V).all() and np.isfinite(Q).all()):
+            return None  # NaN sorts LAST in Python keys but FIRST in
+            # Spark's descending double order — don't replicate
+
+        vn = np.linalg.norm(V, axis=1)
+        qn = np.linalg.norm(Q, axis=1)
+
+        def score(qi: int, node_idx: np.ndarray) -> np.ndarray:
+            """similarity_expr twin over float64, rounded like _rounded
+            (np.round + 0.0; the emit below re-applies F.round exactly
+            as _knn_batch_heap does)."""
+            sub = V[node_idx]
+            if metric == "cosine":
+                s = sub @ Q[qi]
+                denom = vn[node_idx] * qn[qi]
+                zero = (vn[node_idx] == 0.0) | (qn[qi] == 0.0)
+                denom = np.where(denom == 0.0, 1.0, denom)
+                s = np.where(zero, 0.0, s / denom)
+            elif metric == "dot":
+                s = sub @ Q[qi]
+            elif metric == "euclidean":
+                d = sub - Q[qi]
+                s = -np.sqrt(np.einsum("ij,ij->i", d, d))
+            else:  # manhattan
+                s = -np.abs(sub - Q[qi]).sum(axis=1)
+            return np.round(s, round_to) + 0.0
+
+        l_cut = max(1, math.ceil(math.log2(max(n / max(entry_budget, 1), 1.0))))
+        l_cut = min(l_cut, top_level)
+
+        # exact entry over the >= l_cut layer (flat-graph budget cap
+        # mirrors the distributed md5-ordered sample, same hash string)
+        layer_idx = np.nonzero(levels >= l_cut)[0]
+        if l_cut == 0 and n > entry_budget:
+            warnings.warn(
+                f"hnsw.query_batch: flat graph (top level 0) with n={n} > "
+                f"entry_budget={entry_budget}; capping the exact entry "
+                "layer to a hash-ordered sample — entry quality degrades "
+                "gracefully, but consider rebuilding with a larger "
+                "max_level so upper layers exist",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+            salted = sorted(
+                range(n),
+                key=lambda j: hashlib.md5(
+                    f"{ids[j]}#entry{self.seed}".encode()
+                ).hexdigest(),
+            )
+            layer_idx = np.asarray(salted[:entry_budget])
+
+        # per-level adjacency: src id -> [dst ids]
+        adj: dict[int, dict] = {}
+        for r in e_rows:
+            adj.setdefault(r["level"], {}).setdefault(r["src"], []).append(
+                r["dst"]
+            )
+
+        out_rows = []
+        for qi in range(nq):
+            ls = score(qi, layer_idx)
+            order = sorted(
+                range(len(layer_idx)), key=lambda j: (-ls[j], ids[layer_idx[j]])
+            )
+            best_id = ids[layer_idx[order[0]]]
+            best_score = float(ls[order[0]])
+
+            # greedy descent l_cut-1 .. 1: score neighbors of the
+            # current best, union the best row, keep top-1
+            for level in range(l_cut - 1, 0, -1):
+                nbrs = [
+                    d for d in adj.get(level, {}).get(best_id, []) if d in idx
+                ]
+                cand = {best_id: best_score}
+                if nbrs:
+                    nidx = np.asarray([idx[d] for d in nbrs])
+                    ns = score(qi, nidx)
+                    for d, s in zip(nbrs, ns):
+                        # same (query, id) scored twice scores the same;
+                        # max matches the distributed row_number dedup
+                        cand[d] = max(cand.get(d, -math.inf), float(s))
+                best_id, best_score = min(
+                    cand.items(), key=lambda kv: (-kv[1], kv[0])
+                )
+
+            # level-0 BFS: ef-bounded frontier, `hops` rounds; visited
+            # is clipped to ef each round exactly like the distributed
+            # window (visited = nxt)
+            lvl0 = adj.get(0, {})
+            visited = {best_id: best_score}
+            frontier = [best_id]
+            for _ in range(hops):
+                nbr_ids = []
+                seen = set()
+                for src in frontier:
+                    for d in lvl0.get(src, []):
+                        if d in idx and d not in seen:
+                            seen.add(d)
+                            nbr_ids.append(d)
+                merged = dict(visited)
+                if nbr_ids:
+                    nidx = np.asarray([idx[d] for d in nbr_ids])
+                    ns = score(qi, nidx)
+                    for d, s in zip(nbr_ids, ns):
+                        s = float(s)
+                        if d not in merged or s > merged[d]:
+                            merged[d] = s
+                top = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+                top = top[: self.ef]
+                visited = dict(top)
+                frontier = [d for d, _ in top]
+
+            ranked = sorted(visited.items(), key=lambda kv: (-kv[1], kv[0]))
+            for rank, (d, s) in enumerate(ranked[:k], start=1):
+                out_rows.append((qids[qi], d, s, rank))
+
+        from pyspark.sql import types as T
+
+        from kowari_spark.fsutil import local_df
+
+        out_schema = T.StructType([
+            T.StructField("query_id", queries.schema[query_id_col].dataType),
+            T.StructField(id_col, base.schema[id_col].dataType),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("rank", T.IntegerType(), False),
+        ])
+        out = local_df(spark, out_rows, out_schema)
+        # re-round through F.round on emit (identical discipline to
+        # _knn_batch_heap: numpy rounds for selection, F.round stamps
+        # the emitted value)
+        return out.select(
+            "query_id",
+            F.col(id_col),
+            _rounded(F.col("score"), round_to).alias("score"),
+            "rank",
+        )
+
     def query_batch(
         self,
         base: DataFrame,
@@ -609,6 +843,20 @@ class HNSW:
         """
         import math
         import warnings
+
+        # bounded graphs run the exact same search driver-side: ~4
+        # bounded collects instead of ~25-30 tiny AQE materialization
+        # jobs (the measured per-probe cost at local[32] was the per-job
+        # floor, not compute). Result parity is pinned by
+        # test_query_batch_driver_beam_parity; anything over the bounds
+        # — any at-scale graph — falls through to the distributed plan.
+        beam = self._try_driver_beam(
+            base, edges, queries, k, metric, id_col, vec_col,
+            query_id_col, query_vec_col, hops, round_to, entry_budget,
+            max_batch,
+        )
+        if beam is not None:
+            return beam
 
         if max_batch is not None:
             # bounded probe, not a full count: LIMIT terminates early,

@@ -138,6 +138,31 @@ def get_session(
             .config("spark.driver.extraClassPath", _jar)
             .config("spark.jars", _jar)
         )
+    # Pre-import the numeric stack in the WORKER DAEMON so forked
+    # Python workers inherit loaded numpy/pandas/pyarrow via
+    # copy-on-write: a fresh worker's first Arrow/pandas task measured
+    # ~2.5 s of pure import wall (x32 first-wave workers at local[32])
+    # before this — the floor under every cold-session GEMM stage. The
+    # module only pre-imports and then delegates to the stock
+    # pyspark.daemon loop, so worker semantics are unchanged; workers
+    # on a cluster resolve it from the same PYTHONPATH that already
+    # ships kowari_spark's UDF closures. KOWARI_WORKER_PRELOAD=false
+    # restores the stock daemon.
+    if _env_bool("KOWARI_WORKER_PRELOAD", default=True) == "true":
+        # the worker launcher builds the daemon's PYTHONPATH from the
+        # JVM's inherited environment, not the driver's sys.path — make
+        # the package root visible there BEFORE the gateway JVM starts
+        # so `python -m kowari_spark.worker_daemon` resolves from any
+        # launch cwd (no-op when kowari_spark is a site-package)
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        pp = os.environ.get("PYTHONPATH", "")
+        if pkg_root not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                pkg_root + (os.pathsep + pp if pp else "")
+            )
+        builder = builder.config(
+            "spark.python.daemon.module", "kowari_spark.worker_daemon"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

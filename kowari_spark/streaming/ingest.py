@@ -167,6 +167,22 @@ def stream_into_lsh_layout(
     spark0 = stream_df.sparkSession
     if fsutil.exists(spark0, f"{path}/{meta_name}"):
         check_meta(spark0)
+        # micro-batch appends write partition DIRECTORIES; a round-16
+        # "sorted" CP layout is plain bucket-sorted parquet — appending
+        # dirs into it would leave __tbl/bucket both as data columns
+        # and as partition keys, corrupting every later read. Refuse
+        # up front (rebuild with layout="dirs" for streaming
+        # maintenance).
+        if (
+            isinstance(lsh, CrossPolytopeLSH)
+            and lsh.layout_format(spark0, path) != "dirs"
+        ):
+            raise ValueError(
+                f"CP-LSH layout at {path} uses the 'sorted' format, "
+                "which streaming appends cannot maintain; rebuild it "
+                "with CrossPolytopeLSH.build(..., layout='dirs') to "
+                "stream into it"
+            )
         preexisting_sidecar_less = False
     else:
         # Decide NOW whether this stream is allowed to stamp the params
